@@ -1,0 +1,346 @@
+"""GeneralizedKMeans estimator + model: Bregman k-means on DataFrames.
+
+PySpark-native re-expression of
+``GeneralizedKMeans.scala:178-268`` (fit) and
+``GeneralizedKMeansModel.scala:70-217`` (transform/predict/cost).
+The estimator duck-types the ``pyspark.ml`` surface
+(``fit``/``transform``/``save``/``load``/param getters) so reference
+examples port 1:1 without a JVM or py4j.
+
+Features are ``array<double>`` natively; ``VectorUDT`` columns are
+accepted and converted at the API boundary via
+``pyspark.ml.functions.vector_to_array`` (SURVEY.md §7.3.6).
+"""
+
+from __future__ import annotations
+
+import json
+import hashlib
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.kernels import Kernel, get_kernel
+from .operators.assignment import auto_assigner, distances_column
+from .operators.initialization import initialize
+from .plans.lloyds import LloydsConfig, run_lloyds
+from .summary import TrainingSummary
+
+__all__ = ["GeneralizedKMeans", "GeneralizedKMeansModel"]
+
+
+def _ensure_array_features(df: DataFrame, col: str) -> DataFrame:
+    """Accept VectorUDT or array<numeric>; normalize to array<double>."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.ArrayType):
+        if not isinstance(dtype.elementType, T.DoubleType):
+            return df.withColumn(col, F.col(col).cast("array<double>"))
+        return df
+    if dtype.typeName() in ("vector", "vectorudt"):
+        from pyspark.ml.functions import vector_to_array
+
+        return df.withColumn(col, vector_to_array(F.col(col)).cast("array<double>"))
+    raise TypeError(
+        f"features column '{col}' must be array<double> or ml Vector, got {dtype}"
+    )
+
+
+def _validate_domain(df: DataFrame, kernel: Kernel, col: str, sample: int = 1000):
+    """Sampled domain validation with an actionable error
+    (reference ``util/DivergenceDomainValidator.scala:35-120``)."""
+    bad = (
+        df.select(F.col(col))
+        .limit(sample)
+        .where(~kernel.validate(F.col(col)))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"divergence '{kernel.name}' domain violation in column '{col}': "
+            f"offending features={bad[0][0]!r}. KL/generalized-I require "
+            "non-negative values, Itakura-Saito strictly positive, logistic "
+            "values in [0,1]."
+        )
+
+
+class GeneralizedKMeans:
+    """Lloyd's algorithm generalized to Bregman divergences.
+
+    Parameters mirror ``GeneralizedKMeansParams.scala:9-215`` (defaults
+    at :201-214): k, divergence, maxIter, tol, seed, initMode,
+    initSteps, smoothing, featuresCol, predictionCol, weightCol,
+    distanceCol, assignmentStrategy, emptyClusterStrategy.
+    """
+
+    _algorithm = "GeneralizedKMeans"
+
+    def __init__(
+        self,
+        k: int = 2,
+        divergence: str = "squaredEuclidean",
+        max_iter: int = 20,
+        tol: float = 1e-4,
+        seed: int = 0,
+        init_mode: str = "k-means||",
+        init_steps: int = 2,
+        smoothing: float = 1e-10,
+        features_col: str = "features",
+        prediction_col: str = "prediction",
+        weight_col: str | None = None,
+        distance_col: str | None = None,
+        assignment_strategy: str = "auto",
+        empty_cluster_strategy: str = "keep",
+        initial_centers=None,
+        # accepted for API familiarity; the constant-depth plan makes them no-ops
+        checkpoint_interval: int = 0,
+        checkpoint_dir: str | None = None,
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = k
+        self.divergence = divergence
+        self.max_iter = max_iter
+        self.tol = tol
+        self.seed = seed
+        self.init_mode = init_mode
+        self.init_steps = init_steps
+        self.smoothing = smoothing
+        self.features_col = features_col
+        self.prediction_col = prediction_col
+        self.weight_col = weight_col
+        self.distance_col = distance_col
+        self.assignment_strategy = assignment_strategy
+        self.empty_cluster_strategy = empty_cluster_strategy
+        self.initial_centers = initial_centers
+        self.checkpoint_interval = checkpoint_interval
+        self.checkpoint_dir = checkpoint_dir
+
+    # pyspark.ml-style getters
+    def getK(self):
+        return self.k
+
+    def getDivergence(self):
+        return self.divergence
+
+    def _kernel(self) -> Kernel:
+        return get_kernel(self.divergence, smoothing=self.smoothing)
+
+    def _prepare(self, df: DataFrame, kernel: Kernel) -> DataFrame:
+        df = _ensure_array_features(df, self.features_col)
+        if kernel.pre_normalize:
+            df = df.withColumn(self.features_col, kernel.normalize(F.col(self.features_col)))
+        return df
+
+    def fit(self, df: DataFrame) -> "GeneralizedKMeansModel":
+        kernel = self._kernel()
+        df = self._prepare(df, kernel)
+        _validate_domain(df, kernel, self.features_col)
+
+        work = df.select(
+            *([self.features_col] + ([self.weight_col] if self.weight_col else []))
+        )
+        cache_here = work.storageLevel.useMemory is False
+        if cache_here:
+            work = work.cache()
+        try:
+            if self.initial_centers is not None:
+                centers = np.asarray(self.initial_centers, dtype=np.float64)
+                if kernel.pre_normalize:
+                    centers = kernel.normalize_np(centers)
+            else:
+                centers = initialize(
+                    work, self.k, kernel, self.features_col, self.seed,
+                    self.init_mode, self.init_steps,
+                )
+            cfg = LloydsConfig(
+                k=len(centers),
+                kernel=kernel,
+                max_iter=self.max_iter,
+                tol=self.tol,
+                features_col=self.features_col,
+                weight_col=self.weight_col,
+                assignment_strategy=self.assignment_strategy,
+                empty_cluster_strategy=self.empty_cluster_strategy,
+                seed=self.seed,
+            )
+            result = run_lloyds(work, centers, cfg)
+        finally:
+            if cache_here:
+                work.unpersist()
+
+        summary = TrainingSummary(
+            algorithm=self._algorithm,
+            k=len(result.centers),
+            dim=result.centers.shape[1],
+            divergence=kernel.name,
+            iterations=result.iterations,
+            converged=result.converged,
+            distortion_history=result.distortion_history,
+            movement_history=result.movement_history,
+            cluster_sizes=result.cluster_sizes,
+            elapsed_sec=result.elapsed_sec,
+        )
+        return GeneralizedKMeansModel(
+            centers=result.centers,
+            kernel_name=kernel.name,
+            smoothing=self.smoothing,
+            features_col=self.features_col,
+            prediction_col=self.prediction_col,
+            distance_col=self.distance_col,
+            assignment_strategy=self.assignment_strategy,
+            summary=summary,
+            params=self._param_map(),
+        )
+
+    def _param_map(self) -> dict:
+        return {
+            "k": self.k, "divergence": self.divergence, "maxIter": self.max_iter,
+            "tol": self.tol, "seed": self.seed, "initMode": self.init_mode,
+            "initSteps": self.init_steps, "smoothing": self.smoothing,
+            "featuresCol": self.features_col, "predictionCol": self.prediction_col,
+            "weightCol": self.weight_col, "distanceCol": self.distance_col,
+            "assignmentStrategy": self.assignment_strategy,
+            "emptyClusterStrategy": self.empty_cluster_strategy,
+        }
+
+
+class GeneralizedKMeansModel:
+    """Fitted model: k×d centers + kernel. ``transform`` is fully lazy —
+    a single codegen'd projection, no job until the caller acts
+    (reference ``GeneralizedKMeansModel.scala:70-126``)."""
+
+    LAYOUT_VERSION = 1
+
+    def __init__(self, centers, kernel_name, smoothing=1e-10,
+                 features_col="features", prediction_col="prediction",
+                 distance_col=None, assignment_strategy="auto",
+                 summary: TrainingSummary | None = None, params: dict | None = None):
+        self.centers = np.asarray(centers, dtype=np.float64)
+        self.kernel_name = kernel_name
+        self.smoothing = smoothing
+        self.features_col = features_col
+        self.prediction_col = prediction_col
+        self.distance_col = distance_col
+        self.assignment_strategy = assignment_strategy
+        self.summary = summary
+        self.params = params or {}
+
+    @property
+    def k(self) -> int:
+        return len(self.centers)
+
+    @property
+    def dim(self) -> int:
+        return self.centers.shape[1]
+
+    def _kernel(self) -> Kernel:
+        return get_kernel(self.kernel_name, smoothing=self.smoothing)
+
+    def cluster_centers(self) -> np.ndarray:
+        return self.centers.copy()
+
+    def centers_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            [(int(i), [float(v) for v in c]) for i, c in enumerate(self.centers)],
+            "center_id int, center array<double>",
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        kernel = self._kernel()
+        df = _ensure_array_features(df, self.features_col)
+        feats = F.col(self.features_col)
+        if kernel.pre_normalize:
+            feats = kernel.normalize(feats)
+        assigner = auto_assigner(self.k, self.dim, self.assignment_strategy)
+        tmp = df.withColumn("_f_norm", feats) if kernel.pre_normalize else df
+        fcol = "_f_norm" if kernel.pre_normalize else self.features_col
+        out = assigner.assign(
+            tmp, kernel, self.centers.tolist(), fcol,
+            cluster_col=self.prediction_col,
+            dist_col=self.distance_col or "_dist_tmp",
+        )
+        if not self.distance_col:
+            out = out.drop("_dist_tmp")
+        if kernel.pre_normalize:
+            out = out.drop("_f_norm")
+        return out
+
+    def predict(self, vector) -> int:
+        kernel = self._kernel()
+        x = np.asarray(vector, dtype=np.float64)[None, :]
+        return int(np.argmin(kernel.div_np(x, self.centers)[0]))
+
+    def compute_cost(self, df: DataFrame) -> float:
+        """WCSS: Σ w·min_c D(x, μ_c) (``GeneralizedKMeansModel.scala:161-191``)."""
+        kernel = self._kernel()
+        df = _ensure_array_features(df, self.features_col)
+        feats = F.col(self.features_col)
+        if kernel.pre_normalize:
+            feats = kernel.normalize(feats)
+        dists = distances_column(kernel, feats, self.centers.tolist())
+        row = df.select(F.sum(F.array_min(dists)).alias("cost")).collect()[0]
+        return float(row["cost"] or 0.0)
+
+    # -- persistence: metadata.json + centers/*.parquet + sha256 ------------
+    # layout contract: reference SPECIFICATION.md:227-256,
+    # df/persistence/PersistenceLayout.scala:82-177
+    def save(self, spark, path: str):
+        os.makedirs(path, exist_ok=True)
+        centers_path = os.path.join(path, "centers")
+        self.centers_df(spark).withColumn(
+            "weight", F.lit(1.0)
+        ).select("center_id", "weight", F.col("center").alias("vector")) \
+            .repartition(1).sortWithinPartitions("center_id") \
+            .write.mode("overwrite").parquet(centers_path)
+        canonical = json.dumps(
+            [[i, [float(v) for v in c]] for i, c in enumerate(self.centers)]
+        )
+        meta = {
+            "layoutVersion": self.LAYOUT_VERSION,
+            "algorithm": "GeneralizedKMeansModel",
+            "divergence": self.kernel_name,
+            "k": self.k,
+            "dim": self.dim,
+            "smoothing": self.smoothing,
+            "paramMap": self.params,
+            "featuresCol": self.features_col,
+            "predictionCol": self.prediction_col,
+            "distanceCol": self.distance_col,
+            "checksums": {"centers_sha256": hashlib.sha256(canonical.encode()).hexdigest()},
+        }
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        if self.summary is not None:
+            with open(os.path.join(path, "summary.json"), "w") as f:
+                json.dump(self.summary.to_dict(), f, indent=2)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "GeneralizedKMeansModel":
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        rows = (
+            spark.read.parquet(os.path.join(path, "centers"))
+            .orderBy("center_id").collect()
+        )
+        centers = np.asarray([r["vector"] for r in rows], dtype=np.float64)
+        canonical = json.dumps(
+            [[i, [float(v) for v in c]] for i, c in enumerate(centers)]
+        )
+        digest = hashlib.sha256(canonical.encode()).hexdigest()
+        expected = meta.get("checksums", {}).get("centers_sha256")
+        if expected and digest != expected:
+            raise IOError(f"centers checksum mismatch at {path}")
+        model = cls(
+            centers=centers,
+            kernel_name=meta["divergence"],
+            smoothing=meta.get("smoothing", 1e-10),
+            features_col=meta.get("featuresCol", "features"),
+            prediction_col=meta.get("predictionCol", "prediction"),
+            distance_col=meta.get("distanceCol"),
+            params=meta.get("paramMap", {}),
+        )
+        return model

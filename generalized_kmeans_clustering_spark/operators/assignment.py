@@ -1,0 +1,204 @@
+"""Assignment operators: point → nearest-center, the engine's "join" layer.
+
+Re-expression of the reference's assignment strategies
+(``strategies/AssignmentStrategy.scala:18-41`` and impls under
+``strategies/impl/``) as Catalyst expressions:
+
+- ``ExpressionAssignment`` — centers embedded as an array-of-arrays
+  literal; distances via ``transform`` over the literal; argmin via
+  ``array_position(dists, array_min(dists))`` (first-index-wins
+  tie-break, matching ``BroadcastUDFAssignment.scala:84-90``'s strict
+  ``dist < minDist``). The whole stage is a single codegen'd projection
+  — no shuffle, no Python, no broadcast join. This subsumes the
+  reference's BroadcastUDFAssignment for k·d up to ~100k elements.
+- ``ChunkedExpressionAssignment`` — centers processed in chunks to
+  bound the expression-tree/codegen size (reference
+  ``ChunkedBroadcastAssignment.scala:23-120``); per-chunk
+  struct(min_dist, argmin), combined with ``least`` (struct ordering =
+  lexicographic → min dist, ties → lower id).
+- ``PandasAssignment`` — Arrow-vectorized numpy argmin for very large
+  k·d (reference ``BroadcastUDFAssignment``'s role at scale).
+- ``CrossJoinAssignment`` — points × broadcast centers-DataFrame +
+  ``min_by`` groupBy (reference ``SECrossJoinAssignment.scala:16-75``,
+  but with the README-recommended min_by-on-rowid shape instead of the
+  whole-row window, ``README.md:308-312``).
+- ``auto_assigner`` — decision tree mirroring ``AutoAssignment.scala:19-89``.
+
+Scale notes (100 TB): the expression paths are map-only — they scale
+linearly with input partitions, shuffle nothing, and keep the parquet
+scan's predicate pushdown and column pruning intact. CrossJoin is kept
+for parity/testing; at scale the chunked expression path dominates it
+(no rowid shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kernels import Kernel, array_lit
+
+__all__ = [
+    "distances_column",
+    "ExpressionAssignment",
+    "ChunkedExpressionAssignment",
+    "PandasAssignment",
+    "CrossJoinAssignment",
+    "auto_assigner",
+]
+
+# k·d beyond which a single expression tree gets unwieldy and we chunk
+EXPRESSION_ELEM_LIMIT = 16_384
+# k·d beyond which we leave codegen and use Arrow+numpy
+CHUNKED_ELEM_LIMIT = 262_144
+
+
+def distances_column(kernel: Kernel, features: Column, centers: Sequence[Sequence[float]]) -> Column:
+    """array<double> of D(x, μ_j) for every center, as one expression."""
+    centers_lit = F.array(*[array_lit(c) for c in centers])
+    return F.transform(centers_lit, lambda c: kernel.pairwise(features, c))
+
+
+class ExpressionAssignment:
+    """Single-projection argmin over a centers literal."""
+
+    name = "expression"
+
+    def assign(
+        self,
+        df: DataFrame,
+        kernel: Kernel,
+        centers: Sequence[Sequence[float]],
+        features_col: str,
+        cluster_col: str = "_cluster",
+        dist_col: str = "_dist",
+    ) -> DataFrame:
+        dists = distances_column(kernel, F.col(features_col), centers)
+        df = df.withColumn("_dists", dists)
+        df = df.withColumn(
+            cluster_col,
+            (F.expr("array_position(_dists, array_min(_dists))") - 1).cast("int"),
+        )
+        return df.withColumn(dist_col, F.array_min("_dists")).drop("_dists")
+
+
+class ChunkedExpressionAssignment:
+    """Centers in chunks; per-chunk struct(min, argmin); global least()."""
+
+    name = "chunked"
+
+    def __init__(self, chunk_size: int = 256):
+        self.chunk_size = chunk_size
+
+    def assign(self, df, kernel, centers, features_col,
+               cluster_col="_cluster", dist_col="_dist"):
+        chunk_cols = []
+        for ci, start in enumerate(range(0, len(centers), self.chunk_size)):
+            chunk = centers[start:start + self.chunk_size]
+            dists = distances_column(kernel, F.col(features_col), chunk)
+            name = f"_chunk{ci}"
+            df = df.withColumn("_cd", dists).withColumn(
+                name,
+                F.struct(
+                    F.array_min("_cd").alias("dist"),
+                    (F.expr("array_position(_cd, array_min(_cd))") - 1 + start)
+                    .cast("int")
+                    .alias("id"),
+                ),
+            ).drop("_cd")
+            chunk_cols.append(name)
+        best = F.least(*[F.col(c) for c in chunk_cols]) if len(chunk_cols) > 1 \
+            else F.col(chunk_cols[0])
+        df = df.withColumn("_best", best)
+        df = df.withColumn(cluster_col, F.col("_best.id"))
+        df = df.withColumn(dist_col, F.col("_best.dist"))
+        return df.drop("_best", *chunk_cols)
+
+
+class PandasAssignment:
+    """Arrow-vectorized numpy argmin (struct-returning pandas_udf).
+
+    The centers array rides in the serialized closure — functionally a
+    broadcast (one copy per executor, not per row).
+    """
+
+    name = "pandas"
+
+    def assign(self, df, kernel, centers, features_col,
+               cluster_col="_cluster", dist_col="_dist"):
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(centers, dtype=np.float64)
+        k = kernel
+
+        @pandas_udf("struct<cluster:int,dist:double>")
+        def _argmin(feats: pd.Series) -> pd.DataFrame:
+            X = np.asarray(feats.tolist(), dtype=np.float64)
+            if X.size == 0:
+                return pd.DataFrame({"cluster": [], "dist": []})
+            D = k.div_np(X, C)
+            idx = np.argmin(D, axis=1)  # first-index-wins on ties
+            return pd.DataFrame(
+                {"cluster": idx.astype(np.int32),
+                 "dist": D[np.arange(len(idx)), idx]}
+            )
+
+        df = df.withColumn("_a", _argmin(F.col(features_col)))
+        return (df.withColumn(cluster_col, F.col("_a.cluster"))
+                  .withColumn(dist_col, F.col("_a.dist")).drop("_a"))
+
+
+class CrossJoinAssignment:
+    """points × broadcast(centers df) + min_by argmin.
+
+    Kept for parity with ``SECrossJoinAssignment.scala`` and for cases
+    where centers already live in a DataFrame; requires a stable row id
+    and a join back, so the expression paths are preferred.
+    """
+
+    name = "crossjoin"
+
+    def assign(self, df, kernel, centers, features_col,
+               cluster_col="_cluster", dist_col="_dist"):
+        spark = df.sparkSession
+        centers_df = spark.createDataFrame(
+            [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
+            "center_id int, _center array<double>",
+        )
+        df = df.withColumn("_rid", F.monotonically_increasing_id())
+        joined = df.crossJoin(F.broadcast(centers_df)).withColumn(
+            "_d", kernel.pairwise(F.col(features_col), F.col("_center"))
+        )
+        best = joined.groupBy("_rid").agg(
+            F.min_by(F.struct(F.col("_d").alias("dist"),
+                              F.col("center_id").alias("id")),
+                     F.struct("_d", "center_id")).alias("_best")
+        )
+        out = df.join(best, "_rid", "inner")
+        out = out.withColumn(cluster_col, F.col("_best.id"))
+        out = out.withColumn(dist_col, F.col("_best.dist"))
+        return out.drop("_best", "_rid")
+
+
+def auto_assigner(k: int, d: int, strategy: str = "auto"):
+    """Decision tree mirroring ``AutoAssignment.scala:19-89``: small k·d →
+    single expression; medium → chunked expressions; huge → Arrow/numpy.
+    """
+    if strategy and strategy != "auto":
+        return {
+            "expression": ExpressionAssignment,
+            "broadcast": ExpressionAssignment,
+            "chunked": ChunkedExpressionAssignment,
+            "pandas": PandasAssignment,
+            "crossjoin": CrossJoinAssignment,
+        }[strategy]()
+    elems = k * max(d, 1)
+    if elems <= EXPRESSION_ELEM_LIMIT:
+        return ExpressionAssignment()
+    if elems <= CHUNKED_ELEM_LIMIT:
+        return ChunkedExpressionAssignment()
+    return PandasAssignment()

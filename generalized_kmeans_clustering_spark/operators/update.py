@@ -1,0 +1,177 @@
+"""Center-update operators: per-cluster weighted aggregation.
+
+Re-expression of the reference's update layer
+(``strategies/UpdateStrategy.scala:38-253``). The reference hand-rolls
+partial/final combine with ``rdd.aggregateByKey`` + ``collectAsMap``;
+in Spark SQL a ``groupBy().agg()`` already does map-side partial
+aggregation, so the whole update is one declarative job.
+
+Key design: ONE aggregation job per Lloyd iteration computes
+  - per-cluster weight sum + row count,
+  - per-cluster per-dimension weighted gradient sums (d separate ``sum``
+    aggregates over ``element_at(grad, i)`` — stays in codegen, k·d
+    result rows never exceed driver scale),
+  - the iteration's total distortion (sum of w·dist) — folding the
+    convergence metric into the same pass removes the reference's extra
+    ``count()`` materialization per iteration
+    (``LloydsIterator.scala:151-153``, anti-pattern §4 of SURVEY.md).
+
+For very wide vectors (d > ``WIDE_DIM_LIMIT``) the per-dim-aggregate
+column list gets unwieldy; we fall back to a grouped-map pandas
+aggregation (Arrow, one pass, partial sums per partition first).
+
+Scale note (100 TB): output is k rows (k·d doubles) regardless of input
+size; the shuffle moves only num_partitions × k pre-aggregated rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kernels import Kernel
+
+__all__ = ["cluster_stats", "centers_from_stats", "median_centers"]
+
+WIDE_DIM_LIMIT = 256
+
+
+def cluster_stats(
+    assigned: DataFrame,
+    kernel: Kernel,
+    d: int,
+    features_col: str,
+    weight_col: str | None,
+    cluster_col: str = "_cluster",
+    dist_col: str = "_dist",
+) -> list:
+    """One-pass per-cluster stats. Returns driver rows:
+    (cluster, w: Σweight, n: count, cost: Σ w·dist, g: [Σ w·grad_i]).
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    grad = kernel.grad(F.col(features_col))
+    if d <= WIDE_DIM_LIMIT:
+        aggs = [
+            F.sum(w).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(w * F.col(dist_col)).alias("cost"),
+        ] + [
+            F.sum(w * F.element_at(grad, i + 1)).alias(f"g{i}") for i in range(d)
+        ]
+        rows = assigned.groupBy(cluster_col).agg(*aggs).collect()
+        return [
+            {
+                "cluster": r[cluster_col],
+                "w": r["w"],
+                "n": r["n"],
+                "cost": r["cost"],
+                "g": np.array([r[f"g{i}"] for i in range(d)]),
+            }
+            for r in rows
+        ]
+    # wide-vector path: grouped-map pandas aggregation
+    import pandas as pd
+
+    tmp = assigned.select(
+        F.col(cluster_col).alias("c"),
+        w.alias("wt"),
+        F.col(dist_col).alias("dist"),
+        grad.alias("grad"),
+    )
+
+    def _agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        G = np.asarray(pdf["grad"].tolist(), dtype=np.float64)
+        wt = pdf["wt"].to_numpy()
+        return pd.DataFrame(
+            {
+                "c": [int(pdf["c"].iloc[0])],
+                "w": [float(wt.sum())],
+                "n": [int(len(pdf))],
+                "cost": [float((wt * pdf["dist"].to_numpy()).sum())],
+                "g": [(G * wt[:, None]).sum(axis=0).tolist()],
+            }
+        )
+
+    out = tmp.groupBy("c").applyInPandas(
+        _agg, "c int, w double, n long, cost double, g array<double>"
+    ).collect()
+    return [
+        {"cluster": r["c"], "w": r["w"], "n": r["n"], "cost": r["cost"],
+         "g": np.array(r["g"])}
+        for r in out
+    ]
+
+
+def centers_from_stats(
+    stats: list, kernel: Kernel, k: int, old_centers: Sequence[Sequence[float]]
+) -> tuple[np.ndarray, float, list[int], list[int]]:
+    """Bregman centroid per cluster: inv_grad(Σw·grad / Σw).
+
+    Returns (new_centers k×d, total_cost, sizes, empty_cluster_ids).
+    Empty clusters keep their old center here; the empty-cluster
+    strategy in the Lloyd plan decides what to do with them.
+    """
+    old = np.asarray(old_centers, dtype=np.float64)
+    new = old.copy()
+    sizes = [0] * k
+    cost = 0.0
+    seen = set()
+    for s in stats:
+        c = int(s["cluster"])
+        seen.add(c)
+        sizes[c] = int(s["n"])
+        cost += float(s["cost"])
+        if s["w"] > 0:
+            new[c] = kernel.finalize_center(s["g"] / s["w"])
+    empty = [c for c in range(k) if c not in seen or sizes[c] == 0]
+    return new, cost, sizes, empty
+
+
+def median_centers(
+    assigned: DataFrame,
+    d: int,
+    k: int,
+    features_col: str,
+    weight_col: str | None,
+    cluster_col: str = "_cluster",
+    dist_col: str = "_dist",
+    old_centers: Sequence[Sequence[float]] = (),
+    accuracy: int = 10_000,
+) -> tuple[np.ndarray, float, list[int], list[int]]:
+    """K-Medians update: per-cluster per-dimension median via
+    ``percentile_approx`` — distributed, unlike the reference's
+    per-dimension driver collect (``UpdateStrategy.scala:203-224``,
+    anti-pattern §4.2 of SURVEY.md). Weighted medians degrade to
+    unweighted approx medians (weights only affect cost/sizes);
+    an exact weighted-median path via explode + cumulative-window is
+    planned behind the same interface.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    aggs = [
+        F.sum(w).alias("w"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w * F.col(dist_col)).alias("cost"),
+    ] + [
+        F.percentile_approx(
+            F.element_at(F.col(features_col), i + 1), 0.5, accuracy
+        ).alias(f"m{i}")
+        for i in range(d)
+    ]
+    rows = assigned.groupBy(cluster_col).agg(*aggs).collect()
+    old = np.asarray(old_centers, dtype=np.float64)
+    new = old.copy()
+    sizes = [0] * k
+    cost = 0.0
+    seen = set()
+    for r in rows:
+        c = int(r[cluster_col])
+        seen.add(c)
+        sizes[c] = int(r["n"])
+        cost += float(r["cost"])
+        if r["n"] > 0:
+            new[c] = np.array([r[f"m{i}"] for i in range(d)])
+    empty = [c for c in range(k) if c not in seen or sizes[c] == 0]
+    return new, cost, sizes, empty

@@ -1,0 +1,140 @@
+"""The single pluggable Lloyd iterator that drives every batch variant.
+
+Re-expression of ``df/LloydsIterator.scala:110-240`` +
+``strategies/ConvergenceCheck.scala:49-97`` +
+``strategies/EmptyClusterHandler.scala``.
+
+Per iteration this engine runs exactly ONE Spark job:
+  assignment (codegen'd expression projection over the cached input)
+  → groupBy(cluster) one-pass stats (weight, count, cost, gradient sums)
+  → k rows to the driver → new centers + movement + distortion on the
+  driver.
+
+Compare the reference's 2–4 jobs per iteration
+(cache+count / aggregateByKey / empty-handler sample / convergence agg —
+SURVEY.md §3.1.6). Because centers return to the driver each iteration
+and re-enter the next plan as literals, every iteration's lineage is
+(source scan → one projection → one agg): constant depth, so no
+checkpointing is needed at any iteration count — the reference's
+``checkpointInterval`` machinery exists only to fight its growing
+lineage (``LloydsIterator.scala:201-211``).
+
+Empty-cluster strategies mirror the reference: "keep" (retain old
+center), "drop" (shrink k), "reseed" (farthest-point reseed using the
+stats pass's max-distance info — costs one extra tiny job only on the
+iterations where a cluster actually empties).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from time import time
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kernels import Kernel
+from ..operators.assignment import auto_assigner
+from ..operators.update import cluster_stats, centers_from_stats, median_centers
+
+__all__ = ["LloydsConfig", "LloydsResult", "run_lloyds"]
+
+
+@dataclass
+class LloydsConfig:
+    k: int
+    kernel: Kernel
+    max_iter: int = 20
+    tol: float = 1e-4
+    features_col: str = "features"
+    weight_col: str | None = None
+    assignment_strategy: str = "auto"
+    empty_cluster_strategy: str = "keep"  # keep | drop | reseed
+    seed: int = 0
+
+
+@dataclass
+class LloydsResult:
+    centers: np.ndarray
+    iterations: int = 0
+    converged: bool = False
+    distortion_history: list = field(default_factory=list)
+    movement_history: list = field(default_factory=list)
+    cluster_sizes: list = field(default_factory=list)
+    elapsed_sec: float = 0.0
+
+
+def _movement(old: np.ndarray, new: np.ndarray) -> float:
+    """Max Euclidean center movement (convergence criterion,
+    ``ConvergenceCheck.scala:49-66``)."""
+    if old.shape != new.shape:
+        return float("inf")
+    return float(np.sqrt(((old - new) ** 2).sum(axis=1)).max())
+
+
+def _reseed_empty(df, kernel, centers, empty, cfg) -> np.ndarray:
+    """Replace empty clusters with the points farthest from their
+    assigned center (reference reseed-random: ``EmptyClusterHandler.scala:63-71``;
+    farthest-point is the deterministic variant)."""
+    assigner = auto_assigner(len(centers), centers.shape[1], cfg.assignment_strategy)
+    assigned = assigner.assign(df, kernel, centers.tolist(), cfg.features_col)
+    far = (
+        assigned.select(F.col(cfg.features_col).alias("f"), F.col("_dist"))
+        .orderBy(F.desc("_dist"))
+        .limit(len(empty))
+        .collect()
+    )
+    out = centers.copy()
+    for slot, row in zip(empty, far):
+        out[slot] = np.array(row["f"], dtype=np.float64)
+    return out
+
+
+def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsResult:
+    t0 = time()
+    kernel = cfg.kernel
+    centers = np.asarray(centers, dtype=np.float64)
+    k, d = centers.shape
+    res = LloydsResult(centers=centers)
+    sizes: list[int] = []
+
+    for it in range(cfg.max_iter):
+        assigner = auto_assigner(k, d, cfg.assignment_strategy)
+        assigned = assigner.assign(df, kernel, centers.tolist(), cfg.features_col)
+        if kernel.mean_update:
+            stats = cluster_stats(
+                assigned, kernel, d, cfg.features_col, cfg.weight_col
+            )
+            new_centers, cost, sizes, empty = centers_from_stats(
+                stats, kernel, k, centers
+            )
+        else:  # L1 / K-Medians: distributed per-dim median
+            new_centers, cost, sizes, empty = median_centers(
+                assigned, d, k, cfg.features_col, cfg.weight_col,
+                old_centers=centers,
+            )
+
+        if empty:
+            if cfg.empty_cluster_strategy == "drop":
+                keep = [i for i in range(k) if i not in set(empty)]
+                new_centers = new_centers[keep]
+                centers = centers[keep]
+                k = len(new_centers)
+            elif cfg.empty_cluster_strategy == "reseed":
+                new_centers = _reseed_empty(df, kernel, new_centers, empty, cfg)
+            # "keep": already retains the old center
+
+        mv = _movement(centers, new_centers)
+        centers = new_centers
+        res.distortion_history.append(float(cost))
+        res.movement_history.append(mv)
+        res.iterations = it + 1
+        if mv <= cfg.tol:
+            res.converged = True
+            break
+
+    res.centers = centers
+    res.cluster_sizes = sizes
+    res.elapsed_sec = time() - t0
+    return res

@@ -1,0 +1,39 @@
+"""Training telemetry (reference ``TrainingSummary.scala:43-153``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class TrainingSummary:
+    algorithm: str
+    k: int
+    dim: int
+    divergence: str
+    iterations: int = 0
+    converged: bool = False
+    distortion_history: list = field(default_factory=list)
+    movement_history: list = field(default_factory=list)
+    cluster_sizes: list = field(default_factory=list)
+    elapsed_sec: float = 0.0
+
+    @property
+    def final_distortion(self) -> float:
+        return self.distortion_history[-1] if self.distortion_history else float("nan")
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    def to_df(self, spark):
+        """1-row DataFrame view, like the reference's ``summary.toDF``."""
+        import json
+
+        return spark.createDataFrame(
+            [(self.algorithm, self.k, self.dim, self.divergence, self.iterations,
+              self.converged, float(self.final_distortion), self.elapsed_sec,
+              json.dumps(self.distortion_history))],
+            "algorithm string, k int, dim int, divergence string, iterations int, "
+            "converged boolean, final_distortion double, elapsed_sec double, "
+            "distortion_history string",
+        )
