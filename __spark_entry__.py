@@ -1,38 +1,447 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators (SURVEY.md §2) as
+(spark, sf_dir) → DataFrame callables; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL for each. Float outputs are rounded with an
+*identical arithmetic expression* on both sides —
+``floor(x·10^d + 0.5)/10^d`` — so values are bit-comparable (both
+engines do the same IEEE ops), instead of relying on each engine's
+``round`` tie-breaking.
+
+The multi-iteration Lloyd queries are oracled by *programmatically
+unrolled SQL*: each iteration is an assignment CTE (explicit per-center
+squared-distance expressions + first-min CASE argmin, matching the
+engine's ``array_position(dists, array_min(dists))`` tie-break) followed
+by a group-by center-update CTE. This makes the full iterative
+algorithm — not just one step — an oracle-checkable query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.functions.kernels import get_kernel, array_lit
+from generalized_kmeans_clustering_spark.functions import text as T
+from generalized_kmeans_clustering_spark.operators.assignment import (
+    ExpressionAssignment, distances_column,
+)
+from generalized_kmeans_clustering_spark.operators.soft import soft_assign
+from generalized_kmeans_clustering_spark.operators.dedup import exact_dup_groups
+from generalized_kmeans_clustering_spark.operators.similarity import cosine_topk
+from generalized_kmeans_clustering_spark.kmeans import GeneralizedKMeans
+
+# ---------------------------------------------------------------------------
+# shared constants (must match the SQL templates below exactly)
+
+MU4 = [25.0, 3.5, 0.5, 0.4]          # single probe center (4-d lineitem feats)
+MU2 = [0.5, 0.4]                     # probe center for logistic (unit-interval feats)
+INIT4 = [
+    [5.0, 1.0, 0.2, 0.1],
+    [15.0, 3.0, 0.5, 0.4],
+    [30.0, 5.0, 0.5, 0.4],
+    [45.0, 8.0, 0.8, 0.6],
+]
+SOFT_BETA = 0.5
+EPS = 1e-10
+
+FEATS_SQL = (
+    "SELECT l_orderkey*10 + l_linenumber AS id, "
+    "l_quantity AS f1, l_extendedprice/10000.0 AS f2, "
+    "l_discount*10.0 AS f3, l_tax*10.0 AS f4 FROM lineitem"
+)
+
+
+def _r(expr: str, digits: int) -> str:
+    s = "1" + "0" * digits + ".0"
+    return f"(floor(({expr}) * {s} + 0.5) / {s} + 0.0)"
+
+
+def _rcol(col, digits: int):
+    scale = float(10 ** digits)
+    return F.floor(col * scale + 0.5) / scale + 0.0
+
+
+def lineitem_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_quantity").alias("f1"),
+        (F.col("l_extendedprice") / 10000.0).alias("f2"),
+        (F.col("l_discount") * 10.0).alias("f3"),
+        (F.col("l_tax") * 10.0).alias("f4"),
+    ).withColumn("features", F.array("f1", "f2", "f3", "f4"))
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL builders for kernel distance formulas (mirror the zip_with/aggregate
+# fold order: ((0+t1)+t2)+... — plain left-assoc + chains in SQL)
+
+def _se_terms(center):
+    return " + ".join(
+        f"(f{i+1}-{c!r})*(f{i+1}-{c!r})" for i, c in enumerate(center)
+    )
+
+
+def _se_dist_sql(center) -> str:
+    return f"({_se_terms(center)})/2.0"
+
+
+def _kernel_dist_sql(kernel: str, center, cols=None) -> str:
+    e = repr(EPS)
+    cols = cols or [f"f{i+1}" for i in range(len(center))]
+    cz = list(zip(cols, center))
+    if kernel == "se":
+        return "(" + " + ".join(f"({f}-{c!r})*({f}-{c!r})" for f, c in cz) + ")/2.0"
+    if kernel == "l1":
+        return " + ".join(f"abs({f}-{c!r})" for f, c in cz)
+    if kernel == "kl":
+        return " + ".join(
+            f"({f}+{e})*(ln({f}+{e}) - ln({c!r}+{e}))" for f, c in cz
+        )
+    if kernel == "is":
+        return " + ".join(
+            f"({f}+{e})/({c!r}+{e}) - (ln({f}+{e}) - ln({c!r}+{e})) - 1.0"
+            for f, c in cz
+        )
+    if kernel == "gi":
+        return " + ".join(
+            f"({f}+{e})*(ln({f}+{e}) - ln({c!r}+{e})) - ({f}+{e}) + ({c!r}+{e})"
+            for f, c in cz
+        )
+    if kernel == "logistic":
+        hi = repr(1.0 - EPS)
+        terms = []
+        for f, c in cz:
+            ac = f"least(greatest({f}, {e}), {hi})"
+            bc = f"least(greatest({c!r}, {e}), {hi})"
+            terms.append(
+                f"{ac} * (ln({ac}) - ln({bc})) + (1.0 - {ac}) * (ln(1.0 - {ac}) - ln(1.0 - {bc}))"
+            )
+        return " + ".join(terms)
+    if kernel == "cosine":
+        dotxy = " + ".join(f"{f}*{c!r}" for f, c in cz)
+        dotxx = " + ".join(f"{f}*{f}" for f, _ in cz)
+        dotcc = " + ".join(f"{c!r}*{c!r}" for _, c in cz)
+        return f"1.0 - ({dotxy}) / (sqrt({dotxx}) * sqrt({dotcc}) + {e})"
+    raise ValueError(kernel)
+
+
+def _argmin_case(k: int, prefix: str = "d") -> str:
+    """First-min argmin CASE chain (ties → lowest index, matching the
+    engine's array_position-of-array_min)."""
+    clauses = []
+    for j in range(k - 1):
+        conds = " AND ".join(f"{prefix}{j} <= {prefix}{m}" for m in range(j + 1, k))
+        clauses.append(f"WHEN {conds} THEN {j}")
+    return "CASE " + " ".join(clauses) + f" ELSE {k-1} END"
+
+
+def _lloyd_sql(iters: int, centers=INIT4, digits: int = 5) -> str:
+    """Programmatically unrolled Lloyd's: `iters` rounds of
+    (assign → group-update), empty clusters keep their previous center."""
+    k = len(centers)
+    d = len(centers[0])
+    parts = [f"feats AS ({FEATS_SQL})"]
+    prev_center_expr = [[repr(c) for c in row] for row in centers]
+    for t in range(1, iters + 1):
+        dist_cols = ", ".join(
+            f"({_se_terms_cols(prev_center_expr[j])})/2.0 AS d{j}" for j in range(k)
+        )
+        src = "feats" if t == 1 else f"feats CROSS JOIN p{t-1}"
+        parts.append(f"x{t} AS (SELECT *, {dist_cols} FROM {src})")
+        parts.append(
+            f"a{t} AS (SELECT *, CAST({_argmin_case(k)} AS INTEGER) AS cl FROM x{t})"
+        )
+        sums = ", ".join(f"sum(f{m+1}) AS s{m+1}" for m in range(d))
+        parts.append(
+            f"g{t} AS (SELECT cl, count(*) AS n, {sums} FROM a{t} GROUP BY cl)"
+        )
+        pivot = []
+        for j in range(k):
+            for m in range(d):
+                fallback = prev_center_expr[j][m]
+                pivot.append(
+                    f"coalesce(max(CASE WHEN cl={j} THEN s{m+1}/n END), max({fallback})) AS c{j}_{m}"
+                )
+        psrc = f"g{t}" if t == 1 else f"g{t} CROSS JOIN p{t-1}"
+        parts.append(f"p{t} AS (SELECT {', '.join(pivot)} FROM {psrc})")
+        prev_center_expr = [[f"p{t}.c{j}_{m}" for m in range(d)] for j in range(k)]
+    out_cols = ", ".join(
+        [f"cl AS cluster", "n"]
+        + [_r(f"s{m+1}/n", digits) + f" AS c{m+1}" for m in range(d)]
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT {out_cols} FROM g{iters} ORDER BY cluster"
+    )
+
+
+def _se_terms_cols(center_exprs) -> str:
+    return " + ".join(
+        f"(f{i+1}-{c})*(f{i+1}-{c})" for i, c in enumerate(center_exprs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query implementations
+
+def _kernel_query(kernel_name: str, mu, feat_cols):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        k = get_kernel(kernel_name)
+        df = lineitem_feats(spark, sf_dir)
+        feats = F.array(*feat_cols)
+        dist = k.pairwise(feats, array_lit(mu))
+        return df.select("id", _rcol(dist, 6).alias("dist")).orderBy("id")
+
+    return q
+
+
+def q_assign_se_fixed(spark, sf_dir):
+    df = lineitem_feats(spark, sf_dir)
+    out = ExpressionAssignment().assign(
+        df, get_kernel("se"), INIT4, "features", cluster_col="cluster"
+    )
+    return (
+        out.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _rcol(F.sum("_dist") / F.count(F.lit(1)), 4).alias("avg_dist"))
+        .orderBy("cluster")
+    )
+
+
+def _q_lloyd(iters: int):
+    def q(spark, sf_dir):
+        df = lineitem_feats(spark, sf_dir)
+        m = GeneralizedKMeans(
+            k=4, divergence="se", max_iter=iters, tol=0.0,
+            initial_centers=INIT4, assignment_strategy="expression",
+            empty_cluster_strategy="keep", seed=0,
+        ).fit(df)
+        rows = [
+            (int(c), int(n), *[float(v) for v in m.centers[c]])
+            for c, n in enumerate(m.summary.cluster_sizes)
+            if n > 0
+        ]
+        out = spark.createDataFrame(
+            rows, "cluster int, n long, c1 double, c2 double, c3 double, c4 double"
+        )
+        return out.select(
+            "cluster", "n",
+            *[_rcol(F.col(f"c{m_}"), 5).alias(f"c{m_}") for m_ in range(1, 5)],
+        ).orderBy("cluster")
+
+    return q
+
+
+def q_soft_assign(spark, sf_dir):
+    df = lineitem_feats(spark, sf_dir)
+    staged = soft_assign(
+        df, get_kernel("se"), INIT4, "features", beta=SOFT_BETA,
+        probability_col="_p",
+    )
+    return staged.select(
+        "id",
+        *[_rcol(F.element_at("_p", j + 1), 6).alias(f"p{j}") for j in range(4)],
+    ).orderBy("id")
+
+
+def q_wcss_fixed(spark, sf_dir):
+    df = lineitem_feats(spark, sf_dir)
+    dists = distances_column(get_kernel("se"), F.col("features"), INIT4)
+    return df.select(F.array_min(dists).alias("_d")).agg(
+        _rcol(F.sum("_d"), 2).alias("wcss")
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    df = documents(spark, sf_dir)
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        T.char_count(t).cast("long").alias("n_chars"),
+        T.token_count(t).cast("long").alias("n_tokens"),
+        _rcol(T.avg_token_len(t), 6).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def q_doc_quality(spark, sf_dir):
+    df = documents(spark, sf_dir)
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        _rcol(T.punct_ratio(t), 6).alias("punct_ratio"),
+        _rcol(T.digit_ratio(t), 6).alias("digit_ratio"),
+        _rcol(T.quality_score(t), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_dedup_exact(spark, sf_dir):
+    df = documents(spark, sf_dir)
+    # dedup on a 64-char prefix so the operator exercises real groups
+    # even when full texts are unique
+    pre = df.select("doc_id", F.substring("text", 1, 64).alias("text"))
+    return exact_dup_groups(pre).orderBy("fingerprint")
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = embeddings(spark, sf_dir)
+    out = cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+    return out.select(
+        "query_id", "neighbor_id", _rcol(F.col("sim"), 6).alias("sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q_fit_full(spark, sf_dir):
+    """Full engine fit (k-means|| init) — iterative, not SQL-expressible;
+    driver records the weaker rows/schema check."""
+    df = lineitem_feats(spark, sf_dir)
+    m = GeneralizedKMeans(k=8, divergence="se", max_iter=10, seed=42).fit(df)
+    return m.centers_df(spark).orderBy("center_id")
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cluster sf0.001 lineitem features with the full engine
+    and return the per-cluster profile."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = lineitem_feats(spark, sf_dir)
+    model = GeneralizedKMeans(
+        k=8, divergence="se", max_iter=10, seed=42, distance_col="dist"
+    ).fit(df)
+    out = model.transform(df)
+    return (
+        out.groupBy("prediction")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+            F.round(F.avg("f1"), 4).alias("avg_quantity"),
+            F.round(F.avg("f2"), 4).alias("avg_price_10k"),
+        )
+        .orderBy("prediction")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {
+        "kernel_se_distance": _kernel_query("se", MU4, ["f1", "f2", "f3", "f4"]),
+        "kernel_l1_distance": _kernel_query("l1", MU4, ["f1", "f2", "f3", "f4"]),
+        "kernel_kl_distance": _kernel_query("kl", MU4, ["f1", "f2", "f3", "f4"]),
+        "kernel_itakura_saito_distance": _kernel_query("is", MU4, ["f1", "f2", "f3", "f4"]),
+        "kernel_generalized_i_distance": _kernel_query("gi", MU4, ["f1", "f2", "f3", "f4"]),
+        "kernel_logistic_distance": _kernel_query("logistic", MU2, ["f3", "f4"]),
+        "kernel_cosine_distance": _kernel_query("cosine", MU4, ["f1", "f2", "f3", "f4"]),
+        "assign_se_fixed": q_assign_se_fixed,
+        "lloyd_se_1iter": _q_lloyd(1),
+        "lloyd_se_3iter": _q_lloyd(3),
+        "soft_assign_boltzmann": q_soft_assign,
+        "wcss_fixed_centers": q_wcss_fixed,
+        "doc_stats": q_doc_stats,
+        "doc_quality": q_doc_quality,
+        "dedup_exact_groups": q_dedup_exact,
+        "knn_cosine_top3": q_knn_cosine,
+        "gkm_fit_full": q_fit_full,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    kq = {
+        "kernel_se_distance": ("se", MU4, None),
+        "kernel_l1_distance": ("l1", MU4, None),
+        "kernel_kl_distance": ("kl", MU4, None),
+        "kernel_itakura_saito_distance": ("is", MU4, None),
+        "kernel_generalized_i_distance": ("gi", MU4, None),
+        "kernel_logistic_distance": ("logistic", MU2, ["f3", "f4"]),
+        "kernel_cosine_distance": ("cosine", MU4, None),
+    }
+    out = {}
+    for name, (kern, mu, cols) in kq.items():
+        dist = _kernel_dist_sql(kern, mu, cols)
+        out[name] = (
+            f"WITH feats AS ({FEATS_SQL}) "
+            f"SELECT id, {_r(dist, 6)} AS dist FROM feats ORDER BY id"
+        )
+
+    k = len(INIT4)
+    dist_cols = ", ".join(
+        f"{_se_dist_sql(c)} AS d{j}" for j, c in enumerate(INIT4)
+    )
+    out["assign_se_fixed"] = (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dist_cols} FROM feats), "
+        f"a AS (SELECT *, CAST({_argmin_case(k)} AS INTEGER) AS cluster, "
+        f"least(d0,d1,d2,d3) AS dmin FROM x) "
+        f"SELECT cluster, count(*) AS n, {_r('sum(dmin)/count(*)', 4)} AS avg_dist "
+        f"FROM a GROUP BY cluster ORDER BY cluster"
+    )
+
+    out["lloyd_se_1iter"] = _lloyd_sql(1)
+    out["lloyd_se_3iter"] = _lloyd_sql(3)
+
+    exps = ", ".join(f"exp(-{SOFT_BETA!r}*(d{j} - dmin)) AS e{j}" for j in range(k))
+    esum = " + ".join(f"e{j}" for j in range(k))
+    pcols = ", ".join(_r(f"e{j}/({esum})", 6) + f" AS p{j}" for j in range(k))
+    out["soft_assign_boltzmann"] = (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dist_cols} FROM feats), "
+        f"y AS (SELECT *, least(d0,d1,d2,d3) AS dmin FROM x), "
+        f"z AS (SELECT *, {exps} FROM y) "
+        f"SELECT id, {pcols} FROM z ORDER BY id"
+    )
+
+    out["wcss_fixed_centers"] = (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dist_cols} FROM feats) "
+        f"SELECT {_r('sum(least(d0,d1,d2,d3))', 2)} AS wcss FROM x"
+    )
+
+    out["doc_stats"] = (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens, "
+        + _r("length(replace(text, ' ', '')) * 1.0 / (length(text) - length(replace(text, ' ', '')) + 1)", 6)
+        + " AS avg_token_len FROM documents ORDER BY doc_id"
+    )
+
+    punct = "(length(text) - length(translate(text, '.,;:!?''\"()-', ''))) * 1.0 / greatest(length(text), 1)"
+    digit = "(length(text) - length(translate(text, '0123456789', ''))) * 1.0 / greatest(length(text), 1)"
+    qual = f"least(length(text) * 1.0 / 500.0, 1.0) * (1.0 - {punct}) * (1.0 - {digit})"
+    out["doc_quality"] = (
+        f"SELECT doc_id, {_r(punct, 6)} AS punct_ratio, {_r(digit, 6)} AS digit_ratio, "
+        f"{_r(qual, 6)} AS quality FROM documents ORDER BY doc_id"
+    )
+
+    out["dedup_exact_groups"] = (
+        "WITH pre AS (SELECT doc_id, substring(text, 1, 64) AS text FROM documents) "
+        "SELECT md5(text) AS fingerprint, count(*) AS n_dups, min(doc_id) AS keep_id "
+        "FROM pre GROUP BY md5(text) HAVING count(*) > 1 ORDER BY fingerprint"
+    )
+
+    out["knn_cosine_top3"] = (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+        "s AS (SELECT query_id, neighbor_id, "
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim "
+        "FROM c CROSS JOIN q WHERE neighbor_id <> query_id), "
+        "r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM s) "
+        f"SELECT query_id, neighbor_id, {_r('sim', 6)} AS sim, rank FROM r "
+        "WHERE rank <= 3 ORDER BY query_id, rank"
+    )
+    return out

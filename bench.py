@@ -1,0 +1,96 @@
+"""Headline benchmark: engine operators at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gkmeans-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        minhash_signatures, lsh_candidate_pairs,
+    )
+    from generalized_kmeans_clustering_spark.operators.similarity import cosine_topk
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    li = em.lineitem_feats(spark, sf_dir).cache()
+    n = li.count()  # materialize outside the timed regions
+
+    # flagship: full SE fit, k=8, 5 iterations (distributed kmeans|| init)
+    model = timed("fit_se_k8", lambda: GeneralizedKMeans(
+        k=8, divergence="se", max_iter=5, seed=42).fit(li))
+    # KL fit
+    timed("fit_kl_k4", lambda: GeneralizedKMeans(
+        k=4, divergence="kl", max_iter=3, seed=2,
+        initial_centers=[[10.0, 1.0, 0.1, 0.1], [20.0, 3.0, 0.3, 0.3],
+                         [35.0, 5.0, 0.6, 0.4], [45.0, 8.0, 0.9, 0.6]]).fit(li))
+    # inference throughput over the full table
+    timed("transform_count", lambda: model.transform(li).where(
+        F.col("prediction") >= 0).count())
+    # fixed-center assignment + aggregation (the per-iteration core op)
+    timed("assign_agg", lambda: em.q_assign_se_fixed(spark, sf_dir).collect())
+    # soft assignment full pass
+    timed("soft_assign", lambda: em.q_soft_assign(spark, sf_dir)
+          .agg(F.sum("p0")).collect())
+    # documents: stats + quality + exact-dup groups
+    timed("doc_pipeline", lambda: (
+        em.q_doc_stats(spark, sf_dir).agg(F.sum("n_tokens")).collect(),
+        em.q_dedup_exact(spark, sf_dir).count(),
+    ))
+    # minhash-LSH near-dup candidates over documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("minhash_lsh", lambda: lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=32)).count())
+    # embeddings: brute-force cosine top-10 for 50 queries
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("knn_cosine", lambda: cosine_topk(
+        emb, emb.where(F.col("vec_id") < 50), k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "e2e_operator_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows_lineitem": n,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

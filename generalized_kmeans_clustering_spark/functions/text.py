@@ -1,0 +1,86 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+These are engine extensions beyond the reference's surface (driver
+mandate: LLM-data-pipeline operators), built as pure Catalyst
+expressions so they scale map-only to any data size.
+
+Determinism note: token counting uses space-arithmetic
+(len(text) − len(text without spaces) + 1) rather than regex splits so
+the same value is reproducible in any SQL engine (the DuckDB oracle
+uses the identical formula).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "char_count",
+    "avg_token_len",
+    "punct_ratio",
+    "digit_ratio",
+    "quality_score",
+    "doc_fingerprint",
+    "shingles",
+]
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count via space arithmetic (single-space corpora);
+    exact and engine-portable."""
+    return F.length(text) - F.length(F.translate(text, " ", "")) + F.lit(1)
+
+
+def avg_token_len(text: Column) -> Column:
+    nospace = F.length(F.translate(text, " ", ""))
+    return nospace * 1.0 / token_count(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.length(F.translate(text, ".,;:!?'\"()-", ""))
+    return (F.length(text) - stripped) * 1.0 / F.greatest(F.length(text), F.lit(1))
+
+
+def digit_ratio(text: Column) -> Column:
+    stripped = F.length(F.translate(text, "0123456789", ""))
+    return (F.length(text) - stripped) * 1.0 / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: penalize very short docs, high punct and
+    digit density. Deliberately simple, monotone, and SQL-portable."""
+    length_term = F.least(F.length(text) * 1.0 / 500.0, F.lit(1.0))
+    return length_term * (1.0 - punct_ratio(text)) * (1.0 - digit_ratio(text))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (hex md5) for exact
+    dedup and stable doc identity."""
+    return F.md5(text.cast("binary"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram (shingle) array for Jaccard/MinHash dedup.
+
+    ``transform`` over the token index range keeps it JVM-side.
+    NOTE: when the result feeds several downstream expressions,
+    materialize it (or its hash array) in its own ``withColumn`` first —
+    expression trees are inlined per use, so a shared reference avoids
+    recomputing the split/slice work.
+    """
+    toks = F.split(text, " ")
+    return shingles_from_tokens(toks, n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(cnt >= n, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )).otherwise(F.array(F.array_join(toks, " ")))

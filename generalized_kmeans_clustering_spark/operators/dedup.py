@@ -1,0 +1,216 @@
+"""Deduplication operators for document corpora at 100 TB scale.
+
+Engine extensions beyond the reference surface (driver mandate).
+All hot paths are shuffle-on-key aggregations or LSH bucket joins —
+never a full crossJoin of the corpus.
+
+- ``exact_dedup`` / ``exact_dup_groups``: hash-groupBy on a content
+  fingerprint; map-side combined, one shuffle on the 128-bit hash.
+- ``minhash_signatures``: word-shingle → 64-bit hashes → k minima via
+  universal hashing ((a·h + b) mod p), all as array expressions.
+- ``lsh_candidate_pairs``: band the signature, shuffle on
+  (band, band-hash), self-join within buckets — the classic
+  MinHash-LSH candidate generation; candidate verification computes
+  exact shingle Jaccard only on candidates.
+- ``simhash64``: 64-bit SimHash from shingle hashes via bit-vote
+  aggregation, as expressions over bit positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, shingles
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_verify",
+    "simhash64",
+    "simhash_near_dups",
+]
+
+# Mersenne prime 2^31-1 for universal hashing: (h mod p)·a + b stays
+# below 2^62, so the whole chain fits signed-64 under ANSI arithmetic
+_P = (1 << 31) - 1
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_dups, representative keep_id) for groups with >1 doc."""
+    return (
+        df.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+                  F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per exact content fingerprint.
+
+    One shuffle on the fingerprint; scales linearly.
+    """
+    w = df.select(F.col(id_col), F.col(text_col),
+                  doc_fingerprint(F.col(text_col)).alias("_fp"))
+    keep = w.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="inner")
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<bigint>[num_hashes]) via expressions only.
+
+    Single pass over the shingle hashes: the signature accumulator is an
+    array of ``num_hashes`` running minima folded with one ``aggregate``
+    + inner ``zip_with`` against the (a, b) parameter structs — O(S·H)
+    work instead of the naive H separate scans that would re-evaluate
+    the shingle array per hash function.
+    """
+    params = _minhash_params(num_hashes, seed)
+    ab = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params
+    ])
+    base = F.transform(shingles(F.col(text_col), shingle_n),
+                       lambda s: F.abs(F.xxhash64(s)) % _P)
+    sig = F.aggregate(
+        base,
+        F.array_repeat(F.lit(_P).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % _P)
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+) -> DataFrame:
+    """Distinct candidate pairs (i < j) sharing ≥1 LSH band bucket.
+
+    Shuffles on (band, hash-of-rows) — never a full cross join.
+    """
+    n = len(sigs.select("signature").first()["signature"])
+    rows_per_band = n // num_bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("signature", b * rows_per_band + r + 1)
+                           for r in range(rows_per_band)]))
+                for b in range(num_bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, on=["band", "bucket"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("i"), F.col(f"r.{id_col}").alias("j"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only (two broadcast-able
+    joins against the shingle sets of the candidates)."""
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "i").withColumnRenamed("_sh", "_shi"), "i")
+        .join(sh.withColumnRenamed(id_col, "j").withColumnRenamed("_sh", "_shj"), "j")
+        .withColumn("_inter", F.size(F.array_intersect("_shi", "_shj")))
+        .withColumn("_union", F.size(F.array_union("_shi", "_shj")))
+        .withColumn("jaccard", F.col("_inter") * 1.0 / F.greatest("_union", F.lit(1)))
+        .where(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+    return out
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              shingle_n: int = 2) -> DataFrame:
+    """64-bit SimHash: per-bit vote over shingle xxhash64 values.
+
+    Bit b of the hash contributes +1 when set, −1 when clear; the
+    SimHash bit is 1 when the vote is positive. Pure expressions.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # bit masks as literals; 1<<63 wraps to long min, bitwiseAND still works
+    masks = F.array(*[
+        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)
+    ])
+    # one pass: fold hashes into a 64-wide vote vector via zip_with
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # reduce votes → 64-bit value: sum of masks where the vote is positive
+    sim = F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocked join on 16-bit quarters (pigeonhole: ≤3 differing bits →
+    at least one of 4 quarters identical), so no full cross join.
+    """
+    quarters = [(F.shiftrightunsigned(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF))).alias(f"q{q}")
+                for q in range(4)]
+    w = sigs.select(F.col(id_col), F.col("simhash"), *quarters)
+    out = None
+    for q in range(4):
+        l, r = w.alias("l"), w.alias("r")
+        cand = (
+            l.join(r, F.col(f"l.q{q}") == F.col(f"r.q{q}"))
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("i"), F.col(f"r.{id_col}").alias("j"),
+                    F.col("l.simhash").alias("_si"), F.col("r.simhash").alias("_sj"))
+        )
+        out = cand if out is None else out.unionByName(cand)
+    out = out.distinct().withColumn(
+        "hamming", F.bit_count(F.col("_si").bitwiseXOR(F.col("_sj")))
+    )
+    return out.where(F.col("hamming") <= max_hamming).select("i", "j", "hamming")

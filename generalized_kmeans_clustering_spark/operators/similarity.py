@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float|double>).
+
+Engine extensions beyond the reference surface (driver mandate).
+
+- ``cosine_topk``: brute-force top-k — broadcast the (small) query
+  set against the corpus, dot products as ``zip_with``/``aggregate``
+  expressions, per-query top-k via window ``row_number``. Exact
+  baseline; scales as |queries| × |corpus| map work with no corpus
+  shuffle (queries broadcast).
+- ``ivf_index`` / ``ivf_topk``: the scale path — cluster the corpus
+  with the engine's own GeneralizedKMeans (spherical divergence),
+  store (centroid_id, vec) partitioned by centroid, and probe only
+  ``nprobe`` nearest centroids per query: classic IVF-Flat, built
+  entirely from this engine's operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.kernels import dot
+
+__all__ = ["cosine_sim", "cosine_topk", "ivf_index", "ivf_topk"]
+
+
+def cosine_sim(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank) for top-k cosine neighbors."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("_cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn("sim", cosine_sim(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Build an IVF index: spherical k-means centroids + assignments.
+
+    Returns (indexed_df, model). ``indexed_df`` carries a ``_list``
+    column; persist it partitioned/bucketed by ``_list`` for 100 TB
+    serving so each probe reads only matching partitions.
+    """
+    from ..kmeans import GeneralizedKMeans
+
+    base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    model = GeneralizedKMeans(
+        k=n_lists, divergence="spherical", seed=seed, max_iter=max_iter,
+        features_col="_v", prediction_col="_list",
+    ).fit(base)
+    indexed = model.transform(base)
+    return indexed, model
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    model,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest centroid lists per query, exact cosine
+    within probed lists only. Candidate work is ~nprobe/n_lists of
+    brute force; the (query, list) pairs join prunes on the ``_list``
+    partitioning column."""
+    import numpy as np
+
+    C = model.centers  # n_lists × d, unit norm
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("_qv"))
+    qrows = q.collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r["_qv"])
+        v = v / (np.linalg.norm(v) + 1e-12)
+        order = np.argsort(-(C @ v))[:nprobe]
+        for l in order:
+            probe_rows.append((r["query_id"], int(l), [float(x) for x in r["_qv"]]))
+    spark = indexed.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, _list int, _qv array<double>"
+    )
+    cand = indexed.join(F.broadcast(probes), on="_list")
+    cand = cand.where(F.col(id_col) != F.col("query_id"))
+    scored = cand.withColumn("sim", cosine_sim(F.col("_qv"), F.col("_v")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
