@@ -143,6 +143,13 @@ class GeneralizedKMeans:
         work = df.select(
             *([self.features_col] + ([self.weight_col] if self.weight_col else []))
         )
+        # Under-partitioned input (e.g. one small parquet file) serializes
+        # the whole fit onto one core; rebalance once up front. At real
+        # scale inputs already have >= cores partitions and this is a no-op.
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        if work.rdd.getNumPartitions() < max(2, target // 2):
+            work = work.repartition(target)
         cache_here = work.storageLevel.useMemory is False
         if cache_here:
             work = work.cache()

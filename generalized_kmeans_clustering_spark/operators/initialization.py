@@ -3,20 +3,23 @@
 The reference's "k-means||" collects ALL points to the driver and runs
 serial k-means++ (``df/CenterInitializer.scala:145-231``, collect at
 :156 — SURVEY.md §4 anti-pattern #1). This module implements the real
-distributed Bahmani k-means|| so initialization scales with the data:
+distributed Bahmani k-means|| (arXiv:1203.6402) so initialization
+scales with the data:
 
   1. pick 1 seed center (seed-stable hash order),
   2. ``init_steps`` rounds: each point joins the candidate set with
-     probability min(1, l · d²(x, C) / Σ d²) — evaluated executor-side
-     with a seed-stable ``rand``; candidates are collected (≤ k·l·steps
-     rows, driver-safe),
+     probability min(1, l · d²(x, C) / Σ d²), evaluated executor-side
+     with a seed-stable ``rand``; d²(x, C) is maintained
+     *incrementally* — each round only computes distances to the
+     round's NEW candidates and folds them into a cached running
+     minimum, so round cost is O(n · new) not O(n · total),
   3. weight each candidate by the number of points it covers (one
      assignment aggregation), and run weighted k-means++ on the
      candidates on the driver (numpy, tiny).
 
-Determinism: sampling uses ``xxhash64(features-json, seed)`` ordering
-and ``rand(seed)`` columns only — stable across runs and partitionings
-of the same files (pitfall noted in SURVEY.md §7.3.2).
+Determinism: sampling uses ``xxhash64(features, seed)`` ordering and
+``rand(seed)`` columns only — stable across runs on the same files
+(SURVEY.md §7.3.2).
 """
 
 from __future__ import annotations
@@ -31,24 +34,32 @@ from .assignment import ExpressionAssignment, distances_column
 __all__ = ["random_init", "kmeans_parallel_init", "initialize"]
 
 
-def _hash_order(df: DataFrame, features_col: str, seed: int):
-    return F.xxhash64(F.to_json(F.struct(F.col(features_col))), F.lit(seed))
-
-
 def random_init(df: DataFrame, k: int, features_col: str, seed: int) -> np.ndarray:
-    """k distinct seed-stable rows (reference ``CenterInitializer.scala:104-116``
-    uses sample+limit; hash ordering is equally cheap and partition-stable)."""
+    """k distinct seed-stable rows. Hash-order + limit compiles to a
+    distributed TakeOrdered (top-k per partition + driver merge), no
+    full sort — cheaper and partition-stable vs the reference's
+    sample+limit (``CenterInitializer.scala:104-116``)."""
     rows = (
         df.select(F.col(features_col).alias("f"))
-        .withColumn("_h", _hash_order(df, features_col, seed))
+        .withColumn("_h", F.xxhash64(F.col("f"), F.lit(seed)))
         .orderBy("_h")
-        .limit(k)
+        .limit(max(k * 4, k))
         .collect()
     )
-    centers = np.asarray([r["f"] for r in rows], dtype=np.float64)
+    seen, centers = set(), []
+    for r in rows:
+        key = tuple(r["f"])
+        if key not in seen:
+            seen.add(key)
+            centers.append(list(key))
+        if len(centers) == k:
+            break
+    if len(centers) < k:
+        # fall back: allow duplicates rather than failing on low-cardinality data
+        centers = [list(r["f"]) for r in rows[:k]]
     if len(centers) < k:
         raise ValueError(f"k={k} but only {len(centers)} rows available")
-    return centers
+    return np.asarray(centers, dtype=np.float64)
 
 
 def _kmeanspp_weighted(cand: np.ndarray, wts: np.ndarray, k: int,
@@ -58,19 +69,15 @@ def _kmeanspp_weighted(cand: np.ndarray, wts: np.ndarray, k: int,
     n = len(cand)
     if n <= k:
         return cand
-    first = rng.choice(n, p=wts / wts.sum())
+    first = int(rng.choice(n, p=wts / wts.sum()))
     chosen = [first]
     d2 = kernel.div_np(cand, cand[[first]])[:, 0]
     for _ in range(1, k):
         probs = np.maximum(d2, 0) * wts
         total = probs.sum()
-        if total <= 0:
-            idx = rng.choice(n)
-        else:
-            idx = rng.choice(n, p=probs / total)
+        idx = int(rng.choice(n)) if total <= 0 else int(rng.choice(n, p=probs / total))
         chosen.append(idx)
-        d_new = kernel.div_np(cand, cand[[idx]])[:, 0]
-        d2 = np.minimum(d2, d_new)
+        d2 = np.minimum(d2, kernel.div_np(cand, cand[[idx]])[:, 0])
     return cand[chosen]
 
 
@@ -83,30 +90,50 @@ def kmeans_parallel_init(
     init_steps: int = 2,
     oversampling: float = 2.0,
 ) -> np.ndarray:
-    """Distributed Bahmani k-means|| (arXiv:1203.6402)."""
+    """Distributed Bahmani k-means|| with incremental min-distance."""
     l = oversampling * k
     feats = df.select(F.col(features_col).alias("f"))
     centers = random_init(feats, 1, "f", seed).tolist()
-    for step in range(init_steps):
-        dists = distances_column(kernel, F.col("f"), centers)
-        with_d = feats.withColumn("_d2", F.array_min(dists))
-        total = with_d.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
-        if total <= 0:
-            break
-        sampled = with_d.where(
-            F.rand(seed + 17 * step + 1) < F.least(F.lit(1.0), F.lit(l) * F.col("_d2") / F.lit(float(total)))
-        ).select("f").collect()
-        centers.extend([list(r["f"]) for r in sampled])
-        # cap runaway candidate growth
-        if len(centers) > max(50 * k, 2000):
-            break
+    # running d² to the candidate set, updated incrementally per round
+    work = feats.withColumn(
+        "_d2", F.array_min(distances_column(kernel, F.col("f"), centers))
+    ).cache()
+    try:
+        for step in range(init_steps):
+            total = work.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
+            if total <= 0:
+                break
+            sampled = work.where(
+                F.rand(seed + 17 * step + 1)
+                < F.least(F.lit(1.0), F.lit(l) * F.col("_d2") / F.lit(float(total)))
+            ).select("f").collect()
+            new = [list(r["f"]) for r in sampled]
+            if not new:
+                continue
+            centers.extend(new)
+            if len(centers) > max(50 * k, 2000):
+                break
+            if step < init_steps - 1:
+                nxt = work.withColumn(
+                    "_d2n",
+                    F.least(
+                        F.col("_d2"),
+                        F.array_min(distances_column(kernel, F.col("f"), new)),
+                    ),
+                ).select("f", F.col("_d2n").alias("_d2")).cache()
+                nxt.count()
+                work.unpersist()
+                work = nxt
+    finally:
+        work.unpersist()
+
     cand = np.asarray(centers, dtype=np.float64)
     if len(cand) <= k:
         extra = random_init(feats, k, "f", seed + 99)
-        cand = np.vstack([cand, extra])[: max(k, len(cand))]
-        cand = np.unique(cand, axis=0)
+        cand = np.unique(np.vstack([cand, extra]), axis=0)
         if len(cand) < k:
             raise ValueError(f"could not find {k} distinct candidate centers")
+        return cand[:k]
     # weight candidates by covered point count (one aggregation job)
     assigned = ExpressionAssignment().assign(
         feats, kernel, cand.tolist(), "f", cluster_col="_c", dist_col="_dd"
