@@ -33,8 +33,12 @@ from generalized_kmeans_clustering_spark.operators.assignment import (
     ExpressionAssignment, distances_column,
 )
 from generalized_kmeans_clustering_spark.operators.soft import soft_assign
-from generalized_kmeans_clustering_spark.operators.dedup import exact_dup_groups
-from generalized_kmeans_clustering_spark.operators.similarity import cosine_topk
+from generalized_kmeans_clustering_spark.operators.dedup import (
+    exact_dup_groups, minhash_signatures, lsh_candidate_pairs, simhash64,
+)
+from generalized_kmeans_clustering_spark.operators.similarity import (
+    cosine_topk, embedding_near_dup_pairs,
+)
 from generalized_kmeans_clustering_spark.kmeans import GeneralizedKMeans
 
 # ---------------------------------------------------------------------------
@@ -306,6 +310,87 @@ def q_knn_cosine(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_doc_language_id(spark, sf_dir):
+    df = documents(spark, sf_dir)
+    return df.select(
+        "doc_id", T.language_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def q_doc_token_regex(spark, sf_dir):
+    df = documents(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        T.token_count_regex(F.col("text")).cast("int").alias("n_tok"),
+    ).orderBy("doc_id")
+
+
+def q_doc_min_shingle_fp(spark, sf_dir):
+    df = documents(spark, sf_dir)
+    return df.select(
+        "doc_id", T.min_shingle_fingerprint(F.col("text"), 3).alias("minfp")
+    ).orderBy("doc_id")
+
+
+def q_emb_near_dup(spark, sf_dir):
+    emb = embeddings(spark, sf_dir)
+    out = embedding_near_dup_pairs(emb, threshold=0.35)
+    return out.select(
+        "i", "j", _rcol(F.col("sim"), 6).alias("sim")
+    ).orderBy("i", "j")
+
+
+# --- rows-only queries (no SQL oracle: hash functions / iterative) ---------
+
+def q_minhash_lsh(spark, sf_dir):
+    docs = documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3)
+    return lsh_candidate_pairs(sigs, num_bands=4).orderBy("i", "j")
+
+
+def q_simhash(spark, sf_dir):
+    docs = documents(spark, sf_dir)
+    return simhash64(docs).orderBy("doc_id")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: documents' text bytes stand in for media
+    content; deterministic fake decode exercises the mapInPandas path."""
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        decode_image_meta,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = decode_image_meta(docs)
+    return out.select("media_id", "width", "height", "channels") \
+        .orderBy("media_id")
+
+
+def q_bisecting_fit(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.bisecting import BisectingKMeans
+
+    df = lineitem_feats(spark, sf_dir)
+    m = BisectingKMeans(k=4, max_iter=5, seed=42).fit(df)
+    return m.centers_df(spark).orderBy("center_id")
+
+
+def q_mixture_fit(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.mixture import BregmanMixture
+
+    df = lineitem_feats(spark, sf_dir)
+    m = BregmanMixture(k=3, max_iter=5, seed=42,
+                       initial_centers=INIT4[:3]).fit(df)
+    rows = [(int(i), float(w), [float(v) for v in c])
+            for i, (w, c) in enumerate(zip(m.weights, m.centers))]
+    return spark.createDataFrame(
+        rows, "component int, weight double, center array<double>"
+    ).orderBy("component")
+
+
 def q_fit_full(spark, sf_dir):
     """Full engine fit (k-means|| init) — iterative, not SQL-expressible;
     driver records the weaker rows/schema check."""
@@ -355,6 +440,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "dedup_exact_groups": q_dedup_exact,
         "knn_cosine_top3": q_knn_cosine,
+        "doc_language_id": q_doc_language_id,
+        "doc_token_regex": q_doc_token_regex,
+        "doc_min_shingle_fp": q_doc_min_shingle_fp,
+        "emb_near_dup_pairs": q_emb_near_dup,
+        # rows-only (no SQL-expressible oracle):
+        "dedup_minhash_lsh_pairs": q_minhash_lsh,
+        "dedup_simhash64": q_simhash,
+        "multimodal_image_meta": q_multimodal_meta,
+        "bisecting_fit": q_bisecting_fit,
+        "mixture_fit": q_mixture_fit,
         "gkm_fit_full": q_fit_full,
     }
     return q
@@ -430,6 +525,59 @@ def oracle_sql() -> dict[str, str]:
         "WITH pre AS (SELECT doc_id, substring(text, 1, 64) AS text FROM documents) "
         "SELECT md5(text) AS fingerprint, count(*) AS n_dups, min(doc_id) AS keep_id "
         "FROM pre GROUP BY md5(text) HAVING count(*) > 1 ORDER BY fingerprint"
+    )
+
+    # language-ID: identical occurrence arithmetic + first-match CASE
+    from generalized_kmeans_clustering_spark.functions.text import (
+        LANG_MARKERS, TOKEN_REGEX,
+    )
+
+    pad = "(' ' || lower(text) || ' ')"
+    score_exprs = {}
+    for lang, words in LANG_MARKERS.items():
+        terms = []
+        for w in words:
+            m = f" {w} "
+            terms.append(
+                f"(length({pad}) - length(replace({pad}, '{m}', ''))) "
+                f"/ {len(m)}.0"
+            )
+        score_exprs[lang] = "(0.0 + " + " + ".join(terms) + ")"
+    mx = "greatest(" + ", ".join(score_exprs.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score_exprs[lang]} = _mx AND _mx > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    out["doc_language_id"] = (
+        f"WITH s AS (SELECT doc_id, text, {mx} AS _mx FROM documents) "
+        f"SELECT doc_id, CASE {cases} ELSE 'unknown' END AS lang_pred "
+        f"FROM s ORDER BY doc_id"
+    )
+
+    out["doc_token_regex"] = (
+        f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) "
+        "AS INTEGER) AS n_tok FROM documents ORDER BY doc_id"
+    )
+
+    out["doc_min_shingle_fp"] = (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents) "
+        "SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_min(list_transform(range(1, len(toks)-1), "
+        "i -> md5(array_to_string(toks[i:i+2], ' ')))) "
+        "ELSE md5(array_to_string(toks, ' ')) END AS minfp "
+        "FROM t ORDER BY doc_id"
+    )
+
+    out["emb_near_dup_pairs"] = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "p AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(b.v, b.v))) AS sim "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+        f"SELECT i, j, {_r('sim', 6)} AS sim FROM p "
+        "WHERE sim >= 0.35 ORDER BY i, j"
     )
 
     out["knn_cosine_top3"] = (

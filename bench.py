@@ -79,6 +79,19 @@ def main():
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("knn_cosine", lambda: cosine_topk(
         emb, emb.where(F.col("vec_id") < 50), k=10).count())
+    # language-ID + regex token counting over documents (expression-only)
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+    timed("doc_langid_tokens", lambda: docs.select(
+        Tx.language_id(F.col("text")).alias("lang"),
+        Tx.token_count_regex(F.col("text")).alias("nt"),
+    ).groupBy("lang").agg(F.sum("nt")).collect())
+    # soft-kmeans fit (fuzzy variant: one-agg-per-iteration path)
+    from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeans
+    timed("fit_soft_k4", lambda: SoftKMeans(
+        k=4, beta=1.0, max_iter=3, seed=3,
+        initial_centers=[[10.0, 1.0, 0.1, 0.1], [20.0, 3.0, 0.3, 0.3],
+                         [35.0, 5.0, 0.6, 0.4], [45.0, 8.0, 0.9, 0.6]],
+    ).fit(li))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -13,4 +13,35 @@ from .functions.kernels import get_kernel, KERNELS  # noqa: F401
 from .kmeans import GeneralizedKMeans, GeneralizedKMeansModel  # noqa: F401
 from .summary import TrainingSummary  # noqa: F401
 
-__version__ = "0.1.0"
+# variant estimators on the shared Lloyd engine (SURVEY.md §2.5)
+from .soft_kmeans import SoftKMeans, SoftKMeansModel  # noqa: F401
+from .bisecting import BisectingKMeans  # noqa: F401
+from .xmeans import XMeans  # noqa: F401
+from .dpmeans import DPMeans  # noqa: F401
+from .mixture import BregmanMixture, BregmanMixtureModel  # noqa: F401
+from .minibatch import MiniBatchKMeans  # noqa: F401
+from .coreset import CoresetKMeans  # noqa: F401
+from .robust import RobustKMeans, RobustKMeansModel  # noqa: F401
+from .balanced import BalancedKMeans  # noqa: F401
+from .constrained import ConstrainedKMeans, ConstraintSet  # noqa: F401
+from .multiview import MultiViewKMeans, MultiViewKMeansModel, View  # noqa: F401
+from .sparse import SparseKMeans  # noqa: F401
+
+# bounded-scale specialists
+from .kmedoids import KMedoids, CLARA  # noqa: F401
+from .kernel_kmeans import KernelKMeans, KernelKMeansModel  # noqa: F401
+from .agglomerative import AgglomerativeBregman  # noqa: F401
+from .spectral import SpectralClustering  # noqa: F401
+from .timeseries import TimeSeriesKMeans, TimeSeriesKMeansModel  # noqa: F401
+from .info_bottleneck import InformationBottleneck  # noqa: F401
+from .coclustering import CoClustering, CoClusteringModel  # noqa: F401
+
+# streaming
+from .streaming.streaming_kmeans import (  # noqa: F401
+    StreamingKMeans, StreamingKMeansModel, StreamingUpdater,
+)
+
+# evaluation
+from .evaluation import ClusteringEvaluator, evaluate  # noqa: F401
+
+__version__ = "0.2.0"

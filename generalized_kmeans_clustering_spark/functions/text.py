@@ -24,7 +24,28 @@ __all__ = [
     "quality_score",
     "doc_fingerprint",
     "shingles",
+    "token_count_regex",
+    "language_scores",
+    "language_id",
+    "min_shingle_fingerprint",
+    "LANG_MARKERS",
 ]
+
+#: BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+#: Identical semantics in Java regex (Spark) and RE2-ish (DuckDB) for
+#: this simple alternation, so it is oracle-portable.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: Marker words per language for the n-gram language-ID heuristic.
+#: Scores are substring-occurrence counts of space-padded markers —
+#: pure length arithmetic, so the DuckDB oracle can run the identical
+#: expression. Order matters: ties resolve to the earlier language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
 
 
 def char_count(text: Column) -> Column:
@@ -84,3 +105,49 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.when(cnt >= n, F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def _occurrences(padded: Column, word: str) -> Column:
+    """Non-overlapping occurrences of ' word ' via length arithmetic."""
+    marker = f" {word} "
+    return (
+        F.length(padded) - F.length(F.replace(padded, F.lit(marker)))
+    ) / len(marker)
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-occurrence scores (expression-only)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum(
+            (_occurrences(padded, w) for w in words), start=F.lit(0.0)
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def language_id(text: Column) -> Column:
+    """Argmax language code, 'unknown' when no marker matches.
+
+    First-match-wins CASE against the max score, so ties resolve to the
+    earlier entry in ``LANG_MARKERS`` (stable, oracle-portable).
+    """
+    scores = language_scores(text)
+    mx = F.greatest(*scores.values())
+    expr = None
+    for lang in scores:
+        cond = (scores[lang] == mx) & (mx > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None \
+            else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:
+    """Smallest md5 over the word n-gram shingles — a deterministic,
+    engine-portable 1-hash MinHash (winnowing-style doc fingerprint)."""
+    return F.array_min(F.transform(shingles(text, n), F.md5))

@@ -22,7 +22,10 @@ from pyspark.sql.window import Window
 
 from ..functions.kernels import dot
 
-__all__ = ["cosine_sim", "cosine_topk", "ivf_index", "ivf_topk"]
+__all__ = [
+    "cosine_sim", "cosine_topk", "ivf_index", "ivf_topk",
+    "embedding_near_dup_pairs", "embedding_near_dups_ivf",
+]
 
 
 def cosine_sim(x: Column, y: Column) -> Column:
@@ -55,6 +58,62 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs (i < j, cosine ≥ threshold).
+
+    All-pairs self-join — the exact baseline for small/medium corpora
+    and the verifier for the bucketed variant below. At 100 TB use
+    :func:`embedding_near_dups_ivf`, which only joins within centroid
+    buckets.
+    """
+    w = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    a, b = w.alias("a"), w.alias("b")
+    pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    sim = cosine_sim(F.col("a._v"), F.col("b._v"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("i"),
+            F.col(f"b.{id_col}").alias("j"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_dups_ivf(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: cluster with the engine's spherical k-means, then
+    search pairs only within each centroid bucket (candidate work is
+    ~1/n_lists of brute force; recall is bounded by bucket purity —
+    raise n_lists' inverse or lower threshold margin for higher
+    recall)."""
+    indexed, _ = ivf_index(
+        df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    a = indexed.select(
+        F.col("_list"), F.col(id_col).alias("i"), F.col("_v").alias("_vi")
+    )
+    b = indexed.select(
+        F.col("_list"), F.col(id_col).alias("j"), F.col("_v").alias("_vj")
+    )
+    pairs = a.join(b, on="_list").where(F.col("i") < F.col("j"))
+    sim = cosine_sim(F.col("_vi"), F.col("_vj"))
+    return pairs.select("i", "j", sim.alias("sim")).where(
+        F.col("sim") >= threshold
     )
 
 

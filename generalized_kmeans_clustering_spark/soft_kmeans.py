@@ -113,15 +113,39 @@ class SoftKMeans:
             iterations = 0
 
             for it in range(self.max_iter):
-                staged = soft_assign(
-                    work, kernel, centers.tolist(), self.features_col,
-                    beta=self.beta, min_membership=self.min_membership,
-                    probability_col="_p",
-                )
-                staged = staged.withColumn(
+                # stage the distance array ONCE; memberships and the
+                # cost terms both read it (soft_assign would recompute
+                # the k divergences for the cost column otherwise)
+                b = self.beta
+                staged = work.withColumn(
                     "_d", distances_column(kernel, F.col(self.features_col),
                                            centers.tolist())
                 )
+                staged = staged.withColumn("_dmin", F.array_min("_d"))
+                staged = staged.withColumn(
+                    "_raw",
+                    F.transform("_d", lambda dj: F.exp(-b * (dj - F.col("_dmin")))),
+                )
+                staged = staged.withColumn(
+                    "_tot", F.aggregate("_raw", F.lit(0.0), lambda a, v: a + v)
+                )
+                probs = F.transform("_raw", lambda v: v / F.col("_tot"))
+                if self.min_membership > 0:
+                    staged = staged.withColumn(
+                        "_fl",
+                        F.transform(
+                            probs,
+                            lambda p: F.greatest(
+                                p, F.lit(float(self.min_membership))
+                            ),
+                        ),
+                    )
+                    staged = staged.withColumn(
+                        "_ftot",
+                        F.aggregate("_fl", F.lit(0.0), lambda a, v: a + v),
+                    )
+                    probs = F.transform("_fl", lambda p: p / F.col("_ftot"))
+                staged = staged.withColumn("_p", probs)
                 if k * d <= _AGG_COL_LIMIT:
                     aggs = [
                         F.sum(

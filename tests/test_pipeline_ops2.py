@@ -1,0 +1,116 @@
+"""Tests for language-ID, regex tokens, near-dup embeddings, multimodal stubs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.functions import text as T
+from generalized_kmeans_clustering_spark.operators.similarity import (
+    embedding_near_dup_pairs, embedding_near_dups_ivf,
+)
+from generalized_kmeans_clustering_spark.sources.multimodal import (
+    attach_media_metadata, decode_image_meta, image_embedding,
+    sample_video_frames,
+)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is of to",),
+         ("der hund und die katze ist nicht",),
+         ("le chat et la maison est les",),
+         ("el perro es una casa que los",),
+         ("xyzzy qwerty",)],
+        "text string",
+    )
+    out = [r["lang"] for r in
+           df.select(T.language_id(F.col("text")).alias("lang")).collect()]
+    assert out == ["en", "de", "fr", "es", "unknown"]
+
+
+def test_token_count_regex(spark):
+    df = spark.createDataFrame([("hello world42 foo-bar!",)], "text string")
+    n = df.select(T.token_count_regex(F.col("text")).alias("n")).collect()[0]["n"]
+    # hello | world | 42 | foo | - | bar | !
+    assert n == 7
+
+
+def test_min_shingle_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b c d e",), ("z y x w v",)], "text string"
+    )
+    fps = [r["fp"] for r in df.select(
+        T.min_shingle_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+    assert len(fps[0]) == 32  # md5 hex
+
+
+def test_embedding_near_dup_exact_and_ivf(spark):
+    rng = np.random.default_rng(111)
+    base = rng.normal(0, 1, (30, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # add 5 near-duplicates of vectors 0..4
+    for j in range(5):
+        v = base[j] + rng.normal(0, 0.01, 16)
+        rows.append((100 + j, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = embedding_near_dup_pairs(df, threshold=0.99).collect()
+    found = {(r["i"], r["j"]) for r in exact}
+    assert {(j, 100 + j) for j in range(5)} <= found
+    # bucketed variant finds the same dups (tiny corpus → few lists)
+    ivf = embedding_near_dups_ivf(df, threshold=0.99, n_lists=4).collect()
+    found_ivf = {(r["i"], r["j"]) for r in ivf}
+    assert {(j, 100 + j) for j in range(5)} <= found_ivf
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", bytes(range(64))),
+        (2, "image", b"\xff" * 100),
+        (3, "video", bytes(range(250))),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+
+
+def test_media_metadata(spark, media):
+    out = attach_media_metadata(media).collect()
+    assert out[0]["meta"]["n_bytes"] == 64
+    assert len(out[0]["meta"]["sha256"]) == 64
+
+
+def test_decode_image_meta_fake(spark, media):
+    out = decode_image_meta(media.where("media_type='image'")).collect()
+    assert all(r["width"] >= 64 and r["height"] >= 64 for r in out)
+    assert all(r["channels"] == 3 for r in out)
+    # deterministic: same bytes → same dims
+    again = decode_image_meta(media.where("media_type='image'")).collect()
+    assert [(r["width"], r["height"]) for r in out] == \
+           [(r["width"], r["height"]) for r in again]
+
+
+def test_decode_real_raises(spark, media):
+    with pytest.raises(Exception) as ei:
+        decode_image_meta(media, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def test_image_embedding_plumbing(spark, media):
+    out = image_embedding(media, dim=8).collect()
+    assert all(len(r["embedding"]) == 8 for r in out)
+    norms = [np.linalg.norm(r["embedding"]) for r in out]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+
+
+def test_sample_video_frames_fanout(spark, media):
+    out = sample_video_frames(
+        media.where("media_type='video'"), every_n=50, max_frames=4
+    ).collect()
+    assert len(out) == 4  # 250 bytes / 50 = 5 → capped at 4
+    assert [r["frame_no"] for r in out] == [0, 1, 2, 3]
+    assert all(r["media_id"] == 3 for r in out)
