@@ -188,7 +188,9 @@ def auto_assigner(k: int, d: int, strategy: str = "auto"):
     """Decision tree mirroring ``AutoAssignment.scala:19-89``: small k·d →
     single expression; medium → chunked expressions; huge → Arrow/numpy.
     """
-    if strategy and strategy != "auto":
+    # "elkan" selects the accelerated fit-time iterator; single-pass
+    # assignment (transform etc.) falls back to the auto decision tree
+    if strategy and strategy not in ("auto", "elkan"):
         return {
             "expression": ExpressionAssignment,
             "broadcast": ExpressionAssignment,

@@ -25,13 +25,38 @@ Determinism: sampling uses ``xxhash64(features, seed)`` ordering and
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.kernels import Kernel
-from .assignment import ExpressionAssignment, distances_column
+from .assignment import ExpressionAssignment, PandasAssignment, distances_column
 
 __all__ = ["random_init", "kmeans_parallel_init", "initialize"]
+
+# above this many candidate centers, one Arrow pass (numpy X@C.T) beats
+# per-center higher-order-function expressions (measured at sf0.1: the
+# 29-candidate weight pass dropped 8.1s → Arrow-bound)
+_PANDAS_CAND_LIMIT = 12
+
+
+def _min_dist_col(kernel: Kernel, fcol: str, centers: list):
+    """min_c D(x, c) — expression for few centers, Arrow/numpy beyond."""
+    if len(centers) <= _PANDAS_CAND_LIMIT:
+        return F.array_min(distances_column(kernel, F.col(fcol), centers))
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+    k = kernel
+
+    @pandas_udf("double")
+    def _mind(feats: pd.Series) -> pd.Series:
+        if len(feats) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.asarray(feats.tolist(), dtype=np.float64)
+        return pd.Series(k.div_np(X, C).min(axis=1))
+
+    return _mind(F.col(fcol))
 
 
 def random_init(df: DataFrame, k: int, features_col: str, seed: int) -> np.ndarray:
@@ -116,10 +141,7 @@ def kmeans_parallel_init(
             if step < init_steps - 1:
                 nxt = work.withColumn(
                     "_d2n",
-                    F.least(
-                        F.col("_d2"),
-                        F.array_min(distances_column(kernel, F.col("f"), new)),
-                    ),
+                    F.least(F.col("_d2"), _min_dist_col(kernel, "f", new)),
                 ).select("f", F.col("_d2n").alias("_d2")).cache()
                 nxt.count()
                 work.unpersist()
@@ -134,8 +156,14 @@ def kmeans_parallel_init(
         if len(cand) < k:
             raise ValueError(f"could not find {k} distinct candidate centers")
         return cand[:k]
-    # weight candidates by covered point count (one aggregation job)
-    assigned = ExpressionAssignment().assign(
+    # weight candidates by covered point count (one aggregation job;
+    # Arrow/numpy argmin once the candidate set outgrows cheap expressions)
+    assigner = (
+        ExpressionAssignment()
+        if len(cand) <= _PANDAS_CAND_LIMIT
+        else PandasAssignment()
+    )
+    assigned = assigner.assign(
         feats, kernel, cand.tolist(), "f", cluster_col="_c", dist_col="_dd"
     )
     counts = {int(r["_c"]): r["n"]
