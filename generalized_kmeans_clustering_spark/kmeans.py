@@ -309,14 +309,27 @@ class GeneralizedKMeansModel:
 
     # -- persistence: metadata.json + centers/*.parquet + sha256 ------------
     # layout contract: reference SPECIFICATION.md:227-256,
-    # df/persistence/PersistenceLayout.scala:82-177
+    # df/persistence/PersistenceLayout.scala:82-177. Subclasses override
+    # _extra_metadata/_center_weights/_apply_extra to round-trip their
+    # additional state; persistence.load_model dispatches on modelClass.
+    def _extra_metadata(self) -> dict:
+        return {}
+
+    def _center_weights(self):
+        return [1.0] * self.k
+
+    def _apply_extra(self, extra: dict, weights):
+        pass
+
     def save(self, spark, path: str):
         os.makedirs(path, exist_ok=True)
         centers_path = os.path.join(path, "centers")
-        self.centers_df(spark).withColumn(
-            "weight", F.lit(1.0)
-        ).select("center_id", "weight", F.col("center").alias("vector")) \
-            .repartition(1).sortWithinPartitions("center_id") \
+        wts = [float(x) for x in self._center_weights()]
+        spark.createDataFrame(
+            [(int(i), wts[i], [float(v) for v in c])
+             for i, c in enumerate(self.centers)],
+            "center_id int, weight double, vector array<double>",
+        ).repartition(1).sortWithinPartitions("center_id") \
             .write.mode("overwrite").parquet(centers_path)
         canonical = json.dumps(
             [[i, [float(v) for v in c]] for i, c in enumerate(self.centers)]
@@ -324,6 +337,7 @@ class GeneralizedKMeansModel:
         meta = {
             "layoutVersion": self.LAYOUT_VERSION,
             "algorithm": "GeneralizedKMeansModel",
+            "modelClass": type(self).__name__,
             "divergence": self.kernel_name,
             "k": self.k,
             "dim": self.dim,
@@ -332,6 +346,7 @@ class GeneralizedKMeansModel:
             "featuresCol": self.features_col,
             "predictionCol": self.prediction_col,
             "distanceCol": self.distance_col,
+            "extra": self._extra_metadata(),
             "checksums": {"centers_sha256": hashlib.sha256(canonical.encode()).hexdigest()},
         }
         with open(os.path.join(path, "metadata.json"), "w") as f:
@@ -349,6 +364,7 @@ class GeneralizedKMeansModel:
             .orderBy("center_id").collect()
         )
         centers = np.asarray([r["vector"] for r in rows], dtype=np.float64)
+        weights = [float(r["weight"]) for r in rows]
         canonical = json.dumps(
             [[i, [float(v) for v in c]] for i, c in enumerate(centers)]
         )
@@ -356,6 +372,10 @@ class GeneralizedKMeansModel:
         expected = meta.get("checksums", {}).get("centers_sha256")
         if expected and digest != expected:
             raise IOError(f"centers checksum mismatch at {path}")
+        return cls._construct_loaded(centers, weights, meta)
+
+    @classmethod
+    def _construct_loaded(cls, centers, weights, meta) -> "GeneralizedKMeansModel":
         model = cls(
             centers=centers,
             kernel_name=meta["divergence"],
@@ -365,4 +385,5 @@ class GeneralizedKMeansModel:
             distance_col=meta.get("distanceCol"),
             params=meta.get("paramMap", {}),
         )
+        model._apply_extra(meta.get("extra", {}), weights)
         return model

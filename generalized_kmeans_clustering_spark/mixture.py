@@ -197,6 +197,27 @@ class BregmanMixtureModel(GeneralizedKMeansModel):
         self.probability_col = probability_col
         self.log_likelihood = log_likelihood
 
+    def _extra_metadata(self) -> dict:
+        return {"probabilityCol": self.probability_col,
+                "logLikelihood": self.log_likelihood}
+
+    def _center_weights(self):
+        return [float(w) for w in self.weights]
+
+    @classmethod
+    def _construct_loaded(cls, centers, weights, meta):
+        ex = meta.get("extra", {})
+        return cls(
+            centers=centers, weights=weights,
+            kernel_name=meta["divergence"],
+            smoothing=meta.get("smoothing", 1e-10),
+            features_col=meta.get("featuresCol", "features"),
+            prediction_col=meta.get("predictionCol", "prediction"),
+            probability_col=ex.get("probabilityCol", "probability"),
+            log_likelihood=ex.get("logLikelihood", float("nan")),
+            params=meta.get("paramMap", {}),
+        )
+
     def _resp_col(self, feats):
         kernel = self._kernel()
         dists = distances_column(kernel, feats, self.centers.tolist())

@@ -194,6 +194,27 @@ class RobustKMeansModel(GeneralizedKMeansModel):
         self.outlier_score_col = outlier_score_col
         self.is_outlier_col = is_outlier_col
 
+    def _extra_metadata(self) -> dict:
+        return {"outlierThreshold": self.outlier_threshold,
+                "outlierScoreCol": self.outlier_score_col,
+                "isOutlierCol": self.is_outlier_col,
+                "userDistanceCol": self._user_distance_col}
+
+    @classmethod
+    def _construct_loaded(cls, centers, weights, meta):
+        ex = meta.get("extra", {})
+        return cls(
+            centers=centers, kernel_name=meta["divergence"],
+            smoothing=meta.get("smoothing", 1e-10),
+            features_col=meta.get("featuresCol", "features"),
+            prediction_col=meta.get("predictionCol", "prediction"),
+            distance_col=ex.get("userDistanceCol"),
+            outlier_threshold=ex.get("outlierThreshold", float("inf")),
+            outlier_score_col=ex.get("outlierScoreCol", "outlier_score"),
+            is_outlier_col=ex.get("isOutlierCol", "is_outlier"),
+            params=meta.get("paramMap", {}),
+        )
+
     def transform(self, df: DataFrame) -> DataFrame:
         out = super().transform(df)
         dcol = self.distance_col

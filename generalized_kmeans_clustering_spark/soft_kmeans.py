@@ -268,6 +268,24 @@ class SoftKMeansModel(GeneralizedKMeansModel):
             ),
         )
 
+    def _extra_metadata(self) -> dict:
+        return {"beta": self.beta, "minMembership": self.min_membership,
+                "probabilityCol": self.probability_col}
+
+    @classmethod
+    def _construct_loaded(cls, centers, weights, meta):
+        ex = meta.get("extra", {})
+        return cls(
+            centers=centers, kernel_name=meta["divergence"],
+            smoothing=meta.get("smoothing", 1e-10),
+            beta=ex.get("beta", 1.0),
+            min_membership=ex.get("minMembership", 0.0),
+            features_col=meta.get("featuresCol", "features"),
+            prediction_col=meta.get("predictionCol", "prediction"),
+            probability_col=ex.get("probabilityCol", "probability"),
+            params=meta.get("paramMap", {}),
+        )
+
     def predict_soft(self, vector) -> np.ndarray:
         kernel = self._kernel()
         x = np.asarray(vector, dtype=np.float64)[None, :]

@@ -184,9 +184,14 @@ class SparseKMeans:
             work = work.cache()
         try:
             # init: hash-stable distinct sample rows, densified on driver
+            # (distinct first — identical rows share a hash, so ordering
+            # alone would fill the limit with copies of one row)
             rows = (
-                work.withColumn(
-                    "_h", F.xxhash64(F.col(self.values_col), F.lit(self.seed))
+                work.distinct()
+                .withColumn(
+                    "_h",
+                    F.xxhash64(F.col(self.indices_col),
+                               F.col(self.values_col), F.lit(self.seed)),
                 ).orderBy("_h").limit(self.k * 3).collect()
             )
             centers = np.zeros((self.k, dim))
@@ -299,6 +304,20 @@ class SparseKMeansModel(GeneralizedKMeansModel):
         )
         self.indices_col = indices_col
         self.values_col = values_col
+
+    def _extra_metadata(self) -> dict:
+        return {"indicesCol": self.indices_col, "valuesCol": self.values_col}
+
+    @classmethod
+    def _construct_loaded(cls, centers, weights, meta):
+        ex = meta.get("extra", {})
+        return cls(
+            centers=centers, kernel_name=meta["divergence"],
+            indices_col=ex.get("indicesCol", "indices"),
+            values_col=ex.get("valuesCol", "values"),
+            prediction_col=meta.get("predictionCol", "prediction"),
+            params=meta.get("paramMap", {}),
+        )
 
     def transform(self, df: DataFrame) -> DataFrame:
         vals = F.col(self.values_col)

@@ -178,6 +178,27 @@ class StreamingKMeansModel(GeneralizedKMeansModel):
         self.centers[small] = self.centers[large] + direction
         self.centers[large] = self.centers[large] - direction
 
+    def _extra_metadata(self) -> dict:
+        return {"decayFactor": self.decay_factor, "timeUnit": self.time_unit,
+                "numBatches": self.num_batches}
+
+    def _center_weights(self):
+        return [float(w) for w in self.weights]
+
+    @classmethod
+    def _construct_loaded(cls, centers, weights, meta):
+        ex = meta.get("extra", {})
+        m = cls(
+            centers=centers, weights=weights,
+            kernel_name=meta["divergence"],
+            decay_factor=ex.get("decayFactor", 1.0),
+            time_unit=ex.get("timeUnit", "batches"),
+            features_col=meta.get("featuresCol", "features"),
+            prediction_col=meta.get("predictionCol", "prediction"),
+        )
+        m.num_batches = int(ex.get("numBatches", 0))
+        return m
+
     # -- snapshots ----------------------------------------------------------
     def snapshot(self, spark, checkpoint_dir: str):
         path = os.path.join(checkpoint_dir, "centers", "latest.parquet")
