@@ -23,6 +23,13 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias usable inside hypothesis @given bodies (session-scoped, so
+    the function-scoped-fixture health check stays quiet)."""
+    return spark
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

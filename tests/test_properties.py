@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) mirroring the reference's
+``ml/PropertyBasedTestSuite.scala:94-381``: ∀ (n, d, k):
+#predictions = n, assignments ∈ [0,k), cost ≥ 0, k centers of dim d,
+``predict`` agrees with ``transform``, weights shift centers.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark import GeneralizedKMeans
+
+SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
+
+
+def _df(spark, X):
+    return spark.createDataFrame(
+        [([float(v) for v in row],) for row in X], "features array<double>"
+    )
+
+
+@given(
+    n=st.integers(8, 60),
+    d=st.integers(1, 6),
+    k=st.integers(1, 5),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_fit_transform_invariants(spark_global, n, d, k, seed):
+    spark = spark_global
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 5, (n, d))
+    df = _df(spark, X)
+    model = GeneralizedKMeans(
+        k=k, seed=seed, max_iter=4, init_mode="random"
+    ).fit(df)
+    # k centers of dim d
+    assert model.centers.shape == (model.k, d)
+    assert model.k <= k
+    out = model.transform(df).select("prediction").collect()
+    preds = [r["prediction"] for r in out]
+    # every row predicted, all labels in range
+    assert len(preds) == n
+    assert all(0 <= p < model.k for p in preds)
+    # cost is non-negative
+    assert model.compute_cost(df) >= 0.0
+    # driver predict agrees with distributed transform
+    for row, p in zip(X[:10], preds[:10]):
+        assert model.predict(row) == p
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**SETTINGS)
+def test_kl_on_simplex(spark_global, seed):
+    """KL divergence clustering on probability-simplex rows stays in
+    domain and produces valid simplex-ish centers."""
+    spark = spark_global
+    rng = np.random.default_rng(seed)
+    X = rng.dirichlet([1.0, 1.0, 1.0], size=40)
+    df = _df(spark, X)
+    model = GeneralizedKMeans(
+        k=2, divergence="kl", seed=seed, max_iter=4, init_mode="random"
+    ).fit(df)
+    assert (model.centers > 0).all()
+    assert model.compute_cost(df) >= 0.0
+
+
+def test_weight_sensitivity(spark):
+    """Up-weighting a point pulls its cluster center toward it."""
+    rows = [
+        ([0.0, 0.0], 1.0), ([1.0, 0.0], 1.0), ([0.0, 1.0], 1.0),
+        ([10.0, 10.0], 1.0),
+    ]
+    df = spark.createDataFrame(rows, "features array<double>, w double")
+    m_plain = GeneralizedKMeans(
+        k=1, weight_col="w", max_iter=3, init_mode="random", seed=1
+    ).fit(df)
+    rows_heavy = [(f, (100.0 if f == [10.0, 10.0] else w)) for f, w in rows]
+    df_heavy = spark.createDataFrame(
+        rows_heavy, "features array<double>, w double"
+    )
+    m_heavy = GeneralizedKMeans(
+        k=1, weight_col="w", max_iter=3, init_mode="random", seed=1
+    ).fit(df_heavy)
+    d_plain = np.linalg.norm(m_plain.centers[0] - [10, 10])
+    d_heavy = np.linalg.norm(m_heavy.centers[0] - [10, 10])
+    assert d_heavy < d_plain
