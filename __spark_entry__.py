@@ -91,6 +91,19 @@ def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+    rejects; read nanos as long and rebuild a (microsecond) timestamp —
+    truncation matches DuckDB's native microsecond precision."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return ev
+
+
 # ---------------------------------------------------------------------------
 # SQL builders for kernel distance formulas (mirror the zip_with/aggregate
 # fold order: ((0+t1)+t2)+... — plain left-assoc + chains in SQL)
@@ -340,6 +353,64 @@ def q_emb_near_dup(spark, sf_dir):
     ).orderBy("i", "j")
 
 
+def q_events_hourly(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        tumbling_rollup,
+    )
+
+    ev = events(spark, sf_dir)
+    out = tumbling_rollup(ev, window="1 hour")
+    return out.select(
+        "event_type", "window_start", "n",
+        _rcol(F.col("sum_value"), 4).alias("sum_value"),
+        _rcol(F.col("avg_value"), 4).alias("avg_value"),
+    ).orderBy("event_type", "window_start")
+
+
+def q_events_sessions(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.operators.rollup import sessionize
+
+    ev = events(spark, sf_dir)
+    out = sessionize(ev, gap_minutes=60.0)
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_events_topk_users(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        top_k_by_count,
+    )
+
+    ev = events(spark, sf_dir)
+    return top_k_by_count(ev, k=3).orderBy("event_type", "rank")
+
+
+def q_events_json_props(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.operators.rollup import json_prop
+
+    ev = events(spark, sf_dir)
+    return (
+        ev.select("event_id", json_prop(F.col("props"), "k", "int").alias("pk"))
+        .orderBy("event_id")
+    )
+
+
+def q_doc_tfidf_top(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.operators.text_features import (
+        top_terms_per_doc,
+    )
+
+    docs = documents(spark, sf_dir).where(F.col("doc_id") < 50)
+    out = top_terms_per_doc(docs, k=5)
+    return out.select(
+        "doc_id", "term", _rcol(F.col("tfidf"), 6).alias("tfidf"), "rank"
+    ).orderBy("doc_id", "rank")
+
+
 # --- rows-only queries (no SQL oracle: hash functions / iterative) ---------
 
 def q_minhash_lsh(spark, sf_dir):
@@ -440,6 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "dedup_exact_groups": q_dedup_exact,
         "knn_cosine_top3": q_knn_cosine,
+        "events_hourly_rollup": q_events_hourly,
+        "events_sessionize": q_events_sessions,
+        "events_topk_users": q_events_topk_users,
+        "events_json_props": q_events_json_props,
+        "doc_tfidf_top5": q_doc_tfidf_top,
         "doc_language_id": q_doc_language_id,
         "doc_token_regex": q_doc_token_regex,
         "doc_min_shingle_fp": q_doc_min_shingle_fp,
@@ -525,6 +601,59 @@ def oracle_sql() -> dict[str, str]:
         "WITH pre AS (SELECT doc_id, substring(text, 1, 64) AS text FROM documents) "
         "SELECT md5(text) AS fingerprint, count(*) AS n_dups, min(doc_id) AS keep_id "
         "FROM pre GROUP BY md5(text) HAVING count(*) > 1 ORDER BY fingerprint"
+    )
+
+    out["events_hourly_rollup"] = (
+        "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+        "count(*) AS n, "
+        + _r("sum(value)", 4) + " AS sum_value, "
+        + _r("sum(value)/count(*)", 4) + " AS avg_value "
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, window_start"
+    )
+
+    out["events_sessionize"] = (
+        "WITH x AS (SELECT user_id, ts, "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts)) "
+        "> 3600000000 THEN 1 ELSE 0 END AS new_s FROM events), "
+        "y AS (SELECT user_id, "
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS session_id FROM x) "
+        "SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events FROM y GROUP BY user_id ORDER BY user_id"
+    )
+
+    out["events_topk_users"] = (
+        "WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT event_type, user_id, n, CAST(row_number() OVER "
+        "(PARTITION BY event_type ORDER BY n DESC, user_id) AS INTEGER) "
+        "AS rank FROM c) "
+        "SELECT event_type, user_id, n, rank FROM r WHERE rank <= 3 "
+        "ORDER BY event_type, rank"
+    )
+
+    out["events_json_props"] = (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) "
+        "AS pk FROM events ORDER BY event_id"
+    )
+
+    out["doc_tfidf_top5"] = (
+        "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50), "
+        "nd AS (SELECT count(DISTINCT doc_id) AS n FROM d), "
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d), "
+        "tc AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+        "WHERE term <> '' GROUP BY 1, 2), "
+        "dfq AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM tc GROUP BY 1), "
+        "s AS (SELECT tc.doc_id, tc.term, "
+        "tc.tf * (ln((nd.n + 1.0) / (dfq.dfreq + 1.0)) + 1.0) AS tfidf "
+        "FROM tc, nd JOIN dfq ON tc.term = dfq.term), "
+        "r AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank "
+        "FROM s) "
+        f"SELECT doc_id, term, {_r('tfidf', 6)} AS tfidf, rank FROM r "
+        "WHERE rank <= 5 ORDER BY doc_id, rank"
     )
 
     # language-ID: identical occurrence arithmetic + first-match CASE

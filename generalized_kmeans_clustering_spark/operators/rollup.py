@@ -1,0 +1,94 @@
+"""Event-table rollups: tumbling windows, sessionization, top-k.
+
+Engine extensions (driver mandate — relational coverage for the
+``events`` table). All distributed, one shuffle each:
+
+- ``tumbling_rollup``: event-time tumbling-window aggregation via
+  ``F.window`` — the SAME operator shape Structured Streaming uses, so
+  a streaming source with a watermark can reuse the plan verbatim
+  (`readStream → withWatermark → this → writeStream`);
+- ``sessionize``: gap-based session ids per user with lag + cumulative
+  sum window functions (the batch analog of
+  ``F.session_window``);
+- ``top_k_by_count``: per-group top-k via ``row_number`` window;
+- ``json_prop``: typed extraction from the JSON ``props`` column
+  (``get_json_object`` — pushdown-friendly, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["tumbling_rollup", "sessionize", "top_k_by_count", "json_prop"]
+
+
+def tumbling_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    keys: tuple = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """(keys…, window_start, n, sum_value, avg_value) per tumbling window."""
+    return (
+        df.groupBy(*keys, F.window(F.col(ts_col), window).alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("avg_value"),
+        )
+        .select(*keys, F.col("_w.start").alias("window_start"),
+                "n", "sum_value", "avg_value")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Attach ``session_id`` (per-user ordinal) via gap-based windows.
+
+    One shuffle on user_id; within each user the lag/cumsum pair is a
+    linear scan — the standard batch sessionization plan.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_us = int(gap_minutes * 60.0 * 1_000_000)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(w)
+    ).drop("_new")
+
+
+def top_k_by_count(
+    df: DataFrame,
+    group_col: str = "event_type",
+    entity_col: str = "user_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k entities per group by event count (ties → lower entity id)."""
+    counts = df.groupBy(group_col, entity_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n"), F.asc(entity_col)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, entity_col, "n", "rank")
+    )
+
+
+def json_prop(props: Column, key: str, cast: str | None = None) -> Column:
+    """Extract ``$.key`` from a JSON string column (JVM-side)."""
+    out = F.get_json_object(props, f"$.{key}")
+    return out.cast(cast) if cast else out
