@@ -277,7 +277,8 @@ class GeneralizedKMeansModel:
         feats = F.col(self.features_col)
         if kernel.pre_normalize:
             feats = kernel.normalize(feats)
-        assigner = auto_assigner(self.k, self.dim, self.assignment_strategy)
+        assigner = auto_assigner(self.k, self.dim, self.assignment_strategy,
+                                 spark=df.sparkSession)
         tmp = df.withColumn("_f_norm", feats) if kernel.pre_normalize else df
         fcol = "_f_norm" if kernel.pre_normalize else self.features_col
         out = assigner.assign(

@@ -184,12 +184,33 @@ class CrossJoinAssignment:
         return out.drop("_best", "_rid")
 
 
-def auto_assigner(k: int, d: int, strategy: str = "auto"):
+def adaptive_chunk_size(spark, d: int, broadcast_fraction: float = 0.1,
+                        safety_factor: float = 2.0) -> int:
+    """Centers-per-chunk from the executor memory budget (reference
+    ``AdaptiveBroadcastAssignment.scala:50-190``): chunk ≈
+    executor_mem × memory.fraction × broadcast_fraction / safety /
+    (d × 8 bytes)."""
+    mem_str = spark.conf.get("spark.executor.memory", "1g").lower()
+    units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    mult = units.get(mem_str[-1], 1)
+    mem = float(mem_str[:-1] if mult > 1 else mem_str) * mult
+    frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    budget = mem * frac * broadcast_fraction / safety_factor
+    return max(16, int(budget / (max(d, 1) * 8)))
+
+
+def auto_assigner(k: int, d: int, strategy: str = "auto", spark=None):
     """Decision tree mirroring ``AutoAssignment.scala:19-89``: small k·d →
     single expression; medium → chunked expressions; huge → Arrow/numpy.
     """
     # "elkan" selects the accelerated fit-time iterator; single-pass
     # assignment (transform etc.) falls back to the auto decision tree
+    if strategy == "adaptive":
+        if spark is not None:
+            return ChunkedExpressionAssignment(
+                chunk_size=min(adaptive_chunk_size(spark, d), 1024)
+            )
+        return ChunkedExpressionAssignment()
     if strategy and strategy not in ("auto", "elkan"):
         return {
             "expression": ExpressionAssignment,

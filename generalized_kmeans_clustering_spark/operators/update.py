@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from ..functions.kernels import Kernel
 
-__all__ = ["cluster_stats", "centers_from_stats", "median_centers"]
+__all__ = ["cluster_stats", "centers_from_stats", "median_centers",
+           "weighted_median_centers"]
 
 WIDE_DIM_LIMIT = 256
 
@@ -144,12 +145,17 @@ def median_centers(
     """K-Medians update: per-cluster per-dimension median via
     ``percentile_approx`` — distributed, unlike the reference's
     per-dimension driver collect (``UpdateStrategy.scala:203-224``,
-    anti-pattern §4.2 of SURVEY.md). Weighted medians degrade to
-    unweighted approx medians (weights only affect cost/sizes);
-    an exact weighted-median path via explode + cumulative-window is
-    planned behind the same interface.
+    anti-pattern §4.2 of SURVEY.md). With a weight column the exact
+    weighted-median path (:func:`weighted_median_centers`) is used
+    instead.
     """
-    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    if weight_col:
+        return weighted_median_centers(
+            assigned, d, k, features_col, weight_col,
+            cluster_col=cluster_col, dist_col=dist_col,
+            old_centers=old_centers,
+        )
+    w = F.lit(1.0)
     aggs = [
         F.sum(w).alias("w"),
         F.count(F.lit(1)).alias("n"),
@@ -173,5 +179,68 @@ def median_centers(
         cost += float(r["cost"])
         if r["n"] > 0:
             new[c] = np.array([r[f"m{i}"] for i in range(d)])
+    empty = [c for c in range(k) if c not in seen or sizes[c] == 0]
+    return new, cost, sizes, empty
+
+
+def weighted_median_centers(
+    assigned: DataFrame,
+    d: int,
+    k: int,
+    features_col: str,
+    weight_col: str,
+    cluster_col: str = "_cluster",
+    dist_col: str = "_dist",
+    old_centers: Sequence[Sequence[float]] = (),
+) -> tuple[np.ndarray, float, list[int], list[int]]:
+    """EXACT distributed weighted median per (cluster, dimension).
+
+    Explode to (cluster, dim, value, weight) cells, shuffle once on
+    (cluster, dim), and pick the first value whose running weight
+    reaches half the total via a cumulative-sum window — the classic
+    lower weighted median. Shuffle volume is n·d cells; result is k·d
+    rows. This replaces the reference's per-dimension driver collect
+    (``UpdateStrategy.scala:203-224``).
+    """
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col)
+    cells = assigned.select(
+        F.col(cluster_col).alias("_c"),
+        w.alias("_w"),
+        F.posexplode(F.col(features_col)).alias("_dim", "_v"),
+    )
+    win = (
+        Window.partitionBy("_c", "_dim").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("_c", "_dim")
+    scored = cells.withColumn("_cum", F.sum("_w").over(win)).withColumn(
+        "_tot", F.sum("_w").over(tot)
+    )
+    med = (
+        scored.where(F.col("_cum") >= F.col("_tot") / 2.0)
+        .groupBy("_c", "_dim").agg(F.min("_v").alias("_med"))
+        .collect()
+    )
+    stats = assigned.groupBy(cluster_col).agg(
+        F.sum(w).alias("w"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w * F.col(dist_col)).alias("cost"),
+    ).collect()
+    old = np.asarray(old_centers, dtype=np.float64)
+    new = old.copy()
+    sizes = [0] * k
+    cost = 0.0
+    seen = set()
+    for r in stats:
+        c = int(r[cluster_col])
+        seen.add(c)
+        sizes[c] = int(r["n"])
+        cost += float(r["cost"])
+    for r in med:
+        c = int(r["_c"])
+        if sizes[c] > 0:
+            new[c, int(r["_dim"])] = float(r["_med"])
     empty = [c for c in range(k) if c not in seen or sizes[c] == 0]
     return new, cost, sizes, empty

@@ -100,7 +100,7 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
     sizes: list[int] = []
 
     for it in range(cfg.max_iter):
-        assigner = auto_assigner(k, d, cfg.assignment_strategy)
+        assigner = auto_assigner(k, d, cfg.assignment_strategy, spark=df.sparkSession)
         assigned = assigner.assign(df, kernel, centers.tolist(), cfg.features_col)
         if kernel.mean_update:
             stats = cluster_stats(
