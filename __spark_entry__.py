@@ -345,6 +345,19 @@ def q_doc_min_shingle_fp(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_doc_winnow_fp(spark, sf_dir):
+    df = documents(spark, sf_dir).where(
+        (F.col("doc_id") < 100) & (F.length("text") >= 16)
+    )
+    staged = T.winnow_fingerprints(df, "text", k=8, w=4, out_col="_fps")
+    return staged.select(
+        "doc_id",
+        F.size("_fps").cast("int").alias("n_fps"),
+        F.element_at("_fps", 1).alias("min_fp"),
+        F.element_at("_fps", -1).alias("max_fp"),
+    ).orderBy("doc_id")
+
+
 def q_emb_near_dup(spark, sf_dir):
     emb = embeddings(spark, sf_dir)
     out = embedding_near_dup_pairs(emb, threshold=0.35)
@@ -519,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_language_id": q_doc_language_id,
         "doc_token_regex": q_doc_token_regex,
         "doc_min_shingle_fp": q_doc_min_shingle_fp,
+        "doc_winnow_fingerprints": q_doc_winnow_fp,
         "emb_near_dup_pairs": q_emb_near_dup,
         # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh_pairs": q_minhash_lsh,
@@ -696,6 +710,23 @@ def oracle_sql() -> dict[str, str]:
         "i -> md5(array_to_string(toks[i:i+2], ' ')))) "
         "ELSE md5(array_to_string(toks, ' ')) END AS minfp "
         "FROM t ORDER BY doc_id"
+    )
+
+    out["doc_winnow_fingerprints"] = (
+        "WITH t AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id < 100 AND length(text) >= 16), "
+        "g AS (SELECT doc_id, "
+        "list_transform(range(1, greatest(length(text)-8+1, 1)+1), i -> "
+        "list_reduce(list_transform(range(0, 8), j -> "
+        "ascii(substr(text, CAST(i+j AS INTEGER), 1))), "
+        "(acc, x) -> (acc*257 + x) % 1000003)) AS grams FROM t), "
+        "m AS (SELECT doc_id, "
+        "list_transform(range(1, greatest(len(grams)-4+1, 1)+1), t2 -> "
+        "list_min(grams[t2:t2+3])) AS mins FROM g), "
+        "f AS (SELECT doc_id, list_distinct(mins) AS fps FROM m) "
+        "SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps, "
+        "list_min(fps) AS min_fp, list_max(fps) AS max_fp "
+        "FROM f ORDER BY doc_id"
     )
 
     out["emb_near_dup_pairs"] = (

@@ -28,6 +28,9 @@ __all__ = [
     "language_scores",
     "language_id",
     "min_shingle_fingerprint",
+    "char_gram_hashes",
+    "winnow_from_grams",
+    "winnow_fingerprints",
     "LANG_MARKERS",
 ]
 
@@ -145,6 +148,59 @@ def language_id(text: Column) -> Column:
         expr = F.when(cond, F.lit(lang)) if expr is None \
             else expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit("unknown"))
+
+
+#: polynomial rolling-hash parameters (fit in int64: P·B + 255 < 2^63)
+_RH_BASE = 257
+_RH_MOD = 1_000_003
+
+
+def char_gram_hashes(text: Column, k: int = 8) -> Column:
+    """Polynomial hashes of all char k-grams:
+    h = fold(chars, (acc, ch) → (acc·B + code(ch)) mod P).
+
+    Pure integer arithmetic, identical in any engine (the DuckDB
+    oracle runs the same fold via ``list_reduce``).
+    """
+    n_grams = F.greatest(F.length(text) - k + 1, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(1), F.lit(k)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * _RH_BASE
+                            + F.ascii(F.substr(text, i + j, F.lit(1))))
+            % _RH_MOD,
+        ),
+    )
+
+
+def winnow_from_grams(grams: Column, w: int = 4) -> Column:
+    """Distinct window-minima fingerprints from a PRE-STAGED gram-hash
+    column. ``grams`` must be a bound column (own ``withColumn``), not
+    an inline expression — lambda bodies re-evaluate their argument
+    expressions per element, which would turn the O(L) windowing into
+    O(L²·k)."""
+    n_windows = F.greatest(F.size(grams) - w + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda t: F.array_min(F.slice(grams, t, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints(df, text_col: str = "text", k: int = 8, w: int = 4,
+                        out_col: str = "fingerprints"):
+    """Winnowing (Schleimer et al. 2003) document fingerprints: the
+    distinct minima of every ``w``-window of char ``k``-gram rolling
+    hashes — sorted array<long>, robust to local edits.
+
+    DataFrame-level so the gram array can be staged in its own
+    projection (see :func:`winnow_from_grams`)."""
+    staged = df.withColumn("_wg", char_gram_hashes(F.col(text_col), k))
+    return staged.withColumn(
+        out_col, winnow_from_grams(F.col("_wg"), w)
+    ).drop("_wg")
 
 
 def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:

@@ -114,3 +114,22 @@ def test_sample_video_frames_fanout(spark, media):
     assert len(out) == 4  # 250 bytes / 50 = 5 → capped at 4
     assert [r["frame_no"] for r in out] == [0, 1, 2, 3]
     assert all(r["media_id"] == 3 for r in out)
+
+
+def test_winnow_fingerprints_robust_to_local_edit(spark):
+    from generalized_kmeans_clustering_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("lazy", "hazy")
+    df = spark.createDataFrame([(0, base), (1, edited), (2, base)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: set(r["fingerprints"]) for r in
+           winnow_fingerprints(df).collect()}
+    # identical docs → identical fingerprints
+    assert out[0] == out[2]
+    # one-word edit → most fingerprints shared (local change, local effect)
+    shared = len(out[0] & out[1]) / len(out[0] | out[1])
+    assert shared > 0.5
+    assert all(0 <= fp < 1_000_003 for fp in out[0])
