@@ -475,6 +475,71 @@ def q_mixture_fit(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_robust_fit(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.robust import RobustKMeans
+
+    df = lineitem_feats(spark, sf_dir)
+    m = RobustKMeans(
+        k=4, outlier_mode="trim", outlier_fraction=0.05, max_iter=4,
+        seed=42, initial_centers=INIT4,
+    ).fit(df)
+    out = m.transform(df)
+    return (
+        out.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("is_outlier").cast("int")).alias("n_outliers"))
+        .orderBy("prediction")
+    )
+
+
+def q_dpmeans_fit(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.dpmeans import DPMeans
+
+    df = lineitem_feats(spark, sf_dir)
+    m = DPMeans(lam=100.0, max_k=16, max_iter=6, seed=42).fit(df)
+    return m.centers_df(spark).orderBy("center_id")
+
+
+def q_coclustering_fit(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.coclustering import CoClustering
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    coo = li.select(
+        (F.col("l_orderkey") % 32).alias("row_index"),
+        (F.col("l_partkey") % 32).alias("col_index"),
+        F.col("l_quantity").alias("value"),
+    )
+    m = CoClustering(
+        num_row_clusters=3, num_col_clusters=3, max_iter=3, seed=42
+    ).fit(coo)
+    rows = [
+        (int(r), int(c), float(m.block_means[r, c]))
+        for r in range(3) for c in range(3)
+    ]
+    return spark.createDataFrame(
+        rows, "row_cluster int, col_cluster int, block_mean double"
+    ).orderBy("row_cluster", "col_cluster")
+
+
+def q_streaming_update(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.streaming.streaming_kmeans import (
+        StreamingKMeansModel,
+    )
+    import numpy as np
+
+    df = lineitem_feats(spark, sf_dir)
+    m = StreamingKMeansModel(
+        centers=np.asarray(INIT4, dtype=float),
+        weights=np.array([1.0, 1.0, 1.0, 1.0]), decay_factor=0.9,
+    )
+    m.update(df)
+    rows = [(int(i), float(w), [float(v) for v in c])
+            for i, (w, c) in enumerate(zip(m.weights, m.centers))]
+    return spark.createDataFrame(
+        rows, "center_id int, weight double, center array<double>"
+    ).orderBy("center_id")
+
+
 def q_fit_full(spark, sf_dir):
     """Full engine fit (k-means|| init) — iterative, not SQL-expressible;
     driver records the weaker rows/schema check."""
@@ -540,6 +605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_meta,
         "bisecting_fit": q_bisecting_fit,
         "mixture_fit": q_mixture_fit,
+        "robust_fit": q_robust_fit,
+        "dpmeans_fit": q_dpmeans_fit,
+        "coclustering_fit": q_coclustering_fit,
+        "streaming_update": q_streaming_update,
         "gkm_fit_full": q_fit_full,
     }
     return q
