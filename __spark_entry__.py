@@ -424,6 +424,75 @@ def q_doc_tfidf_top(spark, sf_dir):
     ).orderBy("doc_id", "rank")
 
 
+MIX_PI = [0.5, 0.3, 0.2]
+
+
+def q_mixture_estep(spark, sf_dir):
+    """EM E-step responsibilities for fixed (π, centers) — the
+    log-sum-exp softmax layer of BregmanMixture, oracle-checkable."""
+    import math
+
+    df = lineitem_feats(spark, sf_dir)
+    k = get_kernel("se")
+    dists = distances_column(k, F.col("features"), INIT4[:3])
+    lnpi = F.array(*[F.lit(math.log(p)) for p in MIX_PI])
+    s = F.zip_with(dists, lnpi, lambda dj, lp: dj - lp)
+    staged = df.withColumn("_s", s).withColumn("_m", F.array_min("_s"))
+    staged = staged.withColumn(
+        "_e", F.transform("_s", lambda v: F.exp(F.col("_m") - v))
+    ).withColumn("_z", F.aggregate("_e", F.lit(0.0), lambda a, v: a + v))
+    return staged.select(
+        "id",
+        *[_rcol(F.element_at("_e", j + 1) / F.col("_z"), 6).alias(f"g{j}")
+          for j in range(3)],
+        _rcol(-F.col("_m") + F.log("_z"), 6).alias("row_ll"),
+    ).orderBy("id")
+
+
+def q_balanced_assign_fixed(spark, sf_dir):
+    """Size-penalized assignment pass with fixed centers and a fixed
+    size vector (BalancedKMeans soft second pass, oracle-checkable)."""
+    from generalized_kmeans_clustering_spark.functions.kernels import get_kernel as gk
+
+    df = lineitem_feats(spark, sf_dir)
+    sizes = [4000.0, 1000.0, 500.0, 500.0]
+    target = 1500.0
+    penalty = 2.0
+    fac = [1.0 + penalty * max(0.0, s / target - 1.0) for s in sizes]
+    base = distances_column(gk("se"), F.col("features"), INIT4)
+    adj = F.zip_with(
+        base, F.array(*[F.lit(x) for x in fac]), lambda d_, f_: d_ * f_
+    )
+    staged = df.withColumn("_ad", adj)
+    staged = staged.withColumn(
+        "cluster",
+        (F.expr("array_position(_ad, array_min(_ad))") - 1).cast("int"),
+    )
+    return (
+        staged.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
+def q_eval_fixed_metrics(spark, sf_dir):
+    """BCSS / cluster means for a fixed-center assignment — the §2.9
+    evaluation aggregation layer, oracle-checkable."""
+    df = lineitem_feats(spark, sf_dir)
+    out = ExpressionAssignment().assign(
+        df, get_kernel("se"), INIT4, "features", cluster_col="cluster"
+    )
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _rcol(F.sum("_dist"), 2).alias("wcss_c"),
+            *[_rcol(F.avg(f"f{i+1}"), 6).alias(f"mean_f{i+1}")
+              for i in range(4)],
+        )
+        .orderBy("cluster")
+    )
+
+
 # --- rows-only queries (no SQL oracle: hash functions / iterative) ---------
 
 def q_minhash_lsh(spark, sf_dir):
@@ -585,6 +654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lloyd_se_3iter": _q_lloyd(3),
         "soft_assign_boltzmann": q_soft_assign,
         "wcss_fixed_centers": q_wcss_fixed,
+        "mixture_estep_fixed": q_mixture_estep,
+        "balanced_assign_fixed": q_balanced_assign_fixed,
+        "eval_fixed_metrics": q_eval_fixed_metrics,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "dedup_exact_groups": q_dedup_exact,
@@ -647,6 +719,55 @@ def oracle_sql() -> dict[str, str]:
 
     out["lloyd_se_1iter"] = _lloyd_sql(1)
     out["lloyd_se_3iter"] = _lloyd_sql(3)
+
+    # EM E-step with fixed pi/centers: s_j = d_j − ln π_j, softmax(−s)
+    import math as _math
+
+    d3 = ", ".join(
+        f"{_se_dist_sql(c)} - {_math.log(p)!r} AS s{j}"
+        for j, (c, p) in enumerate(zip(INIT4[:3], MIX_PI))
+    )
+    es = ", ".join(f"exp(m - s{j}) AS e{j}" for j in range(3))
+    zsum = " + ".join(f"e{j}" for j in range(3))
+    gcols = ", ".join(_r(f"e{j}/({zsum})", 6) + f" AS g{j}" for j in range(3))
+    out["mixture_estep_fixed"] = (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {d3} FROM feats), "
+        f"y AS (SELECT *, least(s0, s1, s2) AS m FROM x), "
+        f"z AS (SELECT *, {es} FROM y) "
+        f"SELECT id, {gcols}, {_r(f'-m + ln({zsum})', 6)} AS row_ll "
+        f"FROM z ORDER BY id"
+    )
+
+    # size-penalized assignment (BalancedKMeans soft pass)
+    _sizes = [4000.0, 1000.0, 500.0, 500.0]
+    _fac = [1.0 + 2.0 * max(0.0, s / 1500.0 - 1.0) for s in _sizes]
+    pd_cols = ", ".join(
+        f"({_se_dist_sql(c)}) * {f!r} AS d{j}"
+        for j, (c, f) in enumerate(zip(INIT4, _fac))
+    )
+    out["balanced_assign_fixed"] = (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {pd_cols} FROM feats), "
+        f"a AS (SELECT *, CAST({_argmin_case(4)} AS INTEGER) AS cluster FROM x) "
+        f"SELECT cluster, count(*) AS n FROM a GROUP BY cluster ORDER BY cluster"
+    )
+
+    # per-cluster evaluation stats with fixed centers
+    dist_cols4 = ", ".join(
+        f"{_se_dist_sql(c)} AS d{j}" for j, c in enumerate(INIT4)
+    )
+    meancols = ", ".join(
+        _r(f"sum(f{i+1})/count(*)", 6) + f" AS mean_f{i+1}" for i in range(4)
+    )
+    out["eval_fixed_metrics"] = (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dist_cols4} FROM feats), "
+        f"a AS (SELECT *, CAST({_argmin_case(4)} AS INTEGER) AS cluster, "
+        f"least(d0, d1, d2, d3) AS dmin FROM x) "
+        f"SELECT cluster, count(*) AS n, {_r('sum(dmin)', 2)} AS wcss_c, "
+        f"{meancols} FROM a GROUP BY cluster ORDER BY cluster"
+    )
 
     exps = ", ".join(f"exp(-{SOFT_BETA!r}*(d{j} - dmin)) AS e{j}" for j in range(k))
     esum = " + ".join(f"e{j}" for j in range(k))
