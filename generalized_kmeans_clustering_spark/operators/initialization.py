@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.kernels import Kernel
-from .assignment import ExpressionAssignment, PandasAssignment, distances_column
+from .assignment import distances_column
 
 __all__ = ["random_init", "kmeans_parallel_init", "initialize"]
 
@@ -40,23 +40,32 @@ __all__ = ["random_init", "kmeans_parallel_init", "initialize"]
 _PANDAS_CAND_LIMIT = 12
 
 
-def _min_dist_col(kernel: Kernel, fcol: str, centers: list):
-    """min_c D(x, c) — expression for few centers, Arrow/numpy beyond."""
+def _nearest_cand_col(kernel: Kernel, fcol: str, centers: list, offset: int):
+    """struct(d: min_c D(x,c), i: offset + argmin) — expression for few
+    centers, Arrow/numpy beyond."""
     if len(centers) <= _PANDAS_CAND_LIMIT:
-        return F.array_min(distances_column(kernel, F.col(fcol), centers))
+        dists = distances_column(kernel, F.col(fcol), centers)
+        d = F.array_min(dists)
+        i = (F.array_position(dists, F.array_min(dists)) - 1 + offset).cast("int")
+        return F.struct(d.alias("d"), i.alias("i"))
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centers, dtype=np.float64)
     k = kernel
 
-    @pandas_udf("double")
-    def _mind(feats: pd.Series) -> pd.Series:
+    @pandas_udf("struct<d:double,i:int>")
+    def _near(feats: pd.Series) -> pd.DataFrame:
         if len(feats) == 0:
-            return pd.Series([], dtype="float64")
+            return pd.DataFrame({"d": [], "i": []})
         X = np.asarray(feats.tolist(), dtype=np.float64)
-        return pd.Series(k.div_np(X, C).min(axis=1))
+        D = k.div_np(X, C)
+        idx = D.argmin(axis=1)
+        return pd.DataFrame(
+            {"d": D[np.arange(len(idx)), idx],
+             "i": (idx + offset).astype(np.int32)}
+        )
 
-    return _mind(F.col(fcol))
+    return _near(F.col(fcol))
 
 
 def random_init(df: DataFrame, k: int, features_col: str, seed: int) -> np.ndarray:
@@ -115,14 +124,22 @@ def kmeans_parallel_init(
     init_steps: int = 2,
     oversampling: float = 2.0,
 ) -> np.ndarray:
-    """Distributed Bahmani k-means|| with incremental min-distance."""
+    """Distributed Bahmani k-means|| with incremental nearest-candidate
+    state.
+
+    The cached frame carries (f, _d2, _ni): distance to AND index of
+    the current nearest candidate, folded incrementally — each round
+    touches only that round's new candidates, and the final candidate
+    weights are a plain groupBy(_ni).count() on the cached state
+    instead of a full |candidates|-distance re-scan.
+    """
     l = oversampling * k
     feats = df.select(F.col(features_col).alias("f"))
     centers = random_init(feats, 1, "f", seed).tolist()
-    # running d² to the candidate set, updated incrementally per round
     work = feats.withColumn(
-        "_d2", F.array_min(distances_column(kernel, F.col("f"), centers))
-    ).cache()
+        "_nc", _nearest_cand_col(kernel, "f", centers, 0)
+    ).select("f", F.col("_nc.d").alias("_d2"), F.col("_nc.i").alias("_ni")) \
+        .cache()
     try:
         for step in range(init_steps):
             total = work.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
@@ -135,39 +152,40 @@ def kmeans_parallel_init(
             new = [list(r["f"]) for r in sampled]
             if not new:
                 continue
+            offset = len(centers)
             centers.extend(new)
             if len(centers) > max(50 * k, 2000):
                 break
-            if step < init_steps - 1:
-                nxt = work.withColumn(
-                    "_d2n",
-                    F.least(F.col("_d2"), _min_dist_col(kernel, "f", new)),
-                ).select("f", F.col("_d2n").alias("_d2")).cache()
-                nxt.count()
-                work.unpersist()
-                work = nxt
+            nxt = work.withColumn(
+                "_nn", _nearest_cand_col(kernel, "f", new, offset)
+            ).select(
+                "f",
+                F.when(F.col("_nn.d") < F.col("_d2"), F.col("_nn.d"))
+                .otherwise(F.col("_d2")).alias("_d2"),
+                F.when(F.col("_nn.d") < F.col("_d2"), F.col("_nn.i"))
+                .otherwise(F.col("_ni")).alias("_ni"),
+            ).cache()
+            nxt.count()
+            work.unpersist()
+            work = nxt
+
+        cand = np.asarray(centers, dtype=np.float64)
+        if len(cand) <= k:
+            extra = random_init(feats, k, "f", seed + 99)
+            cand = np.unique(np.vstack([cand, extra]), axis=0)
+            if len(cand) < k:
+                raise ValueError(
+                    f"could not find {k} distinct candidate centers"
+                )
+            return cand[:k]
+        # candidate weights from the already-materialized nearest index
+        counts = {
+            int(r["_ni"]): r["n"]
+            for r in work.groupBy("_ni").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
     finally:
         work.unpersist()
-
-    cand = np.asarray(centers, dtype=np.float64)
-    if len(cand) <= k:
-        extra = random_init(feats, k, "f", seed + 99)
-        cand = np.unique(np.vstack([cand, extra]), axis=0)
-        if len(cand) < k:
-            raise ValueError(f"could not find {k} distinct candidate centers")
-        return cand[:k]
-    # weight candidates by covered point count (one aggregation job;
-    # Arrow/numpy argmin once the candidate set outgrows cheap expressions)
-    assigner = (
-        ExpressionAssignment()
-        if len(cand) <= _PANDAS_CAND_LIMIT
-        else PandasAssignment()
-    )
-    assigned = assigner.assign(
-        feats, kernel, cand.tolist(), "f", cluster_col="_c", dist_col="_dd"
-    )
-    counts = {int(r["_c"]): r["n"]
-              for r in assigned.groupBy("_c").agg(F.count(F.lit(1)).alias("n")).collect()}
     wts = np.array([counts.get(i, 0) for i in range(len(cand))], dtype=np.float64)
     wts = np.maximum(wts, 1e-9)
     return _kmeanspp_weighted(cand, wts, k, kernel, seed)
