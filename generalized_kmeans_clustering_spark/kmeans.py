@@ -360,6 +360,11 @@ class GeneralizedKMeansModel:
     def load(cls, spark, path: str) -> "GeneralizedKMeansModel":
         with open(os.path.join(path, "metadata.json")) as f:
             meta = json.load(f)
+        summary = None
+        spath = os.path.join(path, "summary.json")
+        if os.path.exists(spath):
+            with open(spath) as f:
+                summary = TrainingSummary(**json.load(f))
         rows = (
             spark.read.parquet(os.path.join(path, "centers"))
             .orderBy("center_id").collect()
@@ -373,7 +378,9 @@ class GeneralizedKMeansModel:
         expected = meta.get("checksums", {}).get("centers_sha256")
         if expected and digest != expected:
             raise IOError(f"centers checksum mismatch at {path}")
-        return cls._construct_loaded(centers, weights, meta)
+        model = cls._construct_loaded(centers, weights, meta)
+        model.summary = summary
+        return model
 
     @classmethod
     def _construct_loaded(cls, centers, weights, meta) -> "GeneralizedKMeansModel":
