@@ -424,6 +424,46 @@ def q_doc_tfidf_top(spark, sf_dir):
     ).orderBy("doc_id", "rank")
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    """Classic multi-join rollup (customer ⋈ orders ⋈ lineitem ⋈ nation)
+    with the small dimension tables broadcast — demonstrates the join
+    layer the clustering engine's feature pipelines sit on."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _rcol(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+    return rev.orderBy("n_name")
+
+
+def q_order_priority_stats(spark, sf_dir):
+    """Orders-side aggregation with a semi-join filter on lineitem
+    (exists a returned item) — TPC-H Q4 flavor on the synthetic schema."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    returned = li.where(F.col("l_returnflag") == "R") \
+        .select("l_orderkey").distinct()
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
 MIX_PI = [0.5, 0.3, 0.2]
 
 
@@ -657,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_estep_fixed": q_mixture_estep,
         "balanced_assign_fixed": q_balanced_assign_fixed,
         "eval_fixed_metrics": q_eval_fixed_metrics,
+        "revenue_by_nation": q_revenue_by_nation,
+        "order_priority_stats": q_order_priority_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "dedup_exact_groups": q_dedup_exact,
@@ -900,6 +942,22 @@ def oracle_sql() -> dict[str, str]:
         "i -> md5(array_to_string(toks[i:i+2], ' ')))) "
         "ELSE md5(array_to_string(toks, ' ')) END AS minfp "
         "FROM t ORDER BY doc_id"
+    )
+
+    out["revenue_by_nation"] = (
+        "SELECT n_name, count(*) AS n_items, "
+        + _r("sum(l_extendedprice * (1.0 - l_discount))", 2) + " AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+
+    out["order_priority_stats"] = (
+        "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_returnflag = 'R') "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     )
 
     out["doc_winnow_fingerprints"] = (
