@@ -50,6 +50,14 @@ def main():
     li = em.lineitem_feats(spark, sf_dir).cache()
     n = li.count()  # materialize outside the timed regions
 
+    # JVM warmup OUTSIDE the timed region: the first iterative fit in a
+    # fresh JVM pays one-time JIT/interpreter warmup that measured
+    # 100s+ at sf0.1 (identical second runs take ~8s) — warm the same
+    # code paths on a small sample so timings reflect steady state.
+    GeneralizedKMeans(
+        k=4, divergence="se", max_iter=3, seed=0, init_mode="random",
+    ).fit(li.sample(fraction=min(1.0, 20_000 / max(n, 1)), seed=0))
+
     # flagship: full SE fit, k=8, 5 iterations (distributed kmeans|| init)
     model = timed("fit_se_k8", lambda: GeneralizedKMeans(
         k=8, divergence="se", max_iter=5, seed=42).fit(li))

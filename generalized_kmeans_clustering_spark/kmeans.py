@@ -174,16 +174,14 @@ class GeneralizedKMeans:
                 empty_cluster_strategy=self.empty_cluster_strategy,
                 seed=self.seed,
             )
-            # triangle-inequality bounds skip most distance work for SE;
-            # "auto" takes that path whenever its preconditions hold
-            # (measured 7.6x at sf0.1 k=16x15 iters vs the plain loop)
-            use_accel = self.assignment_strategy == "elkan" or (
-                self.assignment_strategy == "auto"
-                and kernel.name == "squaredEuclidean"
-                and self.empty_cluster_strategy == "keep"
-                and self.max_iter >= 5
-                and len(centers) >= 2
-            )
+            # Explicit opt-in only: warm-JVM A/B at sf0.1 shows the
+            # stateless exact loop beats the bound-state path at every
+            # tested (k, n) in local mode — the bookkeeping (persist +
+            # count per iteration) costs more than the skipped distance
+            # work. The bounds would pay off on clusters where the
+            # per-row distance work dominates I/O (huge k·d); keep it
+            # behind assignment_strategy="elkan".
+            use_accel = self.assignment_strategy == "elkan"
             if use_accel:
                 from .plans.accelerated import run_accelerated_lloyds
 
