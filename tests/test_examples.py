@@ -1,0 +1,35 @@
+"""Examples are executable documentation — assert they run
+(reference ``examples/ExamplesSuite.scala`` pattern)."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "examples")
+)
+
+
+def test_quickstart_example(spark, sf_dir):
+    import quickstart_clustering
+
+    out = quickstart_clustering.main(spark, sf_dir)
+    assert out["k"] == 5
+    assert out["rows_scored"] > 0
+    assert out["wcss"] > 0
+
+
+def test_dedup_example(spark, sf_dir):
+    import dedup_pipeline
+
+    out = dedup_pipeline.main(spark, sf_dir)
+    assert out["after_exact_dedup"] <= out["input_docs"]
+    assert out["lsh_candidates"] >= out["near_dups_verified"]
+
+
+def test_streaming_example(spark, sf_dir):
+    import streaming_clustering
+
+    out = streaming_clustering.main(spark, sf_dir)
+    assert out["batches"] >= 1
+    assert out["recovered_matches"] is True
