@@ -42,6 +42,7 @@ class MultiViewKMeans:
         self,
         k: int = 2,
         views: list | None = None,
+        combine_strategy: str = "weighted_sum",  # weighted_sum | max | min
         normalize_weights: bool = True,
         max_iter: int = 20,
         tol: float = 1e-4,
@@ -52,10 +53,13 @@ class MultiViewKMeans:
     ):
         if not views:
             raise ValueError("need at least one View(features_col, divergence, weight)")
+        if combine_strategy not in ("weighted_sum", "max", "min"):
+            raise ValueError("combine_strategy: weighted_sum | max | min")
         self.k = k
         self.views = [
             v if isinstance(v, View) else View(*v) for v in views
         ]
+        self.combine_strategy = combine_strategy
         self.normalize_weights = normalize_weights
         self.max_iter = max_iter
         self.tol = tol
@@ -101,6 +105,13 @@ class MultiViewKMeans:
             converged = False
             iterations = 0
 
+            def _merge(a, b):
+                if self.combine_strategy == "max":
+                    return F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+                if self.combine_strategy == "min":
+                    return F.zip_with(a, b, lambda x, y: F.least(x, y))
+                return F.zip_with(a, b, lambda x, y: x + y)
+
             for it in range(self.max_iter):
                 combined = None
                 for w, v, kern, C in zip(weights, self.views, kernels, centers):
@@ -108,8 +119,8 @@ class MultiViewKMeans:
                         kern, F.col(v.features_col), C.tolist()
                     )
                     term = F.transform(dv, lambda x: x * float(w))
-                    combined = term if combined is None else F.zip_with(
-                        combined, term, lambda a, b: a + b
+                    combined = term if combined is None else _merge(
+                        combined, term
                     )
                 staged = work.withColumn("_cd", combined)
                 staged = staged.withColumn(
@@ -170,14 +181,17 @@ class MultiViewKMeans:
         )
         return MultiViewKMeansModel(
             views=self.views, kernels=kernels, centers=centers,
-            weights=weights, prediction_col=self.prediction_col,
+            weights=weights, combine_strategy=self.combine_strategy,
+            prediction_col=self.prediction_col,
             distance_col=self.distance_col, summary=summary,
         )
 
 
 class MultiViewKMeansModel:
     def __init__(self, views, kernels, centers, weights,
+                 combine_strategy="weighted_sum",
                  prediction_col="prediction", distance_col=None, summary=None):
+        self.combine_strategy = combine_strategy
         self.views = views
         self.kernels = kernels
         self.centers = [np.asarray(c, dtype=np.float64) for c in centers]
@@ -193,6 +207,13 @@ class MultiViewKMeansModel:
     def transform(self, df: DataFrame) -> DataFrame:
         for v, kern in zip(self.views, self.kernels):
             df = _ensure_array_features(df, v.features_col)
+        def _merge(a, b):
+            if self.combine_strategy == "max":
+                return F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+            if self.combine_strategy == "min":
+                return F.zip_with(a, b, lambda x, y: F.least(x, y))
+            return F.zip_with(a, b, lambda x, y: x + y)
+
         combined = None
         for w, v, kern, C in zip(
             self.weights, self.views, self.kernels, self.centers
@@ -202,9 +223,7 @@ class MultiViewKMeansModel:
                 feats = kern.normalize(feats)
             dv = distances_column(kern, feats, C.tolist())
             term = F.transform(dv, lambda x: x * float(w))
-            combined = term if combined is None else F.zip_with(
-                combined, term, lambda a, b: a + b
-            )
+            combined = term if combined is None else _merge(combined, term)
         out = df.withColumn("_mv_d", combined)
         out = out.withColumn(
             self.prediction_col,

@@ -134,3 +134,26 @@ def test_multiview_joint_assignment(spark):
             F.count(F.lit(1)).alias("n")).collect()
     )
     assert sizes == [60, 60]
+
+
+def test_multiview_combine_strategies(spark):
+    rng = np.random.default_rng(171)
+    pts1 = np.concatenate([
+        rng.normal([0.0, 0.0], 0.3, (30, 2)), rng.normal([8.0, 0.0], 0.3, (30, 2)),
+    ])
+    pts2 = np.concatenate([
+        rng.normal([0.0, 5.0], 0.3, (30, 2)), rng.normal([0.0, -5.0], 0.3, (30, 2)),
+    ])
+    rows = [([float(x) for x in a], [float(x) for x in b])
+            for a, b in zip(pts1, pts2)]
+    df = spark.createDataFrame(rows, "f1 array<double>, f2 array<double>")
+    views = [View("f1"), View("f2")]
+    for strat in ("weighted_sum", "max", "min"):
+        m = MultiViewKMeans(
+            k=2, views=views, combine_strategy=strat, max_iter=8, seed=5,
+        ).fit(df)
+        out = m.transform(df)
+        assert out.select("prediction").distinct().count() == 2, strat
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        MultiViewKMeans(k=2, views=views, combine_strategy="median")
