@@ -584,6 +584,23 @@ def q_mixture_fit(spark, sf_dir):
     ).orderBy("component")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN: spherical k-means index + nprobe centroid probing
+    (iterative fit inside — rows-only check; the exact brute-force
+    twin knn_cosine_top3 is the oracled baseline)."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index, ivf_topk,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    indexed, model = ivf_index(emb, n_lists=8, seed=42, max_iter=5)
+    out = ivf_topk(
+        indexed, model, emb.where(F.col("vec_id") < 5), k=3, nprobe=4
+    )
+    return out.select("query_id", "neighbor_id", "rank") \
+        .orderBy("query_id", "rank")
+
+
 def q_robust_fit(spark, sf_dir):
     from generalized_kmeans_clustering_spark.robust import RobustKMeans
 
@@ -719,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_meta,
         "bisecting_fit": q_bisecting_fit,
         "mixture_fit": q_mixture_fit,
+        "similarity_ivf_topk": q_ivf_topk,
         "robust_fit": q_robust_fit,
         "dpmeans_fit": q_dpmeans_fit,
         "coclustering_fit": q_coclustering_fit,
