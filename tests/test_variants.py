@@ -106,3 +106,13 @@ def test_dpmeans_large_lambda_single_cluster(spark, blobs3):
     df, _ = blobs3
     m = DPMeans(lam=1e6, max_iter=10, seed=9).fit(df)
     assert m.k == 1
+
+
+def test_xmeans_aic_criterion(spark, blobs3):
+    df, _ = blobs3
+    m = XMeans(min_k=2, max_k=5, criterion="aic", max_iter=10, seed=7).fit(df)
+    assert m.params["criterion"] == "aic"
+    assert m.k == 3
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        XMeans(criterion="bogus")

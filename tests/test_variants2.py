@@ -112,3 +112,17 @@ def test_robust_mestimator_bounds_influence(spark):
     ).fit(df)
     plain_mean = pts.mean(axis=0)  # dragged to ~[10,10]
     assert np.linalg.norm(m.centers[0]) < np.linalg.norm(plain_mean)
+
+
+def test_coreset_sensitivity_strategies(spark, blobs):
+    df, _ = blobs
+    for strat in ("uniform", "distance", "hybrid"):
+        est = CoresetKMeans(
+            k=2, coreset_size=60, sensitivity_strategy=strat, seed=19,
+            max_iter=8,
+        )
+        m = est.fit(df)
+        assert m.k == 2, strat
+        assert m.params["sensitivityStrategy"] == strat
+    with pytest.raises(ValueError):
+        CoresetKMeans(sensitivity_strategy="nope")
