@@ -215,6 +215,416 @@ def _se_terms_cols(center_exprs) -> str:
 
 
 # ---------------------------------------------------------------------------
+# oracle builders for the iterative fits (programmatic CTE unrolls, like
+# _lloyd_sql; every arithmetic op mirrors the engine's evaluation order)
+
+def _streaming_sql(decay=0.9, w0=1.0, digits_c=5, digits_w=6) -> str:
+    """One StreamingKMeansModel.update step: assignment + per-cluster
+    (m, Σf) + the decay update c ← (a·w·c + s)/(a·w + m)."""
+    k, d = len(INIT4), len(INIT4[0])
+    aw = repr(w0 * decay)  # decayed weight, computed once like numpy does
+    dist_cols = ", ".join(f"{_se_dist_sql(c)} AS d{j}" for j, c in enumerate(INIT4))
+    sums = ", ".join(f"sum(f{m+1}) AS s{m+1}" for m in range(d))
+    rows = []
+    for j in range(k):
+        cexprs = ", ".join(
+            _r(
+                f"CASE WHEN m IS NOT NULL THEN ({aw}*{INIT4[j][m]!r} + s{m+1})"
+                f"/({aw} + m) ELSE {INIT4[j][m]!r} END",
+                digits_c,
+            ) + f" AS c{m+1}"
+            for m in range(d)
+        )
+        rows.append(
+            f"SELECT {j} AS center_id, "
+            + _r(f"{aw} + coalesce(m, 0)", digits_w)
+            + f" AS weight, {cexprs} FROM (SELECT 1) one{j} "
+            f"LEFT JOIN g ON g.cl = {j}"
+        )
+    return (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dist_cols} FROM feats), "
+        f"a AS (SELECT *, CAST({_argmin_case(k)} AS INTEGER) AS cl FROM x), "
+        f"g AS (SELECT cl, count(*) AS m, {sums} FROM a GROUP BY cl) "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY center_id"
+    )
+
+
+def _mixture_sql(iters=5, centers=None, digits_c=4, digits_w=6) -> str:
+    """Unrolled EM (tol=0): E-step softmax responsibilities, M-step
+    π = normalized masses, centers = Σγx/Σγ — matching mixture.py's
+    op-for-op arithmetic (left-assoc sums, min-shifted exp)."""
+    centers = centers or INIT4[:3]
+    k, d = len(centers), len(centers[0])
+    parts = [f"feats AS ({FEATS_SQL})"]
+    p0 = ", ".join(
+        [f"{repr(1.0 / k)} AS w{j}" for j in range(k)]
+        + [f"{centers[j][m]!r} AS c{j}_{m}" for j in range(k) for m in range(d)]
+    )
+    parts.append(f"p0 AS (SELECT {p0})")
+    for t in range(1, iters + 1):
+        prev = f"p{t-1}"
+        scols = ", ".join(
+            f"({_se_terms_cols([f'{prev}.c{j}_{m}' for m in range(d)])})/2.0"
+            f" - ln({prev}.w{j}) AS s{j}"
+            for j in range(k)
+        )
+        parts.append(f"x{t} AS (SELECT *, {scols} FROM feats CROSS JOIN {prev})")
+        slist = ", ".join(f"s{j}" for j in range(k))
+        parts.append(f"y{t} AS (SELECT *, least({slist}) AS mm FROM x{t})")
+        ecols = ", ".join(f"exp(mm - s{j}) AS e{j}" for j in range(k))
+        parts.append(f"z{t} AS (SELECT *, {ecols} FROM y{t})")
+        zsum = " + ".join(f"e{j}" for j in range(k))
+        gcols = ", ".join(f"e{j}/({zsum}) AS g{j}" for j in range(k))
+        parts.append(f"q{t} AS (SELECT *, {gcols} FROM z{t})")
+        aggs = (
+            ["sum(1.0) AS wtot"]
+            + [f"sum(g{j}) AS r{j}" for j in range(k)]
+            + [f"sum(g{j} * f{m+1}) AS gg{j}_{m}"
+               for j in range(k) for m in range(d)]
+        )
+        parts.append(f"a{t} AS (SELECT {', '.join(aggs)} FROM q{t})")
+        pisum = " + ".join(f"(r{j}/wtot)" for j in range(k))
+        pcols = [f"(r{j}/wtot) / ({pisum}) AS w{j}" for j in range(k)]
+        pcols += [
+            f"CASE WHEN r{j} > 0 THEN gg{j}_{m}/r{j} "
+            f"ELSE {prev}.c{j}_{m} END AS c{j}_{m}"
+            for j in range(k) for m in range(d)
+        ]
+        parts.append(
+            f"p{t} AS (SELECT {', '.join(pcols)} FROM a{t} CROSS JOIN {prev})"
+        )
+    outs = []
+    for j in range(k):
+        ccols = ", ".join(
+            _r(f"c{j}_{m}", digits_c) + f" AS c{m+1}" for m in range(d)
+        )
+        outs.append(
+            f"SELECT {j} AS component, " + _r(f"w{j}", digits_w)
+            + f" AS weight, {ccols} FROM p{iters}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + " UNION ALL ".join(outs) + " ORDER BY component"
+    )
+
+
+def _robust_sql(iters=4, frac=0.05) -> str:
+    """Unrolled trimmed Lloyd's (exact order-statistic threshold): per
+    iteration drop the top `frac` by distance before the center update;
+    final transform marks dist > last threshold as outliers."""
+    centers = INIT4
+    k, d = len(centers), len(centers[0])
+    q = repr(1.0 - frac)
+    parts = [f"feats AS ({FEATS_SQL})"]
+    prev = [[repr(v) for v in row] for row in centers]
+    for t in range(1, iters + 1):
+        dist_cols = ", ".join(
+            f"({_se_terms_cols(prev[j])})/2.0 AS d{j}" for j in range(k)
+        )
+        src = "feats" if t == 1 else f"feats CROSS JOIN p{t-1}"
+        dlist = ", ".join(f"d{j}" for j in range(k))
+        parts.append(f"x{t} AS (SELECT *, {dist_cols} FROM {src})")
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT *, CAST({_argmin_case(k)} AS INTEGER) AS cl, "
+            f"least({dlist}) AS dmin FROM x{t})"
+        )
+        parts.append(
+            f"r{t} AS (SELECT dmin, row_number() OVER (ORDER BY dmin) AS rn, "
+            f"count(*) OVER () AS nn FROM a{t})"
+        )
+        parts.append(
+            f"thr{t} AS MATERIALIZED (SELECT min(dmin) AS thr FROM r{t} "
+            f"WHERE rn >= ceil({q} * nn))"
+        )
+        sums = ", ".join(f"sum(f{m+1}) AS s{m+1}" for m in range(d))
+        parts.append(
+            f"g{t} AS (SELECT cl, sum(1.0) AS w, {sums} FROM a{t} "
+            f"WHERE dmin <= (SELECT thr FROM thr{t}) GROUP BY cl)"
+        )
+        pivot = []
+        for j in range(k):
+            for m in range(d):
+                pivot.append(
+                    f"coalesce(max(CASE WHEN cl={j} THEN s{m+1}/w END), "
+                    f"max({prev[j][m]})) AS c{j}_{m}"
+                )
+        psrc = f"g{t}" if t == 1 else f"g{t} CROSS JOIN p{t-1}"
+        parts.append(f"p{t} AS (SELECT {', '.join(pivot)} FROM {psrc})")
+        prev = [[f"p{t}.c{j}_{m}" for m in range(d)] for j in range(k)]
+    fin_dists = ", ".join(
+        f"({_se_terms_cols(prev[j])})/2.0 AS d{j}" for j in range(k)
+    )
+    dlist = ", ".join(f"d{j}" for j in range(k))
+    parts.append(
+        f"xf AS (SELECT *, {fin_dists} FROM feats CROSS JOIN p{iters})"
+    )
+    parts.append(
+        f"af AS (SELECT *, CAST({_argmin_case(k)} AS INTEGER) AS cl, "
+        f"least({dlist}) AS dmin FROM xf)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT cl AS prediction, count(*) AS n, "
+        f"sum(CASE WHEN dmin > (SELECT thr FROM thr{iters}) THEN 1 ELSE 0 END) "
+        f"AS n_outliers FROM af GROUP BY cl ORDER BY prediction"
+    )
+
+
+def _dpmeans_sql(iters=6, lam=100.0, max_k=16, digits=5) -> str:
+    """Unrolled DPMeans with a LONG-format center table per iteration —
+    dynamic k (birth of the farthest >λ point, or a Lloyd update that
+    drops empties) is a UNION of mutually-exclusive branches."""
+    d = 4
+    dist = "((f.f1-c.c1)*(f.f1-c.c1) + (f.f2-c.c2)*(f.f2-c.c2) + " \
+           "(f.f3-c.c3)*(f.f3-c.c3) + (f.f4-c.c4)*(f.f4-c.c4))/2.0"
+    cc = ", ".join(f"c{m+1}" for m in range(d))
+    # the synthetic data's id column is NOT unique — long-format
+    # grouping needs a genuinely unique per-row key
+    parts = [
+        f"feats0 AS ({FEATS_SQL})",
+        "feats AS MATERIALIZED (SELECT row_number() OVER "
+        "(ORDER BY id, f1, f2, f3, f4) AS rid, * FROM feats0)",
+    ]
+    means = ", ".join(f"sum(f{m+1})/count(*) AS c{m+1}" for m in range(d))
+    parts.append(f"c0 AS MATERIALIZED (SELECT 0 AS cid, {means} FROM feats)")
+    for t in range(1, iters + 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT f.rid, c.cid, {dist} AS dist "
+            f"FROM feats f CROSS JOIN c{t-1} c)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT rid, min(dist) AS mind "
+            f"FROM a{t} GROUP BY rid)"
+        )
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT f.f1, f.f2, f.f3, f.f4 "
+            f"FROM m{t} m JOIN feats f USING (rid) "
+            f"WHERE m.mind > {lam!r} AND "
+            f"(SELECT count(*) FROM c{t-1}) < {max_k} "
+            f"ORDER BY m.mind DESC, f.rid LIMIT 1)"
+        )
+        parts.append(
+            f"asg{t} AS (SELECT a.rid, min(a.cid) AS cid FROM a{t} a "
+            f"JOIN m{t} m ON a.rid = m.rid AND a.dist = m.mind GROUP BY a.rid)"
+        )
+        sums = ", ".join(f"sum(f.f{m+1}) AS s{m+1}" for m in range(d))
+        parts.append(
+            f"g{t} AS (SELECT s.cid, sum(1.0) AS w, {sums} FROM asg{t} s "
+            f"JOIN feats f USING (rid) GROUP BY s.cid)"
+        )
+        upd = ", ".join(f"s{m+1}/w AS c{m+1}" for m in range(d))
+        parts.append(
+            f"c{t} AS MATERIALIZED ("
+            f"SELECT cid, {cc} FROM c{t-1} WHERE EXISTS (SELECT 1 FROM b{t}) "
+            f"UNION ALL "
+            f"SELECT (SELECT max(cid)+1 FROM c{t-1}) AS cid, f1 AS c1, "
+            f"f2 AS c2, f3 AS c3, f4 AS c4 FROM b{t} "
+            f"UNION ALL "
+            f"SELECT cid, {upd} FROM g{t} "
+            f"WHERE NOT EXISTS (SELECT 1 FROM b{t}))"
+        )
+    out_c = ", ".join(_r(f"c{m+1}", digits) + f" AS c{m+1}" for m in range(d))
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) "
+        f"AS center_id, {out_c} FROM c{iters} ORDER BY center_id"
+    )
+
+
+def _cocluster_sql(iters=3, kr=3, kc=3, digits=5) -> str:
+    """Unrolled alternating Bregman block co-clustering with modulo
+    init: block means → row argmin pass → block means → col argmin
+    pass, per iteration; final 3×3 block-mean matrix (empty blocks →
+    global mean)."""
+
+    def _argmin(prefix, k):
+        clauses = []
+        for j in range(k - 1):
+            conds = " AND ".join(
+                f"{prefix}{j} <= {prefix}{m}" for m in range(j + 1, k))
+            clauses.append(f"WHEN {conds} THEN {j}")
+        return "CASE " + " ".join(clauses) + f" ELSE {k-1} END"
+
+    parts = [
+        "tri AS MATERIALIZED (SELECT l_orderkey % 32 AS ri, "
+        "l_partkey % 32 AS ci, l_quantity AS v FROM lineitem)",
+        f"rc0 AS (SELECT DISTINCT ri, CAST(ri % {kr} AS INTEGER) AS rc FROM tri)",
+        f"cc0 AS (SELECT DISTINCT ci, CAST(ci % {kc} AS INTEGER) AS cc FROM tri)",
+        "gm AS MATERIALIZED (SELECT sum(v)/count(*) AS g FROM tri)",
+    ]
+
+    def _block_pivot(name, src, kr_, kc_):
+        cols = ", ".join(
+            f"coalesce(max(CASE WHEN rc={r} AND cc={c} THEN s/n END), "
+            f"max((SELECT g FROM gm))) AS b{r}_{c}"
+            for r in range(kr_) for c in range(kc_)
+        )
+        return (
+            f"{name} AS MATERIALIZED (SELECT {cols} FROM "
+            f"(SELECT rc, cc, sum(v) AS s, count(*) AS n FROM {src} "
+            f"GROUP BY rc, cc) t)"
+        )
+
+    rprev, cprev = "rc0", "cc0"
+    for t in range(1, iters + 1):
+        ja = f"ja{t}"
+        parts.append(
+            f"{ja} AS (SELECT t.*, r.rc, c.cc FROM tri t "
+            f"JOIN {rprev} r USING (ri) JOIN {cprev} c USING (ci))"
+        )
+        parts.append(_block_pivot(f"BA{t}", ja, kr, kc))
+        rsums = ", ".join(
+            "sum((v - CASE cc "
+            + " ".join(f"WHEN {c} THEN b{j}_{c}" for c in range(kc))
+            + f" END) * (v - CASE cc "
+            + " ".join(f"WHEN {c} THEN b{j}_{c}" for c in range(kc))
+            + f" END)) AS r{j}"
+            for j in range(kr)
+        )
+        parts.append(
+            f"rs{t} AS (SELECT ri, {rsums} FROM {ja} CROSS JOIN BA{t} "
+            f"GROUP BY ri)"
+        )
+        parts.append(
+            f"rc{t} AS MATERIALIZED (SELECT ri, "
+            f"CAST({_argmin('r', kr)} AS INTEGER) AS rc FROM rs{t})"
+        )
+        jb = f"jb{t}"
+        parts.append(
+            f"{jb} AS (SELECT t.*, r.rc, c.cc FROM tri t "
+            f"JOIN rc{t} r USING (ri) JOIN {cprev} c USING (ci))"
+        )
+        parts.append(_block_pivot(f"BB{t}", jb, kr, kc))
+        csums = ", ".join(
+            "sum((v - CASE rc "
+            + " ".join(f"WHEN {r} THEN b{r}_{j}" for r in range(kr))
+            + f" END) * (v - CASE rc "
+            + " ".join(f"WHEN {r} THEN b{r}_{j}" for r in range(kr))
+            + f" END)) AS r{j}"
+            for j in range(kc)
+        )
+        parts.append(
+            f"cs{t} AS (SELECT ci, {csums} FROM {jb} CROSS JOIN BB{t} "
+            f"GROUP BY ci)"
+        )
+        parts.append(
+            f"cc{t} AS MATERIALIZED (SELECT ci, "
+            f"CAST({_argmin('r', kc)} AS INTEGER) AS cc FROM cs{t})"
+        )
+        rprev, cprev = f"rc{t}", f"cc{t}"
+    parts.append(
+        f"jf AS (SELECT t.*, r.rc, c.cc FROM tri t "
+        f"JOIN {rprev} r USING (ri) JOIN {cprev} c USING (ci))"
+    )
+    parts.append(
+        "bf AS (SELECT rc, cc, sum(v) AS s, count(*) AS n FROM jf "
+        "GROUP BY rc, cc)"
+    )
+    combos = " UNION ALL ".join(
+        f"SELECT {r} AS row_cluster, {c} AS col_cluster"
+        for r in range(kr) for c in range(kc)
+    )
+    parts.append(f"combos AS ({combos})")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT k.row_cluster, k.col_cluster, "
+        + _r("coalesce(b.s/b.n, (SELECT g FROM gm))", digits)
+        + " AS block_mean FROM combos k LEFT JOIN bf b "
+        "ON b.rc = k.row_cluster AND b.cc = k.col_cluster "
+        "ORDER BY row_cluster, col_cluster"
+    )
+
+
+# cross-engine md5 60-bit shingle hash (DuckDB side; mirrors
+# operators/dedup._hash64 hash_fn='md5')
+_MD5INT = (
+    "list_reduce(list_transform(range(1,16), i -> "
+    "strpos('0123456789abcdef', substring(md5({s}), CAST(i AS INTEGER), 1))"
+    " - 1), (a,b) -> a*16 + b)"
+)
+_SHINGLES = (
+    "CASE WHEN len(toks) >= {n} THEN "
+    "list_transform(range(1, len(toks)-{n}+2), i -> "
+    "array_to_string(toks[i:i+{n}-1], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def _minhash_lsh_sql(num_hashes=16, shingle_n=3, num_bands=4, seed=42) -> str:
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        _minhash_params, _P,
+    )
+
+    params = _minhash_params(num_hashes, seed)
+    rows_per_band = num_hashes // num_bands
+    sh = _SHINGLES.format(n=shingle_n)
+    md5i = _MD5INT.format(s="s")
+    sigs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h*{a} + {b}) % {_P})) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        f"sh AS (SELECT doc_id, {sh} AS shingles FROM t), "
+        f"hs AS MATERIALIZED (SELECT doc_id, list_transform(shingles, "
+        f"s -> ({md5i}) % {_P}) AS hs FROM sh), "
+        f"sig AS MATERIALIZED (SELECT doc_id, {sigs} FROM hs), "
+        f"bands AS ({bands}) "
+        "SELECT DISTINCT l.doc_id AS i, r.doc_id AS j FROM bands l "
+        "JOIN bands r ON l.band = r.band AND l.bucket = r.bucket "
+        "AND l.doc_id < r.doc_id ORDER BY i, j"
+    )
+
+
+def _simhash_sql(shingle_n=2) -> str:
+    md5i = _MD5INT.format(s="s")
+    sh = _SHINGLES.format(n=shingle_n)
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        f"sh AS (SELECT doc_id, {sh} AS shingles FROM t), "
+        f"hs AS MATERIALIZED (SELECT doc_id, list_transform(shingles, "
+        f"s -> {md5i}) AS hs FROM sh), "
+        "v AS (SELECT doc_id, list_transform(range(0, 60), b -> "
+        "list_sum(list_transform(hs, h -> CASE WHEN "
+        "(h & (1::BIGINT << b)) <> 0 THEN 1 ELSE -1 END))) AS votes "
+        "FROM hs) "
+        "SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b -> "
+        "CASE WHEN votes[b+1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) "
+        "AS BIGINT) AS simhash FROM v ORDER BY doc_id"
+    )
+
+
+def _multimodal_sql() -> str:
+    """Twin of sources/multimodal._fake_dims over ASCII text bytes:
+    h = little-endian uint64 of the first 8 bytes (HUGEINT arithmetic);
+    width = 64 + h % 1920, height = 64 + (h >> 16) % 1080."""
+    h = " + ".join(
+        f"CAST(ascii(substring(text, {i+1}, 1)) AS HUGEINT) * "
+        f"{(1 << (8 * i))}::HUGEINT"
+        for i in range(8)
+    )
+    return (
+        f"WITH b AS (SELECT doc_id AS media_id, ({h}) AS hh FROM documents) "
+        "SELECT media_id, CAST(64 + hh % 1920 AS INTEGER) AS width, "
+        "CAST(64 + (hh // 65536) % 1080 AS INTEGER) AS height, "
+        "3 AS channels FROM b ORDER BY media_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spark-side query implementations
 
 def _kernel_query(kernel_name: str, mu, feat_cols):
@@ -536,14 +946,19 @@ def q_eval_fixed_metrics(spark, sf_dir):
 # --- rows-only queries (no SQL oracle: hash functions / iterative) ---------
 
 def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH with the cross-engine md5 shingle hash and raw band
+    buckets, so DuckDB computes bit-identical signatures (production
+    default stays xxhash64 + hashed buckets)."""
     docs = documents(spark, sf_dir)
-    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3)
-    return lsh_candidate_pairs(sigs, num_bands=4).orderBy("i", "j")
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3,
+                              hash_fn="md5")
+    return lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
+                               bucket_mode="raw").orderBy("i", "j")
 
 
 def q_simhash(spark, sf_dir):
     docs = documents(spark, sf_dir)
-    return simhash64(docs).orderBy("doc_id")
+    return simhash64(docs, hash_fn="md5").orderBy("doc_id")
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -563,24 +978,49 @@ def q_multimodal_meta(spark, sf_dir):
         .orderBy("media_id")
 
 
+def _wide_centers_df(spark, centers, digits=5, extra=None, extra_schema=""):
+    """(center_id, [extra cols,] c1..cD) scalar frame from a k×d numpy
+    array — hashable schema for the driver's value check."""
+    d = len(centers[0])
+    rows = []
+    for i, c in enumerate(centers):
+        base = [int(i)]
+        if extra is not None:
+            base.extend(extra[i])
+        rows.append((*base, *[float(v) for v in c]))
+    cdefs = ", ".join(f"c{m} double" for m in range(1, d + 1))
+    schema = f"center_id int, {extra_schema + ', ' if extra_schema else ''}{cdefs}"
+    out = spark.createDataFrame(rows, schema)
+    keep = [c for c in out.columns if not c.startswith("c") or c == "center_id"]
+    return out.select(
+        *keep,
+        *[_rcol(F.col(f"c{m}"), digits).alias(f"c{m}") for m in range(1, d + 1)],
+    ).orderBy("center_id")
+
+
 def q_bisecting_fit(spark, sf_dir):
     from generalized_kmeans_clustering_spark.bisecting import BisectingKMeans
 
     df = lineitem_feats(spark, sf_dir)
     m = BisectingKMeans(k=4, max_iter=5, seed=42).fit(df)
-    return m.centers_df(spark).orderBy("center_id")
+    return _wide_centers_df(spark, m.centers)
 
 
 def q_mixture_fit(spark, sf_dir):
     from generalized_kmeans_clustering_spark.mixture import BregmanMixture
 
     df = lineitem_feats(spark, sf_dir)
-    m = BregmanMixture(k=3, max_iter=5, seed=42,
+    m = BregmanMixture(k=3, max_iter=5, seed=42, tol=0.0,
                        initial_centers=INIT4[:3]).fit(df)
-    rows = [(int(i), float(w), [float(v) for v in c])
+    rows = [(int(i), float(w), *[float(v) for v in c])
             for i, (w, c) in enumerate(zip(m.weights, m.centers))]
-    return spark.createDataFrame(
-        rows, "component int, weight double, center array<double>"
+    out = spark.createDataFrame(
+        rows,
+        "component int, weight double, c1 double, c2 double, c3 double, c4 double",
+    )
+    return out.select(
+        "component", _rcol(F.col("weight"), 6).alias("weight"),
+        *[_rcol(F.col(f"c{m}"), 4).alias(f"c{m}") for m in range(1, 5)],
     ).orderBy("component")
 
 
@@ -607,7 +1047,7 @@ def q_robust_fit(spark, sf_dir):
     df = lineitem_feats(spark, sf_dir)
     m = RobustKMeans(
         k=4, outlier_mode="trim", outlier_fraction=0.05, max_iter=4,
-        seed=42, initial_centers=INIT4,
+        tol=0.0, seed=42, initial_centers=INIT4, exact_quantile=True,
     ).fit(df)
     out = m.transform(df)
     return (
@@ -622,8 +1062,8 @@ def q_dpmeans_fit(spark, sf_dir):
     from generalized_kmeans_clustering_spark.dpmeans import DPMeans
 
     df = lineitem_feats(spark, sf_dir)
-    m = DPMeans(lam=100.0, max_k=16, max_iter=6, seed=42).fit(df)
-    return m.centers_df(spark).orderBy("center_id")
+    m = DPMeans(lam=100.0, max_k=16, max_iter=6, tol=0.0, seed=42).fit(df)
+    return _wide_centers_df(spark, m.centers)
 
 
 def q_coclustering_fit(spark, sf_dir):
@@ -636,14 +1076,19 @@ def q_coclustering_fit(spark, sf_dir):
         F.col("l_quantity").alias("value"),
     )
     m = CoClustering(
-        num_row_clusters=3, num_col_clusters=3, max_iter=3, seed=42
+        num_row_clusters=3, num_col_clusters=3, max_iter=3, tol=0.0,
+        seed=42, init_mode="modulo",
     ).fit(coo)
     rows = [
         (int(r), int(c), float(m.block_means[r, c]))
         for r in range(3) for c in range(3)
     ]
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         rows, "row_cluster int, col_cluster int, block_mean double"
+    )
+    return out.select(
+        "row_cluster", "col_cluster",
+        _rcol(F.col("block_mean"), 5).alias("block_mean"),
     ).orderBy("row_cluster", "col_cluster")
 
 
@@ -659,19 +1104,22 @@ def q_streaming_update(spark, sf_dir):
         weights=np.array([1.0, 1.0, 1.0, 1.0]), decay_factor=0.9,
     )
     m.update(df)
-    rows = [(int(i), float(w), [float(v) for v in c])
-            for i, (w, c) in enumerate(zip(m.weights, m.centers))]
-    return spark.createDataFrame(
-        rows, "center_id int, weight double, center array<double>"
+    return _wide_centers_df(
+        spark, m.centers, digits=5,
+        extra=[(float(w),) for w in m.weights], extra_schema="weight double",
+    ).select(
+        "center_id", _rcol(F.col("weight"), 6).alias("weight"),
+        *[F.col(f"c{m_}") for m_ in range(1, 5)],
     ).orderBy("center_id")
 
 
 def q_fit_full(spark, sf_dir):
-    """Full engine fit (k-means|| init) — iterative, not SQL-expressible;
-    driver records the weaker rows/schema check."""
+    """Full engine fit (k-means|| init) — the init's seeded executor-side
+    ``rand`` sampling has no SQL twin; driver records the weaker
+    rows/schema check."""
     df = lineitem_feats(spark, sf_dir)
     m = GeneralizedKMeans(k=8, divergence="se", max_iter=10, seed=42).fit(df)
-    return m.centers_df(spark).orderBy("center_id")
+    return _wide_centers_df(spark, m.centers)
 
 
 # ---------------------------------------------------------------------------
@@ -730,17 +1178,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_min_shingle_fp": q_doc_min_shingle_fp,
         "doc_winnow_fingerprints": q_doc_winnow_fp,
         "emb_near_dup_pairs": q_emb_near_dup,
-        # rows-only (no SQL-expressible oracle):
         "dedup_minhash_lsh_pairs": q_minhash_lsh,
         "dedup_simhash64": q_simhash,
         "multimodal_image_meta": q_multimodal_meta,
-        "bisecting_fit": q_bisecting_fit,
         "mixture_fit": q_mixture_fit,
-        "similarity_ivf_topk": q_ivf_topk,
         "robust_fit": q_robust_fit,
         "dpmeans_fit": q_dpmeans_fit,
         "coclustering_fit": q_coclustering_fit,
         "streaming_update": q_streaming_update,
+        # rows-only (no SQL-expressible oracle: seeded executor-side
+        # sampling in k-means|| init / nested seeded sub-fits):
+        "bisecting_fit": q_bisecting_fit,
+        "similarity_ivf_topk": q_ivf_topk,
         "gkm_fit_full": q_fit_full,
     }
     return q
@@ -1005,6 +1454,19 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT i, j, {_r('sim', 6)} AS sim FROM p "
         "WHERE sim >= 0.35 ORDER BY i, j"
     )
+
+    # iterative fits — programmatically unrolled CTEs (tol=0 in the
+    # matching entry queries so the engine runs the exact same number
+    # of iterations)
+    out["streaming_update"] = _streaming_sql()
+    out["mixture_fit"] = _mixture_sql()
+    out["robust_fit"] = _robust_sql()
+    out["dpmeans_fit"] = _dpmeans_sql()
+    out["coclustering_fit"] = _cocluster_sql()
+    # dedup with the cross-engine md5 shingle hash
+    out["dedup_minhash_lsh_pairs"] = _minhash_lsh_sql()
+    out["dedup_simhash64"] = _simhash_sql()
+    out["multimodal_image_meta"] = _multimodal_sql()
 
     out["knn_cosine_top3"] = (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

@@ -42,9 +42,12 @@ class CoClustering:
         col_index_col: str = "col_index",
         value_col: str = "value",
         regularization: float = 0.0,
+        init_mode: str = "hash",  # hash | modulo
     ):
         if num_row_clusters < 1 or num_col_clusters < 1:
             raise ValueError("cluster counts must be >= 1")
+        if init_mode not in ("hash", "modulo"):
+            raise ValueError("init_mode: hash | modulo")
         self.kr = num_row_clusters
         self.kc = num_col_clusters
         self.max_iter = max_iter
@@ -54,6 +57,7 @@ class CoClustering:
         self.col_index_col = col_index_col
         self.value_col = value_col
         self.regularization = regularization
+        self.init_mode = init_mode
 
     def _block_means(self, joined) -> tuple[np.ndarray, float]:
         rows = (
@@ -86,11 +90,13 @@ class CoClustering:
         ])
         # residual vector per entry: for each candidate cluster j:
         # (value − B[j, other_cluster])²
+        def _sq(c):
+            return c * c
+
         resid = F.transform(
             lit,
-            lambda row: F.pow(
-                F.col(self.value_col) - F.element_at(row, F.col(other) + 1),
-                F.lit(2.0),
+            lambda row: _sq(
+                F.col(self.value_col) - F.element_at(row, F.col(other) + 1)
             ),
         )
         per_key = (
@@ -119,18 +125,23 @@ class CoClustering:
             self.row_index_col, self.col_index_col, self.value_col
         ).cache()
         try:
-            # deterministic hash-based initial assignments
+            # deterministic initial assignments: seeded hash (default) or
+            # plain index-modulo ('modulo' — bit-identical in any SQL
+            # engine, used by the oracle-checkable entry query)
+            if self.init_mode == "modulo":
+                rc0 = F.pmod(F.col(self.row_index_col), F.lit(self.kr))
+                cc0 = F.pmod(F.col(self.col_index_col), F.lit(self.kc))
+            else:
+                rc0 = F.pmod(
+                    F.xxhash64(F.col(self.row_index_col), F.lit(self.seed)),
+                    F.lit(self.kr))
+                cc0 = F.pmod(
+                    F.xxhash64(F.col(self.col_index_col), F.lit(self.seed + 1)),
+                    F.lit(self.kc))
             rowc = work.select(self.row_index_col).distinct().withColumn(
-                "_rc",
-                F.pmod(F.xxhash64(F.col(self.row_index_col), F.lit(self.seed)),
-                       F.lit(self.kr)).cast("int"),
-            ).cache()
+                "_rc", rc0.cast("int")).cache()
             colc = work.select(self.col_index_col).distinct().withColumn(
-                "_cc",
-                F.pmod(F.xxhash64(F.col(self.col_index_col),
-                                  F.lit(self.seed + 1)),
-                       F.lit(self.kc)).cast("int"),
-            ).cache()
+                "_cc", cc0.cast("int")).cache()
             prev_cost = None
             cost_hist: list[float] = []
             converged = False
@@ -165,17 +176,15 @@ class CoClustering:
                     F.array(*[F.lit(float(v)) for v in B[j]])
                     for j in range(self.kr)
                 ])
+                resid1 = (
+                    F.col(self.value_col)
+                    - F.element_at(
+                        F.element_at(blit, F.col("_rc") + 1),
+                        F.col("_cc") + 1,
+                    )
+                )
                 cost = joined.select(
-                    F.sum(
-                        F.pow(
-                            F.col(self.value_col)
-                            - F.element_at(
-                                F.element_at(blit, F.col("_rc") + 1),
-                                F.col("_cc") + 1,
-                            ),
-                            F.lit(2.0),
-                        )
-                    ).alias("c")
+                    F.sum(resid1 * resid1).alias("c")
                 ).collect()[0]["c"]
                 cost = float(cost or 0.0)
                 cost_hist.append(cost)

@@ -181,7 +181,20 @@ class GeneralizedKMeans:
             # work. The bounds would pay off on clusters where the
             # per-row distance work dominates I/O (huge k·d); keep it
             # behind assignment_strategy="elkan".
-            use_accel = self.assignment_strategy == "elkan"
+            # The accelerated iterator always keeps empty-cluster centers;
+            # drop/reseed semantics need the exact loop.
+            use_accel = (
+                self.assignment_strategy == "elkan"
+                and self.empty_cluster_strategy == "keep"
+            )
+            if self.assignment_strategy == "elkan" and not use_accel:
+                import warnings
+
+                warnings.warn(
+                    "assignment_strategy='elkan' supports only "
+                    "empty_cluster_strategy='keep'; falling back to the "
+                    "exact Lloyd loop", stacklevel=2,
+                )
             if use_accel:
                 from .plans.accelerated import run_accelerated_lloyds
 

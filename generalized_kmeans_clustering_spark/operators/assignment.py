@@ -169,19 +169,25 @@ class CrossJoinAssignment:
             [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
             "center_id int, _center array<double>",
         )
-        df = df.withColumn("_rid", F.monotonically_increasing_id())
-        joined = df.crossJoin(F.broadcast(centers_df)).withColumn(
+        # The non-deterministic row id is evaluated on exactly ONE path:
+        # original columns ride through the groupBy via first() instead
+        # of a join back onto a second evaluation of the same frame
+        # (task retries / speculative execution could re-stamp different
+        # ids and silently misalign a self-join).
+        orig_cols = df.columns
+        stamped = df.withColumn("_rid", F.monotonically_increasing_id())
+        joined = stamped.crossJoin(F.broadcast(centers_df)).withColumn(
             "_d", kernel.pairwise(F.col(features_col), F.col("_center"))
         )
         best = joined.groupBy("_rid").agg(
             F.min_by(F.struct(F.col("_d").alias("dist"),
                               F.col("center_id").alias("id")),
-                     F.struct("_d", "center_id")).alias("_best")
+                     F.struct("_d", "center_id")).alias("_best"),
+            *[F.first(c).alias(c) for c in orig_cols],
         )
-        out = df.join(best, "_rid", "inner")
-        out = out.withColumn(cluster_col, F.col("_best.id"))
+        out = best.withColumn(cluster_col, F.col("_best.id"))
         out = out.withColumn(dist_col, F.col("_best.dist"))
-        return out.drop("_best", "_rid")
+        return out.select(*orig_cols, cluster_col, dist_col)
 
 
 def adaptive_chunk_size(spark, d: int, broadcast_fraction: float = 0.1,

@@ -38,6 +38,22 @@ __all__ = [
 _P = (1 << 31) - 1
 
 
+def _hash64(s: Column, hash_fn: str) -> Column:
+    """64-bit-ish shingle hash.
+
+    ``xxhash64`` (default) is the production path — fastest, JVM-side.
+    ``md5`` takes the top 15 hex digits of md5 as a 60-bit integer; it
+    is bit-identical in any engine with a standard md5 (DuckDB:
+    ``list_reduce`` over hex digits), which makes MinHash/SimHash
+    oracle-checkable cross-engine.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(s)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_fn: xxhash64 | md5, got {hash_fn!r}")
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(fingerprint, n_dups, representative keep_id) for groups with >1 doc."""
@@ -76,6 +92,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature: array<bigint>[num_hashes]) via expressions only.
 
@@ -84,13 +101,16 @@ def minhash_signatures(
     + inner ``zip_with`` against the (a, b) parameter structs — O(S·H)
     work instead of the naive H separate scans that would re-evaluate
     the shingle array per hash function.
+
+    ``hash_fn='md5'`` uses the cross-engine shingle hash (see
+    :func:`_hash64`) so signatures are oracle-checkable.
     """
     params = _minhash_params(num_hashes, seed)
     ab = F.array(*[
         F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params
     ])
     base = F.transform(shingles(F.col(text_col), shingle_n),
-                       lambda s: F.abs(F.xxhash64(s)) % _P)
+                       lambda s: F.abs(_hash64(s, hash_fn)) % _P)
     sig = F.aggregate(
         base,
         F.array_repeat(F.lit(_P).cast("long"), num_hashes),
@@ -105,22 +125,36 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 8,
+    num_hashes: int | None = None,
+    bucket_mode: str = "hash",
 ) -> DataFrame:
     """Distinct candidate pairs (i < j) sharing ≥1 LSH band bucket.
 
     Shuffles on (band, hash-of-rows) — never a full cross join.
+    ``num_hashes`` is the signature length; when None it is read from
+    the DataFrame schema's fixed signature width if available, else a
+    single-row probe (avoid on large frames — pass it explicitly).
+    ``bucket_mode='raw'`` keys buckets on the joined band string itself
+    instead of its xxhash64 (bit-identical cross-engine; bulkier keys).
     """
-    n = len(sigs.select("signature").first()["signature"])
-    rows_per_band = n // num_bands
+    if num_hashes is None:
+        row = sigs.select("signature").first()
+        if row is None:
+            spark = sigs.sparkSession
+            return spark.createDataFrame([], f"i {dict(sigs.dtypes)[id_col]}, j {dict(sigs.dtypes)[id_col]}")
+        num_hashes = len(row["signature"])
+    rows_per_band = num_hashes // num_bands
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",", *[F.element_at("signature", b * rows_per_band + r + 1)
+                   for r in range(rows_per_band)])
+        return F.xxhash64(joined) if bucket_mode == "hash" else joined
+
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(
-                    ",", *[F.element_at("signature", b * rows_per_band + r + 1)
-                           for r in range(rows_per_band)]))
-                for b in range(num_bands)
-            ])
+            F.array(*[band_key(b) for b in range(num_bands)])
         ).alias("band", "bucket"),
     )
     left = banded.alias("l")
@@ -159,14 +193,16 @@ def jaccard_verify(
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              shingle_n: int = 2) -> DataFrame:
-    """64-bit SimHash: per-bit vote over shingle xxhash64 values.
+              shingle_n: int = 2, hash_fn: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash: per-bit vote over shingle hash values.
 
     Bit b of the hash contributes +1 when set, −1 when clear; the
     SimHash bit is 1 when the vote is positive. Pure expressions.
+    ``hash_fn='md5'`` (60-bit, bits 60-63 always clear) is the
+    cross-engine oracle-checkable variant.
     """
     sh = shingles(F.col(text_col), shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(sh, lambda s: _hash64(s, hash_fn))
     # bit masks as literals; 1<<63 wraps to long min, bitwiseAND still works
     masks = F.array(*[
         F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)

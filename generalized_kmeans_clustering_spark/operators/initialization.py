@@ -134,6 +134,7 @@ def kmeans_parallel_init(
     instead of a full |candidates|-distance re-scan.
     """
     l = oversampling * k
+    cand_cap = max(50 * k, 2000)
     feats = df.select(F.col(features_col).alias("f"))
     centers = random_init(feats, 1, "f", seed).tolist()
     work = feats.withColumn(
@@ -141,21 +142,29 @@ def kmeans_parallel_init(
     ).select("f", F.col("_nc.d").alias("_d2"), F.col("_nc.i").alias("_ni")) \
         .cache()
     try:
+        # Σd² is folded into the pass that materializes each round's
+        # cached state, so a round costs 2 jobs (sample + fold) instead
+        # of 3 (agg + sample + fold-count).
+        total = float(work.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0)
         for step in range(init_steps):
-            total = work.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
             if total <= 0:
                 break
             sampled = work.where(
                 F.rand(seed + 17 * step + 1)
-                < F.least(F.lit(1.0), F.lit(l) * F.col("_d2") / F.lit(float(total)))
+                < F.least(F.lit(1.0), F.lit(l) * F.col("_d2") / F.lit(total))
             ).select("f").collect()
             new = [list(r["f"]) for r in sampled]
+            # respect the candidate cap BEFORE extending, so every kept
+            # candidate is folded into the (_d2, _ni) state and gets a
+            # real coverage weight in the final pass
+            if len(centers) + len(new) > cand_cap:
+                new = new[: cand_cap - len(centers)]
             if not new:
+                if len(centers) >= cand_cap:
+                    break
                 continue
             offset = len(centers)
             centers.extend(new)
-            if len(centers) > max(50 * k, 2000):
-                break
             nxt = work.withColumn(
                 "_nn", _nearest_cand_col(kernel, "f", new, offset)
             ).select(
@@ -165,9 +174,14 @@ def kmeans_parallel_init(
                 F.when(F.col("_nn.d") < F.col("_d2"), F.col("_nn.i"))
                 .otherwise(F.col("_ni")).alias("_ni"),
             ).cache()
-            nxt.count()
+            # one job: materializes the cache AND returns next Σd²
+            total = float(
+                nxt.agg(F.sum("_d2").alias("s")).collect()[0]["s"] or 0.0
+            )
             work.unpersist()
             work = nxt
+            if len(centers) >= cand_cap:
+                break
 
         cand = np.asarray(centers, dtype=np.float64)
         if len(cand) <= k:

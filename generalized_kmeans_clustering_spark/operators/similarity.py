@@ -150,29 +150,44 @@ def ivf_topk(
     nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Probe the nprobe nearest centroid lists per query, exact cosine
-    within probed lists only. Candidate work is ~nprobe/n_lists of
-    brute force; the (query, list) pairs join prunes on the ``_list``
-    partitioning column."""
-    import numpy as np
+    within probed lists only.
+
+    Fully distributed: the n_lists×d centroid matrix rides as an
+    expression literal (it is model state, k·d doubles — never data),
+    per-query centroid sims + rank ≤ nprobe are a projection + window,
+    and candidates come from the equi-join on ``_list``. The query
+    table is never collected to the driver, so this works when the
+    query side is itself a large table (set ``broadcast_queries=False``
+    to let the ``_list`` join shuffle instead of broadcasting).
+    Candidate work is ~nprobe/n_lists of brute force; the join prunes
+    on the ``_list`` partitioning column."""
+    from ..functions.kernels import array_lit, dot
 
     C = model.centers  # n_lists × d, unit norm
+    centers_lit = F.array(*[array_lit(c) for c in C.tolist()])
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("_qv"))
-    qrows = q.collect()
-    probe_rows = []
-    for r in qrows:
-        v = np.asarray(r["_qv"])
-        v = v / (np.linalg.norm(v) + 1e-12)
-        order = np.argsort(-(C @ v))[:nprobe]
-        for l in order:
-            probe_rows.append((r["query_id"], int(l), [float(x) for x in r["_qv"]]))
-    spark = indexed.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, _list int, _qv array<double>"
+    qn = F.col("_qv")
+    norm = F.sqrt(dot(qn, qn)) + F.lit(1e-12)
+    qunit = F.transform(qn, lambda x: x / norm)
+    staged = q.withColumn("_qn", qunit).withColumn(
+        "_csims", F.transform(centers_lit, lambda c: dot(F.col("_qn"), c))
     )
-    cand = indexed.join(F.broadcast(probes), on="_list")
+    exploded = staged.select(
+        "query_id", "_qv", F.posexplode("_csims").alias("_list", "_csim")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("_list"))
+    probes = (
+        exploded.withColumn("_pr", F.row_number().over(wp))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_list", "_qv")
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    cand = indexed.join(probes, on="_list")
     cand = cand.where(F.col(id_col) != F.col("query_id"))
     scored = cand.withColumn("sim", cosine_sim(F.col("_qv"), F.col("_v")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))

@@ -56,6 +56,7 @@ class RobustKMeans:
         outlier_score_col: str = "outlier_score",
         is_outlier_col: str = "is_outlier",
         initial_centers=None,
+        exact_quantile: bool = False,
     ):
         if outlier_mode not in ("trim", "threshold", "mestimator"):
             raise ValueError("outlier_mode: trim | threshold | mestimator")
@@ -78,6 +79,11 @@ class RobustKMeans:
         self.outlier_score_col = outlier_score_col
         self.is_outlier_col = is_outlier_col
         self.initial_centers = initial_centers
+        # exact order-statistic trim threshold (the ceil(q·n)-th smallest
+        # distance via a distributed TakeOrdered) instead of
+        # percentile_approx — engine-agnostic exact semantics for parity
+        # checks; default stays approx for 100 TB runs.
+        self.exact_quantile = exact_quantile
 
     def fit(self, df: DataFrame) -> "RobustKMeansModel":
         from time import time
@@ -119,13 +125,24 @@ class RobustKMeans:
                 )
                 weight_col = None
                 if self.outlier_mode == "trim" and self.outlier_fraction > 0:
-                    threshold = float(
-                        assigned.select(
-                            F.percentile_approx(
-                                "_dist", 1.0 - self.outlier_fraction, 10_000
-                            ).alias("q")
-                        ).collect()[0]["q"]
-                    )
+                    q = 1.0 - self.outlier_fraction
+                    if self.exact_quantile:
+                        import math
+
+                        n = assigned.count()
+                        pos = max(int(math.ceil(q * n)), 1)
+                        threshold = float(
+                            assigned.select("_dist").orderBy("_dist")
+                            .limit(pos).agg(F.max("_dist").alias("q"))
+                            .collect()[0]["q"]
+                        )
+                    else:
+                        threshold = float(
+                            assigned.select(
+                                F.percentile_approx("_dist", q, 10_000)
+                                .alias("q")
+                            ).collect()[0]["q"]
+                        )
                     inliers = assigned.where(F.col("_dist") <= threshold)
                 elif self.outlier_mode == "threshold":
                     inliers = assigned.where(F.col("_dist") <= threshold)
