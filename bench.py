@@ -45,6 +45,7 @@ def main():
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     li = em.lineitem_feats(spark, sf_dir).cache()

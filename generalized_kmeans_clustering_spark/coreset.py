@@ -7,7 +7,9 @@ DataFrame expressions already, and so do we:
 1. a rough center set (random init, size k) gives every point a
    distance d(x) = min_c D(x, c) — one map-only projection;
 2. sensitivity s(x) blends distance mass and uniform mass
-   (``sensitivity_strategy``: uniform | distance | hybrid);
+   (``sensitivity_strategy``: uniform | distance | density | hybrid —
+   density uses the reference's inverse-normalized-distance proxy,
+   k-NN-free);
 3. inclusion probability p(x) = clamp(coreset_size·s(x),
    min_sampling_prob, 1); Bernoulli sample with ``rand(seed)``;
    weight = 1/p capped at ``max_weight`` — an unbiased estimator of
@@ -59,8 +61,11 @@ class CoresetKMeans:
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
-        if sensitivity_strategy not in ("uniform", "distance", "hybrid"):
-            raise ValueError("sensitivity_strategy: uniform | distance | hybrid")
+        if sensitivity_strategy not in ("uniform", "distance", "density",
+                                        "hybrid"):
+            raise ValueError(
+                "sensitivity_strategy: uniform | distance | density | hybrid"
+            )
         self.k = k
         self.divergence = divergence
         self.coreset_size = coreset_size
@@ -93,14 +98,36 @@ class CoresetKMeans:
         dmin = F.array_min(
             distances_column(kernel, F.col(self.features_col), rough.tolist())
         )
-        total = df.select(F.sum(dmin).alias("s")).collect()[0]["s"] or 0.0
+        row = df.select(
+            F.sum(dmin).alias("s"), F.max(dmin).alias("m")
+        ).collect()[0]
+        total = float(row["s"] or 0.0)
+        dmax = float(row["m"] or 0.0)
 
         if self.sensitivity_strategy == "uniform" or total <= 0:
             sens = F.lit(1.0 / max(n, 1))
         elif self.sensitivity_strategy == "distance":
-            sens = dmin / F.lit(float(total))
+            sens = dmin / F.lit(total)
+        elif self.sensitivity_strategy == "density":
+            # k-NN-free density proxy (``CoresetKMeans.scala:328-337``):
+            # normalized rough-center distance s_d = d/max(d) ∈ [0,1],
+            # raw = 1 + 1/(s_d + 0.1) — large where the rough centers
+            # are close (locally dense sampled regions); normalized to
+            # a distribution with one extra scalar aggregate.
+            sd = dmin / F.lit(dmax if dmax > 0 else 1.0)
+            raw = F.lit(1.0) + F.lit(1.0) / (sd + F.lit(0.1))
+            raw_total = float(
+                df.select(
+                    F.sum(
+                        F.lit(1.0)
+                        + F.lit(1.0)
+                        / (dmin / F.lit(dmax if dmax > 0 else 1.0) + F.lit(0.1))
+                    ).alias("t")
+                ).collect()[0]["t"] or 0.0
+            )
+            sens = raw / F.lit(raw_total if raw_total > 0 else 1.0)
         else:  # hybrid: half distance mass, half uniform mass
-            sens = 0.5 * dmin / F.lit(float(total)) + F.lit(0.5 / max(n, 1))
+            sens = 0.5 * dmin / F.lit(total) + F.lit(0.5 / max(n, 1))
 
         prob = F.least(
             F.lit(1.0),

@@ -88,6 +88,9 @@ class Kernel:
         """∇F(x) as an array<double> Column expression."""
         raise NotImplementedError
 
+    #: declarative domain: None (any finite) | "nonneg" | "positive" | "unit"
+    domain: str | None = None
+
     def validate(self, x: Column) -> Column:
         """Boolean Column: every element of x is in the kernel's domain."""
         return F.forall(x, lambda v: ~F.isnan(v) & ~v.isNull())
@@ -147,6 +150,7 @@ class KLDivergenceKernel(Kernel):
 
     name = "kl"
     aliases = ("kullbackLeibler", "relativeEntropy")
+    domain = "nonneg"
 
     def pairwise(self, x, mu):
         e = self.smoothing
@@ -185,6 +189,7 @@ class ItakuraSaitoKernel(Kernel):
 
     name = "itakuraSaito"
     aliases = ("is", "burg")
+    domain = "positive"
 
     def pairwise(self, x, mu):
         e = self.smoothing
@@ -228,6 +233,7 @@ class GeneralizedIKernel(Kernel):
 
     name = "generalizedI"
     aliases = ("gi", "idivergence")
+    domain = "nonneg"
 
     def pairwise(self, x, mu):
         e = self.smoothing
@@ -269,6 +275,7 @@ class LogisticLossKernel(Kernel):
 
     name = "logistic"
     aliases = ("logisticLoss", "bernoulli")
+    domain = "unit"
 
     def _clamp(self, v):
         e = self.smoothing

@@ -48,22 +48,65 @@ def _ensure_array_features(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+#: per-violation-type remediation advice, keyed by (domain, violation)
+#: (reference ``util/DivergenceDomainValidator.scala:35-120`` +
+#: ``README.md:374-471`` error catalog)
+_DOMAIN_ADVICE = {
+    ("any", "nan"): "replace NaN/null features (e.g. na.fill) before fitting",
+    ("nonneg", "negative"):
+        "this divergence requires non-negative values — shift the data "
+        "(x − min) or clip at 0",
+    ("positive", "negative"):
+        "Itakura-Saito requires strictly positive values — shift or clip "
+        "above 0",
+    ("positive", "zero"):
+        "Itakura-Saito requires strictly positive values — add a small "
+        "epsilon (or raise `smoothing`)",
+    ("unit", "out_of_interval"):
+        "logistic loss requires values in [0, 1] — min-max scale or "
+        "sigmoid-transform the features",
+}
+
+
 def _validate_domain(df: DataFrame, kernel: Kernel, col: str, sample: int = 1000):
-    """Sampled domain validation with an actionable error
-    (reference ``util/DivergenceDomainValidator.scala:35-120``)."""
-    bad = (
-        df.select(F.col(col))
-        .limit(sample)
-        .where(~kernel.validate(F.col(col)))
-        .limit(1)
-        .collect()
-    )
-    if bad:
+    """Sampled per-violation-type domain validation with an actionable
+    error catalog (reference ``util/DivergenceDomainValidator.scala:35-120``).
+
+    One aggregation over a ≤``sample``-row prefix counts rows per
+    violation class (NaN / negative / zero / out-of-interval, as the
+    divergence requires) and keeps one offending example per class.
+    """
+    dom = kernel.domain
+    checks = [("any", "nan", lambda v: F.isnan(v) | v.isNull())]
+    if dom == "nonneg":
+        checks.append((dom, "negative", lambda v: v < 0))
+    elif dom == "positive":
+        checks.append((dom, "negative", lambda v: v < 0))
+        checks.append((dom, "zero", lambda v: v == 0))
+    elif dom == "unit":
+        checks.append((dom, "out_of_interval", lambda v: (v < 0) | (v > 1)))
+    s = df.select(F.col(col)).limit(sample)
+    aggs = []
+    for _, vname, pred in checks:
+        hit = F.exists(F.col(col), pred)
+        aggs.append(F.sum(hit.cast("int")).alias(f"n_{vname}"))
+        aggs.append(
+            F.max(F.when(hit, F.col(col).cast("string"))).alias(f"ex_{vname}")
+        )
+    row = s.agg(*aggs).collect()[0]
+    problems = []
+    for d, vname, _ in checks:
+        n = int(row[f"n_{vname}"] or 0)
+        if n > 0:
+            advice = _DOMAIN_ADVICE[(d, vname)]
+            problems.append(
+                f"  - {vname}: {n} of first {sample} rows "
+                f"(e.g. {row[f'ex_{vname}']}); {advice}"
+            )
+    if problems:
         raise ValueError(
-            f"divergence '{kernel.name}' domain violation in column '{col}': "
-            f"offending features={bad[0][0]!r}. KL/generalized-I require "
-            "non-negative values, Itakura-Saito strictly positive, logistic "
-            "values in [0,1]."
+            f"divergence '{kernel.name}' domain violations in column "
+            f"'{col}':\n" + "\n".join(problems)
         )
 
 
@@ -95,7 +138,11 @@ class GeneralizedKMeans:
         assignment_strategy: str = "auto",
         empty_cluster_strategy: str = "keep",
         initial_centers=None,
-        # accepted for API familiarity; the constant-depth plan makes them no-ops
+        # checkpoint_interval/checkpoint_dir: accepted for reference API
+        # parity but intentionally NO-OPS — each iteration here is a
+        # fresh constant-depth plan from literal centers (no growing
+        # lineage to truncate), unlike the reference's RDD chain
+        # (plans/lloyds.py has the full rationale)
         checkpoint_interval: int = 0,
         checkpoint_dir: str | None = None,
     ):
@@ -216,6 +263,7 @@ class GeneralizedKMeans:
             movement_history=result.movement_history,
             cluster_sizes=result.cluster_sizes,
             elapsed_sec=result.elapsed_sec,
+            pruned_history=result.pruned_history,
         )
         return GeneralizedKMeansModel(
             centers=result.centers,

@@ -173,13 +173,25 @@ def run_accelerated_lloyds(
                 ),
             )
             nxt = _attach_bounds(
-                staged, "_eu", keep=keep, u_adj=u_adj, l_adj=l_adj
+                staged.withColumn("_kept", keep), "_eu", keep=keep,
+                u_adj=u_adj, l_adj=l_adj,
             ).drop("_eu")
             if (it + 1) % _CHECKPOINT_EVERY == 0:
                 nxt = nxt.localCheckpoint(eager=True)
+                kept_row = nxt.agg(
+                    F.sum(F.col("_kept").cast("long")).alias("p")
+                ).collect()[0]
             else:
                 nxt = nxt.persist()
-                nxt.count()  # materialize before dropping the parent
+                # the materializing job doubles as the pruning counter
+                # (reference keeps the same stats in accumulators)
+                kept_row = nxt.agg(
+                    F.sum(F.col("_kept").cast("long")).alias("p")
+                ).collect()[0]
+            # _kept (1 byte/row) stays in the state frame: dropping it
+            # would wrap the persisted frame in a projection and break
+            # the later unpersist; next iteration's withColumn replaces it
+            res.pruned_history.append(int(kept_row["p"] or 0))
             if prev_state is not None:
                 prev_state.unpersist()
             prev_state = state

@@ -63,6 +63,8 @@ class LloydsResult:
     movement_history: list = field(default_factory=list)
     cluster_sizes: list = field(default_factory=list)
     elapsed_sec: float = 0.0
+    # accelerated plan only: rows whose bounds held per iteration
+    pruned_history: list = field(default_factory=list)
 
 
 def _movement(old: np.ndarray, new: np.ndarray) -> float:

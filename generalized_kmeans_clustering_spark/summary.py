@@ -17,6 +17,22 @@ class TrainingSummary:
     movement_history: list = field(default_factory=list)
     cluster_sizes: list = field(default_factory=list)
     elapsed_sec: float = 0.0
+    #: accelerated (Elkan/Hamerly) plan only: per-iteration count of
+    #: rows whose bounds held — the distance array was never evaluated
+    #: for them (reference AcceleratedSEAssignment.scala:199-232
+    #: pruning accumulators)
+    pruned_history: list = field(default_factory=list)
+
+    @property
+    def pruning_rate(self) -> float:
+        """Mean fraction of rows pruned per bound-checked iteration
+        (NaN when the exact plan ran — nothing was ever pruned)."""
+        if not self.pruned_history or not self.cluster_sizes:
+            return float("nan")
+        n = sum(self.cluster_sizes)
+        if n <= 0:
+            return float("nan")
+        return float(sum(self.pruned_history) / (len(self.pruned_history) * n))
 
     @property
     def final_distortion(self) -> float:

@@ -66,6 +66,29 @@ def test_simhash(spark, docs):
     assert (0, 1) in got and (0, 5) in got
 
 
+def test_minhash_md5_hash_fn_same_collisions(spark, docs):
+    """The cross-engine md5 hash mode must find the same exact-dup
+    collisions (identical texts → identical signatures regardless of
+    the underlying hash)."""
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3,
+                              hash_fn="md5")
+    pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
+                                bucket_mode="raw")
+    got = {(r["i"], r["j"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 5) in got and (1, 5) in got
+    with pytest.raises(ValueError):
+        minhash_signatures(docs, hash_fn="crc32")
+
+
+def test_lsh_empty_signatures_frame(spark):
+    """Empty input must produce an empty pairs frame, not a TypeError
+    from a None first() probe."""
+    empty = spark.createDataFrame([], "doc_id long, signature array<bigint>")
+    out = lsh_candidate_pairs(empty, num_bands=4)
+    assert out.count() == 0
+    assert set(out.columns) == {"i", "j"}
+
+
 def test_cosine_topk_exact(spark):
     rng = np.random.RandomState(0)
     V = rng.randn(50, 16)

@@ -66,9 +66,10 @@ def test_sparse_dense_fallback(spark):
     assert m.k == 2
 
 
-def test_sparse_force_rejects_kl():
+def test_sparse_force_rejects_unsupported():
+    # KL/L1 now have real sparse paths; IS still has none
     with pytest.raises(ValueError):
-        SparseKMeans(k=2, divergence="kl", sparse_mode="force").fit(None)
+        SparseKMeans(k=2, divergence="itakuraSaito", sparse_mode="force").fit(None)
 
 
 def test_densify_scatter(spark):

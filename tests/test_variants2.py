@@ -116,7 +116,7 @@ def test_robust_mestimator_bounds_influence(spark):
 
 def test_coreset_sensitivity_strategies(spark, blobs):
     df, _ = blobs
-    for strat in ("uniform", "distance", "hybrid"):
+    for strat in ("uniform", "distance", "density", "hybrid"):
         est = CoresetKMeans(
             k=2, coreset_size=60, sensitivity_strategy=strat, seed=19,
             max_iter=8,
@@ -126,3 +126,17 @@ def test_coreset_sensitivity_strategies(spark, blobs):
         assert m.params["sensitivityStrategy"] == strat
     with pytest.raises(ValueError):
         CoresetKMeans(sensitivity_strategy="nope")
+
+
+def test_coreset_density_cost_parity(spark, blobs):
+    """Density sensitivity must land within tolerance of hybrid on the
+    full-data WCSS (same rough-center pass, different weighting)."""
+    df, _ = blobs
+    costs = {}
+    for strat in ("density", "hybrid"):
+        m = CoresetKMeans(
+            k=2, coreset_size=80, sensitivity_strategy=strat, seed=7,
+            max_iter=10,
+        ).fit(df)
+        costs[strat] = m.compute_cost(df)
+    assert costs["density"] <= costs["hybrid"] * 1.5 + 1e-9
