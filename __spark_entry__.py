@@ -24,6 +24,8 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -607,6 +609,170 @@ def _simhash_sql(shingle_n=2) -> str:
     )
 
 
+def _mercer_sql(kind: str, digits: int = 5) -> str:
+    """SQL twins of functions/mercer.py gram formulas against the fixed
+    landmark, mirroring numpy's op order (x²−2xy+y² association for
+    RBF, libm pow/tanh/exp elsewhere)."""
+    g = repr(MERCER_GAMMA)
+    lm = MERCER_LM
+    dot = " + ".join(f"f{i+1}*{v!r}" for i, v in enumerate(lm))
+    if kind == "linear":
+        kv = f"({dot})"
+    elif kind == "rbf":
+        x2 = " + ".join(f"f{i+1}*f{i+1}" for i in range(len(lm)))
+        y2 = 0.0
+        for v in lm:
+            y2 += v * v
+        kv = (
+            f"exp(-{g} * greatest((({x2}) - 2.0*({dot})) + {y2!r}, 0.0))"
+        )
+    elif kind == "poly":
+        kv = f"power({g}*({dot}) + 1.0, 3)"
+    elif kind == "sigmoid":
+        # DuckDB has no tanh; 1 − 2/(e^{2x}+1) is within 1 ulp
+        kv = f"(1.0 - 2.0/(exp(2.0*({g}*({dot}) + 0.0)) + 1.0))"
+    elif kind == "laplacian":
+        l1 = " + ".join(f"abs(f{i+1}-{v!r})" for i, v in enumerate(lm))
+        kv = f"exp(-{g} * ({l1}))"
+    else:
+        raise ValueError(kind)
+    return (
+        f"WITH feats AS ({FEATS_SQL}) "
+        f"SELECT id, {_r(kv, digits)} AS kval FROM feats ORDER BY id"
+    )
+
+
+def _kmedians_sql(digits: int = 5) -> str:
+    """One K-Medians step: L1 argmin + exact lower weighted median per
+    (cluster, dim); empty clusters keep the initial center."""
+    k, d = len(INIT4), len(INIT4[0])
+    dist_cols = ", ".join(
+        f"{_kernel_dist_sql('l1', c)} AS d{j}" for j, c in enumerate(INIT4)
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT cl, {m+1} AS dim, f{m+1} AS v FROM a" for m in range(d)
+    )
+    combos = " UNION ALL ".join(f"SELECT {j} AS cl" for j in range(k))
+    # per-dim pivot: median if the cluster has rows, else the initial
+    # center value (one CASE with k WHEN branches as the fallback)
+    fb = []
+    for m in range(d):
+        whens = " ".join(
+            f"WHEN k.cl={j} THEN {INIT4[j][m]!r}" for j in range(k)
+        )
+        fb.append(
+            _r(
+                f"coalesce(max(CASE WHEN m.dim={m+1} THEN m.med END), "
+                f"CASE {whens} END)",
+                digits,
+            ) + f" AS c{m+1}"
+        )
+    med_pivot = ", ".join(fb)
+    return (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dist_cols} FROM feats), "
+        f"a AS MATERIALIZED (SELECT *, CAST({_argmin_case(k)} AS INTEGER) "
+        f"AS cl FROM x), "
+        f"cells AS ({cells}), "
+        f"r AS (SELECT cl, dim, v, row_number() OVER (PARTITION BY cl, dim "
+        f"ORDER BY v) AS rn, count(*) OVER (PARTITION BY cl, dim) AS nn "
+        f"FROM cells), "
+        f"med AS (SELECT cl, dim, min(v) AS med FROM r "
+        f"WHERE rn >= nn/2.0 GROUP BY cl, dim), "
+        f"cnt AS (SELECT cl, count(*) AS n FROM a GROUP BY cl), "
+        f"ks AS ({combos}) "
+        f"SELECT k.cl AS cluster, coalesce(c.n, 0) AS n, {med_pivot} "
+        f"FROM ks k LEFT JOIN cnt c ON c.cl = k.cl "
+        f"LEFT JOIN med m ON m.cl = k.cl GROUP BY k.cl, c.n ORDER BY cluster"
+    )
+
+
+def _jaccard_verify_sql(num_hashes=16, shingle_n=3, num_bands=4, seed=42,
+                        threshold=0.2, digits=6) -> str:
+    """Candidate pairs from the MinHash-LSH twin + exact shingle-set
+    Jaccard on candidates only."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        _minhash_params, _P,
+    )
+
+    params = _minhash_params(num_hashes, seed)
+    rows_per_band = num_hashes // num_bands
+    sh = _SHINGLES.format(n=shingle_n)
+    md5i = _MD5INT.format(s="s")
+    sigs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h*{a} + {b}) % {_P})) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        f"sh AS MATERIALIZED (SELECT doc_id, list_distinct({sh}) AS ds, "
+        f"{sh} AS shingles FROM t), "
+        f"hs AS (SELECT doc_id, list_transform(shingles, "
+        f"s -> ({md5i}) % {_P}) AS hs FROM sh), "
+        f"sig AS MATERIALIZED (SELECT doc_id, {sigs} FROM hs), "
+        f"bands AS ({bands}), "
+        "pairs AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j "
+        "FROM bands l JOIN bands r ON l.band = r.band "
+        "AND l.bucket = r.bucket AND l.doc_id < r.doc_id), "
+        "sc AS (SELECT p.i, p.j, "
+        "len(list_intersect(a.ds, b.ds)) AS inter, "
+        "len(list_distinct(list_concat(a.ds, b.ds))) AS uni "
+        "FROM pairs p JOIN sh a ON a.doc_id = p.i "
+        "JOIN sh b ON b.doc_id = p.j) "
+        f"SELECT i, j, {_r('inter * 1.0 / greatest(uni, 1)', digits)} "
+        f"AS jaccard FROM sc "
+        f"WHERE inter * 1.0 / greatest(uni, 1) >= {threshold!r} "
+        "ORDER BY i, j"
+    )
+
+
+def _mutual_info_sql(digits: int = 6) -> str:
+    return (
+        "WITH h AS (SELECT event_type AS x, user_id % 8 AS y, "
+        "CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2), "
+        "tt AS (SELECT sum(n) AS t FROM h), "
+        "p AS (SELECT x, y, n / (SELECT t FROM tt) AS p FROM h), "
+        "px AS (SELECT x, sum(p) AS p FROM p GROUP BY x), "
+        "py AS (SELECT y, sum(p) AS p FROM p GROUP BY y) "
+        "SELECT " + _r(
+            "sum(p.p * ln(p.p / (px.p * py.p)))", digits
+        ) + " AS mi FROM p JOIN px ON p.x = px.x JOIN py ON p.y = py.y"
+    )
+
+
+def _sparse_kl_assign_sql() -> str:
+    centers = KL_SIMPLEX_CENTERS
+    k = len(centers)
+    dist_cols = ", ".join(
+        f"{_kernel_dist_sql('kl', c)} AS d{j}" for j, c in enumerate(centers)
+    )
+    dlist = ", ".join(f"d{j}" for j in range(k))
+    feats_norm = (
+        "SELECT id, f1/(f1+f2+f3+f4) AS f1, f2/(f1+f2+f3+f4) AS f2, "
+        "f3/(f1+f2+f3+f4) AS f3, f4/(f1+f2+f3+f4) AS f4 "
+        f"FROM ({FEATS_SQL})"
+    )
+    return (
+        f"WITH feats AS ({feats_norm}), "
+        f"x AS (SELECT *, {dist_cols} FROM feats), "
+        f"a AS (SELECT *, CAST({_argmin_case(k)} AS INTEGER) AS cluster, "
+        f"least({dlist}) AS dmin FROM x) "
+        f"SELECT cluster, count(*) AS n, "
+        + _r("sum(dmin)/count(*)", 3)
+        + " AS avg_dist FROM a GROUP BY cluster ORDER BY cluster"
+    )
+
+
 def _multimodal_sql() -> str:
     """Twin of sources/multimodal._fake_dims over ASCII text bytes:
     h = little-endian uint64 of the first 8 bytes (HUGEINT arithmetic);
@@ -943,6 +1109,127 @@ def q_eval_fixed_metrics(spark, sf_dir):
     )
 
 
+MERCER_LM = [20.0, 4.0, 0.5, 0.4]     # fixed landmark for Mercer queries
+MERCER_GAMMA = 0.01
+
+
+def _q_mercer(kind: str, **kw):
+    """k(x, landmark) per row through the REAL numpy gram code
+    (functions/mercer.py) over an Arrow-batched pandas_udf — the SQL
+    oracle recomputes the same formula."""
+
+    def q(spark, sf_dir):
+        from pyspark.sql.functions import pandas_udf
+
+        from generalized_kmeans_clustering_spark.functions.mercer import (
+            get_mercer_kernel,
+        )
+
+        kern = get_mercer_kernel(kind, **kw)
+        lm = np.asarray([MERCER_LM])
+
+        @pandas_udf("double")
+        def _k(feats: pd.Series) -> pd.Series:
+            if len(feats) == 0:
+                return pd.Series([], dtype=float)
+            X = np.asarray(feats.tolist(), dtype=np.float64)
+            return pd.Series(kern.gram(X, lm)[:, 0])
+
+        df = lineitem_feats(spark, sf_dir)
+        return df.select(
+            "id", _rcol(_k(F.col("features")), 5).alias("kval")
+        ).orderBy("id")
+
+    return q
+
+
+def q_kmedians_1iter(spark, sf_dir):
+    """One K-Medians iteration: L1 argmin assignment + EXACT per-cluster
+    per-dimension weighted median (cum-weight window), fixed init."""
+    df = lineitem_feats(spark, sf_dir).withColumn("wone", F.lit(1.0))
+    m = GeneralizedKMeans(
+        k=4, divergence="l1", max_iter=1, tol=0.0, initial_centers=INIT4,
+        assignment_strategy="expression", empty_cluster_strategy="keep",
+        weight_col="wone", seed=0,
+    ).fit(df)
+    rows = [
+        (int(c), int(n), *[float(v) for v in m.centers[c]])
+        for c, n in enumerate(m.summary.cluster_sizes)
+    ]
+    out = spark.createDataFrame(
+        rows, "cluster int, n long, c1 double, c2 double, c3 double, c4 double"
+    )
+    return out.select(
+        "cluster", "n",
+        *[_rcol(F.col(f"c{j}"), 5).alias(f"c{j}") for j in range(1, 5)],
+    ).orderBy("cluster")
+
+
+def q_jaccard_verify(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        jaccard_verify,
+    )
+
+    docs = documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3, hash_fn="md5")
+    pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
+                                bucket_mode="raw")
+    out = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2)
+    return out.select(
+        "i", "j", _rcol(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("i", "j")
+
+
+def q_events_mutual_info(spark, sf_dir):
+    """Distributed column MI: event_type vs a user bucket — the §2.73
+    information layer, driver math over one groupBy histogram."""
+    from generalized_kmeans_clustering_spark.functions.information import (
+        column_mutual_information,
+    )
+
+    ev = events(spark, sf_dir).withColumn(
+        "ub", F.pmod(F.col("user_id"), F.lit(8))
+    )
+    mi = column_mutual_information(ev, "event_type", "ub")
+    return spark.createDataFrame([(float(mi),)], "mi double").select(
+        _rcol(F.col("mi"), 6).alias("mi")
+    )
+
+
+KL_SIMPLEX_CENTERS = [[v / sum(row) for v in row] for row in INIT4]
+
+
+def q_sparse_kl_assign(spark, sf_dir):
+    """Sparse KL expression path on a full-support COO view of
+    L1-normalized lineitem features (KL is a simplex divergence — on
+    raw magnitudes its argmin is degenerate, faithfully matching the
+    reference kernel). Distances must match the dense formula, so the
+    dense SQL is the oracle (parity of the per-center-constant fold)."""
+    from generalized_kmeans_clustering_spark.sparse import sparse_kl_distances
+
+    df = lineitem_feats(spark, sf_dir)
+    tot = F.col("f1") + F.col("f2") + F.col("f3") + F.col("f4")
+    coo = df.select(
+        "id",
+        F.array(*[F.lit(i) for i in range(4)]).alias("indices"),
+        F.array(*[F.col(f"f{j}") / tot for j in range(1, 5)]).alias("values"),
+    )
+    dists = sparse_kl_distances(
+        F.col("indices"), F.col("values"), np.asarray(KL_SIMPLEX_CENTERS), EPS
+    )
+    staged = coo.withColumn("_ds", dists)
+    staged = staged.withColumn(
+        "cluster",
+        (F.expr("array_position(_ds, array_min(_ds))") - 1).cast("int"),
+    ).withColumn("_d", F.array_min("_ds"))
+    return (
+        staged.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _rcol(F.sum("_d") / F.count(F.lit(1)), 3).alias("avg_dist"))
+        .orderBy("cluster")
+    )
+
+
 # --- rows-only queries (no SQL oracle: hash functions / iterative) ---------
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1178,6 +1465,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_min_shingle_fp": q_doc_min_shingle_fp,
         "doc_winnow_fingerprints": q_doc_winnow_fp,
         "emb_near_dup_pairs": q_emb_near_dup,
+        "mercer_rbf_kval": _q_mercer("rbf", gamma=MERCER_GAMMA),
+        "mercer_linear_kval": _q_mercer("linear"),
+        "mercer_poly_kval": _q_mercer("polynomial", gamma=MERCER_GAMMA,
+                                      coef0=1.0, degree=3),
+        "mercer_sigmoid_kval": _q_mercer("sigmoid", gamma=MERCER_GAMMA,
+                                         coef0=0.0),
+        "mercer_laplacian_kval": _q_mercer("laplacian", gamma=MERCER_GAMMA),
+        "kmedians_1iter": q_kmedians_1iter,
+        "dedup_jaccard_verify": q_jaccard_verify,
+        "events_mutual_info": q_events_mutual_info,
+        "sparse_kl_assign": q_sparse_kl_assign,
         "dedup_minhash_lsh_pairs": q_minhash_lsh,
         "dedup_simhash64": q_simhash,
         "multimodal_image_meta": q_multimodal_meta,
@@ -1466,7 +1764,16 @@ def oracle_sql() -> dict[str, str]:
     # dedup with the cross-engine md5 shingle hash
     out["dedup_minhash_lsh_pairs"] = _minhash_lsh_sql()
     out["dedup_simhash64"] = _simhash_sql()
+    out["dedup_jaccard_verify"] = _jaccard_verify_sql()
     out["multimodal_image_meta"] = _multimodal_sql()
+    # Mercer kernel values vs the fixed landmark
+    for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
+                        ("poly", "poly"), ("sigmoid", "sigmoid"),
+                        ("laplacian", "laplacian")]:
+        out[f"mercer_{kname}_kval"] = _mercer_sql(kkey)
+    out["kmedians_1iter"] = _kmedians_sql()
+    out["events_mutual_info"] = _mutual_info_sql()
+    out["sparse_kl_assign"] = _sparse_kl_assign_sql()
 
     out["knn_cosine_top3"] = (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
