@@ -539,6 +539,100 @@ def _cocluster_sql(iters=3, kr=3, kc=3, digits=5) -> str:
     )
 
 
+def _bisect_sql(splits=3, iters=2, digits=5) -> str:
+    """Unrolled bisecting k-means (SE, ``sub_init='meanspread'``,
+    tol=0): each split picks the largest cluster (tie → lowest id) via
+    a scalar subquery, seeds two children at mean ± ½·stddev_pop, runs
+    `iters` Lloyd rounds over just that cluster's rows, then rewrites
+    only the touched rows — mirroring bisecting.py's conditional-
+    rewrite loop op for op."""
+    d = 4
+
+    def _dist(ce):
+        # SE distance to a center given as 4 SQL exprs (parenthesized)
+        return "(" + " + ".join(
+            f"(f{m+1}-({ce[m]}))*(f{m+1}-({ce[m]}))" for m in range(d)
+        ) + ")/2.0"
+
+    feats = ", ".join(f"f{m+1}" for m in range(d))
+    mcols = ", ".join(f"avg(f{m+1}) AS m{m+1}" for m in range(d))
+    scols = ", ".join(f"stddev_pop(f{m+1}) AS sd{m+1}" for m in range(d))
+    sums = ", ".join(f"sum(f{m+1}) AS s{m+1}" for m in range(d))
+    parts = [
+        f"feats AS MATERIALIZED ({FEATS_SQL})",
+        f"a0 AS (SELECT id, {feats}, 0 AS cl FROM feats)",
+        f"cen0 AS (SELECT 0 AS cid, "
+        + ", ".join(f"avg(f{m+1}) AS c{m+1}" for m in range(d))
+        + " FROM feats)",
+    ]
+    for t in range(1, splits + 1):
+        parts.append(
+            f"pk{t} AS MATERIALIZED (SELECT cl AS pcl FROM a{t-1} "
+            f"GROUP BY cl ORDER BY count(*) DESC, cl LIMIT 1)"
+        )
+        parts.append(
+            f"sub{t} AS MATERIALIZED (SELECT a.* FROM a{t-1} a "
+            f"WHERE a.cl = (SELECT pcl FROM pk{t}))"
+        )
+        parts.append(f"sd{t} AS (SELECT {mcols}, {scols} FROM sub{t})")
+        lo = [f"m{m+1} - 0.5*sd{m+1}" for m in range(d)]
+        hi = [f"m{m+1} + 0.5*sd{m+1}" for m in range(d)]
+        prev_stats, lo_e, hi_e = f"sd{t}", lo, hi
+        for r in range(1, iters + 1):
+            parts.append(
+                f"y{t}_{r} AS (SELECT s.*, {_dist(lo_e)} AS d0, "
+                f"{_dist(hi_e)} AS d1 FROM sub{t} s CROSS JOIN {prev_stats})"
+            )
+            parts.append(
+                f"b{t}_{r} AS (SELECT *, CASE WHEN d0 <= d1 THEN 0 ELSE 1 END "
+                f"AS scl FROM y{t}_{r})"
+            )
+            parts.append(
+                f"u{t}_{r} AS (SELECT scl, count(*) AS n, {sums} "
+                f"FROM b{t}_{r} GROUP BY scl)"
+            )
+            piv = ", ".join(
+                f"coalesce(max(CASE WHEN scl=0 THEN s{m+1}/n END), "
+                f"max({lo_e[m]})) AS l{m+1}" for m in range(d)
+            ) + ", " + ", ".join(
+                f"coalesce(max(CASE WHEN scl=1 THEN s{m+1}/n END), "
+                f"max({hi_e[m]})) AS h{m+1}" for m in range(d)
+            )
+            parts.append(
+                f"c{t}_{r} AS MATERIALIZED (SELECT {piv} FROM u{t}_{r} "
+                f"CROSS JOIN {prev_stats})"
+            )
+            prev_stats = f"c{t}_{r}"
+            lo_e = [f"l{m+1}" for m in range(d)]
+            hi_e = [f"h{m+1}" for m in range(d)]
+        # conditional rewrite of only the touched rows — same shape as
+        # the engine's when(_bk==cid, child).otherwise(_bk); no join-by-
+        # id (the synthetic lineitem has duplicate (orderkey,linenumber))
+        parts.append(
+            f"a{t} AS (SELECT a.id, "
+            f"{', '.join('a.f%d AS f%d' % (m+1, m+1) for m in range(d))}, "
+            f"CAST(CASE WHEN a.cl = (SELECT pcl FROM pk{t}) THEN "
+            f"(CASE WHEN {_dist(lo_e)} <= {_dist(hi_e)} "
+            f"THEN (SELECT pcl FROM pk{t}) ELSE {t} END) "
+            f"ELSE a.cl END AS INTEGER) AS cl "
+            f"FROM a{t-1} a CROSS JOIN {prev_stats})"
+        )
+        parts.append(
+            f"cen{t} AS (SELECT cid, c1, c2, c3, c4 FROM cen{t-1} "
+            f"WHERE cid != (SELECT pcl FROM pk{t}) "
+            f"UNION ALL SELECT (SELECT pcl FROM pk{t}) AS cid, "
+            f"l1 AS c1, l2 AS c2, l3 AS c3, l4 AS c4 FROM {prev_stats} "
+            f"UNION ALL SELECT {t} AS cid, "
+            f"h1 AS c1, h2 AS c2, h3 AS c3, h4 AS c4 FROM {prev_stats})"
+        )
+    out_cols = ", ".join(_r(f"c{m+1}", digits) + f" AS c{m+1}" for m in range(d))
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) "
+        f"AS center_id, {out_cols} FROM cen{splits} ORDER BY center_id"
+    )
+
+
 # cross-engine md5 60-bit shingle hash (DuckDB side; mirrors
 # operators/dedup._hash64 hash_fn='md5')
 _MD5INT = (
@@ -1289,7 +1383,8 @@ def q_bisecting_fit(spark, sf_dir):
     from generalized_kmeans_clustering_spark.bisecting import BisectingKMeans
 
     df = lineitem_feats(spark, sf_dir)
-    m = BisectingKMeans(k=4, max_iter=5, seed=42).fit(df)
+    m = BisectingKMeans(k=4, max_iter=2, tol=0.0, seed=42,
+                        sub_init="meanspread").fit(df)
     return _wide_centers_df(spark, m.centers)
 
 
@@ -1761,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
     out["robust_fit"] = _robust_sql()
     out["dpmeans_fit"] = _dpmeans_sql()
     out["coclustering_fit"] = _cocluster_sql()
+    out["bisecting_fit"] = _bisect_sql()
     # dedup with the cross-engine md5 shingle hash
     out["dedup_minhash_lsh_pairs"] = _minhash_lsh_sql()
     out["dedup_simhash64"] = _simhash_sql()

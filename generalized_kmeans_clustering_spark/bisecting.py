@@ -48,9 +48,12 @@ class BisectingKMeans:
         features_col: str = "features",
         prediction_col: str = "prediction",
         distance_col: str | None = None,
+        sub_init: str = "k-means||",
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
+        if sub_init not in ("k-means||", "random", "meanspread"):
+            raise ValueError("sub_init: k-means|| | random | meanspread")
         self.k = k
         self.divergence = divergence
         self.max_iter = max_iter
@@ -62,6 +65,11 @@ class BisectingKMeans:
         self.features_col = features_col
         self.prediction_col = prediction_col
         self.distance_col = distance_col
+        # child-center initialization for each k=2 sub-fit: the seeded
+        # engine init (default), or the fully deterministic
+        # 'meanspread' (cluster mean ± ½·per-dim std — one aggregate,
+        # no sampling; SQL-expressible, used by the oracle entry query)
+        self.sub_init = sub_init
 
     def fit(self, df: DataFrame) -> GeneralizedKMeansModel:
         from time import time
@@ -108,11 +116,24 @@ class BisectingKMeans:
                 break
             cid = max(candidates, key=lambda t: (t[1], -t[0]))[0]
             sub = work.where(F.col("_bk") == cid)
+            sub_kw: dict = {"init_mode": "random"} if self.sub_init == "random" else {}
+            if self.sub_init == "meanspread":
+                # deterministic child seeds: cluster mean ± ½·per-dim
+                # population std — one k-row aggregate, no sampling.
+                feats = F.col(self.features_col)
+                stats = sub.agg(
+                    *[F.avg(F.element_at(feats, i + 1)).alias(f"m{i}") for i in range(d)],
+                    *[F.stddev_pop(F.element_at(feats, i + 1)).alias(f"s{i}")
+                      for i in range(d)],
+                ).collect()[0]
+                mu = np.array([float(stats[f"m{i}"]) for i in range(d)])
+                sd = np.array([float(stats[f"s{i}"] or 0.0) for i in range(d)])
+                sub_kw = {"initial_centers": [mu - 0.5 * sd, mu + 0.5 * sd]}
             sub_model = GeneralizedKMeans(
                 k=2, divergence=self.divergence, max_iter=self.max_iter,
                 tol=self.tol, seed=self.seed + 31 * cid,
                 smoothing=self.smoothing, features_col=self.features_col,
-                empty_cluster_strategy="drop",
+                empty_cluster_strategy="drop", **sub_kw,
             ).fit(sub)
             if sub_model.k < 2:
                 not_divisible.add(cid)
