@@ -884,6 +884,43 @@ def _multimodal_sql() -> str:
     )
 
 
+def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107) -> str:
+    """Twin of q_ivf_topk: fixed coarse centroids (corpus vectors
+    cen_lo..cen_hi), spherical assignment with the engine's exact
+    epsilons (centroid/feature normalize +1e-10, query normalize
+    +1e-12, pairwise denominator +1e-10), first-index-wins argmin,
+    probe rank by (csim DESC, list ASC) <= nprobe, in-list cosine
+    top-k by (sim DESC, neighbor_id ASC)."""
+    return (
+        "WITH cen AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, "
+        "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+        f"WHERE vec_id BETWEEN {cen_lo} AND {cen_hi}), "
+        "cenn AS (SELECT j, list_transform(cv, x -> x / (sqrt(list_dot_product(cv, cv)) + 1e-10)) AS cn FROM cen), "
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "corpn AS (SELECT vec_id, v, list_transform(v, x -> x / (sqrt(list_dot_product(v, v)) + 1e-10)) AS xn FROM corpus), "
+        "asg AS (SELECT vec_id, v, j, "
+        "1 - list_dot_product(xn, cn) / (sqrt(list_dot_product(xn, xn)) * sqrt(list_dot_product(cn, cn)) + 1e-10) AS d "
+        "FROM corpn CROSS JOIN cenn), "
+        "lists AS (SELECT vec_id, v, j AS lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rn FROM asg) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, "
+        "list_transform(v, x -> x / (sqrt(list_dot_product(v, v)) + 1e-12)) AS qn "
+        "FROM corpus WHERE vec_id < 5), "
+        "csims AS (SELECT query_id, qv, j AS lst, list_dot_product(qn, cn) AS csim FROM q CROSS JOIN cenn), "
+        "probes AS (SELECT query_id, qv, lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, lst ASC) AS pr FROM csims) "
+        f"WHERE pr <= {nprobe}), "
+        "cand AS (SELECT p.query_id, p.qv, l.vec_id, l.v FROM probes p JOIN lists l ON p.lst = l.lst "
+        "WHERE l.vec_id <> p.query_id), "
+        "scored AS (SELECT query_id, vec_id AS neighbor_id, "
+        "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim FROM cand), "
+        "r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank FROM scored) "
+        f"SELECT query_id, neighbor_id, {_r('sim', 6)} AS sim, rank FROM r "
+        f"WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-side query implementations
 
@@ -1407,20 +1444,30 @@ def q_mixture_fit(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF-Flat ANN: spherical k-means index + nprobe centroid probing
-    (iterative fit inside — rows-only check; the exact brute-force
-    twin knn_cosine_top3 is the oracled baseline)."""
+    """IVF-Flat ANN probe path with fixed coarse centroids (vectors
+    100..107 of the corpus, max_iter=0) so index assignment + nprobe
+    ranking + in-list cosine top-k are deterministic and DuckDB can
+    replay them; production uses the trained-centroid variant
+    (same code path, random init)."""
     from generalized_kmeans_clustering_spark.operators.similarity import (
         ivf_index, ivf_topk,
     )
 
     emb = embeddings(spark, sf_dir)
-    indexed, model = ivf_index(emb, n_lists=8, seed=42, max_iter=5)
+    cen_rows = (
+        emb.where(F.col("vec_id").between(100, 107))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    init = [[float(v) for v in r["embedding"]] for r in cen_rows]
+    indexed, model = ivf_index(
+        emb, n_lists=8, seed=42, max_iter=0, initial_centers=init
+    )
     out = ivf_topk(
         indexed, model, emb.where(F.col("vec_id") < 5), k=3, nprobe=4
     )
-    return out.select("query_id", "neighbor_id", "rank") \
-        .orderBy("query_id", "rank")
+    return out.select(
+        "query_id", "neighbor_id", _rcol(F.col("sim"), 6).alias("sim"), "rank"
+    ).orderBy("query_id", "rank")
 
 
 def q_robust_fit(spark, sf_dir):
@@ -1871,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_mutual_info"] = _mutual_info_sql()
     out["sparse_kl_assign"] = _sparse_kl_assign_sql()
 
+    out["similarity_ivf_topk"] = _ivf_topk_sql()
     out["knn_cosine_top3"] = (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
         "FROM embeddings WHERE vec_id < 5), "

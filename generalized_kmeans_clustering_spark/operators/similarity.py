@@ -124,12 +124,16 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    initial_centers=None,
 ):
     """Build an IVF index: spherical k-means centroids + assignments.
 
     Returns (indexed_df, model). ``indexed_df`` carries a ``_list``
     column; persist it partitioned/bucketed by ``_list`` for 100 TB
     serving so each probe reads only matching partitions.
+    ``initial_centers`` (with ``max_iter=0``) builds the index around
+    caller-supplied coarse centroids — deterministic, and useful when
+    the centroids come from a prior sample-based training job.
     """
     from ..kmeans import GeneralizedKMeans
 
@@ -137,6 +141,7 @@ def ivf_index(
     model = GeneralizedKMeans(
         k=n_lists, divergence="spherical", seed=seed, max_iter=max_iter,
         features_col="_v", prediction_col="_list",
+        initial_centers=initial_centers,
     ).fit(base)
     indexed = model.transform(base)
     return indexed, model
