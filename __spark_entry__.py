@@ -18,6 +18,7 @@ algorithm — not just one step — an oracle-checkable query.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -884,6 +885,291 @@ def _multimodal_sql() -> str:
     )
 
 
+def _soft_sql(iters=3, beta=0.25, centers=None, digits_c=4) -> str:
+    """Unrolled fuzzy c-means (tol=0): Boltzmann memberships
+    p_j ∝ exp(−β·(D_j − D_min)) over SE/2 distances, M-step
+    c_j = Σp_j·x / Σp_j — op-for-op twin of soft_kmeans.py's loop
+    (min-shifted exp, left-assoc sums, keep-old on empty)."""
+    centers = centers or INIT4
+    k, d = len(centers), len(centers[0])
+    parts = [f"feats AS ({FEATS_SQL})"]
+    p0 = ", ".join(
+        f"{centers[j][m]!r} AS c{j}_{m}" for j in range(k) for m in range(d)
+    )
+    parts.append(f"p0 AS (SELECT {p0})")
+    for t in range(1, iters + 1):
+        prev = f"p{t-1}"
+        scols = ", ".join(
+            f"({_se_terms_cols([f'{prev}.c{j}_{m}' for m in range(d)])})/2.0"
+            f" AS s{j}"
+            for j in range(k)
+        )
+        parts.append(f"x{t} AS (SELECT *, {scols} FROM feats CROSS JOIN {prev})")
+        slist = ", ".join(f"s{j}" for j in range(k))
+        parts.append(f"y{t} AS (SELECT *, least({slist}) AS mm FROM x{t})")
+        ecols = ", ".join(
+            f"exp(-{beta!r} * (s{j} - mm)) AS e{j}" for j in range(k)
+        )
+        parts.append(f"z{t} AS (SELECT *, {ecols} FROM y{t})")
+        zsum = " + ".join(f"e{j}" for j in range(k))
+        gcols = ", ".join(f"e{j}/({zsum}) AS g{j}" for j in range(k))
+        parts.append(f"q{t} AS (SELECT *, {gcols} FROM z{t})")
+        aggs = (
+            [f"sum(g{j}) AS r{j}" for j in range(k)]
+            + [f"sum(g{j} * f{m+1}) AS gg{j}_{m}"
+               for j in range(k) for m in range(d)]
+        )
+        parts.append(f"a{t} AS (SELECT {', '.join(aggs)} FROM q{t})")
+        pcols = [
+            f"CASE WHEN r{j} > 0 THEN gg{j}_{m}/r{j} "
+            f"ELSE {prev}.c{j}_{m} END AS c{j}_{m}"
+            for j in range(k) for m in range(d)
+        ]
+        parts.append(
+            f"p{t} AS (SELECT {', '.join(pcols)} FROM a{t} CROSS JOIN {prev})"
+        )
+    outs = []
+    for j in range(k):
+        ccols = ", ".join(
+            _r(f"c{j}_{m}", digits_c) + f" AS c{m+1}" for m in range(d)
+        )
+        outs.append(f"SELECT {j} AS center_id, {ccols} FROM p{iters}")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + " UNION ALL ".join(outs) + " ORDER BY center_id"
+    )
+
+
+MV_W = (0.7, 0.3)  # multiview weights (pre-normalized)
+MV_A = [[5.0, 1.0], [15.0, 3.0], [30.0, 5.0], [45.0, 8.0]]   # view1 (f1,f2) SE
+MV_B = [[0.2, 0.1], [0.5, 0.4], [0.5, 0.4], [0.8, 0.6]]      # view2 (f3,f4) L1
+
+
+def _multiview_sql(digits=2) -> str:
+    """Twin of q_multiview_assign: combined_j = w1·SE/2(v1,A_j) +
+    w2·L1(v2,B_j), first-index-wins argmin, per-cluster count + cost."""
+    k = len(MV_A)
+    dcols = ", ".join(
+        f"{MV_W[0]!r}*({_kernel_dist_sql('se', MV_A[j], ['f1', 'f2'])}) + "
+        f"{MV_W[1]!r}*({_kernel_dist_sql('l1', MV_B[j], ['f3', 'f4'])}) AS d{j}"
+        for j in range(k)
+    )
+    return (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dcols} FROM feats), "
+        f"y AS (SELECT *, {_argmin_case(k)} AS prediction, "
+        f"least({', '.join(f'd{j}' for j in range(k))}) AS md FROM x) "
+        "SELECT prediction, CAST(count(*) AS BIGINT) AS n, "
+        f"{_r('sum(md)', digits)} AS cost FROM y "
+        "GROUP BY prediction ORDER BY prediction"
+    )
+
+
+def _silhouette_sql(digits=6) -> str:
+    """Twin of q_silhouette_fixed: center-proxy silhouette at
+    sample=1.0 — a = D(x, own), b = min over other centers,
+    mean((b−a)/greatest(b,a)); k_effective = #nonempty clusters."""
+    k = len(INIT4)
+    dcols = ", ".join(
+        f"({_kernel_dist_sql('se', INIT4[j])}) AS d{j}" for j in range(k)
+    )
+    dlist = ", ".join(f"d{j}" for j in range(k))
+    bcase = " ".join(
+        f"WHEN own = {j} THEN least("
+        + ", ".join(f"d{m}" for m in range(k) if m != j) + ")"
+        for j in range(k)
+    )
+    return (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dcols} FROM feats), "
+        f"y AS (SELECT *, {_argmin_case(k)} AS own, least({dlist}) AS a FROM x), "
+        f"z AS (SELECT *, CASE {bcase} END AS b FROM y) "
+        f"SELECT {_r('avg((b - a) / greatest(b, a))', digits)} AS silhouette, "
+        "CAST(count(DISTINCT own) AS INTEGER) AS k_effective FROM z"
+    )
+
+
+def _xmeans_bic_sql(digits=3) -> str:
+    """Twin of q_xmeans_bic_fixed: Pelleg–Moore spherical-Gaussian
+    log-likelihood of the fixed INIT4 clustering and its BIC/AIC
+    penalties (xmeans._gaussian_loglik arithmetic: var = 2·wcss/(d(n−k)),
+    ll = Σnc·ln(nc/n) − n·d/2·ln(2πvar) − (n−k)d/2; p = k·d+1)."""
+    k, d = len(INIT4), len(INIT4[0])
+    dcols = ", ".join(
+        f"({_kernel_dist_sql('se', INIT4[j])}) AS d{j}" for j in range(k)
+    )
+    dlist = ", ".join(f"d{j}" for j in range(k))
+    return (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dcols} FROM feats), "
+        f"y AS (SELECT {_argmin_case(k)} AS own, least({dlist}) AS md FROM x), "
+        "s AS (SELECT own, count(*) AS nc FROM y GROUP BY own), "
+        "t AS (SELECT sum(md) AS wcss, count(*) AS n FROM y), "
+        f"v AS (SELECT wcss, n, 2.0*wcss/({d}*(n - {k})) AS var FROM t), "
+        "ll AS (SELECT (SELECT sum(nc*ln(CAST(nc AS DOUBLE)/n)) FROM s, t) "
+        f"- 0.5*n*{d}*ln(2.0*pi()*var) - 0.5*(n - {k})*{d} AS loglik, n FROM v) "
+        f"SELECT {k} AS k, "
+        f"{_r(f'loglik - 0.5*({k}*{d}+1)*ln(CAST(n AS DOUBLE))', digits)} AS bic, "
+        f"{_r(f'loglik - ({k}*{d}+1)', digits)} AS aic FROM ll"
+    )
+
+
+def _pam_build_sql(k=3, mod=347, digits=6) -> str:
+    """Twin of q_pam_build: greedy PAM BUILD (no SWAP) on the id%mod==1
+    subset — medoid 1 minimizes Σ_j euclid(i,j); each next medoid
+    maximizes Σ_i max(0, dmin_i − D_ij). Ties are measure-zero on the
+    continuous f2 column; output is the medoid coordinate set sorted."""
+    eu = "sqrt((a.f1-b.f1)*(a.f1-b.f1) + (a.f2-b.f2)*(a.f2-b.f2) + " \
+         "(a.f3-b.f3)*(a.f3-b.f3) + (a.f4-b.f4)*(a.f4-b.f4))"
+    uid = ("md5(CAST(l_orderkey AS VARCHAR) || '_' || "
+           "CAST(l_linenumber AS VARCHAR) || '_' || "
+           "CAST(l_partkey AS VARCHAR) || '_' || "
+           "CAST(l_suppkey AS VARCHAR))")
+    parts = [
+        # plain `id` collides (the 4-part key is the unique one); keep
+        # the predicate on id but key the distance matrix on uid
+        f"pts AS (SELECT {uid} AS uid, l_quantity AS f1, "
+        "l_extendedprice/10000.0 AS f2, l_discount*10.0 AS f3, "
+        "l_tax*10.0 AS f4 FROM lineitem "
+        f"WHERE (l_orderkey*10 + l_linenumber) % {mod} = 1)",
+        f"dm AS (SELECT a.uid AS i, b.uid AS j, {eu} AS dist "
+        "FROM pts a CROSS JOIN pts b)",
+        "m1 AS (SELECT i AS mid FROM (SELECT i, sum(dist) AS s FROM dm "
+        "GROUP BY i ORDER BY s ASC, i ASC LIMIT 1))",
+        "dmin1 AS (SELECT d.i, min(d.dist) AS dmin FROM dm d JOIN m1 "
+        "ON d.j = m1.mid GROUP BY d.i)",
+    ]
+    meds = ["(SELECT mid FROM m1)"]
+    for t in range(2, k + 1):
+        prev_dmin = f"dmin{t-1}"
+        notin = ", ".join(meds)
+        parts.append(
+            f"m{t} AS (SELECT j AS mid FROM ("
+            f"SELECT d.j, sum(greatest(p.dmin - d.dist, 0.0)) AS gain "
+            f"FROM dm d JOIN {prev_dmin} p ON d.i = p.i "
+            f"WHERE d.j NOT IN ({notin}) "
+            "GROUP BY d.j ORDER BY gain DESC, j ASC LIMIT 1))"
+        )
+        meds.append(f"(SELECT mid FROM m{t})")
+        if t < k:
+            parts.append(
+                f"dmin{t} AS (SELECT p.i, least(p.dmin, d.dist) AS dmin "
+                f"FROM {prev_dmin} p JOIN dm d ON d.i = p.i AND d.j = "
+                f"(SELECT mid FROM m{t}))"
+            )
+    sel = " UNION ALL ".join(f"SELECT mid FROM m{t}" for t in range(1, k + 1))
+    ccols = ", ".join(_r(f"f{m}", digits) + f" AS c{m}" for m in range(1, 5))
+    return (
+        "WITH " + ",\n".join(parts) + f", allm AS ({sel}) "
+        f"SELECT {ccols} FROM pts WHERE uid IN (SELECT mid FROM allm) "
+        "ORDER BY c1, c2, c3, c4"
+    )
+
+
+def _minibatch_sql(digits=4) -> str:
+    """Twin of q_minibatch_step: one full-batch step from INIT4 — the
+    sequential per-point running mean collapses to the per-cluster batch
+    mean (counts start at 0), empty clusters keep their center."""
+    k, d = len(INIT4), len(INIT4[0])
+    dcols = ", ".join(
+        f"({_kernel_dist_sql('se', INIT4[j])}) AS d{j}" for j in range(k)
+    )
+    init_rows = ", ".join(
+        "(" + ", ".join([str(j)] + [repr(c) for c in INIT4[j]]) + ")"
+        for j in range(k)
+    )
+    cdefs = ", ".join(f"c{m}" for m in range(d))
+    outc = ", ".join(
+        _r(f"CASE WHEN s.n > 0 THEN s.s{m}/s.n ELSE p.c{m} END", digits)
+        + f" AS c{m+1}"
+        for m in range(d)
+    )
+    sums = ", ".join(f"sum(f{m+1}) AS s{m}" for m in range(d))
+    return (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dcols} FROM feats), "
+        f"y AS (SELECT *, {_argmin_case(k)} AS cl FROM x), "
+        f"s AS (SELECT cl, count(*) AS n, {sums} FROM y GROUP BY cl), "
+        f"p (j, {cdefs}) AS (VALUES {init_rows}) "
+        f"SELECT p.j AS center_id, {outc} FROM p "
+        "LEFT JOIN s ON s.cl = p.j ORDER BY center_id"
+    )
+
+
+def _gkm_full_sql(iters=10, k=8, d=4, digits=4) -> str:
+    """Twin of q_fit_full: init = first k distinct feature rows in
+    md5(orderkey_linenumber_partkey_suppkey) order — the 4-tuple is the
+    table's unique key (plain `id` collides) — then `iters` wide-form
+    Lloyd steps: per-row CASE argmin over c{j}_{m} columns (first-index
+    -wins, no row identity needed), mean update Σx/count, empty cluster
+    keeps the previous center via coalesce."""
+    fcols = [f"f{m+1}" for m in range(d)]
+    uid = ("md5(CAST(l_orderkey AS VARCHAR) || '_' || "
+           "CAST(l_linenumber AS VARCHAR) || '_' || "
+           "CAST(l_partkey AS VARCHAR) || '_' || "
+           "CAST(l_suppkey AS VARCHAR))")
+    parts = [
+        f"feats AS ({FEATS_SQL})",
+        f"h AS (SELECT {uid} AS hh, l_quantity AS f1, "
+        "l_extendedprice/10000.0 AS f2, l_discount*10.0 AS f3, "
+        "l_tax*10.0 AS f4 FROM lineitem)",
+        "dd AS (SELECT *, row_number() OVER (PARTITION BY "
+        + ", ".join(fcols) + " ORDER BY hh) AS dup FROM h)",
+        "sel AS (SELECT *, row_number() OVER (ORDER BY hh) - 1 AS j "
+        f"FROM dd WHERE dup = 1 ORDER BY hh LIMIT {k})",
+        "p0 AS (SELECT "
+        + ", ".join(
+            f"max(CASE WHEN j = {j} THEN f{m+1} END) AS c{j}_{m}"
+            for j in range(k) for m in range(d)
+        )
+        + " FROM sel)",
+    ]
+    prev_center_expr = [[f"p0.c{j}_{m}" for m in range(d)] for j in range(k)]
+    src0 = "feats CROSS JOIN p0"
+    for t in range(1, iters + 1):
+        dist_cols = ", ".join(
+            f"({_se_terms_cols(prev_center_expr[j])})/2.0 AS d{j}"
+            for j in range(k)
+        )
+        src = src0 if t == 1 else f"feats CROSS JOIN p{t-1}"
+        parts.append(f"x{t} AS (SELECT *, {dist_cols} FROM {src})")
+        parts.append(
+            f"a{t} AS (SELECT *, CAST({_argmin_case(k)} AS INTEGER) AS cl FROM x{t})"
+        )
+        sums = ", ".join(f"sum(f{m+1}) AS s{m+1}" for m in range(d))
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT cl, count(*) AS n, {sums} "
+            f"FROM a{t} GROUP BY cl)"
+        )
+        pivot = []
+        for j in range(k):
+            for m in range(d):
+                fallback = prev_center_expr[j][m]
+                pivot.append(
+                    f"coalesce(max(CASE WHEN cl={j} THEN s{m+1}/n END), "
+                    f"max({fallback})) AS c{j}_{m}"
+                )
+        psrc = f"g{t} CROSS JOIN p{t-1}" if t > 1 else f"g{t} CROSS JOIN p0"
+        # MATERIALIZED stops DuckDB inlining the center-column
+        # expression chain (exponential plan blowup past ~5 rounds)
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT {', '.join(pivot)} FROM {psrc})"
+        )
+        prev_center_expr = [
+            [f"p{t}.c{j}_{m}" for m in range(d)] for j in range(k)
+        ]
+    outs = []
+    for j in range(k):
+        ccols = ", ".join(
+            _r(f"c{j}_{m}", digits) + f" AS c{m+1}" for m in range(d)
+        )
+        outs.append(f"SELECT {j} AS center_id, {ccols} FROM p{iters}")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + " UNION ALL ".join(outs) + " ORDER BY center_id"
+    )
+
+
 def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107) -> str:
     """Twin of q_ivf_topk: fixed coarse centroids (corpus vectors
     cen_lo..cen_hi), spherical assignment with the engine's exact
@@ -1542,13 +1828,151 @@ def q_streaming_update(spark, sf_dir):
     ).orderBy("center_id")
 
 
-def q_fit_full(spark, sf_dir):
-    """Full engine fit (k-means|| init) — the init's seeded executor-side
-    ``rand`` sampling has no SQL twin; driver records the weaker
-    rows/schema check."""
+def q_multiview_assign(spark, sf_dir):
+    """Joint two-view assignment (SE on (f1,f2) weighted 0.7, L1 on
+    (f3,f4) weighted 0.3) with fixed per-view centers — the MultiView
+    combined-distance argmin, per-cluster count + cost."""
+    from generalized_kmeans_clustering_spark.functions.kernels import get_kernel
+    from generalized_kmeans_clustering_spark.multiview import (
+        MultiViewKMeansModel, View,
+    )
+
     df = lineitem_feats(spark, sf_dir)
-    m = GeneralizedKMeans(k=8, divergence="se", max_iter=10, seed=42).fit(df)
-    return _wide_centers_df(spark, m.centers)
+    df = df.withColumn("v1", F.array("f1", "f2")) \
+           .withColumn("v2", F.array("f3", "f4"))
+    model = MultiViewKMeansModel(
+        views=[View("v1", "se", MV_W[0]), View("v2", "l1", MV_W[1])],
+        kernels=[get_kernel("se"), get_kernel("l1")],
+        centers=[MV_A, MV_B], weights=list(MV_W), distance_col="mvd",
+    )
+    out = model.transform(df)
+    return (
+        out.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"), _rcol(F.sum("mvd"), 2).alias("cost"))
+        .orderBy("prediction")
+    )
+
+
+def q_silhouette_fixed(spark, sf_dir):
+    """Center-proxy silhouette at sample=1.0 (deterministic) plus the
+    effective-cluster count, for the fixed INIT4 model."""
+    from generalized_kmeans_clustering_spark.evaluation import silhouette_proxy
+    from generalized_kmeans_clustering_spark.functions.kernels import get_kernel
+    from generalized_kmeans_clustering_spark.kmeans import GeneralizedKMeansModel
+
+    df = lineitem_feats(spark, sf_dir)
+    model = GeneralizedKMeansModel(
+        centers=INIT4, kernel_name="squaredEuclidean", distance_col="_dist",
+    )
+    assigned = model.transform(df)
+    sil = silhouette_proxy(
+        assigned, get_kernel("se"), INIT4, "features", "prediction", "_dist",
+        sample=1.0,
+    )
+    k_eff = assigned.select("prediction").distinct().count()
+    row = [(float(math.floor(sil * 10**6 + 0.5) / 10**6), int(k_eff))]
+    return spark.createDataFrame(row, "silhouette double, k_effective int")
+
+
+def q_xmeans_bic_fixed(spark, sf_dir):
+    """XMeans' Pelleg–Moore BIC/AIC scoring of the fixed INIT4
+    clustering, through the real _gaussian_loglik driver math."""
+    from generalized_kmeans_clustering_spark.kmeans import GeneralizedKMeansModel
+    from generalized_kmeans_clustering_spark.xmeans import _gaussian_loglik
+
+    df = lineitem_feats(spark, sf_dir)
+    model = GeneralizedKMeansModel(
+        centers=INIT4, kernel_name="squaredEuclidean", distance_col="_dist",
+    )
+    assigned = model.transform(df)
+    stats = assigned.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_dist").alias("w")
+    ).collect()
+    n = sum(int(r["n"]) for r in stats)
+    wcss = sum(float(r["w"]) for r in stats)
+    sizes = [int(r["n"]) for r in sorted(stats, key=lambda r: r["prediction"])]
+    k, d = len(INIT4), len(INIT4[0])
+    ll = _gaussian_loglik(n, k, d, wcss, sizes)
+    p = k * d + 1
+    bic = ll - 0.5 * p * math.log(max(n, 2))
+    aic = ll - p
+    rnd = lambda v: float(math.floor(v * 10**3 + 0.5) / 10**3)
+    return spark.createDataFrame(
+        [(k, rnd(bic), rnd(aic))], "k int, bic double, aic double"
+    )
+
+
+def q_minibatch_step(spark, sf_dir):
+    """One full-coverage mini-batch step from INIT4 (batch ≥ n, one
+    iteration, no reassignment) — the incremental running-mean update
+    collapses to per-cluster batch means, keep-old on empty."""
+    from generalized_kmeans_clustering_spark.minibatch import MiniBatchKMeans
+
+    df = lineitem_feats(spark, sf_dir)
+    m = MiniBatchKMeans(
+        k=4, divergence="se", batch_size=200000, max_iter=1, tol=0.0,
+        reassignment_ratio=0.0, seed=42, initial_centers=INIT4,
+    ).fit(df)
+    return _wide_centers_df(spark, m.centers, digits=4)
+
+
+def q_pam_build(spark, sf_dir):
+    """PAM BUILD (greedy, no SWAP: max_iter=0) on the id%347==1 subset —
+    medoid coordinate set, order-independent output."""
+    from generalized_kmeans_clustering_spark.kmedoids import KMedoids
+
+    df = lineitem_feats(spark, sf_dir).where(F.col("id") % 347 == 1)
+    m = KMedoids(k=3, distance_function="euclidean", max_iter=0, seed=42).fit(df)
+    out = _wide_centers_df(spark, m.centers, digits=6)
+    return out.select("c1", "c2", "c3", "c4").orderBy("c1", "c2", "c3", "c4")
+
+
+def q_soft_fit(spark, sf_dir):
+    """Three fuzzy c-means EM steps from the fixed INIT4 centers
+    (tol=0 so iteration count is exact) — final centers, scalar-wide."""
+    from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeans
+
+    df = lineitem_feats(spark, sf_dir)
+    m = SoftKMeans(
+        k=4, divergence="se", beta=0.25, max_iter=3, tol=0.0,
+        initial_centers=INIT4, seed=42,
+    ).fit(df)
+    return _wide_centers_df(spark, m.centers, digits=4)
+
+
+def q_fit_full(spark, sf_dir):
+    """Full 10-iteration k=8 engine fit with a cross-engine-deterministic
+    seed selection (first 8 distinct feature rows in md5(id) hash order —
+    the same distributed TakeOrdered shape as random_init, with a hash
+    DuckDB can replay; production init is k-means||, exercised by the
+    fit_se_k8 bench and the init pytest suite)."""
+    df = lineitem_feats(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = (
+        li.select(
+            F.md5(F.concat_ws(
+                "_", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+            ).cast("binary")).alias("_h"),
+            F.col("l_quantity").alias("f1"),
+            (F.col("l_extendedprice") / 10000.0).alias("f2"),
+            (F.col("l_discount") * 10.0).alias("f3"),
+            (F.col("l_tax") * 10.0).alias("f4"),
+        )
+        .orderBy("_h").limit(64).select("f1", "f2", "f3", "f4").collect()
+    )
+    seen, init = set(), []
+    for r in rows:
+        key = (r["f1"], r["f2"], r["f3"], r["f4"])
+        if key not in seen:
+            seen.add(key)
+            init.append([float(v) for v in key])
+        if len(init) == 8:
+            break
+    m = GeneralizedKMeans(
+        k=8, divergence="se", max_iter=10, tol=0.0,
+        initial_centers=init, seed=42,
+    ).fit(df)
+    return _wide_centers_df(spark, m.centers, digits=4)
 
 
 # ---------------------------------------------------------------------------
@@ -1622,6 +2046,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_simhash,
         "multimodal_image_meta": q_multimodal_meta,
         "mixture_fit": q_mixture_fit,
+        "soft_fit": q_soft_fit,
+        "multiview_assign_fixed": q_multiview_assign,
+        "silhouette_fixed": q_silhouette_fixed,
+        "xmeans_bic_fixed": q_xmeans_bic_fixed,
+        "minibatch_step": q_minibatch_step,
+        "pam_build": q_pam_build,
         "robust_fit": q_robust_fit,
         "dpmeans_fit": q_dpmeans_fit,
         "coclustering_fit": q_coclustering_fit,
@@ -1900,6 +2330,13 @@ def oracle_sql() -> dict[str, str]:
     # of iterations)
     out["streaming_update"] = _streaming_sql()
     out["mixture_fit"] = _mixture_sql()
+    out["soft_fit"] = _soft_sql()
+    out["multiview_assign_fixed"] = _multiview_sql()
+    out["silhouette_fixed"] = _silhouette_sql()
+    out["xmeans_bic_fixed"] = _xmeans_bic_sql()
+    out["minibatch_step"] = _minibatch_sql()
+    out["pam_build"] = _pam_build_sql()
+    out["gkm_fit_full"] = _gkm_full_sql()
     out["robust_fit"] = _robust_sql()
     out["dpmeans_fit"] = _dpmeans_sql()
     out["coclustering_fit"] = _cocluster_sql()
