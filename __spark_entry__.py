@@ -940,6 +940,168 @@ def _soft_sql(iters=3, beta=0.25, centers=None, digits_c=4) -> str:
     )
 
 
+_SEQ_INF = "1e300"  # DP boundary sentinel (np.inf twin; exp(-1e300)==0)
+
+
+def _seq_dp_ctes(tag: str, a_exprs, b_exprs, kind: str, gamma=1.0):
+    """Single-row chained CTEs for a sequence-DP matrix — ONE
+    MATERIALIZED CTE per cell (SELECT *, <cell> AS c{i}_{j}) so every
+    up/left/diag reference is a plain column, never an inlined
+    expression tree (lateral-alias substitution nests exponentially
+    for the soft-min/GAK forms). kind: 'dtw' | 'sdtw' | 'gak'.
+    Returns (ctes, last_cte_name); the result cell is c{la}_{lb}."""
+    la, lb = len(a_exprs), len(b_exprs)
+    ctes = []
+    prev = "sq"
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            if kind == "gak":
+                local = (f"exp(-(({a_exprs[i-1]}) - ({b_exprs[j-1]})) * "
+                         f"(({a_exprs[i-1]}) - ({b_exprs[j-1]})) / "
+                         f"(2.0 * {gamma!r} * {gamma!r}))")
+                up = f"c{i-1}_{j}" if i > 1 else "0.0"
+                left = f"c{i}_{j-1}" if j > 1 else "0.0"
+                if i > 1 and j > 1:
+                    diag = f"c{i-1}_{j-1}"
+                elif i == 1 and j == 1:
+                    diag = "1.0"     # K[0,0]
+                else:
+                    diag = "0.0"     # K[0,j>0] / K[i>0,0]
+                cell = f"{local} * (({up}) + ({left}) + ({diag}))"
+            else:
+                cost = (f"(({a_exprs[i-1]}) - ({b_exprs[j-1]})) * "
+                        f"(({a_exprs[i-1]}) - ({b_exprs[j-1]}))")
+                up = f"c{i-1}_{j}" if i > 1 else _SEQ_INF
+                left = f"c{i}_{j-1}" if j > 1 else _SEQ_INF
+                if i > 1 and j > 1:
+                    diag = f"c{i-1}_{j-1}"
+                elif i == 1 and j == 1:
+                    diag = "0.0"     # D[0,0]
+                else:
+                    diag = _SEQ_INF  # D[0,j>0] / D[i>0,0]
+                if kind == "dtw":
+                    cell = f"{cost} + least({up}, {left}, {diag})"
+                else:  # soft-min: m − γ·ln(Σ exp(−(x−m)/γ)), inf-guarded
+                    m = f"least({up}, {left}, {diag})"
+                    cell = (
+                        f"{cost} + (CASE WHEN ({m}) >= {_SEQ_INF} THEN ({m}) "
+                        f"ELSE ({m}) - {gamma!r} * ln("
+                        f"exp(-((({up}) - ({m})) / {gamma!r})) + "
+                        f"exp(-((({left}) - ({m})) / {gamma!r})) + "
+                        f"exp(-((({diag}) - ({m})) / {gamma!r}))) END)"
+                    )
+            name = f"{tag}_{i}_{j}"
+            ctes.append(
+                f"{name} AS MATERIALIZED (SELECT *, {cell} AS c{i}_{j} "
+                f"FROM {prev})"
+            )
+            prev = name
+    return ctes, prev
+
+
+def _seq_family_sql(digits=4, gamma=1.0, sigma=1.0) -> str:
+    """Twin of q_seq_distances: DTW / SoftDTW / DerivativeDTW / GAK
+    between the per-linenumber mean-quantity and mean-price sequences
+    (length 7), mirroring functions/sequence.py's DPs cell-for-cell."""
+    L = 7
+    base = (
+        "sq AS MATERIALIZED (SELECT "
+        + ", ".join(
+            f"max(CASE WHEN l_linenumber = {m} THEN va END) AS a{m}, "
+            f"max(CASE WHEN l_linenumber = {m} THEN vb END) AS b{m}"
+            for m in range(1, L + 1)
+        )
+        + " FROM (SELECT l_linenumber, avg(l_quantity) AS va, "
+        "avg(l_extendedprice/10000.0) AS vb FROM lineitem "
+        "GROUP BY l_linenumber))"
+    )
+    A = [f"a{m}" for m in range(1, L + 1)]
+    B = [f"b{m}" for m in range(1, L + 1)]
+
+    # Keogh–Pazzani derivative: d[i]=((a[i]-a[i-1]) + (a[i+1]-a[i-1])/2)/2
+    def deriv(S):
+        d = []
+        for i in range(L):
+            if i == 0 or i == L - 1:
+                d.append(None)  # filled below
+            else:
+                d.append(
+                    f"((({S[i]}) - ({S[i-1]})) + "
+                    f"(({S[i+1]}) - ({S[i-1]})) / 2.0) / 2.0"
+                )
+        d[0] = d[1]
+        d[-1] = d[-2]
+        return d
+
+    dtw_c, dtw_last = _seq_dp_ctes("td", A, B, "dtw")
+    sdtw_c, sdtw_last = _seq_dp_ctes("ts", A, B, "sdtw", gamma)
+    ddtw_c, ddtw_last = _seq_dp_ctes("tq", deriv(A), deriv(B), "dtw")
+    gab_c, gab_last = _seq_dp_ctes("ga", A, B, "gak", sigma)
+    gaa_c, gaa_last = _seq_dp_ctes("gb", A, A, "gak", sigma)
+    gbb_c, gbb_last = _seq_dp_ctes("gc", B, B, "gak", sigma)
+    ctes = [base]
+    for blk in (dtw_c, sdtw_c, ddtw_c, gab_c, gaa_c, gbb_c):
+        ctes.extend(blk)
+    cell = f"c{L}_{L}"
+    gaknorm = (
+        f"({gab_last}.{cell}) / "
+        f"sqrt(greatest(({gaa_last}.{cell}) * ({gbb_last}.{cell}), 1e-300))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT {_r(f'sqrt({dtw_last}.{cell})', digits)} AS dtw, "
+        f"{_r(f'{sdtw_last}.{cell}', digits)} AS soft_dtw, "
+        f"{_r(f'sqrt({ddtw_last}.{cell})', digits)} AS ddtw, "
+        f"{_r(f'-ln(greatest({gaknorm}, 1e-300))', digits)} AS gak "
+        f"FROM {dtw_last}, {sdtw_last}, {ddtw_last}, "
+        f"{gab_last}, {gaa_last}, {gbb_last}"
+    )
+
+
+def _kernel_kmeans_sql(k=3, gamma=0.05, mod=401, digits=6) -> str:
+    """Twin of q_kernel_kmeans_step: RBF gram over the subset,
+    D(x,c) = K(x,x) − 2/m_c ΣK(x,y∈c) + S_c/m_c², first-index argmin,
+    per-cluster sizes + global distortion. Labels come from the same
+    md5-60-bit hash % k on the unique 4-part key."""
+    uid = ("md5(CAST(l_orderkey AS VARCHAR) || '_' || "
+           "CAST(l_linenumber AS VARCHAR) || '_' || "
+           "CAST(l_partkey AS VARCHAR) || '_' || "
+           "CAST(l_suppkey AS VARCHAR))")
+    md5i = _MD5INT.format(
+        s="(CAST(l_orderkey AS VARCHAR) || '_' || "
+          "CAST(l_linenumber AS VARCHAR) || '_' || "
+          "CAST(l_partkey AS VARCHAR) || '_' || "
+          "CAST(l_suppkey AS VARCHAR))"
+    )
+    d2 = ("(a.f1*a.f1 + a.f2*a.f2 + a.f3*a.f3 + a.f4*a.f4) "
+          "- 2.0*(a.f1*b.f1 + a.f2*b.f2 + a.f3*b.f3 + a.f4*b.f4) "
+          "+ (b.f1*b.f1 + b.f2*b.f2 + b.f3*b.f3 + b.f4*b.f4)")
+    return (
+        f"WITH pts AS MATERIALIZED (SELECT {uid} AS uid, "
+        f"CAST(({md5i}) % {k} AS INTEGER) AS lab, "
+        "l_quantity AS f1, l_extendedprice/10000.0 AS f2, "
+        "l_discount*10.0 AS f3, l_tax*10.0 AS f4 FROM lineitem "
+        f"WHERE (l_orderkey*10 + l_linenumber) % {mod} = 1), "
+        "gram AS MATERIALIZED (SELECT a.uid AS i, a.lab AS ilab, "
+        "b.uid AS j, b.lab AS jlab, "
+        f"exp(-{gamma!r} * greatest({d2}, 0.0)) AS kv "
+        "FROM pts a CROSS JOIN pts b), "
+        "mc AS (SELECT lab AS c, count(*) AS m FROM pts GROUP BY lab), "
+        "sc AS (SELECT ilab AS c, sum(kv) AS s FROM gram "
+        "WHERE ilab = jlab GROUP BY ilab), "
+        "pc AS (SELECT g.i, g.jlab AS c, sum(g.kv) AS skv FROM gram g "
+        "GROUP BY g.i, g.jlab), "
+        "dd AS (SELECT pc.i, pc.c, 1.0 - 2.0*pc.skv/mc.m + sc.s/(mc.m*mc.m) "
+        "AS d FROM pc JOIN mc ON pc.c = mc.c JOIN sc ON pc.c = sc.c), "
+        "best AS (SELECT i, c, d FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY i ORDER BY d ASC, c ASC) AS rn FROM dd) WHERE rn = 1), "
+        "tot AS (SELECT sum(d) AS cost FROM best) "
+        "SELECT best.c AS cluster, CAST(count(*) AS INTEGER) AS n, "
+        f"{_r('max(tot.cost)', digits)} AS total_cost "
+        "FROM best, tot GROUP BY best.c ORDER BY cluster"
+    )
+
+
 MV_W = (0.7, 0.3)  # multiview weights (pre-normalized)
 MV_A = [[5.0, 1.0], [15.0, 3.0], [30.0, 5.0], [45.0, 8.0]]   # view1 (f1,f2) SE
 MV_B = [[0.2, 0.1], [0.5, 0.4], [0.5, 0.4], [0.8, 0.6]]      # view2 (f3,f4) L1
@@ -1828,6 +1990,65 @@ def q_streaming_update(spark, sf_dir):
     ).orderBy("center_id")
 
 
+def q_seq_distances(spark, sf_dir):
+    """DTW / SoftDTW / DerivativeDTW / GAK between the per-linenumber
+    mean-quantity and mean-price sequences — the real numpy DPs from
+    functions/sequence.py; the oracle replays every DP cell in SQL."""
+    from generalized_kmeans_clustering_spark.functions.sequence import (
+        dtw, soft_dtw, derivative_dtw, gak_distance,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = (
+        li.groupBy("l_linenumber")
+        .agg(F.avg("l_quantity").alias("va"),
+             F.avg(F.col("l_extendedprice") / 10000.0).alias("vb"))
+        .orderBy("l_linenumber").collect()
+    )
+    a = np.array([float(r["va"]) for r in rows])
+    b = np.array([float(r["vb"]) for r in rows])
+    rnd = lambda v: float(math.floor(v * 10**4 + 0.5) / 10**4)
+    vals = (
+        rnd(dtw(a, b)), rnd(soft_dtw(a, b, gamma=1.0)),
+        rnd(derivative_dtw(a, b)), rnd(gak_distance(a, b, sigma=20.0)),
+    )
+    return spark.createDataFrame(
+        [vals], "dtw double, soft_dtw double, ddtw double, gak double"
+    )
+
+
+def q_kernel_kmeans_step(spark, sf_dir):
+    """One kernel-k-means Lloyd step in RBF feature space from a
+    cross-engine hash-derived warm start (initial_label_col) on a
+    bounded subset — per-cluster sizes + total kernel distortion."""
+    from generalized_kmeans_clustering_spark.kernel_kmeans import KernelKMeans
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sub = li.where((F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 401 == 1)
+    sub = sub.select(
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            "_", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        ).cast("binary")), 1, 15), 16, 10).cast("long") % 3).alias("_lab"),
+        F.array(
+            F.col("l_quantity"),
+            F.col("l_extendedprice") / 10000.0,
+            F.col("l_discount") * 10.0,
+            F.col("l_tax") * 10.0,
+        ).alias("features"),
+    )
+    m = KernelKMeans(
+        k=3, kernel_type="rbf", gamma=0.05, max_iter=1,
+        initial_label_col="_lab", seed=42,
+    ).fit(sub)
+    sizes = m.summary.cluster_sizes
+    cost = m.summary.distortion_history[0]
+    rnd = lambda v: float(math.floor(v * 10**6 + 0.5) / 10**6)
+    return spark.createDataFrame(
+        [(int(c), int(sizes[c]), rnd(cost)) for c in range(3)],
+        "cluster int, n int, total_cost double",
+    ).orderBy("cluster")
+
+
 def q_multiview_assign(spark, sf_dir):
     """Joint two-view assignment (SE on (f1,f2) weighted 0.7, L1 on
     (f3,f4) weighted 0.3) with fixed per-view centers — the MultiView
@@ -2048,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_fit": q_mixture_fit,
         "soft_fit": q_soft_fit,
         "multiview_assign_fixed": q_multiview_assign,
+        "seq_distances": q_seq_distances,
+        "kernel_kmeans_step": q_kernel_kmeans_step,
         "silhouette_fixed": q_silhouette_fixed,
         "xmeans_bic_fixed": q_xmeans_bic_fixed,
         "minibatch_step": q_minibatch_step,
@@ -2332,6 +2555,8 @@ def oracle_sql() -> dict[str, str]:
     out["mixture_fit"] = _mixture_sql()
     out["soft_fit"] = _soft_sql()
     out["multiview_assign_fixed"] = _multiview_sql()
+    out["seq_distances"] = _seq_family_sql(sigma=20.0)
+    out["kernel_kmeans_step"] = _kernel_kmeans_sql()
     out["silhouette_fixed"] = _silhouette_sql()
     out["xmeans_bic_fixed"] = _xmeans_bic_sql()
     out["minibatch_step"] = _minibatch_sql()

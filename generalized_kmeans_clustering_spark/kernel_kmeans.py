@@ -46,6 +46,7 @@ class KernelKMeans:
         seed: int = 0,
         features_col: str = "features",
         prediction_col: str = "prediction",
+        initial_label_col: str | None = None,
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
@@ -59,6 +60,10 @@ class KernelKMeans:
         self.seed = seed
         self.features_col = features_col
         self.prediction_col = prediction_col
+        # warm start: take initial cluster labels (ints in [0, k)) from
+        # this column instead of the seeded random partition — makes runs
+        # reproducible across engines and lets callers chain refinements
+        self.initial_label_col = initial_label_col
 
     def _mercer(self):
         return get_mercer_kernel(
@@ -71,7 +76,10 @@ class KernelKMeans:
 
         t0 = time()
         df = _ensure_array_features(df, self.features_col)
-        rows = df.select(self.features_col).collect()
+        sel = [self.features_col] + (
+            [self.initial_label_col] if self.initial_label_col else []
+        )
+        rows = df.select(*sel).collect()
         n = len(rows)
         if n > _WARN_ROWS:
             log.warning(
@@ -82,8 +90,14 @@ class KernelKMeans:
         mercer = self._mercer()
         K = mercer.gram(X)
         diag = np.diag(K).copy()
-        rng = np.random.RandomState(self.seed)
-        labels = rng.randint(0, self.k, size=n)
+        if self.initial_label_col:
+            labels = np.asarray(
+                [int(r[self.initial_label_col]) % self.k for r in rows],
+                dtype=np.int64,
+            )
+        else:
+            rng = np.random.RandomState(self.seed)
+            labels = rng.randint(0, self.k, size=n)
         hist: list[float] = []
         converged = False
         iterations = 0
