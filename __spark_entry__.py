@@ -943,7 +943,8 @@ def _soft_sql(iters=3, beta=0.25, centers=None, digits_c=4) -> str:
 _SEQ_INF = "1e300"  # DP boundary sentinel (np.inf twin; exp(-1e300)==0)
 
 
-def _seq_dp_ctes(tag: str, a_exprs, b_exprs, kind: str, gamma=1.0):
+def _seq_dp_ctes(tag: str, a_exprs, b_exprs, kind: str, gamma=1.0,
+                 base="sq"):
     """Single-row chained CTEs for a sequence-DP matrix — ONE
     MATERIALIZED CTE per cell (SELECT *, <cell> AS c{i}_{j}) so every
     up/left/diag reference is a plain column, never an inlined
@@ -952,17 +953,18 @@ def _seq_dp_ctes(tag: str, a_exprs, b_exprs, kind: str, gamma=1.0):
     Returns (ctes, last_cte_name); the result cell is c{la}_{lb}."""
     la, lb = len(a_exprs), len(b_exprs)
     ctes = []
-    prev = "sq"
+    cn = lambda i, j: f"{tag}c{i}_{j}"
+    prev = base
     for i in range(1, la + 1):
         for j in range(1, lb + 1):
             if kind == "gak":
                 local = (f"exp(-(({a_exprs[i-1]}) - ({b_exprs[j-1]})) * "
                          f"(({a_exprs[i-1]}) - ({b_exprs[j-1]})) / "
                          f"(2.0 * {gamma!r} * {gamma!r}))")
-                up = f"c{i-1}_{j}" if i > 1 else "0.0"
-                left = f"c{i}_{j-1}" if j > 1 else "0.0"
+                up = cn(i-1, j) if i > 1 else "0.0"
+                left = cn(i, j-1) if j > 1 else "0.0"
                 if i > 1 and j > 1:
-                    diag = f"c{i-1}_{j-1}"
+                    diag = cn(i-1, j-1)
                 elif i == 1 and j == 1:
                     diag = "1.0"     # K[0,0]
                 else:
@@ -971,10 +973,10 @@ def _seq_dp_ctes(tag: str, a_exprs, b_exprs, kind: str, gamma=1.0):
             else:
                 cost = (f"(({a_exprs[i-1]}) - ({b_exprs[j-1]})) * "
                         f"(({a_exprs[i-1]}) - ({b_exprs[j-1]}))")
-                up = f"c{i-1}_{j}" if i > 1 else _SEQ_INF
-                left = f"c{i}_{j-1}" if j > 1 else _SEQ_INF
+                up = cn(i-1, j) if i > 1 else _SEQ_INF
+                left = cn(i, j-1) if j > 1 else _SEQ_INF
                 if i > 1 and j > 1:
-                    diag = f"c{i-1}_{j-1}"
+                    diag = cn(i-1, j-1)
                 elif i == 1 and j == 1:
                     diag = "0.0"     # D[0,0]
                 else:
@@ -992,7 +994,7 @@ def _seq_dp_ctes(tag: str, a_exprs, b_exprs, kind: str, gamma=1.0):
                     )
             name = f"{tag}_{i}_{j}"
             ctes.append(
-                f"{name} AS MATERIALIZED (SELECT *, {cell} AS c{i}_{j} "
+                f"{name} AS MATERIALIZED (SELECT *, {cell} AS {cn(i, j)} "
                 f"FROM {prev})"
             )
             prev = name
@@ -1042,19 +1044,127 @@ def _seq_family_sql(digits=4, gamma=1.0, sigma=1.0) -> str:
     ctes = [base]
     for blk in (dtw_c, sdtw_c, ddtw_c, gab_c, gaa_c, gbb_c):
         ctes.extend(blk)
-    cell = f"c{L}_{L}"
     gaknorm = (
-        f"({gab_last}.{cell}) / "
-        f"sqrt(greatest(({gaa_last}.{cell}) * ({gbb_last}.{cell}), 1e-300))"
+        f"({gab_last}.gac{L}_{L}) / "
+        f"sqrt(greatest(({gaa_last}.gbc{L}_{L}) * ({gbb_last}.gcc{L}_{L}), "
+        "1e-300))"
     )
     return (
         "WITH " + ",\n".join(ctes) + "\n"
-        f"SELECT {_r(f'sqrt({dtw_last}.{cell})', digits)} AS dtw, "
-        f"{_r(f'{sdtw_last}.{cell}', digits)} AS soft_dtw, "
-        f"{_r(f'sqrt({ddtw_last}.{cell})', digits)} AS ddtw, "
+        f"SELECT {_r(f'sqrt({dtw_last}.tdc{L}_{L})', digits)} AS dtw, "
+        f"{_r(f'{sdtw_last}.tsc{L}_{L}', digits)} AS soft_dtw, "
+        f"{_r(f'sqrt({ddtw_last}.tqc{L}_{L})', digits)} AS ddtw, "
         f"{_r(f'-ln(greatest({gaknorm}, 1e-300))', digits)} AS gak "
         f"FROM {dtw_last}, {sdtw_last}, {ddtw_last}, "
         f"{gab_last}, {gaa_last}, {gbb_last}"
+    )
+
+
+CKM_W = 1e6  # constrained-kmeans penalty weight (forces constraint wins)
+
+
+def _constrained_sql(k=4, digits=2) -> str:
+    """Twin of q_constrained_soft: one soft-mode iteration — global
+    expression argmin, then the driver's sequential resolve over the 6
+    constrained points (most-confident-first order = (dmin, str(id)),
+    ML pen_j = w − w·[j=asg_p], CL pen_j = w·[j=asg_p], partners only
+    count once resolved), per-cluster counts + cost."""
+    md5i = _MD5INT.format(
+        s="(CAST(l_orderkey AS VARCHAR) || '_' || "
+          "CAST(l_linenumber AS VARCHAR) || '_' || "
+          "CAST(l_partkey AS VARCHAR) || '_' || "
+          "CAST(l_suppkey AS VARCHAR))"
+    )
+    dcols = ", ".join(
+        f"({_kernel_dist_sql('se', INIT4[j])}) AS d{j}" for j in range(k)
+    )
+    partner = ("CASE r WHEN 1 THEN 2 WHEN 2 THEN 1 WHEN 3 THEN 4 "
+               "WHEN 4 THEN 3 WHEN 5 THEN 6 ELSE 5 END")
+    parts = [
+        f"h AS MATERIALIZED (SELECT ({md5i}) AS id, l_quantity AS f1, "
+        "l_extendedprice/10000.0 AS f2, l_discount*10.0 AS f3, "
+        "l_tax*10.0 AS f4 FROM lineitem)",
+        f"x AS MATERIALIZED (SELECT *, {dcols} FROM h)",
+        f"base AS MATERIALIZED (SELECT *, {_argmin_case(k)} AS cl, "
+        + "least(" + ", ".join(f"d{j}" for j in range(k)) + ") AS dmin "
+        "FROM x)",
+        "six AS (SELECT *, CAST(row_number() OVER (ORDER BY id) AS INTEGER)"
+        " AS r FROM (SELECT * FROM base ORDER BY id LIMIT 6))",
+        "ro AS (SELECT *, CAST(row_number() OVER "
+        "(ORDER BY dmin, CAST(id AS VARCHAR)) AS INTEGER) AS o FROM six)",
+    ]
+    res_union = []
+    for t in range(1, 7):
+        if t == 1:
+            parts.append(
+                f"s1 AS (SELECT id, r, cl AS asg FROM ro WHERE o = 1)"
+            )
+        else:
+            prev_res = " UNION ALL ".join(
+                f"SELECT * FROM s{q}" for q in range(1, t)
+            )
+            ecols = ", ".join(
+                f"c.d{j} + (CASE WHEN p.asg IS NULL THEN 0.0 "
+                f"WHEN c.r <= 4 THEN {CKM_W!r} - "
+                f"(CASE WHEN p.asg = {j} THEN {CKM_W!r} ELSE 0.0 END) "
+                f"ELSE (CASE WHEN p.asg = {j} THEN {CKM_W!r} ELSE 0.0 END) "
+                f"END) AS d{j}"
+                for j in range(k)
+            )
+            parts.append(
+                f"e{t} AS (SELECT c.id, c.r, {ecols} FROM ro c "
+                f"LEFT JOIN ({prev_res}) p ON p.r = ({partner.replace('r ', 'c.r ')}) "
+                f"WHERE c.o = {t})"
+            )
+            parts.append(
+                f"s{t} AS (SELECT id, r, {_argmin_case(k)} AS asg FROM e{t})"
+            )
+        res_union.append(f"SELECT id, asg FROM s{t}")
+    parts.append("res AS (" + " UNION ALL ".join(res_union) + ")")
+    parts.append(
+        "fin AS (SELECT base.id, coalesce(res.asg, base.cl) AS cl, "
+        + "CASE coalesce(res.asg, base.cl) "
+        + " ".join(f"WHEN {j} THEN d{j}" for j in range(k))
+        + " END AS dist FROM base LEFT JOIN res ON base.id = res.id)"
+    )
+    parts.append("tot AS (SELECT sum(dist) AS gcost FROM fin)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n, "
+        f"{_r('max(tot.gcost)', digits)} AS cost FROM fin, tot "
+        "GROUP BY cl ORDER BY cluster"
+    )
+
+
+TS_C1 = [5.0, 10.0, 20.0, 30.0, 20.0, 10.0, 5.0]    # ts center sequences
+TS_C2 = [45.0, 40.0, 35.0, 30.0, 35.0, 40.0, 45.0]
+
+
+def _timeseries_sql(mod=97, digits=0) -> str:
+    """Twin of q_timeseries_assign: per-order quantity-by-linenumber
+    series (missing slots 0), row-wise DTW DP against the two fixed
+    center sequences (cells as chained MATERIALIZED table columns),
+    argmin with first-index ties, per-cluster counts."""
+    L = 7
+    ser = (
+        "ser AS MATERIALIZED (SELECT l_orderkey, "
+        + ", ".join(
+            f"coalesce(sum(CASE WHEN l_linenumber = {m} THEN l_quantity END)"
+            f", 0.0) AS s{m}"
+            for m in range(1, L + 1)
+        )
+        + f" FROM lineitem WHERE l_orderkey % {mod} = 1 GROUP BY l_orderkey)"
+    )
+    S = [f"s{m}" for m in range(1, L + 1)]
+    u_c, u_last = _seq_dp_ctes(
+        "u", S, [repr(v) for v in TS_C1], "dtw", base="ser")
+    v_c, v_last = _seq_dp_ctes(
+        "v", S, [repr(v) for v in TS_C2], "dtw", base=u_last)
+    return (
+        "WITH " + ",\n".join([ser] + u_c + v_c) + "\n"
+        f"SELECT CASE WHEN uc{L}_{L} <= vc{L}_{L} THEN 0 ELSE 1 END "
+        "AS prediction, CAST(count(*) AS BIGINT) AS n "
+        f"FROM {v_last} GROUP BY 1 ORDER BY prediction"
     )
 
 
@@ -2017,6 +2127,70 @@ def q_seq_distances(spark, sf_dir):
     )
 
 
+def q_constrained_soft(spark, sf_dir):
+    """One ConstrainedKMeans soft iteration: 2 must-link + 1 cannot-link
+    pair over the 6 smallest md5-keyed rows, penalty weight 1e6 so the
+    resolve visibly reassigns — per-cluster counts + cost."""
+    from generalized_kmeans_clustering_spark.constrained import ConstrainedKMeans
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            "_", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        ).cast("binary")), 1, 15), 16, 10).cast("long")).alias("id"),
+        F.array(
+            F.col("l_quantity"),
+            F.col("l_extendedprice") / 10000.0,
+            F.col("l_discount") * 10.0,
+            F.col("l_tax") * 10.0,
+        ).alias("features"),
+    )
+    u = [int(r["id"]) for r in df.orderBy("id").limit(6).collect()]
+    m = ConstrainedKMeans(
+        k=4, divergence="se",
+        must_link_pairs=[(u[0], u[1]), (u[2], u[3])],
+        cannot_link_pairs=[(u[4], u[5])],
+        constraint_mode="soft", constraint_weight=CKM_W, id_col="id",
+        max_iter=1, tol=0.0, initial_centers=INIT4, seed=42,
+    ).fit(df)
+    sizes = m.summary.cluster_sizes
+    cost = m.summary.distortion_history[0]
+    rnd = lambda v: float(math.floor(v * 10**2 + 0.5) / 10**2)
+    return spark.createDataFrame(
+        [(int(c), int(sizes[c]), rnd(cost)) for c in range(4)],
+        "cluster int, n bigint, cost double",
+    ).orderBy("cluster")
+
+
+def q_timeseries_assign(spark, sf_dir):
+    """Distributed TimeSeriesKMeans scoring: per-order quantity series
+    assigned to the nearest of two fixed center sequences by DTW via
+    the model's Arrow pandas_udf — per-cluster counts."""
+    from generalized_kmeans_clustering_spark.timeseries import (
+        TimeSeriesKMeansModel,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ser = (
+        li.where(F.col("l_orderkey") % 97 == 1)
+        .groupBy("l_orderkey")
+        .agg(*[
+            F.coalesce(
+                F.sum(F.when(F.col("l_linenumber") == m, F.col("l_quantity"))),
+                F.lit(0.0),
+            ).alias(f"s{m}")
+            for m in range(1, 8)
+        ])
+        .withColumn("features", F.array(*[f"s{m}" for m in range(1, 8)]))
+    )
+    model = TimeSeriesKMeansModel(centers=[TS_C1, TS_C2], kernel_type="dtw")
+    out = model.transform(ser)
+    return (
+        out.groupBy("prediction").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prediction")
+    )
+
+
 def q_kernel_kmeans_step(spark, sf_dir):
     """One kernel-k-means Lloyd step in RBF feature space from a
     cross-engine hash-derived warm start (initial_label_col) on a
@@ -2271,6 +2445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiview_assign_fixed": q_multiview_assign,
         "seq_distances": q_seq_distances,
         "kernel_kmeans_step": q_kernel_kmeans_step,
+        "timeseries_assign": q_timeseries_assign,
+        "constrained_soft_step": q_constrained_soft,
         "silhouette_fixed": q_silhouette_fixed,
         "xmeans_bic_fixed": q_xmeans_bic_fixed,
         "minibatch_step": q_minibatch_step,
@@ -2557,6 +2733,8 @@ def oracle_sql() -> dict[str, str]:
     out["multiview_assign_fixed"] = _multiview_sql()
     out["seq_distances"] = _seq_family_sql(sigma=20.0)
     out["kernel_kmeans_step"] = _kernel_kmeans_sql()
+    out["timeseries_assign"] = _timeseries_sql()
+    out["constrained_soft_step"] = _constrained_sql()
     out["silhouette_fixed"] = _silhouette_sql()
     out["xmeans_bic_fixed"] = _xmeans_bic_sql()
     out["minibatch_step"] = _minibatch_sql()
