@@ -1286,13 +1286,50 @@ def _xmeans_bic_sql(digits=3) -> str:
     )
 
 
+def _pam_build_steps(px: str, pts: str, k: int, id_col: str = "uid"):
+    """CTE parts for greedy PAM BUILD over `pts` (cols id_col, f1..f4),
+    name-prefixed by `px`. Returns (parts, winner_cte) where
+    {px}allm(mid) holds the k medoid ids."""
+    eu = "sqrt((a.f1-b.f1)*(a.f1-b.f1) + (a.f2-b.f2)*(a.f2-b.f2) + " \
+         "(a.f3-b.f3)*(a.f3-b.f3) + (a.f4-b.f4)*(a.f4-b.f4))"
+    parts = [
+        f"{px}dm AS MATERIALIZED (SELECT a.{id_col} AS i, b.{id_col} AS j, "
+        f"{eu} AS dist FROM {pts} a CROSS JOIN {pts} b)",
+        f"{px}m1 AS (SELECT i AS mid FROM (SELECT i, sum(dist) AS s "
+        f"FROM {px}dm GROUP BY i ORDER BY s ASC, i ASC LIMIT 1))",
+        f"{px}dmin1 AS (SELECT d.i, min(d.dist) AS dmin FROM {px}dm d "
+        f"JOIN {px}m1 ON d.j = {px}m1.mid GROUP BY d.i)",
+    ]
+    meds = [f"(SELECT mid FROM {px}m1)"]
+    for t in range(2, k + 1):
+        prev_dmin = f"{px}dmin{t-1}"
+        notin = ", ".join(meds)
+        parts.append(
+            f"{px}m{t} AS (SELECT j AS mid FROM ("
+            f"SELECT d.j, sum(greatest(p.dmin - d.dist, 0.0)) AS gain "
+            f"FROM {px}dm d JOIN {prev_dmin} p ON d.i = p.i "
+            f"WHERE d.j NOT IN ({notin}) "
+            "GROUP BY d.j ORDER BY gain DESC, j ASC LIMIT 1))"
+        )
+        meds.append(f"(SELECT mid FROM {px}m{t})")
+        if t < k:
+            parts.append(
+                f"{px}dmin{t} AS (SELECT p.i, least(p.dmin, d.dist) AS dmin "
+                f"FROM {prev_dmin} p JOIN {px}dm d ON d.i = p.i AND d.j = "
+                f"(SELECT mid FROM {px}m{t}))"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT mid FROM {px}m{t}" for t in range(1, k + 1)
+    )
+    parts.append(f"{px}allm AS ({sel})")
+    return parts, f"{px}allm"
+
+
 def _pam_build_sql(k=3, mod=347, digits=6) -> str:
     """Twin of q_pam_build: greedy PAM BUILD (no SWAP) on the id%mod==1
     subset — medoid 1 minimizes Σ_j euclid(i,j); each next medoid
     maximizes Σ_i max(0, dmin_i − D_ij). Ties are measure-zero on the
     continuous f2 column; output is the medoid coordinate set sorted."""
-    eu = "sqrt((a.f1-b.f1)*(a.f1-b.f1) + (a.f2-b.f2)*(a.f2-b.f2) + " \
-         "(a.f3-b.f3)*(a.f3-b.f3) + (a.f4-b.f4)*(a.f4-b.f4))"
     uid = ("md5(CAST(l_orderkey AS VARCHAR) || '_' || "
            "CAST(l_linenumber AS VARCHAR) || '_' || "
            "CAST(l_partkey AS VARCHAR) || '_' || "
@@ -1304,38 +1341,64 @@ def _pam_build_sql(k=3, mod=347, digits=6) -> str:
         "l_extendedprice/10000.0 AS f2, l_discount*10.0 AS f3, "
         "l_tax*10.0 AS f4 FROM lineitem "
         f"WHERE (l_orderkey*10 + l_linenumber) % {mod} = 1)",
-        f"dm AS (SELECT a.uid AS i, b.uid AS j, {eu} AS dist "
-        "FROM pts a CROSS JOIN pts b)",
-        "m1 AS (SELECT i AS mid FROM (SELECT i, sum(dist) AS s FROM dm "
-        "GROUP BY i ORDER BY s ASC, i ASC LIMIT 1))",
-        "dmin1 AS (SELECT d.i, min(d.dist) AS dmin FROM dm d JOIN m1 "
-        "ON d.j = m1.mid GROUP BY d.i)",
     ]
-    meds = ["(SELECT mid FROM m1)"]
-    for t in range(2, k + 1):
-        prev_dmin = f"dmin{t-1}"
-        notin = ", ".join(meds)
-        parts.append(
-            f"m{t} AS (SELECT j AS mid FROM ("
-            f"SELECT d.j, sum(greatest(p.dmin - d.dist, 0.0)) AS gain "
-            f"FROM dm d JOIN {prev_dmin} p ON d.i = p.i "
-            f"WHERE d.j NOT IN ({notin}) "
-            "GROUP BY d.j ORDER BY gain DESC, j ASC LIMIT 1))"
-        )
-        meds.append(f"(SELECT mid FROM m{t})")
-        if t < k:
-            parts.append(
-                f"dmin{t} AS (SELECT p.i, least(p.dmin, d.dist) AS dmin "
-                f"FROM {prev_dmin} p JOIN dm d ON d.i = p.i AND d.j = "
-                f"(SELECT mid FROM m{t}))"
-            )
-    sel = " UNION ALL ".join(f"SELECT mid FROM m{t}" for t in range(1, k + 1))
+    build, allm = _pam_build_steps("", "pts", k)
+    parts.extend(build)
     ccols = ", ".join(_r(f"f{m}", digits) + f" AS c{m}" for m in range(1, 5))
     return (
-        "WITH " + ",\n".join(parts) + f", allm AS ({sel}) "
-        f"SELECT {ccols} FROM pts WHERE uid IN (SELECT mid FROM allm) "
+        "WITH " + ",\n".join(parts) + " "
+        f"SELECT {ccols} FROM pts WHERE uid IN (SELECT mid FROM {allm}) "
         "ORDER BY c1, c2, c3, c4"
     )
+
+
+def _clara_build_sql(k=3, num_samples=2, size=120, digits=6) -> str:
+    """Twin of q_clara_build: hash-disjoint samples (pmod(id, S) == s,
+    first `size` rows in id order), PAM BUILD per sample, full-data
+    euclidean cost scan per candidate set, keep the first-best
+    (strict < comparison -> earlier sample wins ties)."""
+    md5i = _MD5INT.format(
+        s="(CAST(l_orderkey AS VARCHAR) || '_' || "
+          "CAST(l_linenumber AS VARCHAR) || '_' || "
+          "CAST(l_partkey AS VARCHAR) || '_' || "
+          "CAST(l_suppkey AS VARCHAR))"
+    )
+    parts = [
+        f"h AS MATERIALIZED (SELECT ({md5i}) AS id, l_quantity AS f1, "
+        "l_extendedprice/10000.0 AS f2, l_discount*10.0 AS f3, "
+        "l_tax*10.0 AS f4 FROM lineitem)",
+    ]
+    costs = []
+    for s in range(num_samples):
+        parts.append(
+            f"p{s} AS MATERIALIZED (SELECT * FROM h "
+            f"WHERE id % {num_samples} = {s} ORDER BY id LIMIT {size})"
+        )
+        build, allm = _pam_build_steps(f"q{s}_", f"p{s}", k, id_col="id")
+        parts.extend(build)
+        parts.append(
+            f"med{s} AS MATERIALIZED (SELECT f1, f2, f3, f4 FROM p{s} "
+            f"WHERE id IN (SELECT mid FROM {allm}))"
+        )
+        parts.append(
+            f"cost{s} AS (SELECT sum(md) AS c FROM (SELECT min("
+            "sqrt((h.f1-m.f1)*(h.f1-m.f1) + (h.f2-m.f2)*(h.f2-m.f2) + "
+            "(h.f3-m.f3)*(h.f3-m.f3) + (h.f4-m.f4)*(h.f4-m.f4))) AS md "
+            f"FROM h CROSS JOIN med{s} m GROUP BY h.id, h.f1, h.f2, h.f3, "
+            "h.f4))"
+        )
+        costs.append(f"(SELECT c FROM cost{s})")
+    win = (
+        f"winner AS (SELECT CASE WHEN {costs[0]} <= {costs[1]} "
+        "THEN 0 ELSE 1 END AS w)"
+    )
+    parts.append(win)
+    ccols = ", ".join(_r(f"f{m}", digits) + f" AS c{m}" for m in range(1, 5))
+    sel = " UNION ALL ".join(
+        f"SELECT {ccols} FROM med{s}, winner WHERE winner.w = {s}"
+        for s in range(num_samples)
+    )
+    return "WITH " + ",\n".join(parts) + f" {sel} ORDER BY c1, c2, c3, c4"
 
 
 def _minibatch_sql(digits=4) -> str:
@@ -2127,6 +2190,35 @@ def q_seq_distances(spark, sf_dir):
     )
 
 
+def q_clara_build(spark, sf_dir):
+    """CLARA with hash-disjoint deterministic samples (sampling='hash'):
+    PAM BUILD per sample, distributed full-data cost scan, first-best
+    medoid set — coordinate set sorted."""
+    from generalized_kmeans_clustering_spark.kmedoids import CLARA
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            "_", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        ).cast("binary")), 1, 15), 16, 10).cast("long")).alias("id"),
+        F.array(
+            F.col("l_quantity"),
+            F.col("l_extendedprice") / 10000.0,
+            F.col("l_discount") * 10.0,
+            F.col("l_tax") * 10.0,
+        ).alias("features"),
+    )
+    m = CLARA(
+        k=3, num_samples=2, sample_size=120, max_iter=0, seed=42,
+        sampling="hash", hash_col="id",
+    ).fit(df)
+    rnd = lambda v: float(math.floor(v * 10**6 + 0.5) / 10**6)
+    rows = sorted(tuple(rnd(v) for v in c) for c in m.centers.tolist())
+    return spark.createDataFrame(
+        rows, "c1 double, c2 double, c3 double, c4 double"
+    )
+
+
 def q_constrained_soft(spark, sf_dir):
     """One ConstrainedKMeans soft iteration: 2 must-link + 1 cannot-link
     pair over the 6 smallest md5-keyed rows, penalty weight 1e6 so the
@@ -2447,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_kmeans_step": q_kernel_kmeans_step,
         "timeseries_assign": q_timeseries_assign,
         "constrained_soft_step": q_constrained_soft,
+        "clara_build": q_clara_build,
         "silhouette_fixed": q_silhouette_fixed,
         "xmeans_bic_fixed": q_xmeans_bic_fixed,
         "minibatch_step": q_minibatch_step,
@@ -2735,6 +2828,7 @@ def oracle_sql() -> dict[str, str]:
     out["kernel_kmeans_step"] = _kernel_kmeans_sql()
     out["timeseries_assign"] = _timeseries_sql()
     out["constrained_soft_step"] = _constrained_sql()
+    out["clara_build"] = _clara_build_sql()
     out["silhouette_fixed"] = _silhouette_sql()
     out["xmeans_bic_fixed"] = _xmeans_bic_sql()
     out["minibatch_step"] = _minibatch_sql()

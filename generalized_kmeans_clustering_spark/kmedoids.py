@@ -166,14 +166,26 @@ class CLARA(KMedoids):
         features_col: str = "features",
         prediction_col: str = "prediction",
         distance_col: str | None = None,
+        sampling: str = "random",
+        hash_col: str | None = None,
     ):
         super().__init__(
             k=k, distance_function=distance_function, max_iter=max_iter,
             seed=seed, features_col=features_col,
             prediction_col=prediction_col, distance_col=distance_col,
         )
+        if sampling not in ("random", "hash"):
+            raise ValueError("sampling: random | hash")
+        if sampling == "hash" and not hash_col:
+            raise ValueError("sampling='hash' needs hash_col")
         self.num_samples = num_samples
         self.sample_size = sample_size
+        # 'hash' draws sample s as the first sample_size rows of the
+        # disjoint slice pmod(hash_col, num_samples) == s in hash order —
+        # deterministic and partition-order-independent, unlike
+        # Bernoulli sample+limit (reproducible across runs and engines)
+        self.sampling = sampling
+        self.hash_col = hash_col
 
     def _full_cost(self, df: DataFrame, medoid_vecs: np.ndarray) -> float:
         """Distributed Σ min distance to the candidate medoids."""
@@ -197,7 +209,10 @@ class CLARA(KMedoids):
 
         t0 = time()
         df = _ensure_array_features(df, self.features_col)
-        work = df.select(self.features_col)
+        sel = [self.features_col] + (
+            [self.hash_col] if self.sampling == "hash" else []
+        )
+        work = df.select(*sel)
         cache_here = work.storageLevel.useMemory is False
         if cache_here:
             work = work.cache()
@@ -207,10 +222,19 @@ class CLARA(KMedoids):
             frac = min(1.0, size * 1.3 / max(n, 1))
             best_cost, best_medoid_vecs = float("inf"), None
             for s in range(self.num_samples):
-                sample = (
-                    work.sample(fraction=frac, seed=self.seed + s)
-                    .limit(size).collect()
-                )
+                if self.sampling == "hash":
+                    sample = (
+                        work.where(
+                            F.pmod(F.col(self.hash_col),
+                                   F.lit(self.num_samples)) == s
+                        )
+                        .orderBy(self.hash_col).limit(size).collect()
+                    )
+                else:
+                    sample = (
+                        work.sample(fraction=frac, seed=self.seed + s)
+                        .limit(size).collect()
+                    )
                 Xs = np.asarray(
                     [r[self.features_col] for r in sample], dtype=np.float64
                 )
