@@ -54,13 +54,19 @@ def sessionize(
 
     One shuffle on user_id; within each user the lag/cumsum pair is a
     linear scan — the standard batch sessionization plan.
+
+    Type-robust: parquet written as ``timestamp[us]`` without a timezone
+    loads as ``TIMESTAMP_NTZ``, which ``unix_micros`` rejects — so the
+    column is cast to ``TIMESTAMP`` once up front (the session timezone
+    is pinned to UTC in bench/tests, so the cast is a pure relabel).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_us = int(gap_minutes * 60.0 * 1_000_000)
-    prev = F.lag(F.col(ts_col)).over(w)
+    ts = F.col(ts_col).cast("timestamp")
+    prev = F.lag(ts).over(w)
     new_session = F.when(
         prev.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+        | (F.unix_micros(ts) - F.unix_micros(prev) > gap_us),
         1,
     ).otherwise(0)
     return df.withColumn("_new", new_session).withColumn(

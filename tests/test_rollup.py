@@ -45,6 +45,31 @@ def test_sessionize_gap(spark, ev):
     assert sid[4] == 1             # other user restarts at 1
 
 
+def test_sessionize_timestamp_ntz(spark, ev, tmp_path):
+    """Regression: parquet written as timestamp[us] without a timezone
+    loads back as TIMESTAMP_NTZ; sessionize must still resolve (r2's
+    only red CORRECTNESS row came from unix_micros rejecting NTZ)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(
+            [t0, t0 + datetime.timedelta(minutes=10),
+             t0 + datetime.timedelta(hours=2)],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([10, 10, 10], pa.int64()),
+    })
+    path = str(tmp_path / "ntz_events.parquet")
+    pq.write_table(tbl, path)
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    out = sessionize(df, gap_minutes=30.0).orderBy("event_id").collect()
+    assert [r["session_id"] for r in out] == [1, 1, 2]
+
+
 def test_top_k_by_count(spark, ev):
     out = top_k_by_count(ev, k=1).collect()
     top = {r["event_type"]: r["user_id"] for r in out}
