@@ -118,7 +118,12 @@ def minhash_signatures(
             acc, ab, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % _P)
         ),
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    # Record the signature width in column metadata so downstream LSH
+    # banding can read it from the schema instead of probing a row.
+    return df.select(
+        F.col(id_col),
+        sig.alias("signature", metadata={"num_hashes": num_hashes}),
+    )
 
 
 def lsh_candidate_pairs(
@@ -132,11 +137,16 @@ def lsh_candidate_pairs(
 
     Shuffles on (band, hash-of-rows) — never a full cross join.
     ``num_hashes`` is the signature length; when None it is read from
-    the DataFrame schema's fixed signature width if available, else a
-    single-row probe (avoid on large frames — pass it explicitly).
+    the ``signature`` column's metadata (written by
+    :func:`minhash_signatures` — no job launched), falling back to a
+    single-row probe only for foreign signature frames.
     ``bucket_mode='raw'`` keys buckets on the joined band string itself
     instead of its xxhash64 (bit-identical cross-engine; bulkier keys).
     """
+    if num_hashes is None:
+        meta = sigs.schema["signature"].metadata
+        if meta and "num_hashes" in meta:
+            num_hashes = int(meta["num_hashes"])
     if num_hashes is None:
         row = sigs.select("signature").first()
         if row is None:
