@@ -100,7 +100,7 @@ class DPMeans:
 
             for it in range(self.max_iter):
                 k = len(centers)
-                assigner = auto_assigner(k, d, "auto")
+                assigner = auto_assigner(k, d, "auto", kernel=kernel)
                 assigned = assigner.assign(
                     work, kernel, centers.tolist(), self.features_col
                 )

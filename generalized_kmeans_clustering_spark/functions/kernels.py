@@ -79,6 +79,15 @@ class Kernel:
     def __init__(self, smoothing: float = EPS):
         self.smoothing = float(smoothing)
 
+    @property
+    def capabilities(self):
+        """Capability descriptor (flags + optimization hints) from the
+        catalog in :mod:`..functions.capabilities` — the analog of the
+        reference's ``KernelOps`` typeclass (``ml/df/KernelOps.scala``)."""
+        from .capabilities import capabilities_for
+
+        return capabilities_for(self)
+
     # -- Column expressions -------------------------------------------------
     def pairwise(self, x: Column, mu: Column) -> Column:
         """D(x, mu) as a Column expression (both array<double>)."""

@@ -337,7 +337,7 @@ class GeneralizedKMeansModel:
         if kernel.pre_normalize:
             feats = kernel.normalize(feats)
         assigner = auto_assigner(self.k, self.dim, self.assignment_strategy,
-                                 spark=df.sparkSession)
+                                 spark=df.sparkSession, kernel=kernel)
         tmp = df.withColumn("_f_norm", feats) if kernel.pre_normalize else df
         fcol = "_f_norm" if kernel.pre_normalize else self.features_col
         out = assigner.assign(

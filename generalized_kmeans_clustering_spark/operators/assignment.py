@@ -205,9 +205,17 @@ def adaptive_chunk_size(spark, d: int, broadcast_fraction: float = 0.1,
     return max(16, int(budget / (max(d, 1) * 8)))
 
 
-def auto_assigner(k: int, d: int, strategy: str = "auto", spark=None):
+def auto_assigner(k: int, d: int, strategy: str = "auto", spark=None,
+                  kernel=None):
     """Decision tree mirroring ``AutoAssignment.scala:19-89``: small k·d →
     single expression; medium → chunked expressions; huge → Arrow/numpy.
+
+    When ``kernel`` is given, the kernel's capability descriptor
+    (``functions/capabilities.py``, reference ``ml/df/KernelOps.scala``)
+    gates the single-expression rung: a kernel's ``broadcast_threshold``
+    caps how many centers ride in one expression tree (SE/spherical
+    1000; asymmetric Bregman kernels 500 — their two-argument zip_with
+    chains are roughly twice the expression weight per center).
     """
     # "elkan" selects the accelerated fit-time iterator; single-pass
     # assignment (transform etc.) falls back to the auto decision tree
@@ -226,7 +234,12 @@ def auto_assigner(k: int, d: int, strategy: str = "auto", spark=None):
             "crossjoin": CrossJoinAssignment,
         }[strategy]()
     elems = k * max(d, 1)
-    if elems <= EXPRESSION_ELEM_LIMIT:
+    center_cap = None
+    if kernel is not None:
+        from ..functions.capabilities import capabilities_for
+
+        center_cap = capabilities_for(kernel).broadcast_threshold
+    if elems <= EXPRESSION_ELEM_LIMIT and (center_cap is None or k < center_cap):
         return ExpressionAssignment()
     if elems <= CHUNKED_ELEM_LIMIT:
         return ChunkedExpressionAssignment()

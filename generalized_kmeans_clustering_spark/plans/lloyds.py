@@ -79,7 +79,8 @@ def _reseed_empty(df, kernel, centers, empty, cfg) -> np.ndarray:
     """Replace empty clusters with the points farthest from their
     assigned center (reference reseed-random: ``EmptyClusterHandler.scala:63-71``;
     farthest-point is the deterministic variant)."""
-    assigner = auto_assigner(len(centers), centers.shape[1], cfg.assignment_strategy)
+    assigner = auto_assigner(len(centers), centers.shape[1],
+                             cfg.assignment_strategy, kernel=kernel)
     assigned = assigner.assign(df, kernel, centers.tolist(), cfg.features_col)
     far = (
         assigned.select(F.col(cfg.features_col).alias("f"), F.col("_dist"))
@@ -102,7 +103,8 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
     sizes: list[int] = []
 
     for it in range(cfg.max_iter):
-        assigner = auto_assigner(k, d, cfg.assignment_strategy, spark=df.sparkSession)
+        assigner = auto_assigner(k, d, cfg.assignment_strategy,
+                                 spark=df.sparkSession, kernel=kernel)
         assigned = assigner.assign(df, kernel, centers.tolist(), cfg.features_col)
         if kernel.mean_update:
             stats = cluster_stats(

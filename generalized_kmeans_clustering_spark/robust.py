@@ -119,7 +119,7 @@ class RobustKMeans:
             iterations = 0
 
             for it in range(self.max_iter):
-                assigner = auto_assigner(k, d, "auto")
+                assigner = auto_assigner(k, d, "auto", kernel=kernel)
                 assigned = assigner.assign(
                     work, kernel, centers.tolist(), self.features_col
                 )

@@ -126,7 +126,7 @@ class StreamingKMeansModel(GeneralizedKMeansModel):
             batch_df = batch_df.withColumn(
                 feats_col, kernel.normalize(F.col(feats_col))
             )
-        assigner = auto_assigner(self.k, d, "auto")
+        assigner = auto_assigner(self.k, d, "auto", kernel=kernel)
         assigned = assigner.assign(
             batch_df, kernel, self.centers.tolist(), feats_col
         )

@@ -1,0 +1,96 @@
+"""Kernel capability descriptor catalog (reference ml/df/KernelOps.scala).
+
+No Spark session needed — the catalog and the auto-assignment decision
+function are pure driver-side logic.
+"""
+
+import pytest
+
+from generalized_kmeans_clustering_spark.functions.capabilities import (
+    KernelCapabilities, all_capabilities, capabilities_for,
+)
+from generalized_kmeans_clustering_spark.functions.kernels import (
+    KERNELS, get_kernel,
+)
+from generalized_kmeans_clustering_spark.operators.assignment import (
+    ChunkedExpressionAssignment, ExpressionAssignment, PandasAssignment,
+    auto_assigner,
+)
+
+CORE = ["squaredEuclidean", "kl", "generalizedI", "itakuraSaito",
+        "logistic", "l1", "spherical"]
+
+
+def test_every_core_kernel_has_a_descriptor():
+    names = {c.name for c in all_capabilities()}
+    assert names == set(CORE)
+
+
+@pytest.mark.parametrize("alias", list(KERNELS))
+def test_every_factory_alias_resolves(alias):
+    caps = capabilities_for(alias)
+    assert isinstance(caps, KernelCapabilities)
+    # alias and its kernel instance resolve to the same descriptor
+    assert capabilities_for(get_kernel(alias)) is caps
+
+
+@pytest.mark.parametrize("name", CORE)
+def test_descriptor_flags_match_kernel_behavior(name):
+    """The catalog must agree with the behavioral attrs the kernels
+    actually use (pre_normalize drives an upfront normalize pass;
+    mean_update drives the M-step; domain drives validation)."""
+    k = get_kernel(name)
+    caps = capabilities_for(k)
+    assert caps is k.capabilities
+    assert caps.benefits_from_normalization == k.pre_normalize
+    assert caps.mean_update == k.mean_update
+    assert caps.is_bregman == k.is_bregman
+    assert caps.requires_positive == (k.domain in ("nonneg", "positive"))
+
+
+def test_se_fast_path_only_for_decomposable_kernels():
+    fast = {c.name for c in all_capabilities() if c.se_fast_path}
+    # SE directly; spherical via 2(1 - x·mu) on L2-normalized vectors
+    assert fast == {"squaredEuclidean", "spherical"}
+
+
+def test_recommended_assignment_respects_threshold():
+    se = capabilities_for("se")
+    kl = capabilities_for("kl")
+    assert se.recommended_assignment(8) == "expression"
+    assert se.recommended_assignment(se.broadcast_threshold) == "chunked"
+    assert kl.recommended_assignment(kl.broadcast_threshold - 1) == "chunked"
+
+
+@pytest.mark.parametrize("name", CORE)
+def test_auto_assigner_matches_descriptor(name):
+    """auto_assigner must pick the single-expression rung exactly when
+    the descriptor's broadcast threshold (and the expression-size cap)
+    allow it."""
+    kernel = get_kernel(name)
+    caps = capabilities_for(kernel)
+    d = 4
+    below = caps.broadcast_threshold - 1
+    assert isinstance(auto_assigner(8, d, kernel=kernel), ExpressionAssignment)
+    assert isinstance(auto_assigner(below, d, kernel=kernel),
+                      ExpressionAssignment)
+    assert isinstance(
+        auto_assigner(caps.broadcast_threshold, d, kernel=kernel),
+        ChunkedExpressionAssignment,
+    )
+    # far beyond the chunked ceiling -> Arrow/numpy path
+    assert isinstance(auto_assigner(8, 100_000, kernel=kernel),
+                      PandasAssignment)
+
+
+def test_auto_assigner_without_kernel_keeps_size_ladder():
+    assert isinstance(auto_assigner(8, 4), ExpressionAssignment)
+    assert isinstance(auto_assigner(10_000, 4), ChunkedExpressionAssignment)
+    assert isinstance(auto_assigner(8, 100_000), PandasAssignment)
+
+
+def test_unknown_kernel_raises():
+    with pytest.raises(KeyError):
+        capabilities_for("noSuchKernel")
+    with pytest.raises(TypeError):
+        capabilities_for(12345)
