@@ -349,7 +349,8 @@ class GeneralizedKMeansModel:
             out = out.drop("_dist_tmp")
         if kernel.pre_normalize:
             out = out.drop("_f_norm")
-        return out
+        # pruned strategy's telemetry column is fit-internal
+        return out.drop("_ncomp")
 
     def predict(self, vector) -> int:
         kernel = self._kernel()

@@ -47,8 +47,10 @@ __all__ = [
     "ExpressionAssignment",
     "ChunkedExpressionAssignment",
     "PandasAssignment",
+    "PrunedSEAssignment",
     "CrossJoinAssignment",
     "auto_assigner",
+    "pruning_stats",
 ]
 
 # k·d beyond which a single expression tree gets unwieldy and we chunk
@@ -152,6 +154,115 @@ class PandasAssignment:
                   .withColumn(dist_col, F.col("_a.dist")).drop("_a"))
 
 
+class PrunedSEAssignment:
+    """Per-call Elkan Lemma-1 pruned assignment (reference
+    ``strategies/impl/AcceleratedSEAssignment.scala:64-239``).
+
+    Triangle-inequality pruning within a single assignment pass: once a
+    point's current-best (half-squared) distance ``dmin`` is known, any
+    center c' with ``d(best, c') ≥ 2·√(2·dmin)`` cannot be closer, so
+    its distance is never evaluated. Center-to-center distances (k², on
+    the driver — same ceiling as the reference) ride in the Arrow UDF
+    closure; the per-row loop is vectorized per center over the whole
+    Arrow batch, not per point.
+
+    Emits an ``ncomp`` column (distances actually computed per row,
+    1..k) — the expression analog of the reference's
+    ``totalDistanceComputations`` accumulator — so the pruning rate is
+    measurable with :func:`pruning_stats` or folded into the Lloyd
+    stats pass. Only valid for kernels whose capability descriptor sets
+    ``se_fast_path`` (SE; spherical on pre-normalized features), and
+    falls back to the exact expression path below ``min_k`` centers
+    where pruning overhead cannot pay off (reference
+    ``AcceleratedSEAssignment.scala:183-190``).
+    """
+
+    name = "pruned"
+
+    def __init__(self, min_k: int = 5):
+        self.min_k = min_k
+
+    def assign(self, df, kernel, centers, features_col,
+               cluster_col="_cluster", dist_col="_dist",
+               ncomp_col="_ncomp"):
+        from ..functions.capabilities import capabilities_for
+
+        caps = capabilities_for(kernel)
+        if not caps.se_fast_path:
+            raise ValueError(
+                "PrunedSEAssignment requires a squared-Euclidean-"
+                f"decomposable kernel (se_fast_path), got {kernel.name!r}"
+            )
+        C = np.asarray(centers, dtype=np.float64)
+        k = len(C)
+        if k < self.min_k:
+            out = ExpressionAssignment().assign(
+                df, kernel, centers, features_col, cluster_col, dist_col
+            )
+            # no pruning attempted: every distance was computed
+            return out.withColumn(ncomp_col, F.lit(k))
+
+        # k×k center-to-center Euclidean distances, precomputed driver-side
+        diff = C[:, None, :] - C[None, :, :]
+        cdist = np.sqrt((diff * diff).sum(axis=-1))
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("struct<cluster:int,dist:double,ncomp:int>")
+        def _prune(feats: pd.Series) -> pd.DataFrame:
+            X = np.asarray(feats.tolist(), dtype=np.float64)
+            if X.size == 0:
+                return pd.DataFrame({"cluster": [], "dist": [], "ncomp": []})
+            n = len(X)
+            best = np.zeros(n, dtype=np.int64)
+            delta = X - C[0]
+            dmin = 0.5 * (delta * delta).sum(axis=1)
+            ncomp = np.ones(n, dtype=np.int64)
+            for i in range(1, k):
+                # Lemma 1: skip center i when d(best, i) >= 2·d(x, best)
+                need = cdist[best, i] < 2.0 * np.sqrt(2.0 * dmin)
+                if not need.any():
+                    continue
+                delta = X[need] - C[i]
+                di = 0.5 * (delta * delta).sum(axis=1)
+                ncomp[need] += 1
+                upd = di < dmin[need]
+                idx = np.flatnonzero(need)[upd]
+                dmin[idx] = di[upd]
+                best[idx] = i
+            return pd.DataFrame({
+                "cluster": best.astype(np.int32),
+                "dist": dmin,
+                "ncomp": ncomp.astype(np.int32),
+            })
+
+        df = df.withColumn("_pa", _prune(F.col(features_col)))
+        return (
+            df.withColumn(cluster_col, F.col("_pa.cluster"))
+            .withColumn(dist_col, F.col("_pa.dist"))
+            .withColumn(ncomp_col, F.col("_pa.ncomp"))
+            .drop("_pa")
+        )
+
+
+def pruning_stats(assigned: DataFrame, k: int,
+                  ncomp_col: str = "_ncomp") -> dict:
+    """Aggregate the pruning telemetry of a PrunedSEAssignment output:
+    rows, average distance computations per row, and the pruning rate
+    ``1 − avg/k`` (the reference's logged statistic,
+    ``AcceleratedSEAssignment.scala:220-232``). One small agg job."""
+    row = assigned.agg(
+        F.sum(ncomp_col).alias("nc"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    if n == 0:
+        return {"rows": 0, "avg_computations": float("nan"),
+                "pruning_rate": float("nan")}
+    avg = float(row["nc"]) / n
+    rate = (1.0 - avg / k) if k > 1 else 0.0
+    return {"rows": n, "avg_computations": avg, "pruning_rate": rate}
+
+
 class CrossJoinAssignment:
     """points × broadcast(centers df) + min_by argmin.
 
@@ -231,6 +342,7 @@ def auto_assigner(k: int, d: int, strategy: str = "auto", spark=None,
             "broadcast": ExpressionAssignment,
             "chunked": ChunkedExpressionAssignment,
             "pandas": PandasAssignment,
+            "pruned": PrunedSEAssignment,
             "crossjoin": CrossJoinAssignment,
         }[strategy]()
     elems = k * max(d, 1)

@@ -48,9 +48,14 @@ def cluster_stats(
     weight_col: str | None,
     cluster_col: str = "_cluster",
     dist_col: str = "_dist",
+    ncomp_col: str | None = None,
 ) -> list:
     """One-pass per-cluster stats. Returns driver rows:
     (cluster, w: Σweight, n: count, cost: Σ w·dist, g: [Σ w·grad_i]).
+
+    ``ncomp_col`` (pruned assignment only) folds the per-row
+    distance-computation count into the same pass as an extra ``sum``
+    — pruning telemetry costs no extra job.
     """
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     grad = kernel.grad(F.col(features_col))
@@ -62,6 +67,8 @@ def cluster_stats(
         ] + [
             F.sum(w * F.element_at(grad, i + 1)).alias(f"g{i}") for i in range(d)
         ]
+        if ncomp_col:
+            aggs.append(F.sum(ncomp_col).alias("ncomp"))
         rows = assigned.groupBy(cluster_col).agg(*aggs).collect()
         return [
             {
@@ -70,6 +77,7 @@ def cluster_stats(
                 "n": r["n"],
                 "cost": r["cost"],
                 "g": np.array([r[f"g{i}"] for i in range(d)]),
+                **({"ncomp": r["ncomp"]} if ncomp_col else {}),
             }
             for r in rows
         ]
@@ -81,27 +89,29 @@ def cluster_stats(
         w.alias("wt"),
         F.col(dist_col).alias("dist"),
         grad.alias("grad"),
+        *([F.col(ncomp_col).alias("ncomp")] if ncomp_col else []),
     )
 
     def _agg(pdf: pd.DataFrame) -> pd.DataFrame:
         G = np.asarray(pdf["grad"].tolist(), dtype=np.float64)
         wt = pdf["wt"].to_numpy()
-        return pd.DataFrame(
-            {
-                "c": [int(pdf["c"].iloc[0])],
-                "w": [float(wt.sum())],
-                "n": [int(len(pdf))],
-                "cost": [float((wt * pdf["dist"].to_numpy()).sum())],
-                "g": [(G * wt[:, None]).sum(axis=0).tolist()],
-            }
-        )
+        out = {
+            "c": [int(pdf["c"].iloc[0])],
+            "w": [float(wt.sum())],
+            "n": [int(len(pdf))],
+            "cost": [float((wt * pdf["dist"].to_numpy()).sum())],
+            "g": [(G * wt[:, None]).sum(axis=0).tolist()],
+        }
+        out["ncomp"] = [int(pdf["ncomp"].sum())] if "ncomp" in pdf else [0]
+        return pd.DataFrame(out)
 
     out = tmp.groupBy("c").applyInPandas(
-        _agg, "c int, w double, n long, cost double, g array<double>"
+        _agg, "c int, w double, n long, cost double, g array<double>, ncomp long"
     ).collect()
     return [
         {"cluster": r["c"], "w": r["w"], "n": r["n"], "cost": r["cost"],
-         "g": np.array(r["g"])}
+         "g": np.array(r["g"]),
+         **({"ncomp": r["ncomp"]} if ncomp_col else {})}
         for r in out
     ]
 

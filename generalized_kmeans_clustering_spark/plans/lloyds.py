@@ -106,13 +106,27 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
         assigner = auto_assigner(k, d, cfg.assignment_strategy,
                                  spark=df.sparkSession, kernel=kernel)
         assigned = assigner.assign(df, kernel, centers.tolist(), cfg.features_col)
+        pruned = cfg.assignment_strategy == "pruned" and kernel.mean_update
         if kernel.mean_update:
             stats = cluster_stats(
-                assigned, kernel, d, cfg.features_col, cfg.weight_col
+                assigned, kernel, d, cfg.features_col, cfg.weight_col,
+                ncomp_col="_ncomp" if pruned else None,
             )
             new_centers, cost, sizes, empty = centers_from_stats(
                 stats, kernel, k, centers
             )
+            if pruned:
+                # same statistic the accelerated plan records: effective
+                # rows whose distance work was skipped this iteration
+                # (n·k − Σncomp distance computations saved, ÷k) — so
+                # summary.pruning_rate == 1 − avg_computations/k, the
+                # reference's logged rate (AcceleratedSEAssignment
+                # .scala:220-232)
+                n_total = sum(s["n"] for s in stats)
+                ncomp_total = sum(s.get("ncomp") or 0 for s in stats)
+                res.pruned_history.append(
+                    float(n_total - ncomp_total / max(k, 1))
+                )
         else:  # L1 / K-Medians: distributed per-dim median
             new_centers, cost, sizes, empty = median_centers(
                 assigned, d, k, cfg.features_col, cfg.weight_col,
