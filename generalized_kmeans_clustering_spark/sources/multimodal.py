@@ -6,12 +6,14 @@ resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages so
 each executor touches only its partitions' bytes — no collect, no
 shuffle, schema known up front.
 
-The image/audio codec libraries are NOT present in this environment,
-so the codec kernels are STUBS behind ``decoder='fake'`` (a
-deterministic hash-based decode used by tests and benchmarks) or
-``decoder='real'`` (raises ``NotImplementedError`` at the exact point
-a PIL/ffmpeg call would go). Everything Spark-side — schemas,
-batching, partitioning, UDF signatures — is real and tested.
+Codec access is feature-probed at call time: ``decoder='real'`` uses
+Pillow (PIL) when it is importable and otherwise raises
+``NotImplementedError`` naming the missing dependency;
+``decoder='fake'`` is the deterministic hash-based decode used by
+tests and benchmarks in codec-less environments. Everything
+Spark-side — schemas, batching, partitioning, UDF signatures — is
+identical between the two, so pipelines built on the fake decode run
+unchanged once Pillow is installed.
 """
 
 from __future__ import annotations
@@ -58,6 +60,28 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
     )
 
 
+def _try_pil():
+    """Feature probe: the Pillow Image module, or None when absent."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _require_pil(what: str):
+    image_mod = _try_pil()
+    if image_mod is None:
+        raise NotImplementedError(
+            f"{what} with decoder='real' requires the Pillow (PIL) "
+            "package, which is not installed in this environment — "
+            "`pip install Pillow`, or use decoder='fake' for the "
+            "deterministic test decode"
+        )
+    return image_mod
+
+
 def _fake_dims(buf: bytes) -> tuple[int, int]:
     """Deterministic pseudo-decode: dims derived from content bytes."""
     h = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
@@ -71,26 +95,36 @@ def decode_image_meta(
 ) -> DataFrame:
     """binary → (width, height, channels) via Arrow-batched mapInPandas.
 
-    ``decoder='real'`` is the PIL/libvips integration point — stubbed
-    with ``NotImplementedError`` in this environment.
+    ``decoder='real'`` decodes with Pillow when it is importable
+    (probed on the driver for a fast failure, and again in each worker
+    in case executor environments differ); otherwise raises
+    ``NotImplementedError`` naming the missing dependency.
     """
+    if decoder == "real":
+        _require_pil("image decode")
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + ["width int", "height int", "channels int"]
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        image_mod = _require_pil("image decode") if decoder == "real" else None
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips — not available "
-                    "in this environment; use decoder='fake'"
-                )
-            dims = [_fake_dims(bytes(b or b"")) for b in pdf[content_col]]
             pdf = pdf.copy()
+            if decoder == "real":
+                dims, chans = [], []
+                for b in pdf[content_col]:
+                    with image_mod.open(io.BytesIO(bytes(b or b""))) as im:
+                        dims.append(im.size)
+                        chans.append(len(im.getbands()))
+                pdf["channels"] = chans
+            else:
+                dims = [_fake_dims(bytes(b or b"")) for b in pdf[content_col]]
+                pdf["channels"] = 3
             pdf["width"] = [d[0] for d in dims]
             pdf["height"] = [d[1] for d in dims]
-            pdf["channels"] = 3
             yield pdf
 
     return df.mapInPandas(_decode, out_schema)
@@ -104,28 +138,49 @@ def image_embedding(
 ) -> DataFrame:
     """binary → feature vector (array<float>) via mapInPandas.
 
-    The fake path emits a deterministic unit-norm vector seeded from a
-    64-bit content hash, so the downstream join/cluster plumbing
-    (ivf_index, cosine_topk, near-dup) is exercisable end-to-end.
+    ``decoder='real'`` (Pillow, probed at call time) emits a classical
+    pixel feature: grayscale → resize to a √dim×√dim grid → flatten →
+    L2-normalize. Not a learned embedding, but a real decode whose
+    nearest-neighbor structure tracks visual similarity, and the
+    output contract (unit-norm ``array<float>[dim]``) is identical to
+    the fake path, so ivf_index / cosine_topk / near-dup pipelines run
+    unchanged. The fake path seeds a deterministic unit-norm vector
+    from a 64-bit content hash.
     """
+    if decoder == "real":
+        _require_pil("image embedding")
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + ["embedding array<float>"]
     )
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        image_mod = _require_pil("image embedding") if decoder == "real" else None
+        side = max(int(round(dim ** 0.5)), 1)
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real image embedding requires a vision model runtime"
-                )
             vecs = []
             for b in pdf[content_col]:
-                seed = int.from_bytes(
-                    bytes(b or b"")[:8].ljust(8, b"\0"), "little"
-                ) % (2 ** 32)
-                v = np.random.RandomState(seed).randn(dim)
-                vecs.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+                buf = bytes(b or b"")
+                if decoder == "real":
+                    with image_mod.open(io.BytesIO(buf)) as im:
+                        px = np.asarray(
+                            im.convert("L").resize((side, side)),
+                            dtype=np.float64,
+                        ).ravel()
+                    v = np.zeros(dim)
+                    v[: px.size] = px[:dim]
+                    v -= v.mean()
+                    nrm = np.linalg.norm(v)
+                    v = v / nrm if nrm > 0 else v + 1.0 / np.sqrt(dim)
+                else:
+                    seed = int.from_bytes(
+                        buf[:8].ljust(8, b"\0"), "little"
+                    ) % (2 ** 32)
+                    v = np.random.RandomState(seed).randn(dim)
+                    v = v / np.linalg.norm(v)
+                vecs.append(v.astype(np.float32).tolist())
             pdf = pdf.copy()
             pdf["embedding"] = vecs
             yield pdf
@@ -153,12 +208,17 @@ def sample_video_frames(
     )
     keep_cols = [f.name for f in df.schema.fields if f.name != content_col]
 
+    if decoder == "real":
+        # no ffmpeg/PyAV in any supported environment yet — named stub
+        raise NotImplementedError(
+            "video frame sampling with decoder='real' requires ffmpeg "
+            "bindings (PyAV or imageio-ffmpeg), which are not installed "
+            "— use decoder='fake' for the deterministic byte-slice "
+            "sampler"
+        )
+
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg bindings"
-                )
             rows = []
             for _, r in pdf.iterrows():
                 buf = bytes(r[content_col] or b"")

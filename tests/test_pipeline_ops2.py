@@ -94,10 +94,40 @@ def test_decode_image_meta_fake(spark, media):
            [(r["width"], r["height"]) for r in again]
 
 
-def test_decode_real_raises(spark, media):
-    with pytest.raises(Exception) as ei:
-        decode_image_meta(media, decoder="real").collect()
-    assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+def test_decode_real_probes_pil(spark, media):
+    """decoder='real' uses Pillow when importable; otherwise fails fast
+    (at call time, before any Spark job) naming the missing package."""
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image_meta(media, decoder="real")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            image_embedding(media, decoder="real")
+        return
+    # Pillow present: decode a real PNG end-to-end
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "media_id long, content binary")
+    row = decode_image_meta(df, decoder="real").collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (20, 10, 3)
+    emb = image_embedding(df, dim=16, decoder="real").collect()[0]
+    assert len(emb["embedding"]) == 16
+    assert abs(np.linalg.norm(emb["embedding"]) - 1.0) < 1e-5
+
+
+def test_video_real_names_ffmpeg(spark, media):
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        sample_video_frames(media, decoder="real")
 
 
 def test_image_embedding_plumbing(spark, media):
