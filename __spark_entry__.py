@@ -42,7 +42,9 @@ from generalized_kmeans_clustering_spark.operators.dedup import (
 from generalized_kmeans_clustering_spark.operators.similarity import (
     cosine_topk, embedding_near_dup_pairs,
 )
-from generalized_kmeans_clustering_spark.kmeans import GeneralizedKMeans
+from generalized_kmeans_clustering_spark.kmeans import (
+    GeneralizedKMeans, GeneralizedKMeansModel,
+)
 
 # ---------------------------------------------------------------------------
 # shared constants (must match the SQL templates below exactly)
@@ -2462,6 +2464,126 @@ def q_fit_full(spark, sf_dir):
     return _wide_centers_df(spark, m.centers, digits=4)
 
 
+# --- strategy-parity + model-API oracle queries (round 3) ------------------
+
+def _q_assign_via(assigner_factory):
+    """assign_se_fixed twin through a different assignment strategy —
+    identical oracle SQL, so the oracle gate proves strategy parity
+    cross-engine (reference strategies/impl/*)."""
+
+    def q(spark, sf_dir):
+        df = lineitem_feats(spark, sf_dir)
+        out = assigner_factory().assign(
+            df, get_kernel("se"), INIT4, "features", cluster_col="cluster"
+        )
+        return (
+            out.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _rcol(F.sum("_dist") / F.count(F.lit(1)), 4).alias("avg_dist"))
+            .orderBy("cluster")
+        )
+
+    return q
+
+
+def q_assign_se_chunked(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.operators.assignment import (
+        ChunkedExpressionAssignment,
+    )
+
+    return _q_assign_via(lambda: ChunkedExpressionAssignment(chunk_size=2))(
+        spark, sf_dir)
+
+
+def q_assign_se_pruned(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.operators.assignment import (
+        PrunedSEAssignment,
+    )
+
+    # min_k=2 so k=4 actually takes the Lemma-1 pruning path
+    def q(spark, sf_dir):
+        df = lineitem_feats(spark, sf_dir)
+        out = PrunedSEAssignment(min_k=2).assign(
+            df, get_kernel("se"), INIT4, "features", cluster_col="cluster"
+        )
+        return (
+            out.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _rcol(F.sum("_dist") / F.count(F.lit(1)), 4).alias("avg_dist"))
+            .orderBy("cluster")
+        )
+
+    return q(spark, sf_dir)
+
+
+def q_assign_se_crossjoin(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.operators.assignment import (
+        CrossJoinAssignment,
+    )
+
+    return _q_assign_via(CrossJoinAssignment)(spark, sf_dir)
+
+
+#: fixed probe vectors for the single-vector predict API
+PRED_VECS = [
+    [4.0, 1.1, 0.3, 0.2], [14.0, 2.9, 0.4, 0.3], [22.0, 4.0, 0.5, 0.4],
+    [38.0, 6.5, 0.7, 0.5], [50.0, 9.0, 0.9, 0.7],
+]
+
+
+def q_predict_fixed(spark, sf_dir):
+    """model.predict (driver-side argmin, GeneralizedKMeansModel
+    .scala:110-126) on fixed vectors — oracled as a VALUES argmin."""
+    model = GeneralizedKMeansModel(centers=INIT4, kernel_name="squaredEuclidean")
+    rows = [(int(i), int(model.predict(v))) for i, v in enumerate(PRED_VECS)]
+    return spark.createDataFrame(rows, "vec_id int, prediction int")
+
+
+def q_soft_eff_clusters(spark, sf_dir):
+    """SoftKMeansModel.effective_num_clusters — exp(mean membership
+    entropy) over the full table (SoftKMeansModel.scala:141-160)."""
+    import math
+
+    from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeansModel
+
+    model = SoftKMeansModel(
+        centers=INIT4, kernel_name="squaredEuclidean", beta=SOFT_BETA,
+    )
+    val = model.effective_num_clusters(lineitem_feats(spark, sf_dir))
+    rounded = math.floor(val * 1e6 + 0.5) / 1e6 + 0.0
+    return spark.createDataFrame([(rounded,)], "eff_clusters double")
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs via 16-bit-quarter pigeonhole blocking
+    (exhaustive for hamming <= 3) on the cross-engine md5 signature."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
+    docs = documents(spark, sf_dir)
+    sigs = simhash64(docs, hash_fn="md5")
+    return simhash_near_dups(sigs, max_hamming=3).orderBy("i", "j")
+
+
+def q_persist_roundtrip(spark, sf_dir):
+    """save -> load -> centers: the checksummed parquet layout must
+    round-trip doubles exactly (PersistenceLayout.scala:82-177)."""
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.persistence import load_model
+
+    path = tempfile.mkdtemp(prefix="gkm_oracle_persist_") + "/model"
+    GeneralizedKMeansModel(
+        centers=INIT4, kernel_name="squaredEuclidean",
+    ).save(spark, path)
+    m2 = load_model(spark, path)
+    rows = [(int(i), *[float(v) for v in c]) for i, c in enumerate(m2.centers)]
+    return spark.createDataFrame(
+        rows, "center_id int, c0 double, c1 double, c2 double, c3 double"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2539,6 +2661,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_kmeans_step": q_kernel_kmeans_step,
         "timeseries_assign": q_timeseries_assign,
         "constrained_soft_step": q_constrained_soft,
+        "assign_se_chunked": q_assign_se_chunked,
+        "assign_se_pruned": q_assign_se_pruned,
+        "assign_se_crossjoin": q_assign_se_crossjoin,
+        "predict_fixed": q_predict_fixed,
+        "soft_eff_clusters": q_soft_eff_clusters,
+        "dedup_simhash_near_dups": q_simhash_near_dups,
+        "persist_roundtrip": q_persist_roundtrip,
         "clara_build": q_clara_build,
         "silhouette_fixed": q_silhouette_fixed,
         "xmeans_bic_fixed": q_xmeans_bic_fixed,
@@ -2586,6 +2715,58 @@ def oracle_sql() -> dict[str, str]:
         f"least(d0,d1,d2,d3) AS dmin FROM x) "
         f"SELECT cluster, count(*) AS n, {_r('sum(dmin)/count(*)', 4)} AS avg_dist "
         f"FROM a GROUP BY cluster ORDER BY cluster"
+    )
+    # strategy parity: chunked / Lemma-1 pruned / cross-join assignment
+    # must reproduce the expression path exactly — same oracle
+    out["assign_se_chunked"] = out["assign_se_fixed"]
+    out["assign_se_pruned"] = out["assign_se_fixed"]
+    out["assign_se_crossjoin"] = out["assign_se_fixed"]
+
+    # model.predict on fixed vectors: VALUES + the same argmin chain
+    pv_rows = ", ".join(
+        f"({i}, {', '.join(repr(float(x)) for x in v)})"
+        for i, v in enumerate(PRED_VECS)
+    )
+    pv_dists = ", ".join(
+        f"{_se_dist_sql(c)} AS d{j}" for j, c in enumerate(INIT4)
+    )
+    out["predict_fixed"] = (
+        f"WITH v(vec_id, f1, f2, f3, f4) AS (VALUES {pv_rows}), "
+        f"x AS (SELECT *, {pv_dists} FROM v) "
+        f"SELECT CAST(vec_id AS INTEGER) AS vec_id, "
+        f"CAST({_argmin_case(k)} AS INTEGER) AS prediction "
+        f"FROM x ORDER BY vec_id"
+    )
+
+    # effective #clusters: exp(mean Boltzmann-membership entropy)
+    eff_exps = ", ".join(
+        f"exp(-{SOFT_BETA!r}*(d{j} - dmin)) AS e{j}" for j in range(k)
+    )
+    eff_tot = " + ".join(f"e{j}" for j in range(k))
+    eff_ent = " + ".join(
+        f"(e{j}/tot) * ln(e{j}/tot)" for j in range(k)
+    )
+    out["soft_eff_clusters"] = (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, {dist_cols} FROM feats), "
+        f"y AS (SELECT *, least(d0,d1,d2,d3) AS dmin FROM x), "
+        f"z AS (SELECT *, {eff_exps} FROM y), "
+        f"w AS (SELECT *, ({eff_tot}) AS tot FROM z), "
+        f"h AS (SELECT -({eff_ent}) AS ent FROM w) "
+        f"SELECT {_r('exp(avg(ent))', 6)} AS eff_clusters FROM h"
+    )
+
+    # persistence round-trip: centers must come back as the exact doubles
+    pr_rows = ", ".join(
+        f"({i}, {', '.join(repr(float(x)) for x in c)})"
+        for i, c in enumerate(INIT4)
+    )
+    out["persist_roundtrip"] = (
+        f"SELECT CAST(center_id AS INTEGER) AS center_id, "
+        f"CAST(c0 AS DOUBLE) AS c0, CAST(c1 AS DOUBLE) AS c1, "
+        f"CAST(c2 AS DOUBLE) AS c2, CAST(c3 AS DOUBLE) AS c3 "
+        f"FROM (VALUES {pr_rows}) AS t(center_id, c0, c1, c2, c3) "
+        f"ORDER BY center_id"
     )
 
     out["lloyd_se_1iter"] = _lloyd_sql(1)
@@ -2841,6 +3022,14 @@ def oracle_sql() -> dict[str, str]:
     # dedup with the cross-engine md5 shingle hash
     out["dedup_minhash_lsh_pairs"] = _minhash_lsh_sql()
     out["dedup_simhash64"] = _simhash_sql()
+    out["dedup_simhash_near_dups"] = (
+        f"WITH sims AS ({_simhash_sql()}) "
+        "SELECT a.doc_id AS i, b.doc_id AS j, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        "FROM sims a JOIN sims b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 "
+        "ORDER BY i, j"
+    )
     out["dedup_jaccard_verify"] = _jaccard_verify_sql()
     out["multimodal_image_meta"] = _multimodal_sql()
     # Mercer kernel values vs the fixed landmark
