@@ -2524,6 +2524,51 @@ def q_assign_se_crossjoin(spark, sf_dir):
     return _q_assign_via(CrossJoinAssignment)(spark, sf_dir)
 
 
+def q_assign_se_adaptive(spark, sf_dir):
+    """Adaptive (memory-derived chunk size) assignment — same oracle as
+    the expression path (AdaptiveBroadcastAssignment.scala:50-190)."""
+    from generalized_kmeans_clustering_spark.operators.assignment import (
+        auto_assigner,
+    )
+
+    df = lineitem_feats(spark, sf_dir)
+    assigner = auto_assigner(len(INIT4), 4, "adaptive", spark=spark)
+    out = assigner.assign(
+        df, get_kernel("se"), INIT4, "features", cluster_col="cluster"
+    )
+    return (
+        out.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _rcol(F.sum("_dist") / F.count(F.lit(1)), 4).alias("avg_dist"))
+        .orderBy("cluster")
+    )
+
+
+def q_lloyd_elkan_3iter(spark, sf_dir):
+    """Elkan/Hamerly cross-iteration bound plan, 3 iterations — the
+    bounds are exact, so the result must equal the exact Lloyd loop and
+    shares lloyd_se_3iter's unrolled oracle (plans/accelerated.py;
+    reference AcceleratedSEAssignment.scala + Elkan 2003)."""
+    df = lineitem_feats(spark, sf_dir)
+    m = GeneralizedKMeans(
+        k=4, divergence="se", max_iter=3, tol=0.0,
+        initial_centers=INIT4, assignment_strategy="elkan",
+        empty_cluster_strategy="keep", seed=0,
+    ).fit(df)
+    rows = [
+        (int(c), int(n), *[float(v) for v in m.centers[c]])
+        for c, n in enumerate(m.summary.cluster_sizes)
+        if n > 0
+    ]
+    out = spark.createDataFrame(
+        rows, "cluster int, n long, c1 double, c2 double, c3 double, c4 double"
+    )
+    return out.select(
+        "cluster", "n",
+        *[_rcol(F.col(f"c{m_}"), 5).alias(f"c{m_}") for m_ in range(1, 5)],
+    ).orderBy("cluster")
+
+
 #: fixed probe vectors for the single-vector predict API
 PRED_VECS = [
     [4.0, 1.1, 0.3, 0.2], [14.0, 2.9, 0.4, 0.3], [22.0, 4.0, 0.5, 0.4],
@@ -2664,6 +2709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_se_chunked": q_assign_se_chunked,
         "assign_se_pruned": q_assign_se_pruned,
         "assign_se_crossjoin": q_assign_se_crossjoin,
+        "assign_se_adaptive": q_assign_se_adaptive,
+        "lloyd_elkan_3iter": q_lloyd_elkan_3iter,
         "predict_fixed": q_predict_fixed,
         "soft_eff_clusters": q_soft_eff_clusters,
         "dedup_simhash_near_dups": q_simhash_near_dups,
@@ -2721,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
     out["assign_se_chunked"] = out["assign_se_fixed"]
     out["assign_se_pruned"] = out["assign_se_fixed"]
     out["assign_se_crossjoin"] = out["assign_se_fixed"]
+    out["assign_se_adaptive"] = out["assign_se_fixed"]
 
     # model.predict on fixed vectors: VALUES + the same argmin chain
     pv_rows = ", ".join(
@@ -2770,6 +2818,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["lloyd_se_1iter"] = _lloyd_sql(1)
+    # Elkan bounds are exact: the accelerated plan must reproduce the
+    # exact Lloyd loop bit-for-bit at the same iteration count
+    out["lloyd_elkan_3iter"] = _lloyd_sql(3)
     out["lloyd_se_3iter"] = _lloyd_sql(3)
 
     # EM E-step with fixed pi/centers: s_j = d_j − ln π_j, softmax(−s)
