@@ -2569,6 +2569,141 @@ def q_lloyd_elkan_3iter(spark, sf_dir):
     ).orderBy("cluster")
 
 
+def _agglo_items(spark, sf_dir):
+    """25 deterministic items: nation-level customer aggregates (LEFT
+    JOIN keeps empty nations as zero rows so the item count is fixed
+    across scale factors)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    agg = cust.groupBy("c_nationkey").agg(
+        (F.avg("c_acctbal") / 1000.0).alias("f1"),
+        (F.count(F.lit(1)) / 100.0).alias("f2"),
+        (F.avg("c_custkey") / 10000.0).alias("f3"),
+    )
+    return (
+        nat.select(F.col("n_nationkey").alias("id"))
+        .join(agg, F.col("id") == F.col("c_nationkey"), "left")
+        .select(
+            "id",
+            F.coalesce("f1", F.lit(0.0)).alias("f1"),
+            F.coalesce("f2", F.lit(0.0)).alias("f2"),
+            F.coalesce("f3", F.lit(0.0)).alias("f3"),
+        )
+        .orderBy("id")
+    )
+
+
+def _q_agglo(linkage: str, k: int = 4):
+    """AgglomerativeBregman on the 25 nation items; output
+    (id, cluster_rep) where the representative is the min member id —
+    invariant under the merge-order relabeling (agglomerative.py:94-145,
+    reference AgglomerativeBregman.scala:173-280)."""
+
+    def q(spark, sf_dir):
+        from generalized_kmeans_clustering_spark.agglomerative import (
+            AgglomerativeBregman,
+        )
+
+        rows = _agglo_items(spark, sf_dir).collect()
+        ids = [int(r["id"]) for r in rows]
+        feats = spark.createDataFrame(
+            [(i, [float(r["f1"]), float(r["f2"]), float(r["f3"])])
+             for i, r in zip(ids, rows)],
+            "id int, features array<double>",
+        )
+        model = AgglomerativeBregman(
+            num_clusters=k, linkage=linkage, divergence="se",
+        ).fit(feats)
+        reps: dict[int, int] = {}
+        for i, lbl in zip(ids, model.training_labels):
+            reps.setdefault(int(lbl), i)  # ids ascend → first = min member
+        out = [(i, reps[int(lbl)]) for i, lbl in zip(ids, model.training_labels)]
+        return spark.createDataFrame(
+            out, "id int, cluster_rep int"
+        ).orderBy("id")
+
+    return q
+
+
+_AGGLO_ITEMS_SQL = (
+    "SELECT n.n_nationkey AS id, "
+    "coalesce(c.f1, 0.0) AS f1, coalesce(c.f2, 0.0) AS f2, "
+    "coalesce(c.f3, 0.0) AS f3 "
+    "FROM nation n LEFT JOIN (SELECT c_nationkey, "
+    "avg(c_acctbal)/1000.0 AS f1, count(*)/100.0 AS f2, "
+    "avg(c_custkey)/10000.0 AS f3 FROM customer GROUP BY c_nationkey) c "
+    "ON c.c_nationkey = n.n_nationkey"
+)
+
+
+def _agglo_sql(linkage: str, n: int = 25, k: int = 4) -> str:
+    """SQL replay of the Lance–Williams merge recursion: the distance
+    matrix, size table, and assignment table update per step exactly as
+    agglomerative.py:97-137 does (pick = min dist, ties by (ca, cb));
+    initial distances mirror div_np's ½(‖x‖²−2x·c+‖c‖²) form."""
+    se = ("0.5 * greatest((a.f1*a.f1 + a.f2*a.f2 + a.f3*a.f3) "
+          "- 2.0*(a.f1*b.f1 + a.f2*b.f2 + a.f3*b.f3) "
+          "+ (b.f1*b.f1 + b.f2*b.f2 + b.f3*b.f3), 0.0)")
+    parts = [
+        f"items AS MATERIALIZED ({_AGGLO_ITEMS_SQL})",
+        f"d0 AS (SELECT a.id AS ca, b.id AS cb, {se} AS dist "
+        "FROM items a JOIN items b ON a.id < b.id)",
+        "s0 AS (SELECT id AS cl, 1.0 AS sz FROM items)",
+        "a0 AS (SELECT id, id AS cl FROM items)",
+    ]
+    if linkage == "single":
+        lw = "least(dak, dbk)"
+    elif linkage == "complete":
+        lw = "greatest(dak, dbk)"
+    elif linkage == "average":
+        lw = "(sa*dak + sb*dbk)/(sa + sb)"
+    else:  # ward
+        lw = "((sa + sk)*dak + (sb + sk)*dbk - sk*dab)/(sa + sb + sk)"
+    for t in range(1, n - k + 1):
+        pv, dv, sv, av = f"p{t}", f"d{t-1}", f"s{t-1}", f"a{t-1}"
+        parts.append(
+            f"{pv} AS MATERIALIZED (SELECT ca, cb, dist FROM {dv} "
+            "ORDER BY dist ASC, ca ASC, cb ASC LIMIT 1)"
+        )
+        parts.append(
+            f"o{t} AS MATERIALIZED (SELECT cl AS kk FROM {sv} WHERE "
+            f"cl <> (SELECT ca FROM {pv}) AND cl <> (SELECT cb FROM {pv}))"
+        )
+        parts.append(
+            f"d{t} AS MATERIALIZED ("
+            f"SELECT d.ca, d.cb, d.dist FROM {dv} d "
+            f"WHERE d.ca <> (SELECT ca FROM {pv}) AND d.ca <> (SELECT cb FROM {pv}) "
+            f"AND d.cb <> (SELECT ca FROM {pv}) AND d.cb <> (SELECT cb FROM {pv}) "
+            "UNION ALL "
+            "SELECT least(p.ca, o.kk) AS ca, greatest(p.ca, o.kk) AS cb, "
+            f"{lw} AS dist FROM {pv} p, o{t} o, LATERAL (SELECT "
+            f"(SELECT dist FROM {dv} WHERE ca = least(p.ca, o.kk) "
+            f"AND cb = greatest(p.ca, o.kk)) AS dak, "
+            f"(SELECT dist FROM {dv} WHERE ca = least(p.cb, o.kk) "
+            f"AND cb = greatest(p.cb, o.kk)) AS dbk, "
+            f"(SELECT sz FROM {sv} WHERE cl = p.ca) AS sa, "
+            f"(SELECT sz FROM {sv} WHERE cl = p.cb) AS sb, "
+            f"(SELECT sz FROM {sv} WHERE cl = o.kk) AS sk, "
+            "p.dist AS dab) lw)"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT cl, CASE WHEN cl = (SELECT ca FROM {pv}) "
+            f"THEN sz + (SELECT sz FROM {sv} WHERE cl = (SELECT cb FROM {pv})) "
+            f"ELSE sz END AS sz FROM {sv} "
+            f"WHERE cl <> (SELECT cb FROM {pv}))"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT id, CASE WHEN cl = (SELECT cb FROM {pv}) "
+            f"THEN (SELECT ca FROM {pv}) ELSE cl END AS cl FROM {av})"
+        )
+    last = f"a{n - k}"
+    return (
+        "WITH " + ",\n".join(parts) + " "
+        f"SELECT CAST(id AS INTEGER) AS id, CAST(cl AS INTEGER) AS cluster_rep "
+        f"FROM {last} ORDER BY id"
+    )
+
+
 #: fixed probe vectors for the single-vector predict API
 PRED_VECS = [
     [4.0, 1.1, 0.3, 0.2], [14.0, 2.9, 0.4, 0.3], [22.0, 4.0, 0.5, 0.4],
@@ -2715,6 +2850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_eff_clusters": q_soft_eff_clusters,
         "dedup_simhash_near_dups": q_simhash_near_dups,
         "persist_roundtrip": q_persist_roundtrip,
+        "agglo_average_nations": _q_agglo("average"),
+        "agglo_ward_nations": _q_agglo("ward"),
+        "agglo_single_nations": _q_agglo("single"),
+        "agglo_complete_nations": _q_agglo("complete"),
         "clara_build": q_clara_build,
         "silhouette_fixed": q_silhouette_fixed,
         "xmeans_bic_fixed": q_xmeans_bic_fixed,
@@ -2809,6 +2948,9 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {', '.join(repr(float(x)) for x in c)})"
         for i, c in enumerate(INIT4)
     )
+    for lk in ("average", "ward", "single", "complete"):
+        out[f"agglo_{lk}_nations"] = _agglo_sql(lk)
+
     out["persist_roundtrip"] = (
         f"SELECT CAST(center_id AS INTEGER) AS center_id, "
         f"CAST(c0 AS DOUBLE) AS c0, CAST(c1 AS DOUBLE) AS c1, "
