@@ -2704,6 +2704,81 @@ def _agglo_sql(linkage: str, n: int = 25, k: int = 4) -> str:
     )
 
 
+IB_BINS, IB_K, IB_BETA = 16, 3, 2.0
+
+
+def _ib_init_pt_x():
+    """Deterministic integer-derived row-stochastic init — exactly
+    reproducible in SQL: raw[x,t] = 1 + ((7x + 3t) mod 5), row-normed."""
+    raw = [[1.0 + ((7 * x + 3 * t) % 5) for t in range(IB_K)]
+           for x in range(IB_BINS)]
+    return raw
+
+
+def q_ib_one_step(spark, sf_dir):
+    """One Blahut–Arimoto step of the Information Bottleneck
+    (info_bottleneck.py fit loop; reference InformationBottleneck
+    .scala:202-316) from a deterministic init over a user-supplied
+    discretization of events.value vs event_type: per occupied bin the
+    hardened cluster plus the post-step I(X;T) / I(T;Y)."""
+    import math
+
+    from generalized_kmeans_clustering_spark.info_bottleneck import (
+        InformationBottleneck,
+    )
+
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    binned = ev.select(
+        F.pmod(F.abs(F.floor(F.col("value") * 10.0)).cast("long"),
+               F.lit(IB_BINS)).cast("int").alias("xb"),
+        F.col("event_type").alias("y"),
+    )
+    model = InformationBottleneck(
+        k=IB_K, beta=IB_BETA, num_bins=IB_BINS, relevance_col="y",
+        max_iter=1, bin_col="xb", initial_pt_x=_ib_init_pt_x(),
+    ).fit(binned)
+    occupied = sorted(
+        r["xb"] for r in binned.select("xb").distinct().collect()
+    )
+    rix = math.floor(model.i_xt * 1e6 + 0.5) / 1e6 + 0.0
+    riy = math.floor(model.i_ty * 1e6 + 0.5) / 1e6 + 0.0
+    rows = [
+        (int(x), int(model.bin_cluster[x]), rix, riy) for x in occupied
+    ]
+    return spark.createDataFrame(
+        rows, "xb int, cluster int, i_xt double, i_ty double"
+    ).orderBy("xb")
+
+
+def q_coreset_sensitivity(spark, sf_dir):
+    """Deterministic half of coreset sampling (coreset.py sensitivities;
+    reference CoresetKMeans.scala:280-345): per-strategy normalized
+    sensitivity and clamped inclusion probability against the fixed
+    INIT4 pilot centers. The Bernoulli draw itself is seeded-rand and
+    stays pytest-only."""
+    from generalized_kmeans_clustering_spark.coreset import CoresetKMeans
+
+    df = lineitem_feats(spark, sf_dir)
+    outs = []
+    for strat in ("density", "distance", "hybrid", "uniform"):
+        cs = CoresetKMeans(
+            k=4, coreset_size=100, sensitivity_strategy=strat,
+        )
+        s = cs.sensitivities(df, rough_centers=INIT4)
+        outs.append(
+            s.agg(
+                _rcol(F.sum("_cs_sens"), 6).alias("sum_sens"),
+                _rcol(F.sum("_cs_p"), 4).alias("expected_size"),
+                _rcol(F.max("_cs_p"), 6).alias("max_p"),
+                _rcol(F.min("_cs_p"), 8).alias("min_p"),
+            ).withColumn("strategy", F.lit(strat))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("strategy")
+
+
 #: fixed probe vectors for the single-vector predict API
 PRED_VECS = [
     [4.0, 1.1, 0.3, 0.2], [14.0, 2.9, 0.4, 0.3], [22.0, 4.0, 0.5, 0.4],
@@ -2850,6 +2925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_eff_clusters": q_soft_eff_clusters,
         "dedup_simhash_near_dups": q_simhash_near_dups,
         "persist_roundtrip": q_persist_roundtrip,
+        "coreset_sensitivity_stats": q_coreset_sensitivity,
+        "ib_one_step": q_ib_one_step,
         "agglo_average_nations": _q_agglo("average"),
         "agglo_ward_nations": _q_agglo("ward"),
         "agglo_single_nations": _q_agglo("single"),
@@ -2950,6 +3027,106 @@ def oracle_sql() -> dict[str, str]:
     )
     for lk in ("average", "ward", "single", "complete"):
         out[f"agglo_{lk}_nations"] = _agglo_sql(lk)
+
+    # one Blahut-Arimoto IB step: p(t|x) update + hardened clusters +
+    # post-step I(X;T)/I(T;Y), replayed over the long-format
+    # contingency (info_bottleneck.py fit loop, deterministic init)
+    ib_b = repr(IB_BETA)
+    out["ib_one_step"] = f"""
+WITH ev AS (SELECT CAST(abs(floor(value*10.0)) AS BIGINT) % {IB_BINS} AS xb,
+  event_type AS y FROM events WHERE value IS NOT NULL),
+cnt AS MATERIALIZED (SELECT xb, y, CAST(count(*) AS DOUBLE) AS n
+  FROM ev GROUP BY xb, y),
+tot AS (SELECT sum(n) AS s FROM cnt),
+pxy AS MATERIALIZED (SELECT xb, y, n/(SELECT s FROM tot) AS p FROM cnt),
+px AS MATERIALIZED (SELECT xb, sum(p) AS px FROM pxy GROUP BY xb),
+ts AS (SELECT * FROM (VALUES (0), (1), (2)) AS tt(t)),
+g0 AS (SELECT px.xb, ts.t,
+  1.0 + CAST((7*px.xb + 3*ts.t) % 5 AS DOUBLE) AS raw FROM px, ts),
+ptx0 AS MATERIALIZED (SELECT g.xb, g.t, g.raw / r.rs AS ptx FROM g0 g
+  JOIN (SELECT xb, sum(raw) AS rs FROM g0 GROUP BY xb) r ON r.xb = g.xb),
+pt AS MATERIALIZED (SELECT p0.t,
+  greatest(sum(p0.ptx * px.px), 1e-300) AS pt
+  FROM ptx0 p0 JOIN px ON px.xb = p0.xb GROUP BY p0.t),
+pyt AS MATERIALIZED (SELECT p0.t, q.y, sum(p0.ptx * q.p) AS pyt
+  FROM ptx0 p0 JOIN pxy q ON q.xb = p0.xb GROUP BY p0.t, q.y),
+kl AS MATERIALIZED (SELECT q.xb, ts.t,
+  sum((q.p/px.px) * (ln(greatest(q.p/px.px, 1e-300))
+    - ln(greatest(y.pyt / pt.pt, 1e-300)))) AS kl
+  FROM pxy q JOIN px ON px.xb = q.xb CROSS JOIN ts
+  JOIN pyt y ON y.t = ts.t AND y.y = q.y
+  JOIN pt ON pt.t = ts.t
+  GROUP BY q.xb, ts.t),
+lg AS MATERIALIZED (SELECT kl.xb, kl.t, ln(pt.pt) - {ib_b}*kl.kl AS logit
+  FROM kl JOIN pt ON pt.t = kl.t),
+mx AS (SELECT xb, max(logit) AS m FROM lg GROUP BY xb),
+ex AS MATERIALIZED (SELECT lg.xb, lg.t, exp(lg.logit - mx.m) AS e
+  FROM lg JOIN mx ON mx.xb = lg.xb),
+ptx1 AS MATERIALIZED (SELECT e.xb, e.t,
+  e.e / (SELECT sum(e2.e) FROM ex e2 WHERE e2.xb = e.xb) AS ptx
+  FROM ex e),
+wide AS (SELECT xb,
+  max(CASE WHEN t=0 THEN ptx END) AS p0,
+  max(CASE WHEN t=1 THEN ptx END) AS p1,
+  max(CASE WHEN t=2 THEN ptx END) AS p2 FROM ptx1 GROUP BY xb),
+pxt AS MATERIALIZED (SELECT p1.xb, p1.t, p1.ptx * px.px AS v
+  FROM ptx1 p1 JOIN px ON px.xb = p1.xb),
+pxt_s AS (SELECT greatest(sum(v), 1e-300) AS s FROM pxt),
+pxt_n AS MATERIALIZED (SELECT xb, t, v/(SELECT s FROM pxt_s) AS v FROM pxt),
+pxm AS (SELECT xb, sum(v) AS m FROM pxt_n GROUP BY xb),
+ptm AS (SELECT t, sum(v) AS m FROM pxt_n GROUP BY t),
+ixt AS (SELECT sum(p.v * ln(p.v / (a.m * b.m))) AS v FROM pxt_n p
+  JOIN pxm a ON a.xb = p.xb JOIN ptm b ON b.t = p.t WHERE p.v > 0),
+pty AS MATERIALIZED (SELECT p1.t, q.y, sum(p1.ptx * q.p) AS v
+  FROM ptx1 p1 JOIN pxy q ON q.xb = p1.xb GROUP BY p1.t, q.y),
+pty_s AS (SELECT greatest(sum(v), 1e-300) AS s FROM pty),
+pty_n AS MATERIALIZED (SELECT t, y, v/(SELECT s FROM pty_s) AS v FROM pty),
+ptm2 AS (SELECT t, sum(v) AS m FROM pty_n GROUP BY t),
+pym AS (SELECT y, sum(v) AS m FROM pty_n GROUP BY y),
+ity AS (SELECT sum(p.v * ln(p.v / (a.m * b.m))) AS v FROM pty_n p
+  JOIN ptm2 a ON a.t = p.t JOIN pym b ON b.y = p.y WHERE p.v > 0)
+SELECT CAST(w.xb AS INTEGER) AS xb,
+  CAST(CASE WHEN w.p0 >= w.p1 AND w.p0 >= w.p2 THEN 0
+            WHEN w.p1 >= w.p2 THEN 1 ELSE 2 END AS INTEGER) AS cluster,
+  {_r('(SELECT v FROM ixt)', 6)} AS i_xt,
+  {_r('(SELECT v FROM ity)', 6)} AS i_ty
+FROM wide w ORDER BY xb
+"""
+
+    # coreset sensitivity/probability per strategy (pilot = INIT4,
+    # coreset_size=100, min_sampling_prob=1e-6)
+    cs_strats = []
+    for strat in ("density", "distance", "hybrid", "uniform"):
+        if strat == "uniform":
+            sens = "1.0 / t.n"
+        elif strat == "distance":
+            sens = "x.dmin / t.total"
+        elif strat == "hybrid":
+            sens = "0.5 * x.dmin / t.total + 0.5 / t.n"
+        else:  # density
+            sens = ("(1.0 + 1.0 / (x.dmin / (CASE WHEN t.dmax > 0 "
+                    "THEN t.dmax ELSE 1.0 END) + 0.1)) / t.rawtot")
+        p = f"least(1.0, greatest(1e-06, 100.0 * ({sens})))"
+        cs_strats.append(
+            f"SELECT '{strat}' AS strategy, "
+            f"{_r(f'sum({sens})', 6)} AS sum_sens, "
+            f"{_r(f'sum({p})', 4)} AS expected_size, "
+            f"{_r(f'max({p})', 6)} AS max_p, "
+            f"{_r(f'min({p})', 8)} AS min_p "
+            "FROM x, t"
+        )
+    out["coreset_sensitivity_stats"] = (
+        f"WITH feats AS ({FEATS_SQL}), "
+        f"x AS (SELECT *, least(d0,d1,d2,d3) AS dmin FROM "
+        f"(SELECT *, {dist_cols} FROM feats)), "
+        "t0 AS (SELECT sum(dmin) AS total, max(dmin) AS dmax, "
+        "CAST(count(*) AS DOUBLE) AS n FROM x), "
+        "t AS (SELECT t0.total, t0.dmax, t0.n, "
+        "(SELECT sum(1.0 + 1.0 / (x.dmin / (CASE WHEN t0.dmax > 0 "
+        "THEN t0.dmax ELSE 1.0 END) + 0.1)) FROM x) AS rawtot FROM t0) "
+        + " UNION ALL ".join(cs_strats)
+        + " ORDER BY strategy"
+    )
 
     out["persist_roundtrip"] = (
         f"SELECT CAST(center_id AS INTEGER) AS center_id, "

@@ -82,8 +82,15 @@ class CoresetKMeans:
         self.prediction_col = prediction_col
         self.distance_col = distance_col
 
-    def build_coreset(self, df: DataFrame) -> DataFrame:
-        """(features, _cs_weight) Bernoulli-sampled weighted coreset."""
+    def sensitivities(self, df: DataFrame,
+                      rough_centers=None) -> DataFrame:
+        """Attach the deterministic sampling state: ``_cs_sens``
+        (normalized sensitivity) and ``_cs_p`` (clamped inclusion
+        probability). ``rough_centers`` overrides the seeded random
+        pilot set — with fixed centers the whole computation is
+        deterministic and cross-engine checkable; the Bernoulli draw
+        itself lives only in :meth:`build_coreset`.
+        """
         kernel = get_kernel(self.divergence, smoothing=self.smoothing)
         df = _ensure_array_features(df, self.features_col)
         if kernel.pre_normalize:
@@ -91,10 +98,17 @@ class CoresetKMeans:
                 self.features_col, kernel.normalize(F.col(self.features_col))
             )
         n = df.count()
-        rough = random_init(
-            df.select(self.features_col), min(self.k, max(n, 1)),
-            self.features_col, self.seed + 7,
-        )
+        if rough_centers is not None:
+            import numpy as np
+
+            rough = np.asarray(rough_centers, dtype=np.float64)
+            if kernel.pre_normalize:
+                rough = kernel.normalize_np(rough)
+        else:
+            rough = random_init(
+                df.select(self.features_col), min(self.k, max(n, 1)),
+                self.features_col, self.seed + 7,
+            )
         dmin = F.array_min(
             distances_column(kernel, F.col(self.features_col), rough.tolist())
         )
@@ -136,14 +150,19 @@ class CoresetKMeans:
                 F.lit(float(self.coreset_size)) * sens,
             ),
         )
+        return df.withColumn("_cs_sens", sens).withColumn("_cs_p", prob)
+
+    def build_coreset(self, df: DataFrame,
+                      rough_centers=None) -> DataFrame:
+        """(features, _cs_weight) Bernoulli-sampled weighted coreset."""
         out = (
-            df.withColumn("_cs_p", prob)
+            self.sensitivities(df, rough_centers)
             .where(F.rand(self.seed) < F.col("_cs_p"))
             .withColumn(
                 "_cs_weight",
                 F.least(F.lit(float(self.max_weight)), 1.0 / F.col("_cs_p")),
             )
-            .drop("_cs_p")
+            .drop("_cs_p", "_cs_sens")
         )
         return out
 

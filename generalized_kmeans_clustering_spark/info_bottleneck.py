@@ -54,7 +54,14 @@ class InformationBottleneck:
         seed: int = 0,
         features_col: str = "features",
         prediction_col: str = "prediction",
+        bin_col: str | None = None,
+        initial_pt_x=None,
     ):
+        """``bin_col`` supplies a pre-discretized integer bin in
+        [0, num_bins) instead of the xxhash64 feature binning — for
+        user-defined discretizations and cross-engine checks.
+        ``initial_pt_x`` (num_bins × k row-stochastic array) overrides
+        the seeded Dirichlet init for reproducible runs."""
         if k < 1:
             raise ValueError("k must be >= 1")
         self.k = k
@@ -66,15 +73,21 @@ class InformationBottleneck:
         self.seed = seed
         self.features_col = features_col
         self.prediction_col = prediction_col
+        self.bin_col = bin_col
+        self.initial_pt_x = initial_pt_x
 
     def fit(self, df: DataFrame) -> "InformationBottleneckModel":
         from time import time
 
         t0 = time()
-        df = _ensure_array_features(df, self.features_col)
+        if self.bin_col is not None:
+            xb = F.col(self.bin_col).cast("int")
+        else:
+            df = _ensure_array_features(df, self.features_col)
+            xb = _xbin_col(self.features_col, self.num_bins)
         hist = (
             df.select(
-                _xbin_col(self.features_col, self.num_bins).alias("_xb"),
+                xb.alias("_xb"),
                 F.col(self.relevance_col).alias("_y"),
             )
             .groupBy("_xb", "_y").agg(F.count(F.lit(1)).alias("n"))
@@ -93,8 +106,17 @@ class InformationBottleneck:
         with np.errstate(divide="ignore", invalid="ignore"):
             Py_x = np.where(px[:, None] > 0, Pxy / px[:, None], 1.0 / ny)
 
-        rng = np.random.RandomState(self.seed)
-        Pt_x = rng.dirichlet(np.ones(self.k), size=nx)  # p(t|x)
+        if self.initial_pt_x is not None:
+            Pt_x = np.asarray(self.initial_pt_x, dtype=np.float64)
+            if Pt_x.shape != (nx, self.k):
+                raise ValueError(
+                    f"initial_pt_x must be ({nx}, {self.k}), "
+                    f"got {Pt_x.shape}"
+                )
+            Pt_x = Pt_x / Pt_x.sum(axis=1, keepdims=True)
+        else:
+            rng = np.random.RandomState(self.seed)
+            Pt_x = rng.dirichlet(np.ones(self.k), size=nx)  # p(t|x)
         prev_obj = None
         iterations = 0
         converged = False
