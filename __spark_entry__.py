@@ -2704,6 +2704,146 @@ def _agglo_sql(linkage: str, n: int = 25, k: int = 4) -> str:
     )
 
 
+DBA_L, DBA_S = 4, 3  # sequence length, number of series
+
+
+def q_dba_one_iter(spark, sf_dir):
+    """One DBA (DTW Barycenter Averaging, Petitjean 2011) update from
+    center = series 0 over 3 event-derived sequences
+    (functions/sequence.py dba_barycenter/dtw_path; reference
+    SequenceKernel.scala DBA). Oracle replays the DP matrices AND the
+    alignment-path backtrace in SQL via on-path flag propagation."""
+    import math
+
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.functions.sequence import (
+        dba_barycenter,
+    )
+
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    g = (
+        ev.groupBy(
+            (F.col("user_id") % DBA_S).alias("sid"),
+            (F.hour(F.col("ts").cast("timestamp")) % DBA_L).alias("idx"),
+        )
+        .agg(F.avg("value").alias("v"))
+        .collect()
+    )
+    seqs = [[0.0] * DBA_L for _ in range(DBA_S)]
+    for r in g:
+        seqs[int(r["sid"])][int(r["idx"])] = float(r["v"])
+    center = dba_barycenter([np.asarray(s) for s in seqs], iters=1)
+    rows = [
+        (m, math.floor(float(center[m]) * 1e6 + 0.5) / 1e6 + 0.0)
+        for m in range(DBA_L)
+    ]
+    return spark.createDataFrame(rows, "idx int, c double").orderBy("idx")
+
+
+def _dba_sql(digits: int = 6) -> str:
+    """SQL twin of q_dba_one_iter. D matrices come from _seq_dp_ctes;
+    the backtrace is replayed without index arithmetic: per cell a
+    direction column dir = argmin(diag, up, left) (ties diag→up→left,
+    matching np.argmin), then an on-path flag propagated from (L, L)
+    in reverse topological order — cell (i,j) is on the path iff a
+    successor on the path steps into it. Aligned sums/counts per
+    center index then give the updated barycenter."""
+    L, S = DBA_L, DBA_S
+    inf = _SEQ_INF
+    sb = (
+        "sb AS MATERIALIZED (SELECT "
+        + ", ".join(
+            f"coalesce(max(CASE WHEN sid = {s} AND idx = {m-1} THEN v END), 0.0) "
+            f"AS s{s}_{m}"
+            for s in range(S) for m in range(1, L + 1)
+        )
+        + " FROM (SELECT CAST(user_id % 3 AS BIGINT) AS sid, "
+        "CAST(hour(ts) % 4 AS BIGINT) AS idx, avg(value) AS v "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2))"
+    )
+    C = [f"s0_{m}" for m in range(1, L + 1)]
+    ctes = [sb]
+    prev = "sb"
+    tags = []
+    for s in range(S):
+        Sx = [f"s{s}_{m}" for m in range(1, L + 1)]
+        blk, last = _seq_dp_ctes(f"db{s}", C, Sx, "dtw", base=prev)
+        ctes.extend(blk)
+        prev = last
+        tags.append(f"db{s}")
+    # direction per cell: 0=diag, 1=up, 2=left (np.argmin first-min)
+    for s, tag in enumerate(tags):
+        dcols = []
+        for i in range(1, L + 1):
+            for j in range(1, L + 1):
+                if i == 1 and j == 1:
+                    diag = "0.0"
+                elif i == 1 or j == 1:
+                    diag = inf
+                else:
+                    diag = f"{tag}c{i-1}_{j-1}"
+                up = f"{tag}c{i-1}_{j}" if i > 1 else inf
+                left = f"{tag}c{i}_{j-1}" if j > 1 else inf
+                dcols.append(
+                    f"CASE WHEN ({diag}) <= ({up}) AND ({diag}) <= ({left}) "
+                    f"THEN 0 WHEN ({up}) <= ({left}) THEN 1 ELSE 2 END "
+                    f"AS {tag}dir{i}_{j}"
+                )
+        ctes.append(
+            f"{tag}dirs AS MATERIALIZED (SELECT *, "
+            + ", ".join(dcols) + f" FROM {prev})"
+        )
+        prev = f"{tag}dirs"
+        # on-path flags, reverse topological order (i desc, j desc)
+        for i in range(L, 0, -1):
+            for j in range(L, 0, -1):
+                if i == L and j == L:
+                    expr = "1.0"
+                else:
+                    succ = []
+                    if i < L and j < L:
+                        succ.append(
+                            f"({tag}p{i+1}_{j+1} > 0 AND {tag}dir{i+1}_{j+1} = 0)"
+                        )
+                    if i < L:
+                        succ.append(
+                            f"({tag}p{i+1}_{j} > 0 AND {tag}dir{i+1}_{j} = 1)"
+                        )
+                    if j < L:
+                        succ.append(
+                            f"({tag}p{i}_{j+1} > 0 AND {tag}dir{i}_{j+1} = 2)"
+                        )
+                    expr = ("CASE WHEN " + " OR ".join(succ)
+                            + " THEN 1.0 ELSE 0.0 END")
+                name = f"{tag}bt{i}_{j}"
+                ctes.append(
+                    f"{name} AS MATERIALIZED (SELECT *, {expr} "
+                    f"AS {tag}p{i}_{j} FROM {prev})"
+                )
+                prev = name
+    # aligned sums/counts per center index m (matrix row m+1)
+    outc = []
+    for m in range(L):
+        i = m + 1
+        cnt = " + ".join(
+            f"{tag}p{i}_{j}" for tag in tags for j in range(1, L + 1)
+        )
+        sm = " + ".join(
+            f"{tag}p{i}_{j} * s{s}_{j}"
+            for s, tag in enumerate(tags) for j in range(1, L + 1)
+        )
+        val = (f"CASE WHEN ({cnt}) > 0 THEN ({sm}) / ({cnt}) "
+               f"ELSE s0_{i} END")
+        outc.append(
+            f"SELECT {m} AS idx, {_r(val, digits)} AS c FROM {prev}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + " "
+        + " UNION ALL ".join(outc) + " ORDER BY idx"
+    )
+
+
 IB_BINS, IB_K, IB_BETA = 16, 3, 2.0
 
 
@@ -2927,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persist_roundtrip": q_persist_roundtrip,
         "coreset_sensitivity_stats": q_coreset_sensitivity,
         "ib_one_step": q_ib_one_step,
+        "dba_one_iter": q_dba_one_iter,
         "agglo_average_nations": _q_agglo("average"),
         "agglo_ward_nations": _q_agglo("ward"),
         "agglo_single_nations": _q_agglo("single"),
@@ -3027,6 +3168,8 @@ def oracle_sql() -> dict[str, str]:
     )
     for lk in ("average", "ward", "single", "complete"):
         out[f"agglo_{lk}_nations"] = _agglo_sql(lk)
+
+    out["dba_one_iter"] = _dba_sql()
 
     # one Blahut-Arimoto IB step: p(t|x) update + hardened clusters +
     # post-step I(X;T)/I(T;Y), replayed over the long-format
