@@ -10,6 +10,9 @@ analysis) share the same kernel layer.
 """
 
 from .functions.kernels import get_kernel, KERNELS  # noqa: F401
+from .functions.capabilities import (  # noqa: F401
+    KernelCapabilities, capabilities_for, all_capabilities,
+)
 from .kmeans import GeneralizedKMeans, GeneralizedKMeansModel  # noqa: F401
 from .summary import TrainingSummary  # noqa: F401
 
@@ -44,4 +47,4 @@ from .streaming.streaming_kmeans import (  # noqa: F401
 # evaluation
 from .evaluation import ClusteringEvaluator, evaluate  # noqa: F401
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
