@@ -2704,6 +2704,34 @@ def _agglo_sql(linkage: str, n: int = 25, k: int = 4) -> str:
     )
 
 
+EPS_GRAPH_EPS, EPS_GRAPH_GAMMA = 0.5, 0.8
+
+
+def q_epsilon_graph(spark, sf_dir):
+    """Grid-bucketed epsilon-affinity edges over supplier features
+    (operators/graph.py — the distributed scale path for the spectral
+    affinity build, reference df/SpectralGraph.scala:71-196)."""
+    from generalized_kmeans_clustering_spark.operators.graph import (
+        epsilon_affinity_edges,
+    )
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    pts = sup.select(
+        F.col("s_suppkey").alias("id"),
+        F.array(
+            F.col("s_acctbal") / 2000.0,
+            (F.col("s_nationkey") % 5).cast("double"),
+        ).alias("features"),
+    )
+    out = epsilon_affinity_edges(
+        pts, dim=2, epsilon=EPS_GRAPH_EPS, gamma=EPS_GRAPH_GAMMA,
+    )
+    return out.select(
+        "i", "j", _rcol(F.col("dist"), 6).alias("dist"),
+        _rcol(F.col("w"), 6).alias("w"),
+    ).orderBy("i", "j")
+
+
 DBA_L, DBA_S = 4, 3  # sequence length, number of series
 
 
@@ -3068,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreset_sensitivity_stats": q_coreset_sensitivity,
         "ib_one_step": q_ib_one_step,
         "dba_one_iter": q_dba_one_iter,
+        "spectral_epsilon_graph": q_epsilon_graph,
         "agglo_average_nations": _q_agglo("average"),
         "agglo_ward_nations": _q_agglo("ward"),
         "agglo_single_nations": _q_agglo("single"),
@@ -3170,6 +3199,19 @@ def oracle_sql() -> dict[str, str]:
         out[f"agglo_{lk}_nations"] = _agglo_sql(lk)
 
     out["dba_one_iter"] = _dba_sql()
+
+    # epsilon-affinity edges: exact small-n self-join twin of the
+    # grid-bucketed plan (bucketing only prunes, never changes the set)
+    out["spectral_epsilon_graph"] = (
+        "WITH pts AS (SELECT s_suppkey AS id, s_acctbal/2000.0 AS f1, "
+        "CAST(s_nationkey % 5 AS DOUBLE) AS f2 FROM supplier), "
+        "e AS (SELECT a.id AS i, b.id AS j, "
+        "((a.f1-b.f1)*(a.f1-b.f1) + (a.f2-b.f2)*(a.f2-b.f2))/2.0 AS d "
+        "FROM pts a JOIN pts b ON a.id < b.id) "
+        f"SELECT i, j, {_r('d', 6)} AS dist, "
+        f"{_r(f'exp(-{EPS_GRAPH_GAMMA!r}*d)', 6)} AS w "
+        f"FROM e WHERE d <= {EPS_GRAPH_EPS!r} ORDER BY i, j"
+    )
 
     # one Blahut-Arimoto IB step: p(t|x) update + hardened clusters +
     # post-step I(X;T)/I(T;Y), replayed over the long-format
