@@ -87,3 +87,39 @@ def test_weight_sensitivity(spark):
     d_plain = np.linalg.norm(m_plain.centers[0] - [10, 10])
     d_heavy = np.linalg.norm(m_heavy.centers[0] - [10, 10])
     assert d_heavy < d_plain
+
+
+@given(
+    n=st.integers(10, 80),
+    d=st.integers(1, 5),
+    k=st.integers(5, 12),
+    seed=st.integers(0, 10_000),
+)
+@settings(**SETTINGS)
+def test_pruned_assignment_parity(spark_global, n, d, k, seed):
+    """∀ (n, d, k, data): Lemma-1 pruning never changes an assignment
+    or a distance vs the exact expression path."""
+    from generalized_kmeans_clustering_spark.functions.kernels import (
+        get_kernel,
+    )
+    from generalized_kmeans_clustering_spark.operators.assignment import (
+        ExpressionAssignment, PrunedSEAssignment,
+    )
+
+    spark = spark_global
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 5, (n, d))
+    C = rng.normal(0, 5, (k, d)).tolist()
+    df = _df(spark, X)
+    se = get_kernel("se")
+    both = PrunedSEAssignment(min_k=2).assign(
+        df, se, C, "features", cluster_col="_cp", dist_col="_dp"
+    )
+    both = ExpressionAssignment().assign(
+        both, se, C, "features", cluster_col="_ce", dist_col="_de"
+    )
+    rows = both.select("_cp", "_ce", "_dp", "_de", "_ncomp").collect()
+    assert all(r["_cp"] == r["_ce"] for r in rows)
+    assert all(abs(r["_dp"] - r["_de"]) < 1e-9 for r in rows)
+    # computation counts are within [1, k]
+    assert all(1 <= r["_ncomp"] <= k for r in rows)
