@@ -46,3 +46,58 @@ def test_streaming_sessionize_closes_gapped_sessions(spark, tmp_path):
     assert r["sum_value"] == 3.0
     assert r["session_start"] == t0
     assert r["session_end"] == t0 + datetime.timedelta(minutes=10)
+
+
+def test_tumbling_rollup_plan_reused_in_streaming(spark, tmp_path):
+    """The batch tumbling_rollup plan must run verbatim as a streaming
+    query (readStream -> withWatermark -> tumbling_rollup -> complete
+    sink) and agree with the batch result on the same files — the
+    operator's docstring makes exactly this claim."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        tumbling_rollup,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=17 * i % 180), "click" if i % 3 else "view",
+         float(i % 7))
+        for i in range(60)
+    ]
+    src = str(tmp_path / "ev_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(src)
+
+    batch = {
+        (r["event_type"], r["window_start"]): (r["n"], r["sum_value"])
+        for r in tumbling_rollup(
+            spark.read.parquet(src), window="1 hour"
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        ).parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        tumbling_rollup(stream, window="1 hour")
+        .writeStream.format("memory").queryName("roll_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_type"], r["window_start"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM roll_mem").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
