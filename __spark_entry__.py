@@ -2704,6 +2704,21 @@ def _agglo_sql(linkage: str, n: int = 25, k: int = 4) -> str:
     )
 
 
+def q_transform_for_kl(spark, sf_dir):
+    """for_kl feature transform (epsilon shift → log1p) as pure column
+    expressions (functions/transforms.py; reference
+    FeatureTransform.scala:142-341)."""
+    from generalized_kmeans_clustering_spark.functions import transforms as FT
+
+    df = lineitem_feats(spark, sf_dir)
+    out = FT.for_kl(1e-10).apply(df, "features", "_t")
+    return out.select(
+        "id",
+        *[_rcol(F.element_at("_t", m + 1), 6).alias(f"t{m+1}")
+          for m in range(4)],
+    ).orderBy("id")
+
+
 EPS_GRAPH_EPS, EPS_GRAPH_GAMMA = 0.5, 0.8
 
 
@@ -3097,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_one_step": q_ib_one_step,
         "dba_one_iter": q_dba_one_iter,
         "spectral_epsilon_graph": q_epsilon_graph,
+        "transform_for_kl": q_transform_for_kl,
         "agglo_average_nations": _q_agglo("average"),
         "agglo_ward_nations": _q_agglo("ward"),
         "agglo_single_nations": _q_agglo("single"),
@@ -3199,6 +3215,15 @@ def oracle_sql() -> dict[str, str]:
         out[f"agglo_{lk}_nations"] = _agglo_sql(lk)
 
     out["dba_one_iter"] = _dba_sql()
+
+    # for_kl transform: ln(1 + (f + eps)) per feature
+    tf_cols = ", ".join(
+        f"{_r(f'ln(1.0 + (f{m} + 1e-10))', 6)} AS t{m}" for m in range(1, 5)
+    )
+    out["transform_for_kl"] = (
+        f"WITH feats AS ({FEATS_SQL}) "
+        f"SELECT id, {tf_cols} FROM feats ORDER BY id"
+    )
 
     # epsilon-affinity edges: exact small-n self-join twin of the
     # grid-bucketed plan (bucketing only prunes, never changes the set)

@@ -13,6 +13,7 @@ from .functions.kernels import get_kernel, KERNELS  # noqa: F401
 from .functions.capabilities import (  # noqa: F401
     KernelCapabilities, capabilities_for, all_capabilities,
 )
+from .functions import transforms as feature_transforms  # noqa: F401
 from .kmeans import GeneralizedKMeans, GeneralizedKMeansModel  # noqa: F401
 from .summary import TrainingSummary  # noqa: F401
 

@@ -155,6 +155,15 @@ class KLDivergenceKernel(Kernel):
 
     grad = ln x + 1; inv_grad = exp(θ−1) (negative-entropy generator).
     Reference: ``kernels/KLDivergenceKernel.scala:17-61``.
+
+    Note (matches the reference's contract): this assignment cost omits
+    the ``−x+μ`` terms of the generalized-I divergence, while the
+    update is ``inv_grad(mean grad)`` — the GI-generator centroid
+    (element-wise geometric mean). Off the probability simplex the two
+    differ by a μ-dependent term, so the per-iteration KL cost is not
+    guaranteed monotone (use ``generalizedI`` for a strict Bregman
+    descent on unnormalized data, or L1-normalize features first —
+    ``functions/transforms.normalize_l1``).
     """
 
     name = "kl"
