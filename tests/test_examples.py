@@ -33,3 +33,12 @@ def test_streaming_example(spark, sf_dir):
     out = streaming_clustering.main(spark, sf_dir)
     assert out["batches"] >= 1
     assert out["recovered_matches"] is True
+
+
+def test_transforms_and_pruning_example(spark, sf_dir):
+    import transforms_and_pruning
+
+    out = transforms_and_pruning.main(spark, sf_dir)
+    assert out["kl_caps"]["requires_positive"] is True
+    assert "log1p" in out["kl_caps"]["recommended_transform"]
+    assert 0.0 < out["pruning_rate"] < 1.0
