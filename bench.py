@@ -133,6 +133,11 @@ def main():
         Tx.language_id(F.col("text")).alias("lang"),
         Tx.token_count_regex(F.col("text")).alias("nt"),
     ).groupBy("lang").agg(F.sum("nt")).collect())
+    # large-k fit through the Lemma-1 pruned assignment (the strategy's
+    # payoff regime: ~75% of distance evaluations skipped at k=32)
+    timed("fit_se_k32_pruned", lambda: GeneralizedKMeans(
+        k=32, divergence="se", max_iter=3, seed=9, init_mode="random",
+        assignment_strategy="pruned").fit(li))
     # soft-kmeans fit (fuzzy variant: one-agg-per-iteration path)
     from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeans
     timed("fit_soft_k4", lambda: SoftKMeans(
