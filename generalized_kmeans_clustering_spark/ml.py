@@ -25,7 +25,7 @@ natively — the engine converts at the API boundary.
 from __future__ import annotations
 
 from pyspark import keyword_only
-from pyspark.ml import Estimator, Model
+from pyspark.ml import Estimator, Model, Transformer
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.param.shared import (
     HasFeaturesCol, HasMaxIter, HasPredictionCol, HasSeed, HasTol,
@@ -246,3 +246,81 @@ class GeneralizedKMeansModel(
     @classmethod
     def read(cls) -> MLReader:
         return _NativeModelReader(cls)
+
+
+class FeatureTransformer(
+    Transformer, DefaultParamsWritable, DefaultParamsReadable,
+):
+    """Pipeline stage applying a named feature transform
+    (``functions/transforms.py``; reference ``FeatureTransform.scala``
+    + its use in transform-aware pipelines).
+
+    The transform is referenced BY NAME (resolved through
+    ``transforms.from_string``) so the stage round-trips through the
+    standard ML params writer. Accepts array<double> or VectorUDT
+    input; output is array<double>.
+
+    Example::
+
+        pipe = Pipeline(stages=[
+            VectorAssembler(inputCols=[...], outputCol="raw"),
+            FeatureTransformer(transformName="kl", inputCol="raw",
+                               outputCol="features"),
+            GeneralizedKMeans(k=4, divergence="kl"),
+        ])
+    """
+
+    transformName = Param(
+        Params._dummy(), "transformName",
+        "transform name: identity | log1p | epsilon_shift | "
+        "normalize_l2 | normalize_l1 | kl | spherical",
+        typeConverter=TypeConverters.toString,
+    )
+    inputCol = Param(
+        Params._dummy(), "inputCol", "input features column",
+        typeConverter=TypeConverters.toString,
+    )
+    outputCol = Param(
+        Params._dummy(), "outputCol", "output (transformed) column",
+        typeConverter=TypeConverters.toString,
+    )
+
+    @keyword_only
+    def __init__(self, *, transformName="identity",
+                 inputCol="features", outputCol="features_t"):
+        super().__init__()
+        self._setDefault(transformName="identity", inputCol="features",
+                         outputCol="features_t")
+        self._set(**self._input_kwargs)
+
+    @keyword_only
+    def setParams(self, **kwargs):
+        return self._set(**kwargs)
+
+    def getTransformName(self):
+        return self.getOrDefault(self.transformName)
+
+    def setTransformName(self, value):
+        return self._set(transformName=value)
+
+    def setInputCol(self, value):
+        return self._set(inputCol=value)
+
+    def setOutputCol(self, value):
+        return self._set(outputCol=value)
+
+    @property
+    def native(self):
+        """The resolved FeatureTransform (compatibility checks, numpy
+        twin, center inverse)."""
+        from .functions.transforms import from_string
+
+        return from_string(self.getOrDefault(self.transformName))
+
+    def _transform(self, dataset):
+        from .kmeans import _ensure_array_features
+
+        in_col = self.getOrDefault(self.inputCol)
+        out_col = self.getOrDefault(self.outputCol)
+        dataset = _ensure_array_features(dataset, in_col)
+        return self.native.apply(dataset, in_col, out_col)

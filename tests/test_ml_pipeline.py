@@ -87,3 +87,42 @@ def test_divergence_pipeline(scalar_df):
     ])
     out = pipe.fit(df).transform(df)
     assert out.where(F.col("prediction").isNull()).count() == 0
+
+
+def test_feature_transformer_stage(scalar_df, tmp_path):
+    """FeatureTransformer composes in a Pipeline ahead of the estimator
+    and round-trips through the ML params writer."""
+    import numpy as np
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+
+    from generalized_kmeans_clustering_spark.ml import (
+        FeatureTransformer, GeneralizedKMeans,
+    )
+
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=["x", "y"], outputCol="raw"),
+        FeatureTransformer(transformName="kl", inputCol="raw",
+                           outputCol="features"),
+        GeneralizedKMeans(k=2, divergence="kl", maxIter=3, seed=0,
+                          initMode="random"),
+    ])
+    model = pipe.fit(scalar_df)
+    out = model.transform(scalar_df)
+    assert "prediction" in out.columns
+    assert out.count() == scalar_df.count()
+
+    # transformed column matches the numpy twin
+    ft = FeatureTransformer(transformName="log1p", inputCol="raw",
+                            outputCol="t")
+    va = VectorAssembler(inputCols=["x", "y"], outputCol="raw")
+    rows = ft.transform(va.transform(scalar_df)).select("raw", "t").collect()
+    for r in rows[:5]:
+        assert np.allclose(np.array(r["t"]), np.log1p(np.array(r["raw"])))
+
+    # params persistence round-trip
+    p = str(tmp_path / "ft_stage")
+    ft.write().overwrite().save(p)
+    back = FeatureTransformer.load(p)
+    assert back.getTransformName() == "log1p"
+    assert back.getOrDefault(back.outputCol) == "t"
