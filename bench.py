@@ -138,6 +138,11 @@ def main():
     timed("fit_se_k32_pruned", lambda: GeneralizedKMeans(
         k=32, divergence="se", max_iter=3, seed=9, init_mode="random",
         assignment_strategy="pruned").fit(li))
+    # exact twin at the same k/seed so the pruning payoff is visible in
+    # the emitted numbers (same plan minus the Lemma-1 skip)
+    timed("fit_se_k32_exact", lambda: GeneralizedKMeans(
+        k=32, divergence="se", max_iter=3, seed=9, init_mode="random",
+        assignment_strategy="expression").fit(li))
     # soft-kmeans fit (fuzzy variant: one-agg-per-iteration path)
     from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeans
     timed("fit_soft_k4", lambda: SoftKMeans(
@@ -154,6 +159,11 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows_lineitem": n,
+        # protocol v2 (round 3+): min-of-N with GC settle, JIT warmup
+        # outside timed regions, repartition(cpus)+cache inputs, 1 MB
+        # maxPartitionBytes. v1 (rounds 1-2) was single-shot cold — the
+        # two are NOT comparable across rounds.
+        "protocol": "v2-min-of-n-warm",
     }))
     spark.stop()
 

@@ -95,8 +95,12 @@ class Log1pTransform(FeatureTransform):
         return np.expm1(np.asarray(center, dtype=np.float64))
 
     def compatible_with(self, divergence):
+        # log1p of a positive input stays positive, so generalized-I is
+        # well defined on the transformed features (recommended_transform
+        # returns for_kl for GI; the two must agree with each other).
         return _norm_name(divergence) in (
             "kl", "kullbackleibler", "relativeentropy",
+            "generalizedi", "gi",
             "squaredeuclidean", "euclidean", "se", "l2",
         )
 

@@ -98,7 +98,14 @@ class InformationBottleneck:
         nx, ny = self.num_bins, len(y_vals)
         Pxy = np.zeros((nx, ny))
         for r in hist:
-            Pxy[int(r["_xb"]), y_idx[r["_y"]]] = r["n"]
+            b = int(r["_xb"])
+            if not 0 <= b < nx:
+                raise ValueError(
+                    f"bin_col '{self.bin_col}' value {b} outside "
+                    f"[0, num_bins={nx}); pre-bucket the column or raise "
+                    "num_bins"
+                )
+            Pxy[b, y_idx[r["_y"]]] = r["n"]
         total = Pxy.sum()
         Pxy /= max(total, 1e-300)
         px = Pxy.sum(axis=1)

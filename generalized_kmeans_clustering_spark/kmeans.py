@@ -349,8 +349,12 @@ class GeneralizedKMeansModel:
             out = out.drop("_dist_tmp")
         if kernel.pre_normalize:
             out = out.drop("_f_norm")
-        # pruned strategy's telemetry column is fit-internal
-        return out.drop("_ncomp")
+        # pruned strategy's telemetry column is fit-internal; only drop it
+        # when the assigner added it (a pre-existing user column named
+        # _ncomp must survive untouched)
+        if "_ncomp" in out.columns and "_ncomp" not in df.columns:
+            out = out.drop("_ncomp")
+        return out
 
     def predict(self, vector) -> int:
         kernel = self._kernel()

