@@ -16,6 +16,12 @@ from .functions.capabilities import (  # noqa: F401
 from .functions import transforms as feature_transforms  # noqa: F401
 from .kmeans import GeneralizedKMeans, GeneralizedKMeansModel  # noqa: F401
 from .summary import TrainingSummary  # noqa: F401
+from .events import (  # noqa: F401
+    ClusteringEvent, ClusteringSummary, ConvergenceDetected,
+    EmptyClustersDetected, InitializationCompleted, IterationCompleted,
+    IterationStarted, IterationTracker, SummarySink, TrainingCompleted,
+    WarningEvent, event_from_dict,
+)
 
 # variant estimators on the shared Lloyd engine (SURVEY.md §2.5)
 from .soft_kmeans import SoftKMeans, SoftKMeansModel  # noqa: F401

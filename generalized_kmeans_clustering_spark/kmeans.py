@@ -200,16 +200,27 @@ class GeneralizedKMeans:
         cache_here = work.storageLevel.useMemory is False
         if cache_here:
             work = work.cache()
+        from .events import InitializationCompleted, SummarySink, TrainingCompleted
+
+        sink = SummarySink()
         try:
+            import time as _t
+
+            _init_t0 = _t.time()
             if self.initial_centers is not None:
                 centers = np.asarray(self.initial_centers, dtype=np.float64)
                 if kernel.pre_normalize:
                     centers = kernel.normalize_np(centers)
+                init_method = "provided"
             else:
                 centers = initialize(
                     work, self.k, kernel, self.features_col, self.seed,
                     self.init_mode, self.init_steps,
                 )
+                init_method = self.init_mode
+            sink.record(InitializationCompleted(
+                method=init_method,
+                duration=int((_t.time() - _init_t0) * 1000)))
             cfg = LloydsConfig(
                 k=len(centers),
                 kernel=kernel,
@@ -220,6 +231,7 @@ class GeneralizedKMeans:
                 assignment_strategy=self.assignment_strategy,
                 empty_cluster_strategy=self.empty_cluster_strategy,
                 seed=self.seed,
+                sink=sink,
             )
             # Explicit opt-in only: warm-JVM A/B at sf0.1 shows the
             # stateless exact loop beats the bound-state path at every
@@ -252,6 +264,12 @@ class GeneralizedKMeans:
             if cache_here:
                 work.unpersist()
 
+        sink.record(TrainingCompleted(
+            total_iterations=result.iterations,
+            final_cost=float(result.distortion_history[-1])
+            if result.distortion_history else float("nan"),
+            total_duration=int(result.elapsed_sec * 1000),
+        ))
         summary = TrainingSummary(
             algorithm=self._algorithm,
             k=len(result.centers),
@@ -264,6 +282,7 @@ class GeneralizedKMeans:
             cluster_sizes=result.cluster_sizes,
             elapsed_sec=result.elapsed_sec,
             pruned_history=result.pruned_history,
+            events=sink.get_events(),
         )
         return GeneralizedKMeansModel(
             centers=result.centers,

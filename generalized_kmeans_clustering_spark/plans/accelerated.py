@@ -106,6 +106,11 @@ def run_accelerated_lloyds(
     res = LloydsResult(centers=centers)
     w = F.col(cfg.weight_col) if cfg.weight_col else F.lit(1.0)
 
+    from ..events import (ConvergenceDetected, EmptyClustersDetected,
+                          IterationTracker, SummarySink)
+
+    sink = cfg.sink if cfg.sink is not None else SummarySink.noop()
+
     state = _attach_bounds(
         df.withColumn(
             "_eu", _euclid_dists(kernel, cfg.features_col, centers.tolist())
@@ -117,6 +122,7 @@ def run_accelerated_lloyds(
 
     try:
         for it in range(cfg.max_iter):
+            tracker = IterationTracker(sink, it)
             grad = kernel.grad(F.col(cfg.features_col))
             # exact distance to the ASSIGNED center (one divergence per
             # row, not k) keeps the distortion history the true Lloyd
@@ -149,14 +155,22 @@ def run_accelerated_lloyds(
                     new_centers[c] = kernel.finalize_center(g / r["w"])
             # empty clusters: keep old center (cfg strategies drop/reseed
             # fall back to the exact engine; "keep" is the common case here)
+            empty = [c for c in range(k) if sizes[c] == 0]
+            if empty:
+                sink.record(EmptyClustersDetected(
+                    iteration=it, cluster_ids=frozenset(empty),
+                    action="kept"))
             deltas = np.sqrt(((centers - new_centers) ** 2).sum(axis=1))
             mv = float(deltas.max())
             centers = new_centers
             res.distortion_history.append(cost)
             res.movement_history.append(mv)
             res.iterations = it + 1
+            tracker.complete(cost=float(cost), center_movement=mv)
             if mv <= cfg.tol:
                 res.converged = True
+                sink.record(ConvergenceDetected(
+                    iteration=it, reason="center_movement_below_tol"))
                 break
 
             # bound adjustment + conditional refresh: the distance array

@@ -52,6 +52,11 @@ class LloydsConfig:
     assignment_strategy: str = "auto"
     empty_cluster_strategy: str = "keep"  # keep | drop | reseed
     seed: int = 0
+    #: optional typed-event collector (events.SummarySink); the loop
+    #: emits IterationStarted/Completed, EmptyClustersDetected and
+    #: ConvergenceDetected into it (reference SummarySink.scala defines
+    #: this surface but never wires a trainer to it)
+    sink: object | None = None
 
 
 @dataclass
@@ -95,14 +100,19 @@ def _reseed_empty(df, kernel, centers, empty, cfg) -> np.ndarray:
 
 
 def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsResult:
+    from ..events import (ConvergenceDetected, EmptyClustersDetected,
+                          IterationTracker, SummarySink)
+
     t0 = time()
     kernel = cfg.kernel
     centers = np.asarray(centers, dtype=np.float64)
     k, d = centers.shape
     res = LloydsResult(centers=centers)
     sizes: list[int] = []
+    sink = cfg.sink if cfg.sink is not None else SummarySink.noop()
 
     for it in range(cfg.max_iter):
+        tracker = IterationTracker(sink, it)
         assigner = auto_assigner(k, d, cfg.assignment_strategy,
                                  spark=df.sparkSession, kernel=kernel)
         assigned = assigner.assign(df, kernel, centers.tolist(), cfg.features_col)
@@ -138,6 +148,11 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
             )
 
         if empty:
+            action = {"drop": "dropped", "reseed": "reseeded"}.get(
+                cfg.empty_cluster_strategy, "kept")
+            sink.record(EmptyClustersDetected(
+                iteration=it, cluster_ids=frozenset(int(c) for c in empty),
+                action=action))
             if cfg.empty_cluster_strategy == "drop":
                 keep = [i for i in range(k) if i not in set(empty)]
                 new_centers = new_centers[keep]
@@ -152,8 +167,11 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
         res.distortion_history.append(float(cost))
         res.movement_history.append(mv)
         res.iterations = it + 1
+        tracker.complete(cost=float(cost), center_movement=float(mv))
         if mv <= cfg.tol:
             res.converged = True
+            sink.record(ConvergenceDetected(
+                iteration=it, reason="center_movement_below_tol"))
             break
 
     res.centers = centers

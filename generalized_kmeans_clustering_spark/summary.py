@@ -22,6 +22,28 @@ class TrainingSummary:
     #: for them (reference AcceleratedSEAssignment.scala:199-232
     #: pruning accumulators)
     pruned_history: list = field(default_factory=list)
+    #: typed ClusteringEvent log recorded during fit (events.py,
+    #: reference ml/df/SummarySink.scala) — round-trips through
+    #: summary.json as dicts and is rehydrated to event objects on load
+    events: list = field(default_factory=list)
+
+    def __post_init__(self):
+        from .events import ClusteringEvent, event_from_dict
+
+        self.events = [
+            e if isinstance(e, ClusteringEvent) else event_from_dict(e)
+            for e in self.events
+        ]
+
+    def clustering_summary(self):
+        """Event-log view with the reference's derived metrics
+        (``ClusteringSummary``, SummarySink.scala:169-283)."""
+        from .events import ClusteringSummary
+
+        ts = [e.timestamp for e in self.events]
+        start = min(ts) if ts else 0
+        return ClusteringSummary(self.events, start,
+                                 start + int(self.elapsed_sec * 1000))
 
     @property
     def pruning_rate(self) -> float:
@@ -39,7 +61,11 @@ class TrainingSummary:
         return self.distortion_history[-1] if self.distortion_history else float("nan")
 
     def to_dict(self) -> dict:
-        return asdict(self)
+        d = asdict(self)
+        # asdict loses the event_type class attribute (and frozensets
+        # aren't JSON) — serialize events through their own to_dict
+        d["events"] = [e.to_dict() for e in self.events]
+        return d
 
     def to_df(self, spark):
         """1-row DataFrame view, like the reference's ``summary.toDF``."""
