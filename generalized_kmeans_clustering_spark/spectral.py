@@ -218,6 +218,180 @@ class SpectralClustering:
                                             self.features_col)
         return model
 
+    # ------------------------------------------- distributed epsilon path
+    def _fit_epsilon_distributed(self, df: DataFrame, n: int,
+                                 t0: float) -> GeneralizedKMeansModel:
+        """Scale path for ``affinity_type='epsilon'``: the affinity graph
+        is built as a DISTRIBUTED edge list (grid-bucketed join,
+        ``operators/graph.py``) and the Laplacian spectrum comes from a
+        landmark Nyström extension of the normalized affinity — the
+        feature column is never collected (landmark state only: m rows,
+        m×m eigenproblem on the driver, same ceiling as ``_fit_nystrom``).
+
+        Semantics: RBF affinity w(x,y)=exp(−γ‖x−y‖²); edges kept where
+        w ≥ ``epsilon`` (equivalently half-SE distance ≤ −ln ε ∕ 2γ,
+        the exact path's thresholding restated as a radius so the grid
+        join applies); symmetric normalized Laplacian L = I − D^-½WD^-½,
+        whose smallest eigenvectors are the LARGEST of A = D^-½WD^-½ —
+        Nyström-extended from the landmark block, then row-normalized
+        (Ng–Jordan–Weiss) and clustered with the engine's own
+        distributed k-means.
+        """
+        from time import time
+
+        from .kmeans import GeneralizedKMeans
+        from .operators.graph import epsilon_affinity_edges
+
+        if self.kernel_type != "rbf":
+            raise ValueError(
+                "distributed epsilon affinity requires kernel_type='rbf' "
+                "(the threshold maps to a Euclidean radius only for RBF); "
+                "set use_nystrom=False for the driver-side exact path"
+            )
+        if self.laplacian_type != "symmetric":
+            raise ValueError(
+                "distributed epsilon affinity supports "
+                "laplacian_type='symmetric' (Ng–Jordan–Weiss); "
+                "set use_nystrom=False for the driver-side exact path"
+            )
+        if not 0.0 < self.epsilon < 1.0:
+            raise ValueError(
+                "epsilon is an RBF-affinity threshold in (0, 1) "
+                f"(got {self.epsilon})"
+            )
+        spark = df.sparkSession
+        ids = df.select(
+            F.monotonically_increasing_id().alias("_sid"),
+            F.col(self.features_col).alias("_sf"),
+        ).cache()
+        dim = ids.select(F.size("_sf").alias("d")).first()["d"]
+        if self.gamma is not None:
+            g = float(self.gamma)
+        else:
+            # sklearn-'scale' auto gamma 1/(d·var), computed distributedly
+            # over the flattened feature elements (matches RBFKernel._gamma)
+            s = ids.select(F.explode("_sf").alias("v")).agg(
+                F.avg("v").alias("m"), F.avg(F.col("v") * F.col("v")).alias("m2")
+            ).first()
+            var = max(float(s["m2"]) - float(s["m"]) ** 2, 0.0)
+            g = 1.0 / (dim * var) if var > 0 else 1.0
+        cutoff = -np.log(self.epsilon) / (2.0 * g)  # half-SE radius
+        edges = epsilon_affinity_edges(
+            ids, dim, id_col="_sid", features_col="_sf",
+            epsilon=cutoff, gamma=2.0 * g,  # w = exp(−2γ·halfSE) = exp(−γ‖x−y‖²)
+        ).persist()
+        deg = (
+            edges.select(F.col("i").alias("_sid"), "w")
+            .unionAll(edges.select(F.col("j").alias("_sid"), "w"))
+            .groupBy("_sid").agg(F.sum("w").alias("_deg"))
+        )
+
+        # landmark state: m rows + their GLOBAL graph degrees
+        m = min(self.num_landmarks, n)
+        land = (
+            ids.withColumn("_h", F.xxhash64("_sf", F.lit(self.seed)))
+            .orderBy("_h").limit(m).select("_sid", "_sf")
+            .join(deg, "_sid", "left").collect()
+        )
+        lids = [r["_sid"] for r in land]
+        Lmat = np.asarray([r["_sf"] for r in land], dtype=np.float64)
+        ldeg = np.array([float(r["_deg"] or 0.0) for r in land])
+        # landmark-landmark block of the SAME graph: RBF, thresholded,
+        # zero diagonal, normalized by the global degrees
+        x2 = (Lmat ** 2).sum(axis=1)
+        d2 = np.maximum(x2[:, None] - 2.0 * Lmat @ Lmat.T + x2[None, :], 0.0)
+        Wmm = np.exp(-g * d2)
+        np.fill_diagonal(Wmm, 0.0)
+        Wmm[Wmm < self.epsilon] = 0.0
+        dsafe = np.maximum(ldeg, 1e-12)
+        Amm = Wmm / np.sqrt(dsafe[:, None] * dsafe[None, :])
+        vals, U = np.linalg.eigh(Amm)
+        topk = min(self.k, len(vals))
+        lam = vals[-topk:][::-1]
+        U = U[:, -topk:][:, ::-1]
+        lam = np.where(np.abs(lam) > 1e-10, lam, 1e-10)
+        proj = U / lam[None, :]  # Nyström: ũ_i = Σ_l A_il · U_lt / λ_t
+
+        land_df = F.broadcast(spark.createDataFrame(
+            [(int(lid), float(dv), [float(v) for v in proj[i]])
+             for i, (lid, dv) in enumerate(zip(lids, dsafe))],
+            "_lid long, _ldeg double, _p array<double>",
+        ))
+        # edges incident to a landmark, both orientations; A_il then
+        # scatter-adds the landmark's projection row into the embedding
+        el = (
+            edges.select(F.col("i").alias("_sid"), F.col("j").alias("_lid"), "w")
+            .unionAll(
+                edges.select(F.col("j").alias("_sid"), F.col("i").alias("_lid"), "w"))
+            .join(land_df, "_lid")
+            .join(deg, "_sid")
+        )
+        a = F.col("w") / F.sqrt(
+            F.greatest(F.col("_deg"), F.lit(1e-12)) * F.col("_ldeg"))
+        emb = (
+            el.select("_sid", *[
+                (a * F.element_at("_p", t + 1)).alias(f"_e{t}")
+                for t in range(topk)
+            ])
+            .groupBy("_sid")
+            .agg(*[F.sum(f"_e{t}").alias(f"_e{t}") for t in range(topk)])
+        )
+        emb_full = ids.join(emb, "_sid", "left").na.fill(
+            {f"_e{t}": 0.0 for t in range(topk)})
+        arr = F.array(*[F.col(f"_e{t}") for t in range(topk)])
+        norm = F.sqrt(F.aggregate(
+            arr, F.lit(0.0), lambda acc, v: acc + v * v))
+        emb_full = emb_full.withColumn(
+            "_emb",
+            F.transform(arr, lambda v: v / F.greatest(norm, F.lit(1e-12))),
+        ).select("_sid", "_sf", "_emb").persist()
+
+        km = GeneralizedKMeans(
+            k=self.k, divergence="squaredEuclidean", max_iter=self.max_iter,
+            seed=self.seed, features_col="_emb",
+        ).fit(emb_full)
+        assigned = km.transform(emb_full)
+        # input-space centroids (distributed elementwise mean) give the
+        # same out-of-sample transform the exact path documents
+        cent_rows = (
+            assigned.select("prediction", F.posexplode("_sf").alias("_p", "_v"))
+            .groupBy("prediction", "_p").agg(F.avg("_v").alias("_m"),
+                                             F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        centers = np.zeros((self.k, dim))
+        counts = np.zeros(self.k, dtype=np.int64)
+        for r in cent_rows:
+            centers[int(r["prediction"]), int(r["_p"])] = float(r["_m"])
+            counts[int(r["prediction"])] = int(r["_n"])
+        sizes = counts.tolist()
+        edges.unpersist()
+        ids.unpersist()
+
+        model = GeneralizedKMeansModel(
+            centers=centers, kernel_name="squaredEuclidean",
+            features_col=self.features_col, prediction_col=self.prediction_col,
+            summary=TrainingSummary(
+                algorithm=self._algorithm, k=self.k, dim=dim,
+                divergence=f"spectral:{self.kernel_type}",
+                iterations=km.summary.iterations,
+                converged=km.summary.converged,
+                distortion_history=km.summary.distortion_history,
+                movement_history=km.summary.movement_history,
+                cluster_sizes=sizes, elapsed_sec=time() - t0,
+            ),
+            params={"k": self.k, "kernelType": self.kernel_type,
+                    "affinityType": "epsilon", "laplacianType": "symmetric",
+                    "useNystrom": True, "numLandmarks": m,
+                    "distributedGraph": True, "gamma": g,
+                    "transformNote":
+                        "out-of-sample points use nearest input-space centroid"},
+        )
+        model.training_assignments = assigned.select(
+            "_sid", F.col("prediction").alias(self.prediction_col))
+        emb_full.unpersist()
+        return model
+
     # --------------------------------------------------------------- fit
     def fit(self, df: DataFrame) -> GeneralizedKMeansModel:
         from time import time
@@ -230,7 +404,20 @@ class SpectralClustering:
             if self.use_nystrom is not None
             else n > self.nystrom_threshold
         )
+        if (nystrom and self.affinity_type == "epsilon"
+                and self.kernel_type == "rbf"
+                and self.laplacian_type == "symmetric"
+                and 0.0 < self.epsilon < 1.0):
+            # the distributed edge-list path honors the epsilon
+            # thresholding the plain landmark embedding would ignore
+            return self._fit_epsilon_distributed(df, n, t0)
         if nystrom:
+            if self.affinity_type == "epsilon":
+                log.warning(
+                    "epsilon affinity at scale needs rbf + symmetric "
+                    "Laplacian + epsilon in (0,1) for the distributed "
+                    "graph path; falling back to the landmark embedding "
+                    "(threshold ignored)")
             return self._fit_nystrom(df, t0)
 
         rows = df.select(self.features_col).collect()

@@ -97,3 +97,67 @@ def test_spectral_nystrom_path(spark, blobs):
     sizes = [r["n"] for r in out.groupBy("prediction")
              .agg(F.count(F.lit(1)).alias("n")).collect()]
     assert sum(sizes) == len(pts)
+
+
+def test_spectral_epsilon_distributed_recovers_blobs(spark, blobs):
+    """Distributed epsilon-graph path (never collects the feature
+    column) recovers the same well-separated partition as the exact
+    driver-side path — parity up to label permutation."""
+    df, pts = blobs
+    exact = SpectralClustering(
+        k=3, kernel_type="rbf", gamma=1.0, affinity_type="epsilon",
+        epsilon=0.01, use_nystrom=False, seed=83,
+    ).fit(df)
+    dist = SpectralClustering(
+        k=3, kernel_type="rbf", gamma=1.0, affinity_type="epsilon",
+        epsilon=0.01, use_nystrom=True, num_landmarks=60, seed=83,
+    ).fit(df)
+    assert dist.params.get("distributedGraph") is True
+    # both paths must carve each blob into a single cluster
+    lbl_e = exact.training_labels
+    rows = dist.training_assignments.orderBy("_sid").collect()
+    lbl_d = np.array([r["prediction"] for r in rows])
+    assert len(lbl_d) == len(pts)
+    for lbl in (lbl_e, lbl_d):
+        for lo in (0, 30, 60):
+            counts = np.bincount(lbl[lo:lo + 30], minlength=3)
+            assert counts.max() >= 28
+    # the two paths agree as partitions (same blobs together)
+    from itertools import permutations
+    agree = max(
+        (np.array([p[v] for v in lbl_d]) == lbl_e).mean()
+        for p in permutations(range(3))
+    )
+    assert agree >= 28 * 3 / 90
+
+
+def test_spectral_epsilon_distributed_transform_and_sizes(spark, blobs):
+    df, pts = blobs
+    m = SpectralClustering(
+        k=3, kernel_type="rbf", gamma=1.0, affinity_type="epsilon",
+        epsilon=0.01, use_nystrom=True, num_landmarks=50, seed=85,
+    ).fit(df)
+    assert sorted(m.summary.cluster_sizes) == [30, 30, 30]
+    out = m.transform(df)  # nearest input-space centroid
+    sizes = sorted(
+        r["n"] for r in out.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert sizes == [30, 30, 30]
+
+
+def test_spectral_epsilon_distributed_guards(spark, blobs):
+    df, _ = blobs
+    with pytest.raises(ValueError, match="rbf"):
+        SpectralClustering(
+            k=3, kernel_type="linear", affinity_type="epsilon",
+            epsilon=0.5)._fit_epsilon_distributed(df, 90, 0.0)
+    with pytest.raises(ValueError, match="symmetric"):
+        SpectralClustering(
+            k=3, kernel_type="rbf", laplacian_type="randomwalk",
+            affinity_type="epsilon",
+            epsilon=0.5)._fit_epsilon_distributed(df, 90, 0.0)
+    with pytest.raises(ValueError, match="epsilon"):
+        SpectralClustering(
+            k=3, kernel_type="rbf", affinity_type="epsilon",
+            epsilon=0.0)._fit_epsilon_distributed(df, 90, 0.0)
