@@ -887,6 +887,48 @@ def _multimodal_sql() -> str:
     )
 
 
+def _multimodal_audio_sql() -> str:
+    """Twin of sources/multimodal.decode_audio_meta's fake path over
+    ASCII text bytes: h = little-endian uint64 of the first 8 bytes;
+    rate = palette[h % 5], channels = 1 + (h >> 3) % 2,
+    n = rate + (h >> 16) % (60·rate), duration = n / rate."""
+    h = " + ".join(
+        f"CAST(ascii(substring(text, {i+1}, 1)) AS HUGEINT) * "
+        f"{(1 << (8 * i))}::HUGEINT"
+        for i in range(8)
+    )
+    rates = (8000, 16000, 22050, 44100, 48000)
+    rate = ("CASE hh % 5 " + " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(rates)) + " END")
+    return (
+        f"WITH b AS (SELECT doc_id AS media_id, ({h}) AS hh FROM documents), "
+        f"r AS (SELECT media_id, hh, CAST({rate} AS HUGEINT) AS rate FROM b) "
+        "SELECT media_id, CAST(rate AS INTEGER) AS sample_rate, "
+        "CAST(1 + (hh // 8) % 2 AS INTEGER) AS channels, "
+        "CAST(rate + (hh // 65536) % (60 * rate) AS BIGINT) AS n_samples, "
+        "CAST(rate + (hh // 65536) % (60 * rate) AS DOUBLE) / "
+        "CAST(rate AS DOUBLE) AS duration_sec "
+        "FROM r ORDER BY media_id"
+    )
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """Audio-column plumbing: documents' text bytes stand in for audio
+    content; deterministic fake decode exercises the mapInPandas path."""
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        decode_audio_meta,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = decode_audio_meta(docs)
+    return out.select("media_id", "sample_rate", "channels", "n_samples",
+                      "duration_sec").orderBy("media_id")
+
+
 def _soft_sql(iters=3, beta=0.25, centers=None, digits_c=4) -> str:
     """Unrolled fuzzy c-means (tol=0): Boltzmann memberships
     p_j ∝ exp(−β·(D_j − D_min)) over SE/2 distances, M-step
@@ -3134,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_kmeans_step": q_kernel_kmeans_step,
         "timeseries_assign": q_timeseries_assign,
         "constrained_soft_step": q_constrained_soft,
+        "multimodal_audio_meta": q_multimodal_audio,
     }
     return q
 
@@ -3615,6 +3658,7 @@ FROM wide w ORDER BY xb
     )
     out["dedup_jaccard_verify"] = _jaccard_verify_sql()
     out["multimodal_image_meta"] = _multimodal_sql()
+    out["multimodal_audio_meta"] = _multimodal_audio_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),

@@ -163,3 +163,56 @@ def test_winnow_fingerprints_robust_to_local_edit(spark):
     shared = len(out[0] & out[1]) / len(out[0] | out[1])
     assert shared > 0.5
     assert all(0 <= fp < 1_000_003 for fp in out[0])
+
+
+def test_decode_audio_meta_fake_deterministic(spark, media):
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        _FAKE_RATES, decode_audio_meta,
+    )
+
+    out = {r["media_id"]: r for r in decode_audio_meta(media).collect()}
+    assert len(out) == 3
+    for mid, content in [(1, bytes(range(64))), (2, b"\xff" * 100),
+                         (3, bytes(range(250)))]:
+        h = int.from_bytes(content[:8].ljust(8, b"\0"), "little")
+        rate = _FAKE_RATES[h % 5]
+        n = rate + (h >> 16) % (60 * rate)
+        r = out[mid]
+        assert r["sample_rate"] == rate
+        assert r["channels"] == 1 + (h >> 3) % 2
+        assert r["n_samples"] == n
+        assert r["duration_sec"] == pytest.approx(n / rate)
+
+
+def test_decode_audio_meta_real_wav_and_poison(spark):
+    """The real audio decoder is stdlib-backed (wave) so it genuinely
+    runs: a synthesized WAV parses; garbage bytes yield NULLs instead
+    of failing the batch."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"\x00\x01" * 2 * 8000)  # 8000 frames, 0.5 s
+    wav_bytes = buf.getvalue()
+
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        decode_audio_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", wav_bytes), (2, "audio", b"not a wav at all")],
+        "media_id long, media_type string, content binary",
+    )
+    out = {r["media_id"]: r for r in
+           decode_audio_meta(df, decoder="real").collect()}
+    good = out[1]
+    assert good["sample_rate"] == 16000
+    assert good["channels"] == 2
+    assert good["n_samples"] == 8000
+    assert good["duration_sec"] == pytest.approx(0.5)
+    bad = out[2]
+    assert bad["sample_rate"] is None and bad["duration_sec"] is None
