@@ -833,6 +833,52 @@ def _jaccard_verify_sql(num_hashes=16, shingle_n=3, num_bands=4, seed=42,
     )
 
 
+def _dedup_components_sql(num_hashes=16, shingle_n=3, num_bands=4,
+                          threshold=0.2) -> str:
+    """Connected components over the jaccard-verified pair list via a
+    recursive CTE (min reachable id), then canonical selection (longest
+    text, ties → smallest id) — twin of duplicate_components +
+    canonical_duplicates on the same LSH pipeline."""
+    inner = _jaccard_verify_sql(num_hashes=num_hashes, shingle_n=shingle_n,
+                                num_bands=num_bands, threshold=threshold)
+    inner = inner[: inner.rindex(" ORDER BY ")]
+    return (
+        f"WITH RECURSIVE pairsq AS ({inner}), "
+        "edges2 AS (SELECT i AS a, j AS b FROM pairsq "
+        "UNION ALL SELECT j, i FROM pairsq), "
+        "reach(id, r) AS ("
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges2) "
+        "UNION "
+        "SELECT e.b, rr.r FROM reach rr JOIN edges2 e ON e.a = rr.id), "
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id) "
+        "SELECT c.id AS doc_id, c.component, "
+        "(row_number() OVER (PARTITION BY c.component "
+        "ORDER BY length(d.text) DESC, c.id ASC) = 1) AS is_canonical "
+        "FROM comp c JOIN documents d ON d.doc_id = c.id "
+        "ORDER BY doc_id"
+    )
+
+
+def q_dedup_components(spark, sf_dir):
+    """Pairs → duplicate GROUPS → canonical doc per group: the full
+    near-dup pipeline a training corpus needs (minhash → LSH → verify →
+    connected components → keep-longest)."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        canonical_duplicates, duplicate_components, jaccard_verify,
+        lsh_candidate_pairs, minhash_signatures,
+    )
+
+    docs = documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3, hash_fn="md5")
+    pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
+                                bucket_mode="raw")
+    verified = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2)
+    comp = duplicate_components(verified)
+    in_comp = docs.join(comp.select(F.col("id").alias("doc_id")), "doc_id")
+    out = canonical_duplicates(in_comp, comp)
+    return out.select("doc_id", "component", "is_canonical").orderBy("doc_id")
+
+
 def _mutual_info_sql(digits: int = 6) -> str:
     return (
         "WITH h AS (SELECT event_type AS x, user_id % 8 AS y, "
@@ -3177,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_assign": q_timeseries_assign,
         "constrained_soft_step": q_constrained_soft,
         "multimodal_audio_meta": q_multimodal_audio,
+        "dedup_components": q_dedup_components,
     }
     return q
 
@@ -3659,6 +3706,7 @@ FROM wide w ORDER BY xb
     out["dedup_jaccard_verify"] = _jaccard_verify_sql()
     out["multimodal_image_meta"] = _multimodal_sql()
     out["multimodal_audio_meta"] = _multimodal_audio_sql()
+    out["dedup_components"] = _dedup_components_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),

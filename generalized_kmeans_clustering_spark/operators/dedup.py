@@ -31,6 +31,9 @@ __all__ = [
     "jaccard_verify",
     "simhash64",
     "simhash_near_dups",
+    "duplicate_components",
+    "canonical_duplicates",
+    "deduplicate",
 ]
 
 # Mersenne prime 2^31-1 for universal hashing: (h mod p)·a + b stays
@@ -260,3 +263,99 @@ def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
         "hamming", F.bit_count(F.col("_si").bitwiseXOR(F.col("_sj")))
     )
     return out.where(F.col("hamming") <= max_hamming).select("i", "j", "hamming")
+
+
+def duplicate_components(pairs: DataFrame, i_col: str = "i",
+                         j_col: str = "j", max_iter: int = 25) -> DataFrame:
+    """Connected components over a duplicate-pair edge list →
+    ``(id, component)`` with ``component`` = the smallest id reachable.
+
+    Engine extension: turns verified near-dup PAIRS (LSH/SimHash/
+    embedding) into duplicate GROUPS — the step a training-data
+    pipeline actually needs before canonical-document selection.
+
+    Iterative min-label propagation, fully distributed: each round is
+    one ``groupBy(id).min(label)`` over the node's own label unioned
+    with its neighbors' labels (edges replicated in both directions).
+    Rounds needed = graph diameter; near-dup components from LSH
+    banding are dense (almost cliques), so 2-4 rounds is typical.
+    Convergence is detected with a single scalar aggregate — the sum of
+    labels strictly decreases until the fixpoint, so no per-row diff
+    join is needed. Lineage is cut with ``localCheckpoint`` every few
+    rounds. Only ids touched by at least one pair appear in the output
+    (singletons are their own component by definition).
+
+    At 100 TB: shuffles are keyed on the id column only; edge rows =
+    2·|pairs| ≪ n for any sane threshold; driver state is one scalar
+    per round.
+    """
+    e = (
+        pairs.select(F.col(i_col).cast("long").alias("src"),
+                     F.col(j_col).cast("long").alias("dst"))
+        .unionAll(
+            pairs.select(F.col(j_col).cast("long").alias("src"),
+                         F.col(i_col).cast("long").alias("dst")))
+        .persist()
+    )
+    labels = (
+        e.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    prev = None
+    for it in range(max_iter):
+        nb = (
+            e.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "component")
+        )
+        nxt = (
+            labels.unionAll(nb)
+            .groupBy("id").agg(F.min("component").alias("component"))
+        )
+        nxt = (nxt.localCheckpoint(eager=True) if (it + 1) % 5 == 0
+               else nxt.persist())
+        s = nxt.agg(F.sum("component")).first()[0]
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+        labels = nxt
+        if s == prev_sum:  # labels only decrease: equal sum == fixpoint
+            break
+        prev_sum = s
+    e.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    return labels
+
+
+def canonical_duplicates(df: DataFrame, components: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         component_col: str = "component") -> DataFrame:
+    """Mark one canonical row per duplicate component: the longest
+    ``text_col`` wins, ties broken by smallest id. Rows with no dup
+    pair are their own (singleton) component and always canonical.
+
+    One shuffle keyed on the component id (window rank). Output = the
+    input columns + ``component`` + ``is_canonical``.
+    """
+    from pyspark.sql import Window
+
+    joined = df.join(
+        components.select(F.col("id").alias(id_col),
+                          F.col(component_col).alias("_comp")),
+        id_col, "left",
+    ).withColumn(component_col,
+                 F.coalesce(F.col("_comp"), F.col(id_col))).drop("_comp")
+    w = Window.partitionBy(component_col).orderBy(
+        F.length(text_col).desc(), F.col(id_col).asc())
+    return joined.withColumn(
+        "is_canonical", F.row_number().over(w) == 1)
+
+
+def deduplicate(df: DataFrame, components: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Drop every non-canonical duplicate row (keep = longest text,
+    ties → smallest id, per component)."""
+    out = canonical_duplicates(df, components, id_col, text_col)
+    return out.where("is_canonical").drop("is_canonical", "component")

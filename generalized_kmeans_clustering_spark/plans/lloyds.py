@@ -101,7 +101,7 @@ def _reseed_empty(df, kernel, centers, empty, cfg) -> np.ndarray:
 
 def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsResult:
     from ..events import (ConvergenceDetected, EmptyClustersDetected,
-                          IterationTracker, SummarySink)
+                          IterationTracker, SummarySink, WarningEvent)
 
     t0 = time()
     kernel = cfg.kernel
@@ -110,6 +110,7 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
     res = LloydsResult(centers=centers)
     sizes: list[int] = []
     sink = cfg.sink if cfg.sink is not None else SummarySink.noop()
+    prev_empty: set[int] = set()
 
     for it in range(cfg.max_iter):
         tracker = IterationTracker(sink, it)
@@ -153,6 +154,18 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
             sink.record(EmptyClustersDetected(
                 iteration=it, cluster_ids=frozenset(int(c) for c in empty),
                 action=action))
+            stuck = prev_empty & set(empty)
+            if stuck and cfg.empty_cluster_strategy == "keep":
+                # a kept-empty cluster whose center didn't move can never
+                # re-acquire points — surface it instead of burning k slots
+                sink.record(WarningEvent(
+                    iteration=it,
+                    message=(f"clusters {sorted(stuck)} empty for "
+                             "consecutive iterations under "
+                             "empty_cluster_strategy='keep'; consider "
+                             "'reseed' or a smaller k"),
+                    severity="medium"))
+            prev_empty = set(empty)
             if cfg.empty_cluster_strategy == "drop":
                 keep = [i for i in range(k) if i not in set(empty)]
                 new_centers = new_centers[keep]
@@ -161,6 +174,8 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
             elif cfg.empty_cluster_strategy == "reseed":
                 new_centers = _reseed_empty(df, kernel, new_centers, empty, cfg)
             # "keep": already retains the old center
+        else:
+            prev_empty = set()
 
         mv = _movement(centers, new_centers)
         centers = new_centers

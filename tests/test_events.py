@@ -278,3 +278,25 @@ def test_elkan_plan_emits_events(spark, blob_df):
     assert types.count("iteration_completed") == 3
     assert types[0] == "initialization_completed"
     assert types[-1] == "training_completed"
+
+
+def test_persistently_empty_cluster_warns(spark):
+    """k > distinct points under 'keep' leaves a cluster empty every
+    iteration — the loop surfaces a WarningEvent after it repeats."""
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0],)] * 10 + [([10.0, 10.0],)] * 10,
+        "features array<double>",
+    )
+    m = GeneralizedKMeans(
+        # tol=-1 forces all 3 iterations even though centers sit at the
+        # exact means from iteration 0 (movement 0 would otherwise
+        # converge immediately)
+        k=4, divergence="se", max_iter=3, seed=5, tol=-1.0,
+        initial_centers=[[0.0, 0.0], [10.0, 10.0],
+                         [100.0, 100.0], [200.0, 200.0]],
+    ).fit(df)
+    cs = m.summary.clustering_summary()
+    assert cs.num_empty_cluster_events >= 2
+    assert any("empty for" in w.message for w in cs.warnings)

@@ -216,3 +216,53 @@ def test_decode_audio_meta_real_wav_and_poison(spark):
     assert good["duration_sec"] == pytest.approx(0.5)
     bad = out[2]
     assert bad["sample_rate"] is None and bad["duration_sec"] is None
+
+
+def test_duplicate_components_merges_chains(spark):
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "i long, j long",
+    )
+    out = {r["id"]: r["component"]
+           for r in duplicate_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_components_long_path_converges(spark):
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "i long, j long")
+    out = {r["id"]: r["component"]
+           for r in duplicate_components(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 13
+
+
+def test_canonical_selection_and_dedup(spark):
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        canonical_duplicates, deduplicate, duplicate_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text wins"), (3, "medium text"),
+         (7, "untouched singleton")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "i long, j long")
+    comp = duplicate_components(pairs)
+    out = {r["doc_id"]: (r["component"], r["is_canonical"])
+           for r in canonical_duplicates(docs, comp).collect()}
+    assert out[2] == (1, True)          # longest text is canonical
+    assert out[1] == (1, False) and out[3] == (1, False)
+    assert out[7] == (7, True)          # singleton: own component, kept
+    kept = {r["doc_id"] for r in deduplicate(docs, comp).collect()}
+    assert kept == {2, 7}
