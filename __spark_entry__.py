@@ -3140,6 +3140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # they get official driver rows too.  Every key keeps its oracle_sql()
     # twin regardless of position.
     q = {
+        "multimodal_audio_meta": q_multimodal_audio,
+        "dedup_components": q_dedup_components,
         "assign_se_chunked": q_assign_se_chunked,
         "assign_se_pruned": q_assign_se_pruned,
         "assign_se_crossjoin": q_assign_se_crossjoin,
@@ -3222,8 +3224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_kmeans_step": q_kernel_kmeans_step,
         "timeseries_assign": q_timeseries_assign,
         "constrained_soft_step": q_constrained_soft,
-        "multimodal_audio_meta": q_multimodal_audio,
-        "dedup_components": q_dedup_components,
     }
     return q
 
