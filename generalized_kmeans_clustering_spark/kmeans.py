@@ -145,6 +145,12 @@ class GeneralizedKMeans:
         # (plans/lloyds.py has the full rationale)
         checkpoint_interval: int = 0,
         checkpoint_dir: str | None = None,
+        # user-supplied events.SummarySink — fit records its typed
+        # ClusteringEvents into it live (reference SummarySink usage:
+        # caller constructs the sink, trainer records); when None a
+        # private sink is used and the log still lands on
+        # summary.events
+        event_sink=None,
     ):
         if k < 1:
             raise ValueError("k must be >= 1")
@@ -165,6 +171,7 @@ class GeneralizedKMeans:
         self.initial_centers = initial_centers
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_dir = checkpoint_dir
+        self.event_sink = event_sink
 
     # pyspark.ml-style getters
     def getK(self):
@@ -202,7 +209,10 @@ class GeneralizedKMeans:
             work = work.cache()
         from .events import InitializationCompleted, SummarySink, TrainingCompleted
 
-        sink = SummarySink()
+        sink = self.event_sink if self.event_sink is not None else SummarySink()
+        # a shared user sink may already hold earlier fits' events;
+        # summary.events gets only this fit's slice
+        _ev_start = sink.size
         try:
             import time as _t
 
@@ -282,7 +292,7 @@ class GeneralizedKMeans:
             cluster_sizes=result.cluster_sizes,
             elapsed_sec=result.elapsed_sec,
             pruned_history=result.pruned_history,
-            events=sink.get_events(),
+            events=sink.get_events()[_ev_start:],
         )
         return GeneralizedKMeansModel(
             centers=result.centers,

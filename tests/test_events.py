@@ -300,3 +300,23 @@ def test_persistently_empty_cluster_warns(spark):
     cs = m.summary.clustering_summary()
     assert cs.num_empty_cluster_events >= 2
     assert any("empty for" in w.message for w in cs.warnings)
+
+
+def test_user_supplied_sink_receives_live_events(spark, blob_df):
+    """Reference usage pattern: caller constructs the sink, the trainer
+    records into it; a shared sink accumulates across fits while each
+    summary carries only its own slice."""
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans
+
+    sink = SummarySink()
+    m1 = GeneralizedKMeans(k=3, divergence="se", max_iter=2, seed=1,
+                           init_mode="random", tol=0.0,
+                           event_sink=sink).fit(blob_df)
+    n1 = sink.size
+    assert n1 == len(m1.summary.events) > 0
+    m2 = GeneralizedKMeans(k=3, divergence="se", max_iter=2, seed=2,
+                           init_mode="random", tol=0.0,
+                           event_sink=sink).fit(blob_df)
+    assert sink.size == n1 + len(m2.summary.events)
+    assert m2.summary.events == sink.get_events()[n1:]
+    assert sink.summary().num_iterations >= 2

@@ -123,3 +123,45 @@ def test_pruned_assignment_parity(spark_global, n, d, k, seed):
     assert all(abs(r["_dp"] - r["_de"]) < 1e-9 for r in rows)
     # computation counts are within [1, k]
     assert all(1 <= r["_ncomp"] <= k for r in rows)
+
+
+@settings(**SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+        lambda p: p[0] != p[1]),
+    min_size=1, max_size=40,
+))
+def test_duplicate_components_match_union_find(spark_global, edges):
+    """Distributed min-label propagation == driver union-find on any
+    random edge list (components labeled by their minimum id)."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    expect = {}
+    for members in roots.values():
+        lo = min(members)
+        for n in members:
+            expect[n] = lo
+
+    pairs = spark_global.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "i long, j long")
+    got = {r["id"]: r["component"]
+           for r in duplicate_components(pairs).collect()}
+    assert got == expect
