@@ -16,6 +16,15 @@ from .functions.capabilities import (  # noqa: F401
 from .functions import transforms as feature_transforms  # noqa: F401
 from .kmeans import GeneralizedKMeans, GeneralizedKMeansModel  # noqa: F401
 from .summary import TrainingSummary  # noqa: F401
+from .errors import (  # noqa: F401
+    AllClustersEmpty, AssertionFailed, ConfigurationError,
+    ConvergenceError, ConvergenceFailure, CostIncreased, DataError,
+    DimensionMismatch, EmptyDataset, ErrorCategory, GKMError,
+    IncompatibleTransform, InternalError, InvalidFeatures, InvalidK,
+    InvalidMaxIterations, InvalidSeed, InvalidState, InvalidTolerance,
+    InvalidWeight, MissingColumn, UnexpectedNull, UnknownInitMethod,
+    UnknownKernel, ValidationError,
+)
 from .events import (  # noqa: F401
     ClusteringEvent, ClusteringSummary, ConvergenceDetected,
     EmptyClustersDetected, InitializationCompleted, IterationCompleted,

@@ -123,10 +123,11 @@ def capabilities_for(kernel) -> KernelCapabilities:
         raise TypeError(f"not a kernel or kernel name: {kernel!r}")
     caps = _REGISTRY.get(_norm(name))
     if caps is None:
-        raise KeyError(
-            f"no capability descriptor for kernel {name!r}; known: "
-            + ", ".join(sorted({c.name for c in _CORE}))
-        )
+        from ..errors import UnknownKernel
+
+        # UnknownKernel subclasses KeyError, preserving the registry-
+        # lookup contract callers already catch
+        raise UnknownKernel(name, sorted({c.name for c in _CORE}))
     return caps
 
 

@@ -432,8 +432,7 @@ def get_kernel(name: str, smoothing: float = EPS) -> Kernel:
     """Name → kernel instance (registry mirrors ``KernelFactory.scala:57-199``)."""
     key = name.lower().replace("-", "").replace("_", "")
     if key not in KERNELS:
-        raise ValueError(
-            f"unknown divergence '{name}'; available: "
-            + ", ".join(sorted({c.name for c in KERNELS.values()}))
-        )
+        from ..errors import UnknownKernel
+
+        raise UnknownKernel(name, sorted({c.name for c in KERNELS.values()}))
     return KERNELS[key](smoothing=smoothing)

@@ -307,10 +307,12 @@ def validate_compatibility(kernel, transform: FeatureTransform) -> None:
     else:
         ok = transform.compatible_with(caps.name)
     if not ok:
-        raise ValueError(
-            f"transform '{transform.name}' is not compatible with "
-            f"kernel '{caps.name}'"
-        )
+        from ..errors import IncompatibleTransform
+
+        reason = ("spherical requires the transform chain to end in L2 "
+                  "normalization" if caps.name == "spherical" else
+                  "transform output violates the kernel's domain")
+        raise IncompatibleTransform(transform.name, caps.name, reason)
 
 
 def recommended_transform(kernel) -> FeatureTransform:

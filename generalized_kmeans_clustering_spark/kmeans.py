@@ -152,8 +152,12 @@ class GeneralizedKMeans:
         # summary.events
         event_sink=None,
     ):
+        from .errors import InvalidK, InvalidMaxIterations
+
         if k < 1:
-            raise ValueError("k must be >= 1")
+            raise InvalidK(k)
+        if max_iter < 1:
+            raise InvalidMaxIterations(max_iter)
         self.k = k
         self.divergence = divergence
         self.max_iter = max_iter

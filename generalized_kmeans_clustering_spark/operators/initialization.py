@@ -219,4 +219,6 @@ def initialize(
         return random_init(df, k, features_col, seed)
     if mode in ("kmeansparallel", "parallel", "kmeanspp", "kmeans++"):
         return kmeans_parallel_init(df, k, kernel, features_col, seed, init_steps)
-    raise ValueError(f"unknown initMode '{init_mode}'")
+    from ..errors import UnknownInitMethod
+
+    raise UnknownInitMethod(init_mode, ["random", "k-means||", "k-means++"])

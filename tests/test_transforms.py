@@ -64,11 +64,11 @@ def test_validate_compatibility_with_kernels():
     T.validate_compatibility(
         get_kernel("spherical"), T.log1p().and_then(T.normalize_l2())
     )
-    with pytest.raises(ValueError, match="not compatible"):
+    with pytest.raises(ValueError, match="incompatible with kernel"):
         T.validate_compatibility(get_kernel("spherical"), T.identity())
     # KL accepts its recommended chain, rejects plain L2 normalization
     T.validate_compatibility(get_kernel("kl"), T.for_kl())
-    with pytest.raises(ValueError, match="not compatible"):
+    with pytest.raises(ValueError, match="incompatible with kernel"):
         T.validate_compatibility(get_kernel("kl"), T.normalize_l2())
 
 
