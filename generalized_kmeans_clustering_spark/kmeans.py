@@ -151,6 +151,9 @@ class GeneralizedKMeans:
         # private sink is used and the log still lands on
         # summary.events
         event_sink=None,
+        # opt-in: real IterationCompleted.assignment_changes at the cost
+        # of one persisted state frame per iteration (plans/lloyds.py)
+        track_assignment_changes: bool = False,
     ):
         from .errors import InvalidK, InvalidMaxIterations
 
@@ -176,6 +179,7 @@ class GeneralizedKMeans:
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_dir = checkpoint_dir
         self.event_sink = event_sink
+        self.track_assignment_changes = track_assignment_changes
 
     # pyspark.ml-style getters
     def getK(self):
@@ -246,6 +250,7 @@ class GeneralizedKMeans:
                 empty_cluster_strategy=self.empty_cluster_strategy,
                 seed=self.seed,
                 sink=sink,
+                track_assignment_changes=self.track_assignment_changes,
             )
             # Explicit opt-in only: warm-JVM A/B at sf0.1 shows the
             # stateless exact loop beats the bound-state path at every

@@ -49,13 +49,16 @@ def cluster_stats(
     cluster_col: str = "_cluster",
     dist_col: str = "_dist",
     ncomp_col: str | None = None,
+    changes_col: str | None = None,
 ) -> list:
     """One-pass per-cluster stats. Returns driver rows:
     (cluster, w: Σweight, n: count, cost: Σ w·dist, g: [Σ w·grad_i]).
 
     ``ncomp_col`` (pruned assignment only) folds the per-row
     distance-computation count into the same pass as an extra ``sum``
-    — pruning telemetry costs no extra job.
+    — pruning telemetry costs no extra job. ``changes_col`` (0/1
+    assignment-changed flag, opt-in change tracking) folds the same
+    way.
     """
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     grad = kernel.grad(F.col(features_col))
@@ -69,6 +72,8 @@ def cluster_stats(
         ]
         if ncomp_col:
             aggs.append(F.sum(ncomp_col).alias("ncomp"))
+        if changes_col:
+            aggs.append(F.sum(changes_col).alias("chg"))
         rows = assigned.groupBy(cluster_col).agg(*aggs).collect()
         return [
             {
@@ -78,6 +83,7 @@ def cluster_stats(
                 "cost": r["cost"],
                 "g": np.array([r[f"g{i}"] for i in range(d)]),
                 **({"ncomp": r["ncomp"]} if ncomp_col else {}),
+                **({"chg": r["chg"]} if changes_col else {}),
             }
             for r in rows
         ]
@@ -90,6 +96,7 @@ def cluster_stats(
         F.col(dist_col).alias("dist"),
         grad.alias("grad"),
         *([F.col(ncomp_col).alias("ncomp")] if ncomp_col else []),
+        *([F.col(changes_col).alias("chg")] if changes_col else []),
     )
 
     def _agg(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -103,15 +110,18 @@ def cluster_stats(
             "g": [(G * wt[:, None]).sum(axis=0).tolist()],
         }
         out["ncomp"] = [int(pdf["ncomp"].sum())] if "ncomp" in pdf else [0]
+        out["chg"] = [int(pdf["chg"].sum())] if "chg" in pdf else [0]
         return pd.DataFrame(out)
 
     out = tmp.groupBy("c").applyInPandas(
-        _agg, "c int, w double, n long, cost double, g array<double>, ncomp long"
+        _agg, "c int, w double, n long, cost double, g array<double>, "
+        "ncomp long, chg long"
     ).collect()
     return [
         {"cluster": r["c"], "w": r["w"], "n": r["n"], "cost": r["cost"],
          "g": np.array(r["g"]),
-         **({"ncomp": r["ncomp"]} if ncomp_col else {})}
+         **({"ncomp": r["ncomp"]} if ncomp_col else {}),
+         **({"chg": r["chg"]} if changes_col else {})}
         for r in out
     ]
 

@@ -57,6 +57,13 @@ class LloydsConfig:
     #: ConvergenceDetected into it (reference SummarySink.scala defines
     #: this surface but never wires a trainer to it)
     sink: object | None = None
+    #: opt-in: carry each iteration's assignment as a persisted column
+    #: and fold a changed-count into the stats pass so
+    #: IterationCompleted.assignment_changes is real instead of −1.
+    #: Costs one persist per iteration (the exact loop is otherwise
+    #: stateless) — off by default; iteration 0 counts every row as
+    #: changed (from unassigned).
+    track_assignment_changes: bool = False
 
 
 @dataclass
@@ -111,22 +118,37 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
     sizes: list[int] = []
     sink = cfg.sink if cfg.sink is not None else SummarySink.noop()
     prev_empty: set[int] = set()
+    track = cfg.track_assignment_changes
+    cur = df  # carries _prev_c when change tracking is on
+    carry_state = None
 
     for it in range(cfg.max_iter):
         tracker = IterationTracker(sink, it)
         assigner = auto_assigner(k, d, cfg.assignment_strategy,
                                  spark=df.sparkSession, kernel=kernel)
-        assigned = assigner.assign(df, kernel, centers.tolist(), cfg.features_col)
+        assigned = assigner.assign(cur, kernel, centers.tolist(),
+                                   cfg.features_col)
+        if track:
+            prevc = (F.col("_prev_c") if "_prev_c" in cur.columns
+                     else F.lit(-1))
+            assigned = assigned.withColumn(
+                "_chg", (F.col("_cluster") != prevc).cast("long"))
+            assigned = (assigned.localCheckpoint(eager=False)
+                        if (it + 1) % 5 == 0 else assigned.persist())
         # keyed on the chosen assigner, not the strategy string — auto
         # also selects the pruned rung for SE-decomposable kernels at
         # high k, and its telemetry should fold in either way
         pruned = (getattr(assigner, "name", None) == "pruned"
                   and kernel.mean_update)
+        changes = -1
         if kernel.mean_update:
             stats = cluster_stats(
                 assigned, kernel, d, cfg.features_col, cfg.weight_col,
                 ncomp_col="_ncomp" if pruned else None,
+                changes_col="_chg" if track else None,
             )
+            if track:
+                changes = int(sum(s.get("chg") or 0 for s in stats))
             new_centers, cost, sizes, empty = centers_from_stats(
                 stats, kernel, k, centers
             )
@@ -147,6 +169,9 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
                 assigned, d, k, cfg.features_col, cfg.weight_col,
                 old_centers=centers,
             )
+            if track:  # assigned is persisted: one cheap scalar agg
+                changes = int(assigned.agg(
+                    F.sum("_chg")).first()[0] or 0)
 
         if empty:
             action = {"drop": "dropped", "reseed": "reseeded"}.get(
@@ -182,13 +207,26 @@ def run_lloyds(df: DataFrame, centers: np.ndarray, cfg: LloydsConfig) -> LloydsR
         res.distortion_history.append(float(cost))
         res.movement_history.append(mv)
         res.iterations = it + 1
-        tracker.complete(cost=float(cost), center_movement=float(mv))
+        tracker.complete(cost=float(cost), center_movement=float(mv),
+                         assignment_changes=changes if track else -1)
+        if track:
+            nxt = assigned.select(
+                cfg.features_col,
+                *([cfg.weight_col] if cfg.weight_col else []),
+                F.col("_cluster").alias("_prev_c"),
+            )
+            if carry_state is not None:
+                carry_state.unpersist()
+            carry_state = assigned
+            cur = nxt
         if mv <= cfg.tol:
             res.converged = True
             sink.record(ConvergenceDetected(
                 iteration=it, reason="center_movement_below_tol"))
             break
 
+    if carry_state is not None:
+        carry_state.unpersist()
     res.centers = centers
     res.cluster_sizes = sizes
     res.elapsed_sec = time() - t0

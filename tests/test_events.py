@@ -320,3 +320,37 @@ def test_user_supplied_sink_receives_live_events(spark, blob_df):
     assert sink.size == n1 + len(m2.summary.events)
     assert m2.summary.events == sink.get_events()[n1:]
     assert sink.summary().num_iterations >= 2
+
+
+def test_assignment_change_tracking(spark, blob_df):
+    """Opt-in change tracking fills IterationCompleted.assignment_changes:
+    iteration 0 counts every row (from unassigned); once centers settle
+    on separated blobs, changes drop to 0."""
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans
+
+    m = GeneralizedKMeans(k=3, divergence="se", max_iter=4, seed=1,
+                          tol=0.0, track_assignment_changes=True,
+                          initial_centers=[[0.0, 0.0], [10.0, 10.0],
+                                           [20.0, 20.0]]).fit(blob_df)
+    its = m.summary.clustering_summary().iterations
+    assert its[0].assignment_changes == 300
+    assert all(e.assignment_changes >= 0 for e in its)
+    assert its[-1].assignment_changes == 0  # separated blobs converge
+    # default stays untracked
+    m2 = GeneralizedKMeans(k=3, divergence="se", max_iter=2, seed=1,
+                          init_mode="random", tol=0.0).fit(blob_df)
+    assert all(e.assignment_changes == -1
+               for e in m2.summary.clustering_summary().iterations)
+
+
+def test_assignment_change_tracking_l1(spark, blob_df):
+    """The median-update (L1) path counts changes through the persisted
+    assignment frame."""
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans
+
+    m = GeneralizedKMeans(k=3, divergence="l1", max_iter=3, seed=1,
+                          init_mode="random", tol=0.0,
+                          track_assignment_changes=True).fit(blob_df)
+    its = m.summary.clustering_summary().iterations
+    assert its[0].assignment_changes == 300
+    assert all(e.assignment_changes >= 0 for e in its)
