@@ -107,3 +107,76 @@ def test_transform_inherits_model_surface(spark):
     df = _mkdf(spark, [[0.1, 0.1], [9.9, 9.9]])
     out = m.transform(df).select("prediction").collect()
     assert [r["prediction"] for r in out] == [0, 1]
+
+
+def test_streaming_exact_dedup_drops_repeats(spark, tmp_path):
+    """Watermarked dropDuplicatesWithinWatermark keyed on the content
+    fingerprint: repeated texts inside the horizon survive once."""
+    import datetime as dt
+
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "docs_ckpt")
+    os.makedirs(src, exist_ok=True)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha beta gamma", t0),
+        (2, "alpha beta gamma", t0 + dt.timedelta(seconds=10)),  # dup
+        (3, "delta epsilon", t0 + dt.timedelta(seconds=20)),
+        (4, "delta epsilon", t0 + dt.timedelta(seconds=30)),     # dup
+        (5, "unique text here", t0 + dt.timedelta(seconds=40)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+    out = streaming_exact_dedup(stream, ts_col="ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_sink")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id FROM dedup_sink").collect()
+    kept_texts = spark.sql(
+        "SELECT count(DISTINCT doc_id) AS n FROM dedup_sink").first()["n"]
+    assert kept_texts == 3
+    ids = sorted(r["doc_id"] for r in got)
+    assert len(ids) == 3
+    assert 5 in ids  # the unique doc always survives
+
+
+def test_streaming_minhash_signatures_stateless(spark, tmp_path):
+    """Signature computation is a stateless projection: the streaming
+    result equals the batch operator on the same rows."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        streaming_minhash_signatures,
+    )
+
+    src = str(tmp_path / "sig_src")
+    ckpt = str(tmp_path / "sig_ckpt")
+    os.makedirs(src, exist_ok=True)
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "over the lazy dog today"),
+         (3, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (streaming_minhash_signatures(stream, num_hashes=8)
+         .writeStream.format("memory").queryName("sig_sink")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: list(r["signature"])
+           for r in spark.sql("SELECT * FROM sig_sink").collect()}
+    want = {r["doc_id"]: list(r["signature"])
+            for r in minhash_signatures(batch, num_hashes=8).collect()}
+    assert got == want
+    assert got[1] == got[3]  # identical text -> identical signature
