@@ -879,6 +879,92 @@ def q_dedup_components(spark, sf_dir):
     return out.select("doc_id", "component", "is_canonical").orderBy("doc_id")
 
 
+def _lang_sql_pieces(text_expr: str = "text"):
+    """(max-score expr, CASE arms) for the language-ID twin, shared by
+    the doc_language_id and corpus_prepare oracles."""
+    from generalized_kmeans_clustering_spark.functions.text import (
+        LANG_MARKERS,
+    )
+
+    pad = f"(' ' || lower({text_expr}) || ' ')"
+    score_exprs = {}
+    for lang, words in LANG_MARKERS.items():
+        terms = []
+        for w in words:
+            m = f" {w} "
+            terms.append(
+                f"(length({pad}) - length(replace({pad}, '{m}', ''))) "
+                f"/ {len(m)}.0"
+            )
+        score_exprs[lang] = "(0.0 + " + " + ".join(terms) + ")"
+    mx = "greatest(" + ", ".join(score_exprs.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score_exprs[lang]} = _mx AND _mx > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return mx, cases
+
+
+def _corpus_prepare_sql(min_tokens=8, languages=("en",), min_quality=0.05,
+                        prefix=64, digits=6) -> str:
+    """Twin of operators/corpus.prepare_corpus (exact-dedup mode) over
+    64-char text prefixes: signals, first-failing-rule reasons, exact
+    dedup among passers, keep flag."""
+    mx, cases = _lang_sql_pieces()
+    punct = ("(length(text) - length(translate(text, '.,;:!?''\"()-', '')))"
+             " * 1.0 / greatest(length(text), 1)")
+    digit = ("(length(text) - length(translate(text, '0123456789', '')))"
+             " * 1.0 / greatest(length(text), 1)")
+    qual = (f"least(length(text) * 1.0 / 500.0, 1.0) * (1.0 - {punct})"
+            f" * (1.0 - {digit})")
+    langs = ", ".join(f"'{v}'" for v in languages)
+    return (
+        f"WITH pre AS (SELECT doc_id, substring(text, 1, {prefix}) AS text "
+        "FROM documents), "
+        f"l1 AS (SELECT *, {mx} AS _mx FROM pre), "
+        "s AS (SELECT doc_id, text, "
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) "
+        "AS n_tokens, "
+        f"CASE {cases} ELSE 'unknown' END AS lang, {qual} AS quality "
+        "FROM l1), "
+        "r AS (SELECT *, CASE "
+        f"WHEN n_tokens < {min_tokens} THEN 'too_short' "
+        f"WHEN lang NOT IN ({langs}) THEN 'language' "
+        f"WHEN quality < {min_quality!r} THEN 'low_quality' END "
+        "AS pre_reason FROM s), "
+        "k AS (SELECT doc_id, md5(text) AS fp FROM r "
+        "WHERE pre_reason IS NULL), "
+        "keepers AS (SELECT fp, min(doc_id) AS keep_id FROM k GROUP BY fp), "
+        "d AS (SELECT k.doc_id FROM k JOIN keepers USING (fp) "
+        "WHERE k.doc_id != keepers.keep_id) "
+        "SELECT r.doc_id, r.n_tokens, r.lang, "
+        f"{_r('r.quality', digits)} AS quality, "
+        "CASE WHEN r.pre_reason IS NOT NULL THEN r.pre_reason "
+        "WHEN d.doc_id IS NOT NULL THEN 'duplicate' END AS reject_reason, "
+        "(r.pre_reason IS NULL AND d.doc_id IS NULL) AS keep "
+        "FROM r LEFT JOIN d ON d.doc_id = r.doc_id ORDER BY r.doc_id"
+    )
+
+
+def q_corpus_prepare(spark, sf_dir):
+    """One-call corpus prep: signals + rule filters + exact dedup with
+    per-row verdicts (operators/corpus.py) on 64-char prefixes so real
+    duplicate groups exist at every SF."""
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 64).alias("text"))
+    out = prepare_corpus(docs, min_tokens=8, languages=["en"],
+                         min_quality=0.05, dedup="exact")
+    return out.select(
+        "doc_id", "n_tokens", "lang",
+        _rcol(F.col("quality"), 6).alias("quality"),
+        "reject_reason", "keep",
+    ).orderBy("doc_id")
+
+
 def _mutual_info_sql(digits: int = 6) -> str:
     return (
         "WITH h AS (SELECT event_type AS x, user_id % 8 AS y, "
@@ -3142,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         "multimodal_audio_meta": q_multimodal_audio,
         "dedup_components": q_dedup_components,
+        "corpus_prepare": q_corpus_prepare,
         "assign_se_chunked": q_assign_se_chunked,
         "assign_se_pruned": q_assign_se_pruned,
         "assign_se_crossjoin": q_assign_se_crossjoin,
@@ -3707,6 +3794,7 @@ FROM wide w ORDER BY xb
     out["multimodal_image_meta"] = _multimodal_sql()
     out["multimodal_audio_meta"] = _multimodal_audio_sql()
     out["dedup_components"] = _dedup_components_sql()
+    out["corpus_prepare"] = _corpus_prepare_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),

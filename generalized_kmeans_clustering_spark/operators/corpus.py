@@ -1,0 +1,137 @@
+"""End-to-end corpus preparation for LLM training data.
+
+Engine extension (driver mandate): composes the text-analysis and
+deduplication operators into ONE declarative pipeline —
+
+    signals (tokens / language / quality, pure expressions)
+      → rule filters (length, language allow-list, quality floor)
+      → dedup among survivors (exact fingerprint, or MinHash-LSH →
+        verify → connected components → canonical selection)
+      → keep flag + first-failing ``reject_reason`` per row
+
+Everything except the optional near-dup stage is a single map-only
+projection plus one shuffle (the dedup groupBy/window); the near-dup
+stage reuses the LSH operators and stays bucket-joined. The output
+keeps EVERY input row with its verdict, so corpus audits ("why was
+this dropped?") are a filter, not a re-run — ``corpus_stats`` rolls
+the verdicts up.
+
+At 100 TB: signals and rules are expression-only (no shuffle); exact
+dedup shuffles once on the 128-bit fingerprint; near-dup shuffles on
+LSH band buckets. Nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as Tx
+
+__all__ = ["prepare_corpus", "corpus_stats"]
+
+#: verdict precedence: the FIRST failing rule names the reason
+_REASONS = ("too_short", "too_long", "language", "low_quality", "duplicate")
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    languages=None,
+    min_quality: float | None = None,
+    dedup: str | None = "exact",  # None | "exact" | "minhash"
+    minhash_threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Annotate every document with signals + a keep/reject verdict.
+
+    Output = input columns + ``n_tokens``, ``lang``, ``quality``,
+    ``reject_reason`` (null when kept) and ``keep``. Duplicate
+    resolution keeps the canonical row (exact: smallest id per
+    fingerprint; minhash: longest text then smallest id per connected
+    near-dup component) and only runs among rows that passed the
+    content rules — a filtered-out row can't crowd out a good one.
+    """
+    if dedup not in (None, "exact", "minhash"):
+        raise ValueError("dedup: None | 'exact' | 'minhash'")
+    t = F.col(text_col)
+    out = docs.withColumn("n_tokens", Tx.token_count(t).cast("bigint")) \
+              .withColumn("lang", Tx.language_id(t)) \
+              .withColumn("quality", Tx.quality_score(t))
+
+    reason = F.lit(None).cast("string")
+    rules = []
+    if min_tokens is not None:
+        rules.append((F.col("n_tokens") < min_tokens, "too_short"))
+    if max_tokens is not None:
+        rules.append((F.col("n_tokens") > max_tokens, "too_long"))
+    if languages is not None:
+        rules.append((~F.col("lang").isin(*languages), "language"))
+    if min_quality is not None:
+        rules.append((F.col("quality") < min_quality, "low_quality"))
+    for pred, name in reversed(rules):
+        reason = F.when(pred, F.lit(name)).otherwise(reason)
+    out = out.withColumn("reject_reason", reason)
+
+    if dedup is not None:
+        passed = out.where(F.col("reject_reason").isNull())
+        if dedup == "exact":
+            w_keep = (
+                passed.select(F.col(id_col),
+                              Tx.doc_fingerprint(t).alias("_fp"))
+                .groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+            )
+            dup_ids = (
+                passed.select(F.col(id_col),
+                              Tx.doc_fingerprint(t).alias("_fp"))
+                .join(w_keep, "_fp")
+                .where(F.col(id_col) != F.col("_keep_id"))
+                .select(F.col(id_col).alias("_dup_id"))
+            )
+        else:  # minhash
+            from .dedup import (canonical_duplicates, duplicate_components,
+                                jaccard_verify, lsh_candidate_pairs,
+                                minhash_signatures)
+
+            sigs = minhash_signatures(
+                passed, text_col=text_col, id_col=id_col,
+                num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn)
+            pairs = lsh_candidate_pairs(sigs, id_col=id_col,
+                                        num_bands=num_bands,
+                                        num_hashes=num_hashes)
+            verified = jaccard_verify(passed, pairs, text_col=text_col,
+                                      id_col=id_col, shingle_n=shingle_n,
+                                      threshold=minhash_threshold)
+            comp = duplicate_components(verified)
+            marked = canonical_duplicates(
+                passed.join(comp.select(F.col("id").alias(id_col)), id_col),
+                comp, id_col=id_col, text_col=text_col)
+            dup_ids = marked.where(~F.col("is_canonical")) \
+                            .select(F.col(id_col).alias("_dup_id"))
+        out = out.join(
+            dup_ids, out[id_col] == dup_ids["_dup_id"], "left"
+        ).withColumn(
+            "reject_reason",
+            F.when(F.col("reject_reason").isNull()
+                   & F.col("_dup_id").isNotNull(), F.lit("duplicate"))
+            .otherwise(F.col("reject_reason")),
+        ).drop("_dup_id")
+    return out.withColumn("keep", F.col("reject_reason").isNull())
+
+
+def corpus_stats(prepared: DataFrame) -> DataFrame:
+    """Verdict rollup: one row per outcome (kept / each reject reason)
+    with document and token counts — the audit table for a prep run."""
+    return (
+        prepared.groupBy(
+            F.coalesce(F.col("reject_reason"), F.lit("kept")).alias("outcome"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"))
+    )

@@ -1,0 +1,92 @@
+"""Corpus-preparation pipeline (operators/corpus.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.corpus import (
+    corpus_stats, prepare_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    long_en = ("the quick brown fox jumps over the lazy dog and then "
+               "the dog chases the fox around the big green field all day") * 2
+    rows = [
+        (1, long_en),
+        (2, long_en),                       # exact dup of 1
+        (3, "the and is short"),            # too short
+        (4, "der hund und die katze laufen durch den park und spielen "
+            "mit dem ball den ganzen tag lang immer wieder und wieder"),
+        # English markers so the language rule passes, but digit-heavy
+        # and short → quality_score below the 0.2 floor
+        (5, "the 111 and 222 is 333 of 444 the 555 and 666 is 777"),
+        (6, long_en + " with one extra tail sentence for the pair test"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_signals_and_rule_reasons(spark, docs):
+    out = {r["doc_id"]: r for r in prepare_corpus(
+        docs, min_tokens=10, languages=["en"], min_quality=0.2,
+        dedup="exact",
+    ).collect()}
+    assert out[1]["keep"] and out[1]["reject_reason"] is None
+    assert out[2]["reject_reason"] == "duplicate"
+    assert out[3]["reject_reason"] == "too_short"
+    assert out[4]["reject_reason"] == "language"  # German markers
+    assert out[5]["reject_reason"] == "low_quality"
+    assert out[6]["keep"]
+    assert all("n_tokens" in r.asDict() and "lang" in r.asDict()
+               for r in out.values())
+
+
+def test_rule_precedence_first_failure_wins(spark, docs):
+    # doc 3 is both too short AND quality-poor: too_short names it
+    out = {r["doc_id"]: r["reject_reason"] for r in prepare_corpus(
+        docs, min_tokens=10, min_quality=0.9, dedup=None).collect()}
+    assert out[3] == "too_short"
+
+
+def test_minhash_dedup_marks_near_dup_non_canonical(spark, docs):
+    out = {r["doc_id"]: r for r in prepare_corpus(
+        docs, min_tokens=10, dedup="minhash", minhash_threshold=0.5,
+        num_hashes=16, num_bands=4,
+    ).collect()}
+    # 1, 2, 6 are one near-dup component; 6 has the longest text → kept
+    assert out[6]["keep"]
+    assert out[1]["reject_reason"] == "duplicate"
+    assert out[2]["reject_reason"] == "duplicate"
+    assert out[4]["keep"]  # German text passes (no language rule here)
+
+
+def test_filtered_rows_do_not_join_dedup(spark):
+    # the duplicate of a REJECTED doc survives: dedup runs among
+    # passers only
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"),
+         (3, "a properly long document with plenty of words to pass "
+             "the minimum token requirement set below for this test")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["reject_reason"] for r in prepare_corpus(
+        docs, min_tokens=5, dedup="exact").collect()}
+    assert out[1] == "too_short" and out[2] == "too_short"
+    assert out[3] is None
+
+
+def test_corpus_stats_rollup(spark, docs):
+    prepared = prepare_corpus(docs, min_tokens=10, languages=["en"],
+                              min_quality=0.2, dedup="exact")
+    stats = {r["outcome"]: (r["n_docs"], r["n_tokens"])
+             for r in corpus_stats(prepared).collect()}
+    assert stats["kept"][0] == 2
+    assert stats["duplicate"][0] == 1
+    assert stats["too_short"][0] == 1
+    assert stats["language"][0] == 1
+    assert stats["low_quality"][0] == 1
+    assert sum(n for n, _ in stats.values()) == 6
+
+
+def test_invalid_dedup_mode(spark, docs):
+    with pytest.raises(ValueError):
+        prepare_corpus(docs, dedup="bogus")
