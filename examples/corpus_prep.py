@@ -1,0 +1,67 @@
+"""Executable documentation: one-call training-corpus preparation.
+
+Signals → rule filters → duplicate-group resolution → per-row
+verdicts, then the audit rollup and the typed training-event log from
+a clustering fit over the surviving documents' quality signals.
+"""
+
+import sys
+import os
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans, SummarySink
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        corpus_stats, prepare_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # one declarative pass: signals + filters + near-dup groups + verdicts
+    prepared = prepare_corpus(
+        docs,
+        min_tokens=10,
+        languages=["en"],
+        min_quality=0.05,
+        dedup="minhash", minhash_threshold=0.6,
+    )
+    audit = {r["outcome"]: int(r["n_docs"])
+             for r in corpus_stats(prepared).collect()}
+    kept = prepared.where("keep")
+
+    # cluster the kept docs by their quality signals, watching the
+    # typed event log live through a caller-owned sink
+    feats = kept.select(
+        F.array(
+            F.col("quality"),
+            F.col("n_tokens").cast("double") / 100.0,
+        ).alias("features")
+    )
+    sink = SummarySink()
+    model = GeneralizedKMeans(k=3, max_iter=5, seed=11,
+                              event_sink=sink).fit(feats)
+    report = sink.summary().report()
+
+    return {
+        "input_docs": int(docs.count()),
+        "kept_docs": int(audit.get("kept", 0)),
+        "audit": audit,
+        "fit_iterations": model.summary.iterations,
+        "event_count": sink.size,
+        "report_lines": len(report.splitlines()),
+    }
+
+
+if __name__ == "__main__":
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+    print(main(s))
+    s.stop()

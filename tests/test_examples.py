@@ -42,3 +42,14 @@ def test_transforms_and_pruning_example(spark, sf_dir):
     assert out["kl_caps"]["requires_positive"] is True
     assert "log1p" in out["kl_caps"]["recommended_transform"]
     assert 0.0 < out["pruning_rate"] < 1.0
+
+
+def test_corpus_prep_example(spark, sf_dir):
+    import corpus_prep
+
+    out = corpus_prep.main(spark, sf_dir)
+    assert out["kept_docs"] <= out["input_docs"]
+    assert sum(out["audit"].values()) == out["input_docs"]
+    assert out["fit_iterations"] >= 1
+    assert out["event_count"] >= out["fit_iterations"] * 2 + 2
+    assert out["report_lines"] > 3
