@@ -143,6 +143,26 @@ def main():
     timed("fit_se_k32_exact", lambda: GeneralizedKMeans(
         k=32, divergence="se", max_iter=3, seed=9, init_mode="random",
         assignment_strategy="expression").fit(li))
+    # full near-dup pipeline to GROUPS: signatures -> LSH -> verify ->
+    # connected components (the training-corpus dedup end state)
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components, jaccard_verify,
+    )
+    timed("dedup_components", lambda: duplicate_components(
+        jaccard_verify(
+            docs,
+            lsh_candidate_pairs(minhash_signatures(docs, num_hashes=32),
+                                num_hashes=32),
+            threshold=0.5,
+        )).count())
+    # one-call corpus prep (signals + filters + exact dedup verdicts)
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        prepare_corpus,
+    )
+    timed("corpus_prepare", lambda: prepare_corpus(
+        docs, min_tokens=10, languages=["en"], min_quality=0.05,
+        dedup="exact",
+    ).groupBy("keep").count().collect())
     # soft-kmeans fit (fuzzy variant: one-agg-per-iteration path)
     from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeans
     timed("fit_soft_k4", lambda: SoftKMeans(

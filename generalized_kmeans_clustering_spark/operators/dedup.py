@@ -190,9 +190,23 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (two broadcast-able
-    joins against the shingle sets of the candidates)."""
-    sh = df.select(F.col(id_col),
-                   F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"))
+    joins against the shingle sets of the candidates).
+
+    Shingle sets are computed ONLY for documents that appear in a
+    candidate pair (semi-join on the candidate ids first): at 100 TB
+    candidates ≪ corpus, so shingling the full corpus here would be
+    the dominant cost. The pair frame is referenced three times below
+    (two joins + the id semi-join), so it is lazily local-checkpointed
+    — the LSH chain evaluates once, not three times."""
+    pairs = pairs.localCheckpoint(eager=False)
+    cand_ids = (
+        pairs.select(F.col("i").alias(id_col))
+        .unionAll(pairs.select(F.col("j").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_ids, id_col).select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"))
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "i").withColumnRenamed("_sh", "_shi"), "i")
         .join(sh.withColumnRenamed(id_col, "j").withColumnRenamed("_sh", "_shj"), "j")
