@@ -201,3 +201,49 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rank")
     )
+
+
+def write_ivf_index(indexed: DataFrame, model, path: str,
+                    mode: str = "overwrite") -> None:
+    """Persist an IVF index for serving: the indexed vectors as parquet
+    PARTITIONED BY the ``_list`` column (probe joins/filters prune to
+    the probed partitions — at 100 TB a probe touches nprobe/n_lists of
+    the files, not the corpus) plus the coarse centroids as a JSON
+    sidecar (model state: n_lists × d doubles).
+    """
+    import json
+
+    indexed.write.mode(mode).partitionBy("_list").parquet(f"{path}/vectors")
+    # centroids via the model's own persistence-free state (tiny)
+    sidecar = {
+        "n_lists": int(len(model.centers)),
+        "dim": int(model.centers.shape[1]),
+        "kernel": model.kernel_name,
+        "centers": [[float(v) for v in c] for c in model.centers],
+    }
+    # sidecar via the driver-side filesystem (local paths; HDFS/S3
+    # users write it with their own client — it is k·d doubles)
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/centroids.json", "w") as f:
+        json.dump(sidecar, f)
+
+
+def read_ivf_index(spark, path: str):
+    """Load an IVF index written by :func:`write_ivf_index`. Returns
+    ``(indexed_df, model)`` ready for :func:`ivf_topk`; probes on the
+    partitioned ``_list`` column are pruned at the parquet-scan level
+    (visible as PartitionFilters in the plan)."""
+    import json
+
+    from ..kmeans import GeneralizedKMeansModel
+
+    with open(f"{path}/centroids.json") as f:
+        sidecar = json.load(f)
+    indexed = spark.read.parquet(f"{path}/vectors")
+    model = GeneralizedKMeansModel(
+        centers=sidecar["centers"], kernel_name=sidecar["kernel"],
+        features_col="_v", prediction_col="_list",
+    )
+    return indexed, model

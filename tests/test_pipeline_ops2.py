@@ -266,3 +266,42 @@ def test_canonical_selection_and_dedup(spark):
     assert out[7] == (7, True)          # singleton: own component, kept
     kept = {r["doc_id"] for r in deduplicate(docs, comp).collect()}
     assert kept == {2, 7}
+
+
+def test_ivf_index_persist_and_partition_pruning(spark, tmp_path):
+    """Round-trip the IVF index through partitioned parquet; probing a
+    literal _list set must prune partitions at the scan (the 100 TB
+    serving contract), and results must equal the in-memory index."""
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index, ivf_topk, read_ivf_index, write_ivf_index,
+    )
+
+    rng = np.random.default_rng(17)
+    V = rng.normal(size=(300, 8))
+    df = spark.createDataFrame(
+        [(int(i), V[i].tolist()) for i in range(len(V))],
+        "vec_id long, embedding array<double>",
+    )
+    indexed, model = ivf_index(df, n_lists=8, seed=3, max_iter=5)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(indexed, model, path)
+
+    indexed2, model2 = read_ivf_index(spark, path)
+    assert np.allclose(model2.centers, model.centers)
+    queries = df.where("vec_id < 5")
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_topk(indexed, model, queries, k=3, nprobe=3).collect()}
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in ivf_topk(indexed2, model2, queries, k=3, nprobe=3).collect()}
+    assert got == want
+
+    # partition pruning: filtering on the partition column reads only
+    # the matching partition directories
+    pruned = indexed2.where(F.col("_list") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_list" in plan.replace("#", " #") or \
+        "_list" in plan.split("PartitionFilters")[1][:120]
+    n_parts = indexed2.select("_list").distinct().count()
+    assert n_parts <= 8
