@@ -101,9 +101,9 @@ class InvalidTolerance(ValidationError):
 
 
 class InvalidMaxIterations(ValidationError):
-    def __init__(self, max_iter: int):
+    def __init__(self, max_iter: int, minimum: int = 1):
         self.max_iter = max_iter
-        super().__init__(f"Invalid maxIter={max_iter}: must be >= 1")
+        super().__init__(f"Invalid maxIter={max_iter}: must be >= {minimum}")
 
 
 class InvalidSeed(ValidationError):

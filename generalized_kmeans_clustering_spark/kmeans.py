@@ -159,8 +159,11 @@ class GeneralizedKMeans:
 
         if k < 1:
             raise InvalidK(k)
-        if max_iter < 1:
-            raise InvalidMaxIterations(max_iter)
+        # max_iter=0 is a legitimate assignment-only fit (e.g. building
+        # an IVF index around caller-supplied centroids) — reject only
+        # negatives, a deliberate relaxation of the reference's >= 1
+        if max_iter < 0:
+            raise InvalidMaxIterations(max_iter, minimum=0)
         self.k = k
         self.divergence = divergence
         self.max_iter = max_iter

@@ -82,7 +82,8 @@ def test_wired_call_sites():
     with pytest.raises(InvalidK):
         GeneralizedKMeans(k=0)
     with pytest.raises(InvalidMaxIterations):
-        GeneralizedKMeans(k=2, max_iter=0)
+        GeneralizedKMeans(k=2, max_iter=-1)
+    GeneralizedKMeans(k=2, max_iter=0)  # assignment-only fit is legal
     with pytest.raises(UnknownKernel):
         get_kernel("noSuchDivergence")
     # legacy catch styles still work
