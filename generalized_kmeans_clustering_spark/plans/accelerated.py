@@ -58,7 +58,7 @@ def _euclid_dists(kernel: Kernel, features_col: str, centers) -> F.Column:
 
 
 def _attach_bounds(df: DataFrame, eu_col: str, keep=None,
-                   u_adj=None, l_adj=None) -> DataFrame:
+                   u_adj=None, l_adj=None, track=False) -> DataFrame:
     """(_c, _u, _l) from a staged euclidean-distance array column.
 
     The array lives in its own projection (non-cheap higher-order
@@ -77,11 +77,18 @@ def _attach_bounds(df: DataFrame, eu_col: str, keep=None,
             .withColumn("_u", u_new)
             .withColumn("_l", l_new)
         )
-    return (
+    out = (
         df.withColumn("_c2", F.when(keep, F.col("_c")).otherwise(c_new))
         .withColumn("_u2", F.when(keep, u_adj).otherwise(u_new))
         .withColumn("_l2", F.when(keep, l_adj).otherwise(l_new))
-        .drop("_c", "_u", "_l")
+    )
+    if track:
+        # old _c still present: the changed flag costs nothing extra
+        # because the materializing agg job already runs
+        out = out.withColumn(
+            "_chg", (F.col("_c2") != F.col("_c")).cast("long"))
+    return (
+        out.drop("_c", "_u", "_l")
         .withColumnRenamed("_c2", "_c")
         .withColumnRenamed("_u2", "_u")
         .withColumnRenamed("_l2", "_l")
@@ -110,6 +117,8 @@ def run_accelerated_lloyds(
                           IterationTracker, SummarySink)
 
     sink = cfg.sink if cfg.sink is not None else SummarySink.noop()
+    track = cfg.track_assignment_changes
+    pending_changes = None  # set by each refresh for the NEXT iteration
 
     state = _attach_bounds(
         df.withColumn(
@@ -166,7 +175,15 @@ def run_accelerated_lloyds(
             res.distortion_history.append(cost)
             res.movement_history.append(mv)
             res.iterations = it + 1
-            tracker.complete(cost=float(cost), center_movement=mv)
+            if track:
+                # iteration 0: every row moved from unassigned; later
+                # iterations: the refresh agg counted the flips
+                changes = (sum(sizes) if it == 0 else
+                           int(pending_changes or 0))
+            else:
+                changes = -1
+            tracker.complete(cost=float(cost), center_movement=mv,
+                             assignment_changes=changes)
             if mv <= cfg.tol:
                 res.converged = True
                 sink.record(ConvergenceDetected(
@@ -188,20 +205,21 @@ def run_accelerated_lloyds(
             )
             nxt = _attach_bounds(
                 staged.withColumn("_kept", keep), "_eu", keep=keep,
-                u_adj=u_adj, l_adj=l_adj,
+                u_adj=u_adj, l_adj=l_adj, track=track,
             ).drop("_eu")
+            aggs = [F.sum(F.col("_kept").cast("long")).alias("p")]
+            if track:
+                aggs.append(F.sum("_chg").alias("chg"))
             if (it + 1) % _CHECKPOINT_EVERY == 0:
                 nxt = nxt.localCheckpoint(eager=True)
-                kept_row = nxt.agg(
-                    F.sum(F.col("_kept").cast("long")).alias("p")
-                ).collect()[0]
+                kept_row = nxt.agg(*aggs).collect()[0]
             else:
                 nxt = nxt.persist()
                 # the materializing job doubles as the pruning counter
                 # (reference keeps the same stats in accumulators)
-                kept_row = nxt.agg(
-                    F.sum(F.col("_kept").cast("long")).alias("p")
-                ).collect()[0]
+                kept_row = nxt.agg(*aggs).collect()[0]
+            if track:
+                pending_changes = int(kept_row["chg"] or 0)
             # _kept (1 byte/row) stays in the state frame: dropping it
             # would wrap the persisted frame in a projection and break
             # the later unpersist; next iteration's withColumn replaces it

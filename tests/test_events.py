@@ -354,3 +354,19 @@ def test_assignment_change_tracking_l1(spark, blob_df):
     its = m.summary.clustering_summary().iterations
     assert its[0].assignment_changes == 300
     assert all(e.assignment_changes >= 0 for e in its)
+
+
+def test_assignment_change_tracking_elkan(spark, blob_df):
+    """The bound-state plan counts flips in its existing refresh agg —
+    change tracking costs no extra job there."""
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans
+
+    m = GeneralizedKMeans(k=3, divergence="se", max_iter=4, seed=1,
+                          tol=0.0, assignment_strategy="elkan",
+                          track_assignment_changes=True,
+                          initial_centers=[[0.0, 0.0], [10.0, 10.0],
+                                           [20.0, 20.0]]).fit(blob_df)
+    its = m.summary.clustering_summary().iterations
+    assert its[0].assignment_changes == 300
+    assert all(e.assignment_changes >= 0 for e in its)
+    assert its[-1].assignment_changes == 0
