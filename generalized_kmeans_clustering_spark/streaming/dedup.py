@@ -66,3 +66,128 @@ def streaming_minhash_signatures(
     return minhash_signatures(stream, text_col=text_col, id_col=id_col,
                               num_hashes=num_hashes, shingle_n=shingle_n,
                               seed=seed)
+
+
+class StreamingNearDup:
+    """Incremental cross-batch near-duplicate detection.
+
+    Engine extension: MinHash-LSH near-dup over a document STREAM.
+    Per micro-batch (a ``foreachBatch`` handler):
+
+    1. signatures for the batch (stateless fold);
+    2. LSH-band join of the batch against the accumulated signature
+       store AND itself → candidate pairs (bucketed, never all-pairs);
+    3. verification by ESTIMATED Jaccard — the fraction of agreeing
+       MinHash components (the standard unbiased estimator; exact
+       shingle Jaccard would require retaining every past text,
+       estimation needs only the H·8-byte signature);
+    4. confirmed pairs appended to ``pairs_dir``; batch signatures
+       appended to the state store.
+
+    State grows one signature row per document seen — H·8 bytes each,
+    independent of text size. At 100 TB the store is itself a big
+    table; the band join stays bucketed because both sides band first.
+
+    Usage::
+
+        nd = StreamingNearDup(state_dir, pairs_dir, threshold=0.7)
+        q = (stream.writeStream.foreachBatch(nd.process_batch)
+             .option("checkpointLocation", ckpt).start())
+
+    or call ``process_batch(df, batch_id)`` directly from any batch
+    loop. Restart safety comes from the streaming checkpoint: a batch
+    replay overwrites its own pairs partition (idempotent per
+    ``batch_id``) rather than double-appending.
+    """
+
+    def __init__(self, state_dir: str, pairs_dir: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_hashes: int = 32, num_bands: int = 8,
+                 shingle_n: int = 3, threshold: float = 0.8,
+                 seed: int = 42):
+        self.state_dir = state_dir
+        self.pairs_dir = pairs_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.num_bands = num_bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+        self.seed = seed
+
+    def _bands(self, sigs: DataFrame) -> DataFrame:
+        rows_per_band = self.num_hashes // self.num_bands
+        key = lambda b: F.xxhash64(F.concat_ws(",", *[
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]))
+        return sigs.select(
+            self.id_col, "signature",
+            F.posexplode(F.array(*[key(b) for b in range(self.num_bands)])
+                         ).alias("band", "bucket"),
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import minhash_signatures
+
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df, text_col=self.text_col, id_col=self.id_col,
+            num_hashes=self.num_hashes, shingle_n=self.shingle_n,
+            seed=self.seed,
+        ).localCheckpoint(eager=True)
+        new_bands = self._bands(sigs)
+        try:
+            # exclude this batch's own partition: on a checkpoint
+            # replay the previous attempt's signatures must not pair
+            # against themselves
+            old = spark.read.parquet(self.state_dir).where(
+                F.col("batch_id") != int(batch_id))
+        except Exception:
+            old = None
+        # candidates: new-vs-old (any order) plus new-vs-new (i < j)
+        sides = [new_bands.alias("l").join(
+            new_bands.alias("r"), ["band", "bucket"])
+            .where(F.col(f"l.{self.id_col}") < F.col(f"r.{self.id_col}"))]
+        if old is not None:
+            sides.append(new_bands.alias("l").join(
+                self._bands(old).alias("r"), ["band", "bucket"]))
+        est = None
+        for cand in sides:
+            pairs = cand.select(
+                F.col(f"l.{self.id_col}").alias("i"),
+                F.col(f"r.{self.id_col}").alias("j"),
+                F.col("l.signature").alias("_si"),
+                F.col("r.signature").alias("_sj"),
+            ).where(F.col("i") != F.col("j")).distinct()
+            scored = pairs.withColumn(
+                "est_jaccard",
+                F.aggregate(
+                    F.zip_with("_si", "_sj",
+                               lambda a, b: (a == b).cast("int")),
+                    F.lit(0), lambda acc, v: acc + v,
+                ) / F.lit(float(self.num_hashes)),
+            ).where(F.col("est_jaccard") >= self.threshold) \
+             .select("i", "j", "est_jaccard")
+            est = scored if est is None else est.unionByName(scored)
+        out = est.distinct().withColumn("batch_id", F.lit(int(batch_id)))
+        # idempotent per batch: a checkpoint replay rewrites, not appends
+        (out.write.mode("overwrite")
+            .partitionBy("batch_id").option(
+                "partitionOverwriteMode", "dynamic")
+            .parquet(self.pairs_dir))
+        sigs.withColumn("batch_id", F.lit(int(batch_id))) \
+            .write.mode("overwrite") \
+            .partitionBy("batch_id").option(
+                "partitionOverwriteMode", "dynamic") \
+            .parquet(self.state_dir)
+
+    def pairs(self, spark) -> DataFrame:
+        """All confirmed near-dup pairs so far. Empty-store safe: before
+        any pair is found the partitioned dir has no parquet footers to
+        infer from, so an explicit empty frame is returned."""
+        try:
+            return spark.read.parquet(self.pairs_dir)
+        except Exception:
+            return spark.createDataFrame(
+                [], "i long, j long, est_jaccard double, batch_id int")

@@ -180,3 +180,73 @@ def test_streaming_minhash_signatures_stateless(spark, tmp_path):
             for r in minhash_signatures(batch, num_hashes=8).collect()}
     assert got == want
     assert got[1] == got[3]  # identical text -> identical signature
+
+
+def test_streaming_near_dup_across_batches(spark, tmp_path):
+    """Cross-batch near-dups: a doc arriving in batch 1 is caught
+    against a batch-0 doc through the signature state store; replaying
+    a batch is idempotent."""
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        StreamingNearDup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field all afternoon long") * 2
+    nd = StreamingNearDup(
+        state_dir=str(tmp_path / "state"),
+        pairs_dir=str(tmp_path / "pairs"),
+        num_hashes=16, num_bands=4, threshold=0.5,
+    )
+    b0 = spark.createDataFrame(
+        [(1, base), (2, "completely different content about databases "
+                        "and distributed query engines running at scale")],
+        "doc_id long, text string")
+    nd.process_batch(b0, 0)
+    got0 = {(r["i"], r["j"]) for r in nd.pairs(spark).collect()}
+    assert got0 == set()  # nothing similar within batch 0
+
+    b1 = spark.createDataFrame(
+        [(3, base + " with a small tail edit"),
+         (4, "yet another unrelated piece of text entirely")],
+        "doc_id long, text string")
+    nd.process_batch(b1, 1)
+    got1 = {(r["i"], r["j"]) for r in nd.pairs(spark).collect()}
+    assert (3, 1) in got1 or (1, 3) in got1   # cross-batch dup found
+    assert all({i, j} != {2, 4} for i, j in got1)
+
+    # replay batch 1 (checkpoint recovery): same result, no duplication
+    nd.process_batch(b1, 1)
+    got2 = [(r["i"], r["j"]) for r in nd.pairs(spark).collect()]
+    assert sorted(got2) == sorted(got1)
+
+    ests = [r["est_jaccard"] for r in nd.pairs(spark).collect()]
+    assert all(0.5 <= e <= 1.0 for e in ests)
+
+
+def test_streaming_near_dup_via_foreachBatch(spark, tmp_path):
+    """The handler works as a real foreachBatch sink."""
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        StreamingNearDup,
+    )
+
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src, exist_ok=True)
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau") * 2
+    spark.createDataFrame(
+        [(10, text), (11, text + " small change at the end here"),
+         (12, "nothing like the others at all in any way")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    nd = StreamingNearDup(
+        state_dir=str(tmp_path / "nd_state"),
+        pairs_dir=str(tmp_path / "nd_pairs"),
+        num_hashes=16, num_bands=4, threshold=0.5,
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (stream.writeStream.foreachBatch(nd.process_batch)
+         .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["i"], r["j"]) for r in nd.pairs(spark).collect()}
+    assert (10, 11) in got
