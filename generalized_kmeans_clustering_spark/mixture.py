@@ -70,6 +70,11 @@ class BregmanMixture:
     def fit(self, df: DataFrame) -> "BregmanMixtureModel":
         from time import time
 
+        from .events import (ConvergenceDetected, InitializationCompleted,
+                             IterationTracker, SummarySink,
+                             TrainingCompleted)
+
+        sink = SummarySink()
         t0 = time()
         kernel = get_kernel(self.divergence, smoothing=self.smoothing)
         df = _ensure_array_features(df, self.features_col)
@@ -85,15 +90,20 @@ class BregmanMixture:
         if cache_here:
             work = work.cache()
         try:
+            _it0 = time()
             if self.initial_centers is not None:
                 centers = np.asarray(self.initial_centers, dtype=np.float64)
                 if kernel.pre_normalize:
                     centers = kernel.normalize_np(centers)
+                _init_method = "provided"
             else:
                 centers = initialize(
                     work, self.k, kernel, self.features_col, self.seed,
                     self.init_mode, 2,
                 )
+                _init_method = self.init_mode
+            sink.record(InitializationCompleted(
+                method=_init_method, duration=int((time() - _it0) * 1000)))
             k, d = centers.shape
             pi = np.full(k, 1.0 / k)
             w = F.col(self.weight_col) if self.weight_col else F.lit(1.0)
@@ -102,7 +112,9 @@ class BregmanMixture:
             converged = False
             iterations = 0
 
+            mv_hist: list[float] = []
             for it in range(self.max_iter):
+                tracker = IterationTracker(sink, it)
                 # s_j = D(x,μ_j) − ln π_j ; γ_j = softmax(−s_j);
                 # row loglik = ln Σ_j exp(−s_j)  (log-sum-exp on −s)
                 dists = distances_column(
@@ -147,25 +159,38 @@ class BregmanMixture:
                 pi = (r + alpha) / (wtot + alpha * k)
                 pi = np.maximum(pi, 1e-300)
                 pi = pi / pi.sum()
+                old_centers = centers.copy()
                 for j in range(k):
                     if r[j] > 0:
                         centers[j] = kernel.finalize_center(G[j] / r[j])
+                mv = float(np.sqrt(((old_centers - centers) ** 2)
+                                   .sum(axis=1)).max())
                 ll_hist.append(ll)
+                mv_hist.append(mv)
                 iterations = it + 1
+                # event cost = neg mean loglik (the decreasing objective)
+                tracker.complete(cost=-ll, center_movement=mv)
                 if len(ll_hist) >= 2 and abs(ll_hist[-1] - ll_hist[-2]) <= self.tol * max(
                     abs(ll_hist[-2]), 1e-12
                 ):
                     converged = True
+                    sink.record(ConvergenceDetected(
+                        iteration=it, reason="loglik_delta_below_tol"))
                     break
         finally:
             if cache_here:
                 work.unpersist()
 
+        sink.record(TrainingCompleted(
+            total_iterations=iterations,
+            final_cost=-ll_hist[-1] if ll_hist else float("nan"),
+            total_duration=int((time() - t0) * 1000)))
         summary = TrainingSummary(
             algorithm=self._algorithm, k=k, dim=d, divergence=kernel.name,
             iterations=iterations, converged=converged,
             distortion_history=[-x for x in ll_hist],  # neg-loglik, decreasing
-            movement_history=[], cluster_sizes=[], elapsed_sec=time() - t0,
+            movement_history=mv_hist, cluster_sizes=[],
+            elapsed_sec=time() - t0, events=sink.get_events(),
         )
         return BregmanMixtureModel(
             centers=centers, weights=pi, kernel_name=kernel.name,

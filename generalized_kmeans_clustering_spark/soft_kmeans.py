@@ -81,6 +81,11 @@ class SoftKMeans:
     def fit(self, df: DataFrame) -> "SoftKMeansModel":
         from time import time
 
+        from .events import (ConvergenceDetected, InitializationCompleted,
+                             IterationTracker, SummarySink,
+                             TrainingCompleted)
+
+        sink = SummarySink()
         t0 = time()
         kernel = self._kernel()
         df = _ensure_array_features(df, self.features_col)
@@ -96,15 +101,20 @@ class SoftKMeans:
         if cache_here:
             work = work.cache()
         try:
+            _it0 = time()
             if self.initial_centers is not None:
                 centers = np.asarray(self.initial_centers, dtype=np.float64)
                 if kernel.pre_normalize:
                     centers = kernel.normalize_np(centers)
+                _init_method = "provided"
             else:
                 centers = initialize(
                     work, self.k, kernel, self.features_col, self.seed,
                     self.init_mode, self.init_steps,
                 )
+                _init_method = self.init_mode
+            sink.record(InitializationCompleted(
+                method=_init_method, duration=int((time() - _it0) * 1000)))
             k, d = centers.shape
             w = F.col(self.weight_col) if self.weight_col else F.lit(1.0)
             grad = kernel.grad(F.col(self.features_col))
@@ -112,7 +122,9 @@ class SoftKMeans:
             converged = False
             iterations = 0
 
+            mv_hist: list[float] = []
             for it in range(self.max_iter):
+                tracker = IterationTracker(sink, it)
                 # stage the distance array ONCE; memberships and the
                 # cost terms both read it (soft_assign would recompute
                 # the k divergences for the cost column otherwise)
@@ -207,24 +219,35 @@ class SoftKMeans:
                 for j in range(k):
                     if wsum[j] > 0:
                         new_centers[j] = kernel.finalize_center(gsum[j] / wsum[j])
+                mv = float(np.sqrt(((centers - new_centers) ** 2)
+                                   .sum(axis=1)).max())
                 centers = new_centers
                 cost_hist.append(cost)
+                mv_hist.append(mv)
                 iterations = it + 1
+                tracker.complete(cost=float(cost), center_movement=mv)
                 if len(cost_hist) >= 2:
                     prev = cost_hist[-2]
                     if abs(prev - cost) <= self.tol * max(abs(prev), 1e-12):
                         converged = True
+                        sink.record(ConvergenceDetected(
+                            iteration=it, reason="cost_delta_below_tol"))
                         break
         finally:
             if cache_here:
                 work.unpersist()
 
+        sink.record(TrainingCompleted(
+            total_iterations=iterations,
+            final_cost=cost_hist[-1] if cost_hist else float("nan"),
+            total_duration=int((time() - t0) * 1000)))
         summary = TrainingSummary(
             algorithm=self._algorithm,
             k=k, dim=d, divergence=kernel.name,
             iterations=iterations, converged=converged,
-            distortion_history=cost_hist, movement_history=[],
+            distortion_history=cost_hist, movement_history=mv_hist,
             cluster_sizes=[], elapsed_sec=time() - t0,
+            events=sink.get_events(),
         )
         return SoftKMeansModel(
             centers=centers, kernel_name=kernel.name, smoothing=self.smoothing,

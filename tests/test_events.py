@@ -370,3 +370,24 @@ def test_assignment_change_tracking_elkan(spark, blob_df):
     assert its[0].assignment_changes == 300
     assert all(e.assignment_changes >= 0 for e in its)
     assert its[-1].assignment_changes == 0
+
+
+def test_soft_and_mixture_emit_events(spark, blob_df):
+    """The EM-family variants carry the same typed event log."""
+    from generalized_kmeans_clustering_spark import BregmanMixture, SoftKMeans
+
+    sm = SoftKMeans(k=3, beta=1.0, max_iter=3, seed=2,
+                    init_mode="random").fit(blob_df)
+    cs = sm.summary.clustering_summary()
+    assert cs.num_iterations == sm.summary.iterations
+    assert [e.cost for e in cs.iterations] == sm.summary.distortion_history
+    assert cs.initialization.method == "random"
+    assert cs.completion is not None
+
+    mm = BregmanMixture(k=3, max_iter=3, seed=2,
+                        init_mode="random").fit(blob_df)
+    cm = mm.summary.clustering_summary()
+    assert cm.num_iterations == mm.summary.iterations
+    # event cost is the decreasing neg-loglik objective
+    assert [e.cost for e in cm.iterations] == mm.summary.distortion_history
+    assert len(mm.summary.movement_history) == mm.summary.iterations
