@@ -43,12 +43,13 @@ def prepare_corpus(
     max_tokens: int | None = None,
     languages=None,
     min_quality: float | None = None,
-    dedup: str | None = "exact",  # None | "exact" | "minhash"
+    dedup: str | None = "exact",  # None | "exact" | "minhash" | "pairs"
     minhash_threshold: float = 0.8,
     num_hashes: int = 32,
     num_bands: int = 8,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    dedup_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Annotate every document with signals + a keep/reject verdict.
 
@@ -59,8 +60,12 @@ def prepare_corpus(
     near-dup component) and only runs among rows that passed the
     content rules — a filtered-out row can't crowd out a good one.
     """
-    if dedup not in (None, "exact", "minhash"):
-        raise ValueError("dedup: None | 'exact' | 'minhash'")
+    if dedup not in (None, "exact", "minhash", "pairs"):
+        raise ValueError("dedup: None | 'exact' | 'minhash' | 'pairs'")
+    if dedup == "pairs" and dedup_pairs is None:
+        raise ValueError("dedup='pairs' requires dedup_pairs (an (i, j) "
+                         "edge list, e.g. embedding_near_dup_pairs or "
+                         "simhash_near_dups output)")
     t = F.col(text_col)
     out = docs.withColumn("n_tokens", Tx.token_count(t).cast("bigint")) \
               .withColumn("lang", Tx.language_id(t)) \
@@ -95,20 +100,33 @@ def prepare_corpus(
                 .where(F.col(id_col) != F.col("_keep_id"))
                 .select(F.col(id_col).alias("_dup_id"))
             )
-        else:  # minhash
+        else:  # minhash | pairs
             from .dedup import (canonical_duplicates, duplicate_components,
                                 jaccard_verify, lsh_candidate_pairs,
                                 minhash_signatures)
 
-            sigs = minhash_signatures(
-                passed, text_col=text_col, id_col=id_col,
-                num_hashes=num_hashes, shingle_n=shingle_n, hash_fn=hash_fn)
-            pairs = lsh_candidate_pairs(sigs, id_col=id_col,
-                                        num_bands=num_bands,
-                                        num_hashes=num_hashes)
-            verified = jaccard_verify(passed, pairs, text_col=text_col,
-                                      id_col=id_col, shingle_n=shingle_n,
-                                      threshold=minhash_threshold)
+            if dedup == "pairs":
+                # caller-supplied near-dup evidence (embedding cosine,
+                # SimHash, cross-run LSH, ...) — restrict to rows that
+                # passed the content rules, same as the built-in modes
+                pid = passed.select(F.col(id_col).alias("_pid"))
+                verified = (
+                    dedup_pairs.join(pid, dedup_pairs["i"] == pid["_pid"])
+                    .drop("_pid")
+                    .join(pid, dedup_pairs["j"] == pid["_pid"])
+                    .drop("_pid")
+                )
+            else:
+                sigs = minhash_signatures(
+                    passed, text_col=text_col, id_col=id_col,
+                    num_hashes=num_hashes, shingle_n=shingle_n,
+                    hash_fn=hash_fn)
+                pairs = lsh_candidate_pairs(sigs, id_col=id_col,
+                                            num_bands=num_bands,
+                                            num_hashes=num_hashes)
+                verified = jaccard_verify(passed, pairs, text_col=text_col,
+                                          id_col=id_col, shingle_n=shingle_n,
+                                          threshold=minhash_threshold)
             comp = duplicate_components(verified)
             marked = canonical_duplicates(
                 passed.join(comp.select(F.col("id").alias(id_col)), id_col),

@@ -90,3 +90,25 @@ def test_corpus_stats_rollup(spark, docs):
 def test_invalid_dedup_mode(spark, docs):
     with pytest.raises(ValueError):
         prepare_corpus(docs, dedup="bogus")
+
+
+def test_pairs_mode_uses_external_evidence(spark):
+    """dedup='pairs' consumes caller-supplied near-dup pairs (e.g. from
+    embedding cosine) and still restricts resolution to passing rows."""
+    docs = spark.createDataFrame(
+        [(1, "a sufficiently long document about one topic here today"),
+         (2, "a sufficiently long document on another topic over there"),
+         (3, "short"),
+         (4, "a third long document that is like the first one in spirit")],
+        "doc_id long, text string")
+    # external evidence: 1~4 near-dups; 1~3 too, but 3 fails min_tokens
+    pairs = spark.createDataFrame([(1, 4), (1, 3)], "i long, j long")
+    out = {r["doc_id"]: r for r in prepare_corpus(
+        docs, min_tokens=5, dedup="pairs", dedup_pairs=pairs).collect()}
+    # 4 has longer text? canonical = longest text in {1,4}
+    comp_kept = [d for d in (1, 4) if out[d]["keep"]]
+    assert len(comp_kept) == 1
+    assert out[3]["reject_reason"] == "too_short"  # not 'duplicate'
+    assert out[2]["keep"]
+    with pytest.raises(ValueError):
+        prepare_corpus(docs, dedup="pairs")
