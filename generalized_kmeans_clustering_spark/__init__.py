@@ -63,5 +63,6 @@ from .streaming.streaming_kmeans import (  # noqa: F401
 # evaluation
 from .evaluation import ClusteringEvaluator, evaluate  # noqa: F401
 from . import validation  # noqa: F401
+from .config import GKMConfig  # noqa: F401
 
 __version__ = "0.3.0"

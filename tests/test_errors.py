@@ -111,3 +111,52 @@ def test_wired_transform_and_init_sites(spark):
     df = spark.createDataFrame([([1.0, 2.0],)], "features array<double>")
     with pytest.raises(UnknownInitMethod):
         initialize(df, 1, get_kernel("se"), "features", 0, "bogus-mode")
+
+
+def test_gkm_config_fluent_validate_and_presets(spark):
+    from generalized_kmeans_clustering_spark.config import GKMConfig
+    from generalized_kmeans_clustering_spark.errors import (
+        InvalidK, InvalidState, InvalidTolerance,
+    )
+
+    cfg = (GKMConfig.default().with_k(10).with_kernel("kl")
+           .with_max_iter(50).with_weight_col("w"))
+    assert cfg.k == 10 and cfg.kernel == "kl" and cfg.weight_col == "w"
+    assert cfg.without_weight_col().weight_col is None
+    cfg.validate()  # clean
+    with pytest.raises(InvalidK):
+        GKMConfig(k=0).validate()
+    with pytest.raises(InvalidTolerance):
+        GKMConfig(tolerance=-1.0).validate()
+    with pytest.raises(InvalidState):
+        GKMConfig(mini_batch_fraction=0.0).validate()
+    s = GKMConfig.kl(4).summary
+    assert "kernel: kl" in s and "k: 4" in s
+    # presets map to the engine's kernel registry names
+    for preset in (GKMConfig.euclidean(3), GKMConfig.manhattan(3),
+                   GKMConfig.itakura_saito(3), GKMConfig.cosine(3),
+                   GKMConfig.fast(3), GKMConfig.high_quality(3),
+                   GKMConfig.debug(3), GKMConfig.production(3),
+                   GKMConfig.weighted(3, "w")):
+        preset.validate()
+        from generalized_kmeans_clustering_spark.functions.kernels import (
+            get_kernel,
+        )
+        get_kernel(preset.kernel)  # resolvable
+
+
+def test_gkm_config_to_estimator_fits(spark):
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.config import GKMConfig
+
+    rng = np.random.RandomState(1)
+    df = spark.createDataFrame(
+        [([float(v) for v in rng.randn(2) + 8 * (i % 2)],)
+         for i in range(60)],
+        "features array<double>")
+    est = GKMConfig.euclidean(2, max_iter=3).with_seed(5).to_estimator()
+    m = est.fit(df)
+    assert m.centers.shape == (2, 2)
+    mb = GKMConfig.mini_batch(2).to_estimator()
+    assert type(mb).__name__ == "MiniBatchKMeans"
