@@ -95,3 +95,46 @@ def test_kernel_compatibility(spark, good, bad):
 def test_names_compose(spark):
     v = V.no_nan("f") & V.positive("w")
     assert v.name == "noNaN(f) and positive(w)"
+
+
+def test_numeric_guards():
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.errors import (
+        InvalidFeatures, InvalidWeight,
+    )
+    from generalized_kmeans_clustering_spark.functions import guards as G
+
+    G.check_finite([1.0, 2.0], "ctx")
+    with pytest.raises(InvalidFeatures, match="NaN at index 1"):
+        G.check_finite([1.0, float("nan")], "ctx")
+    with pytest.raises(InvalidFeatures, match="Inf at index 0"):
+        G.check_finite([float("inf"), 2.0], "ctx")
+
+    G.check_positive([0.0, 1.0], "ctx")  # -eps tolerance admits zero
+    with pytest.raises(InvalidFeatures, match="negative value"):
+        G.check_positive([1.0, -0.5], "ctx")
+
+    G.check_probability([0.2, 0.8], "ctx")
+    with pytest.raises(InvalidFeatures, match="outside"):
+        G.check_probability([0.2, 1.0], "ctx")
+
+    G.check_weight(1.5, "ctx")
+    for w in (0.0, -1.0, float("nan"), float("inf")):
+        with pytest.raises(InvalidWeight):
+            G.check_weight(w, "ctx")
+
+    assert list(G.safe_add([1.0, 2.0], [3.0, 4.0], "ctx")) == [4.0, 6.0]
+    with pytest.raises(InvalidFeatures, match="dimensions must match"):
+        G.safe_add([1.0], [1.0, 2.0], "ctx")
+    big = 1e308
+    with pytest.raises(InvalidFeatures, match="Overflow in vector addition"):
+        G.safe_add([big], [big], "ctx")
+    assert list(G.safe_scale([2.0, 3.0], 2.0, "ctx")) == [4.0, 6.0]
+    with pytest.raises(InvalidFeatures, match="Overflow in scalar"):
+        G.safe_scale([big], 10.0, "ctx")
+    # preview truncates long vectors
+    try:
+        G.check_finite([float("nan")] + [0.0] * 20, "ctx")
+    except InvalidFeatures as e:
+        assert "...]" in str(e)
