@@ -88,15 +88,16 @@ def prepare_corpus(
     if dedup is not None:
         passed = out.where(F.col("reject_reason").isNull())
         if dedup == "exact":
-            w_keep = (
-                passed.select(F.col(id_col),
-                              Tx.doc_fingerprint(t).alias("_fp"))
-                .groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
-            )
+            from pyspark.sql import Window
+
+            # one fingerprint scan + one shuffle: window-min over the
+            # fingerprint marks every non-minimal id a duplicate
+            # (the groupBy+join formulation scans and hashes twice)
+            wfp = Window.partitionBy("_fp")
             dup_ids = (
                 passed.select(F.col(id_col),
                               Tx.doc_fingerprint(t).alias("_fp"))
-                .join(w_keep, "_fp")
+                .withColumn("_keep_id", F.min(id_col).over(wfp))
                 .where(F.col(id_col) != F.col("_keep_id"))
                 .select(F.col(id_col).alias("_dup_id"))
             )
