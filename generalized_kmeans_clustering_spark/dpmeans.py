@@ -92,6 +92,10 @@ class DPMeans:
                 )],
                 dtype=np.float64,
             )
+            from .events import (ConvergenceDetected, IterationTracker,
+                                 SummarySink, TrainingCompleted, WarningEvent)
+
+            sink = SummarySink()
             sizes: list[int] = [n]
             dist_hist: list[float] = []
             move_hist: list[float] = []
@@ -99,6 +103,7 @@ class DPMeans:
             iterations = 0
 
             for it in range(self.max_iter):
+                tracker = IterationTracker(sink, it)
                 k = len(centers)
                 assigner = auto_assigner(k, d, "auto", kernel=kernel)
                 assigned = assigner.assign(
@@ -121,6 +126,13 @@ class DPMeans:
                 iterations = it + 1
                 if born:
                     move_hist.append(float("inf"))
+                    sink.record(WarningEvent(
+                        iteration=it,
+                        message=f"birthed center {len(centers) - 1} "
+                                f"(point farther than lambda={self.lam})",
+                        severity="low"))
+                    tracker.complete(cost=float("nan"),
+                                     center_movement=float("inf"))
                     continue
                 # stable iteration: Lloyd update via the shared stats pass
                 stats = cluster_stats(
@@ -142,18 +154,26 @@ class DPMeans:
                 centers = new_centers
                 dist_hist.append(float(cost))
                 move_hist.append(mv)
+                tracker.complete(cost=float(cost), center_movement=mv)
                 if mv <= self.tol:
                     converged = True
+                    sink.record(ConvergenceDetected(
+                        iteration=it, reason="center_movement_below_tol"))
                     break
         finally:
             if cache_here:
                 work.unpersist()
 
+        sink.record(TrainingCompleted(
+            total_iterations=iterations,
+            final_cost=dist_hist[-1] if dist_hist else float("nan"),
+            total_duration=int((time() - t0) * 1000)))
         summary = TrainingSummary(
             algorithm=self._algorithm, k=len(centers), dim=centers.shape[1],
             divergence=kernel.name, iterations=iterations, converged=converged,
             distortion_history=dist_hist, movement_history=move_hist,
             cluster_sizes=list(sizes), elapsed_sec=time() - t0,
+            events=sink.get_events(),
         )
         return GeneralizedKMeansModel(
             centers=centers, kernel_name=kernel.name, smoothing=self.smoothing,

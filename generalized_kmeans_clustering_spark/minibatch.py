@@ -94,6 +94,10 @@ class MiniBatchKMeans:
                     self.init_mode, 2,
                 )
             k = len(centers)
+            from .events import (ConvergenceDetected, IterationTracker,
+                                 SummarySink, TrainingCompleted)
+
+            sink = SummarySink()
             counts = np.zeros(k)
             rng = np.random.RandomState(self.seed)
             cost_hist: list[float] = []
@@ -103,6 +107,7 @@ class MiniBatchKMeans:
             converged = False
 
             for it in range(self.max_iter):
+                tracker = IterationTracker(sink, it)
                 batch_rows = (
                     work.sample(fraction=frac, seed=self.seed + it)
                     .limit(self.batch_size).collect()
@@ -136,6 +141,8 @@ class MiniBatchKMeans:
                             centers[j] = X[rng.randint(len(X))]
                             counts[j] = 0
                 iterations = it + 1
+                mv = float(np.sqrt(((old - centers) ** 2).sum(axis=1)).max())
+                tracker.complete(cost=cost, center_movement=mv)
                 smooth = float(np.mean(cost_hist[-5:]))
                 if smooth < best_smooth - self.tol * max(best_smooth, 1e-12):
                     best_smooth = smooth
@@ -144,20 +151,28 @@ class MiniBatchKMeans:
                     stall += 1
                     if stall >= self.max_no_improvement:
                         converged = True
+                        sink.record(ConvergenceDetected(
+                            iteration=it, reason="no_improvement"))
                         break
-                mv = float(np.sqrt(((old - centers) ** 2).sum(axis=1)).max())
                 if self.tol > 0 and mv <= self.tol:
                     converged = True
+                    sink.record(ConvergenceDetected(
+                        iteration=it, reason="center_movement_below_tol"))
                     break
         finally:
             if cache_here:
                 work.unpersist()
 
+        sink.record(TrainingCompleted(
+            total_iterations=iterations,
+            final_cost=cost_hist[-1] if cost_hist else float("nan"),
+            total_duration=int((time() - t0) * 1000)))
         summary = TrainingSummary(
             algorithm=self._algorithm, k=k, dim=centers.shape[1],
             divergence=kernel.name, iterations=iterations, converged=converged,
             distortion_history=cost_hist, movement_history=[],
             cluster_sizes=[], elapsed_sec=time() - t0,
+            events=sink.get_events(),
         )
         return GeneralizedKMeansModel(
             centers=centers, kernel_name=kernel.name, smoothing=self.smoothing,

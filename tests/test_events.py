@@ -391,3 +391,19 @@ def test_soft_and_mixture_emit_events(spark, blob_df):
     # event cost is the decreasing neg-loglik objective
     assert [e.cost for e in cm.iterations] == mm.summary.distortion_history
     assert len(mm.summary.movement_history) == mm.summary.iterations
+
+
+def test_minibatch_and_dpmeans_emit_events(spark, blob_df):
+    from generalized_kmeans_clustering_spark import DPMeans, MiniBatchKMeans
+
+    mb = MiniBatchKMeans(k=3, batch_size=64, max_iter=5, seed=4).fit(blob_df)
+    cs = mb.summary.clustering_summary()
+    assert cs.num_iterations == mb.summary.iterations >= 1
+    assert cs.completion.total_iterations == mb.summary.iterations
+
+    dp = DPMeans(lam=30.0, max_iter=6, seed=4).fit(blob_df)
+    cd = dp.summary.clustering_summary()
+    assert cd.num_iterations == dp.summary.iterations
+    # births surface as low-severity warnings
+    assert all(w.severity == "low" for w in cd.warnings)
+    assert cd.completion is not None
