@@ -103,6 +103,10 @@ class BisectingKMeans:
                 np.array([float(row[f"g{i}"]) for i in range(d)]) / max(n_total, 1)
             )
         }
+        from .events import (IterationTracker, SummarySink,
+                             TrainingCompleted, WarningEvent)
+
+        sink = SummarySink()
         sizes: dict[int, int] = {0: n_total}
         not_divisible: set[int] = set()
         splits = 0
@@ -115,6 +119,8 @@ class BisectingKMeans:
             if not candidates:
                 break
             cid = max(candidates, key=lambda t: (t[1], -t[0]))[0]
+            # one "iteration" of the bisecting log = one split attempt
+            tracker = IterationTracker(sink, splits)
             sub = work.where(F.col("_bk") == cid)
             sub_kw: dict = {"init_mode": "random"} if self.sub_init == "random" else {}
             if self.sub_init == "meanspread":
@@ -137,6 +143,10 @@ class BisectingKMeans:
             ).fit(sub)
             if sub_model.k < 2:
                 not_divisible.add(cid)
+                sink.record(WarningEvent(
+                    iteration=splits,
+                    message=f"cluster {cid} not divisible (sub-fit "
+                            "collapsed to one center)", severity="low"))
                 continue
             c0, c1 = sub_model.centers[0], sub_model.centers[1]
             new_id = max(centers) + 1
@@ -165,10 +175,17 @@ class BisectingKMeans:
                     F.when(F.col("_bk") == new_id, F.lit(cid)).otherwise(F.col("_bk")),
                 )
                 not_divisible.add(cid)
+                sink.record(WarningEvent(
+                    iteration=splits - 1,
+                    message=f"degenerate split of cluster {cid} undone "
+                            "(one empty child)", severity="low"))
                 continue
             centers[cid] = c0
             centers[new_id] = c1
             sizes = counts
+            tracker.complete(
+                cost=float(sub_model.summary.final_distortion),
+                center_movement=float("nan"))
 
         # compact ids to 0..k-1 in insertion order
         order = sorted(centers)
@@ -176,11 +193,15 @@ class BisectingKMeans:
         final_sizes = [int(sizes.get(c, 0)) for c in order]
         work.unpersist()
 
+        sink.record(TrainingCompleted(
+            total_iterations=splits, final_cost=float("nan"),
+            total_duration=int((time() - t0) * 1000)))
         summary = TrainingSummary(
             algorithm=self._algorithm, k=len(final), dim=final.shape[1],
             divergence=kernel.name, iterations=splits, converged=True,
             distortion_history=[], movement_history=[],
             cluster_sizes=final_sizes, elapsed_sec=time() - t0,
+            events=sink.get_events(),
         )
         return GeneralizedKMeansModel(
             centers=final, kernel_name=kernel.name, smoothing=self.smoothing,

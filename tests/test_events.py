@@ -407,3 +407,14 @@ def test_minibatch_and_dpmeans_emit_events(spark, blob_df):
     # births surface as low-severity warnings
     assert all(w.severity == "low" for w in cd.warnings)
     assert cd.completion is not None
+
+
+def test_bisecting_emits_split_events(spark, blob_df):
+    from generalized_kmeans_clustering_spark import BisectingKMeans
+
+    m = BisectingKMeans(k=3, max_iter=5, seed=6).fit(blob_df)
+    cs = m.summary.clustering_summary()
+    # one completed iteration per successful split (k=3 -> 2 splits)
+    assert cs.num_iterations == m.summary.iterations == 2
+    assert all(e.cost >= 0 for e in cs.iterations)
+    assert cs.completion.total_iterations == 2
