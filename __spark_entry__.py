@@ -965,6 +965,46 @@ def q_corpus_prepare(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _decontaminate_sql(n=5, min_collisions=1, bench_max_id=20) -> str:
+    """Twin of operators/decontamination.decontaminate (ngram, md5
+    hash): benchmark = docs with doc_id < bench_max_id; collision =
+    shared distinct word n-gram hash."""
+    from generalized_kmeans_clustering_spark.operators.dedup import _P
+
+    sh = _SHINGLES.format(n=n)
+    md5i = _MD5INT.format(s="s")
+    grams = (f"SELECT doc_id, unnest(list_distinct(list_transform({sh}, "
+             f"s -> ({md5i}) % {_P}))) AS h "
+             "FROM (SELECT doc_id, string_split(text, ' ') AS toks "
+             "FROM documents)")
+    return (
+        f"WITH cg AS ({grams}), "
+        f"bg AS (SELECT DISTINCT h FROM cg WHERE doc_id < {bench_max_id}), "
+        "hits AS (SELECT cg.doc_id, count(*) AS n_collisions "
+        "FROM cg JOIN bg USING (h) GROUP BY cg.doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(h.n_collisions, 0) AS BIGINT) AS n_collisions, "
+        f"coalesce(h.n_collisions, 0) >= {min_collisions} AS is_contaminated "
+        "FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """GPT-3-style n-gram decontamination: corpus docs sharing word
+    n-grams with a benchmark table (here: the first 20 docs stand in
+    for an eval set) get collision counts and a contamination flag."""
+    from generalized_kmeans_clustering_spark.operators.decontamination import (
+        decontaminate,
+    )
+
+    docs = documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < 20)
+    out = decontaminate(docs, bench, method="ngram", n=5,
+                        min_collisions=1, hash_fn="md5")
+    return out.select("doc_id", "n_collisions", "is_contaminated") \
+        .orderBy("doc_id")
+
+
 def _mutual_info_sql(digits: int = 6) -> str:
     return (
         "WITH h AS (SELECT event_type AS x, user_id % 8 AS y, "
@@ -3229,6 +3269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": q_multimodal_audio,
         "dedup_components": q_dedup_components,
         "corpus_prepare": q_corpus_prepare,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "assign_se_chunked": q_assign_se_chunked,
         "assign_se_pruned": q_assign_se_pruned,
         "assign_se_crossjoin": q_assign_se_crossjoin,
@@ -3795,6 +3836,7 @@ FROM wide w ORDER BY xb
     out["multimodal_audio_meta"] = _multimodal_audio_sql()
     out["dedup_components"] = _dedup_components_sql()
     out["corpus_prepare"] = _corpus_prepare_sql()
+    out["corpus_decontaminate"] = _decontaminate_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),
