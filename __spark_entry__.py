@@ -1005,6 +1005,67 @@ def q_corpus_decontaminate(spark, sf_dir):
         .orderBy("doc_id")
 
 
+def _pii_redact_sql() -> str:
+    """Twin of functions/text.redact_pii over documents whose text is
+    augmented with deterministic PII built from doc_id (the synthetic
+    corpus has none of its own) — same augmentation both sides."""
+    from generalized_kmeans_clustering_spark.functions.text import (
+        PII_PATTERNS,
+    )
+
+    aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+           "'@example.com or call 555-123-4567 from 10.0.0.' || "
+           "CAST(doc_id % 256 AS VARCHAR) || ' card 4111111111111111'")
+    expr = f"({aug})"
+    for _, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {expr} AS redacted FROM documents "
+            "ORDER BY doc_id")
+
+
+def q_doc_pii_redact(spark, sf_dir):
+    """PII redaction over documents (deterministic synthetic PII
+    appended so the patterns actually fire)."""
+    from generalized_kmeans_clustering_spark.functions.text import redact_pii
+
+    docs = documents(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or call "
+        "555-123-4567 from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" card 4111111111111111"),
+    )
+    return docs.select(
+        "doc_id", redact_pii(aug).alias("redacted")).orderBy("doc_id")
+
+
+def _repetition_sql(n=3, digits=6) -> str:
+    sh = _SHINGLES.format(n=n)
+    rep = (f"1.0 - len(list_distinct({sh})) * 1.0 / "
+           f"greatest(len({sh}), 1)")
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents) "
+        f"SELECT doc_id, {_r(rep, digits)} AS repetition FROM t "
+        "ORDER BY doc_id"
+    )
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signal."""
+    from generalized_kmeans_clustering_spark.functions.text import (
+        repetition_score,
+    )
+
+    docs = documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        _rcol(repetition_score(F.col("text"), 3), 6).alias("repetition"),
+    ).orderBy("doc_id")
+
+
 def _mutual_info_sql(digits: int = 6) -> str:
     return (
         "WITH h AS (SELECT event_type AS x, user_id % 8 AS y, "
@@ -3270,6 +3331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "corpus_prepare": q_corpus_prepare,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "doc_pii_redact": q_doc_pii_redact,
+        "doc_repetition": q_doc_repetition,
         "assign_se_chunked": q_assign_se_chunked,
         "assign_se_pruned": q_assign_se_pruned,
         "assign_se_crossjoin": q_assign_se_crossjoin,
@@ -3837,6 +3900,8 @@ FROM wide w ORDER BY xb
     out["dedup_components"] = _dedup_components_sql()
     out["corpus_prepare"] = _corpus_prepare_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
+    out["doc_pii_redact"] = _pii_redact_sql()
+    out["doc_repetition"] = _repetition_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),

@@ -32,6 +32,7 @@ __all__ = [
     "winnow_from_grams",
     "winnow_fingerprints",
     "LANG_MARKERS",
+    "redact_pii", "pii_counts", "repetition_score",
 ]
 
 #: BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
@@ -207,3 +208,48 @@ def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:
     """Smallest md5 over the word n-gram shingles — a deterministic,
     engine-portable 1-hash MinHash (winnowing-style doc fingerprint)."""
     return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+#: PII patterns (conservative, high-precision): emails, 13-19-digit
+#: card-like runs, IPv4 addresses, phone-ish sequences. REDACTION
+#: ORDER MATTERS: email first (its digits must not half-match phone),
+#: card and IP before phone (the looser phone pattern would otherwise
+#: eat their digit runs).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("card", r"\b\d{13,19}\b", "<CARD>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[\s.-]?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}",
+     "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace common PII with typed placeholders — expression-only
+    chain of ``regexp_replace`` (order matters: emails before phones so
+    digits in addresses don't half-match). High precision by design;
+    recall tuning belongs to a model-based pass outside this engine."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """struct of per-type PII match counts (same patterns as
+    :func:`redact_pii`) for corpus auditing."""
+    return F.struct(*[
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(name)
+        for name, pat, _ in PII_PATTERNS
+    ])
+
+
+def repetition_score(text: Column, n: int = 3) -> Column:
+    """Gopher-style within-document repetition: 1 − distinct/total word
+    n-grams. 0 = no repeated n-gram; → 1 as the doc degenerates into
+    loops. Expression-only (shingle array staged once)."""
+    grams = shingles(text, n)
+    total = F.size(grams)
+    return (1.0 - F.size(F.array_distinct(grams))
+            / F.greatest(total.cast("double"), F.lit(1.0)))

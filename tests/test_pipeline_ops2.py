@@ -305,3 +305,43 @@ def test_ivf_index_persist_and_partition_pruning(spark, tmp_path):
         "_list" in plan.split("PartitionFilters")[1][:120]
     n_parts = indexed2.select("_list").distinct().count()
     assert n_parts <= 8
+
+
+def test_redact_pii_and_counts(spark):
+    from generalized_kmeans_clustering_spark.functions.text import (
+        pii_counts, redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@corp.example.com or call "
+             "+1 (555) 123-4567; server 192.168.0.17, card 4111111111111111"),
+         (2, "no pii here at all")],
+        "id long, text string")
+    out = {r["id"]: r for r in df.select(
+        "id", redact_pii(F.col("text")).alias("red"),
+        pii_counts(F.col("text")).alias("c")).collect()}
+    red = out[1]["red"]
+    assert "<EMAIL>" in red and "jane.doe" not in red
+    assert "<PHONE>" in red and "123-4567" not in red
+    assert "<IP>" in red and "192.168.0.17" not in red
+    assert "<CARD>" in red and "4111111111111111" not in red
+    c = out[1]["c"]
+    assert c["email"] == 1 and c["ipv4"] == 1 and c["card"] == 1
+    assert c["phone"] >= 1
+    assert out[2]["red"] == "no pii here at all"
+    assert sum(out[2]["c"]) == 0
+
+
+def test_repetition_score(spark):
+    from generalized_kmeans_clustering_spark.functions.text import (
+        repetition_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c " * 20),              # one trigram looped
+         (2, " ".join(f"w{i}" for i in range(60)))],  # all distinct
+        "id long, text string")
+    out = {r["id"]: r["rep"] for r in df.select(
+        "id", repetition_score(F.col("text"), 3).alias("rep")).collect()}
+    assert out[1] > 0.9
+    assert out[2] == 0.0
