@@ -31,7 +31,8 @@ from ..functions import text as Tx
 __all__ = ["prepare_corpus", "corpus_stats"]
 
 #: verdict precedence: the FIRST failing rule names the reason
-_REASONS = ("too_short", "too_long", "language", "low_quality", "duplicate")
+_REASONS = ("too_short", "too_long", "language", "low_quality",
+            "repetitive", "duplicate")
 
 
 def prepare_corpus(
@@ -43,6 +44,8 @@ def prepare_corpus(
     max_tokens: int | None = None,
     languages=None,
     min_quality: float | None = None,
+    max_repetition: float | None = None,
+    redact_pii: bool = False,
     dedup: str | None = "exact",  # None | "exact" | "minhash" | "pairs"
     minhash_threshold: float = 0.8,
     num_hashes: int = 32,
@@ -70,6 +73,8 @@ def prepare_corpus(
     out = docs.withColumn("n_tokens", Tx.token_count(t).cast("bigint")) \
               .withColumn("lang", Tx.language_id(t)) \
               .withColumn("quality", Tx.quality_score(t))
+    if max_repetition is not None:
+        out = out.withColumn("repetition", Tx.repetition_score(t))
 
     reason = F.lit(None).cast("string")
     rules = []
@@ -81,6 +86,8 @@ def prepare_corpus(
         rules.append((~F.col("lang").isin(*languages), "language"))
     if min_quality is not None:
         rules.append((F.col("quality") < min_quality, "low_quality"))
+    if max_repetition is not None:
+        rules.append((F.col("repetition") > max_repetition, "repetitive"))
     for pred, name in reversed(rules):
         reason = F.when(pred, F.lit(name)).otherwise(reason)
     out = out.withColumn("reject_reason", reason)
@@ -142,7 +149,11 @@ def prepare_corpus(
                    & F.col("_dup_id").isNotNull(), F.lit("duplicate"))
             .otherwise(F.col("reject_reason")),
         ).drop("_dup_id")
-    return out.withColumn("keep", F.col("reject_reason").isNull())
+    out = out.withColumn("keep", F.col("reject_reason").isNull())
+    if redact_pii:
+        # redact AFTER dedup so fingerprints reflect original content
+        out = out.withColumn(text_col, Tx.redact_pii(F.col(text_col)))
+    return out
 
 
 def corpus_stats(prepared: DataFrame) -> DataFrame:

@@ -112,3 +112,21 @@ def test_pairs_mode_uses_external_evidence(spark):
     assert out[2]["keep"]
     with pytest.raises(ValueError):
         prepare_corpus(docs, dedup="pairs")
+
+
+def test_repetition_rule_and_pii_redaction(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and then walked away to the garden "
+             "where it found a warm sunny spot for an afternoon nap"),
+         (2, "loop the loop " * 20),
+         (3, "write to admin@site.example.org for all of the details and "
+             "the rest of the information about the upcoming meeting")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prepare_corpus(
+        docs, min_tokens=5, max_repetition=0.5, redact_pii=True,
+        dedup=None).collect()}
+    assert out[2]["reject_reason"] == "repetitive"
+    assert out[1]["keep"] and out[3]["keep"]
+    assert "<EMAIL>" in out[3]["text"]
+    assert "admin@site" not in out[3]["text"]
+    assert "repetition" in out[1].asDict()
