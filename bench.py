@@ -79,11 +79,20 @@ def main():
 
     # JVM warmup OUTSIDE the timed region: the first iterative fit in a
     # fresh JVM pays one-time JIT/interpreter warmup that measured
-    # 100s+ at sf0.1 (identical second runs take ~8s) — warm the same
-    # code paths on a small sample so timings reflect steady state.
-    GeneralizedKMeans(
-        k=4, divergence="se", max_iter=3, seed=0, init_mode="random",
-    ).fit(li.sample(fraction=min(1.0, 20_000 / max(n, 1)), seed=0))
+    # 100s+ at sf0.1 (identical second runs take ~8s). Generated code
+    # is k-SPECIFIC (center literals unroll per k), so warm EVERY k the
+    # timed fits use — warming only k=4 left the k=8/k=32 shapes to
+    # compile inside the timed region, which measured as a bimodal
+    # 4.7s-vs-14s fit_se_k8 across bench invocations.
+    sample = li.sample(fraction=min(1.0, 20_000 / max(n, 1)), seed=0).cache()
+    sample.count()
+    GeneralizedKMeans(k=4, divergence="se", max_iter=2, seed=0,
+                      init_mode="random").fit(sample)
+    GeneralizedKMeans(k=8, divergence="se", max_iter=2, seed=42).fit(sample)
+    GeneralizedKMeans(k=32, divergence="se", max_iter=1, seed=9,
+                      init_mode="random",
+                      assignment_strategy="expression").fit(sample)
+    sample.unpersist()
 
     # flagship: full SE fit, k=8, 5 iterations (distributed kmeans|| init)
     model = timed("fit_se_k8", lambda: GeneralizedKMeans(
