@@ -105,7 +105,12 @@ class DPMeans:
             for it in range(self.max_iter):
                 tracker = IterationTracker(sink, it)
                 k = len(centers)
-                assigner = auto_assigner(k, d, "auto", kernel=kernel)
+                # size-ladder only (no kernel → no pruned rung): k can
+                # cross PRUNED_AUTO_MIN_K mid-run as centers are born,
+                # and the Arrow pruned path's ulp-level summation order
+                # differs from the expression plan the SQL oracle
+                # replays — keep λ-means bit-deterministic vs its twin
+                assigner = auto_assigner(k, d, "auto")
                 assigned = assigner.assign(
                     work, kernel, centers.tolist(), self.features_col
                 )
