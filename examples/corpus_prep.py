@@ -37,6 +37,16 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
              for r in corpus_stats(prepared).collect()}
     kept = prepared.where("keep")
 
+    # benchmark decontamination: drop docs leaking eval content
+    # (here: the first 20 docs stand in for an eval set)
+    from generalized_kmeans_clustering_spark.operators.decontamination import (
+        decontaminate,
+    )
+
+    bench = docs.where(F.col("doc_id") < 20)
+    clean = decontaminate(kept, bench, method="ngram", n=5, mode="drop")
+    n_clean = clean.count()
+
     # cluster the kept docs by their quality signals, watching the
     # typed event log live through a caller-owned sink
     feats = kept.select(
@@ -53,6 +63,7 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     return {
         "input_docs": int(docs.count()),
         "kept_docs": int(audit.get("kept", 0)),
+        "decontaminated_docs": n_clean,
         "audit": audit,
         "fit_iterations": model.summary.iterations,
         "event_count": sink.size,
