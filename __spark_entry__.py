@@ -1066,6 +1066,38 @@ def q_doc_repetition(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _session_rollup_sql(gap_minutes=60.0) -> str:
+    """Twin of operators/rollup.session_rollup: per-session aggregates
+    under Spark's session_window merge rule (extend iff delta < gap),
+    end = last event + gap."""
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    return (
+        "WITH x AS (SELECT user_id, ts, "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER "
+        f"(PARTITION BY user_id ORDER BY ts)) >= {gap_us} "
+        "THEN 1 ELSE 0 END AS new_s FROM events), "
+        "y AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
+        "SELECT user_id, min(ts) AS session_start, "
+        f"max(ts) + INTERVAL {int(gap_minutes * 60)} SECOND AS session_end, "
+        "count(*) AS n_events FROM y GROUP BY user_id, sid "
+        "ORDER BY user_id, session_start"
+    )
+
+
+def q_events_session_rollup(spark, sf_dir):
+    """Native session_window aggregation (streaming-compatible twin of
+    the lag/cumsum sessionizer)."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        session_rollup,
+    )
+
+    ev = events(spark, sf_dir)
+    return session_rollup(ev, gap_minutes=60.0).orderBy(
+        "user_id", "session_start")
+
+
 def _mutual_info_sql(digits: int = 6) -> str:
     return (
         "WITH h AS (SELECT event_type AS x, user_id % 8 AS y, "
@@ -3333,6 +3365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
+        "events_session_rollup": q_events_session_rollup,
         "assign_se_chunked": q_assign_se_chunked,
         "assign_se_pruned": q_assign_se_pruned,
         "assign_se_crossjoin": q_assign_se_crossjoin,
@@ -3902,6 +3935,7 @@ FROM wide w ORDER BY xb
     out["corpus_decontaminate"] = _decontaminate_sql()
     out["doc_pii_redact"] = _pii_redact_sql()
     out["doc_repetition"] = _repetition_sql()
+    out["events_session_rollup"] = _session_rollup_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),

@@ -98,3 +98,39 @@ def json_prop(props: Column, key: str, cast: str | None = None) -> Column:
     """Extract ``$.key`` from a JSON string column (JVM-side)."""
     out = F.get_json_object(props, f"$.{key}")
     return out.cast(cast) if cast else out
+
+
+def session_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE ``session_window``.
+
+    One groupBy on (user, merged session window): start = first event,
+    end = last event + gap, n_events. Unlike :func:`sessionize` (ordinal
+    ids via lag/cumsum — a batch-only window plan), this plan runs
+    UNCHANGED as a streaming stateful aggregation under
+    ``withWatermark`` — the state store merges windows as late events
+    arrive. Spark merge rule: an event extends the session iff it
+    arrives strictly less than ``gap`` after the previous event.
+    """
+    from pyspark.sql import types as T
+
+    # cast in place only when needed (NTZ parquet) — staging the cast
+    # into a NEW column would sever an attached watermark and break the
+    # streaming plan
+    if not isinstance(df.schema[ts_col].dataType, T.TimestampType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    gap = f"{int(gap_minutes * 60)} seconds"
+    return (
+        df.groupBy(user_col, F.session_window(ts_col, gap).alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )

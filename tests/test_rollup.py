@@ -97,3 +97,73 @@ def test_tfidf_math(spark):
     assert rows[(0, "b")]["tfidf"] == pytest.approx(math.log(3 / 2) + 1)
     top = top_terms_per_doc(df, k=1).orderBy("doc_id").collect()
     assert [r["term"] for r in top] == ["a", "c"]  # b < a in doc0 by tfidf
+
+
+def test_session_rollup_native_window(spark):
+    import datetime as dt
+
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        session_rollup, sessionize,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),      # session A
+        (1, t0 + dt.timedelta(minutes=50)),               # session B (gap 40 > 30)
+        (2, t0), (2, t0 + dt.timedelta(minutes=29)),      # one session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = session_rollup(df, gap_minutes=30.0).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert len(by_user[2]) == 1
+    a = sorted(by_user[1], key=lambda r: r["session_start"])[0]
+    assert a["n_events"] == 2
+    assert a["session_start"] == t0
+    # end = last event + gap
+    assert a["session_end"] == t0 + dt.timedelta(minutes=40)
+    assert by_user[2][0]["n_events"] == 2
+
+
+def test_session_rollup_runs_as_stream(spark, tmp_path):
+    """The identical plan runs as a streaming stateful aggregation."""
+    import datetime as dt
+    import os
+
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        session_rollup,
+    )
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src, exist_ok=True)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(1, t0), (1, t0 + dt.timedelta(minutes=5)),
+            (2, t0 + dt.timedelta(minutes=1))]
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .write.mode("overwrite").parquet(src)
+    out_dir = str(tmp_path / "sess_out")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp").parquet(src)
+        agg = session_rollup(
+            stream.withWatermark("ts", "1 hour"), gap_minutes=30.0)
+        q = (agg.writeStream.format("parquet")
+             .outputMode("append").option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    # append mode emits only watermark-CLOSED sessions; the watermark
+    # never passes the last event's session in the first run, so a
+    # later flush event (next micro-batch, same checkpoint) advances
+    # it and releases the earlier sessions
+    spark.createDataFrame(
+        [(99, t0 + dt.timedelta(hours=3))], "user_id long, ts timestamp"
+    ).write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out_dir).collect()
+    assert {(r["user_id"], r["n_events"]) for r in got} >= {(1, 2), (2, 1)}
