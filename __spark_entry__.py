@@ -318,7 +318,12 @@ def _mixture_sql(iters=5, centers=None, digits_c=4, digits_w=6) -> str:
 def _robust_sql(iters=4, frac=0.05) -> str:
     """Unrolled trimmed Lloyd's (exact order-statistic threshold): per
     iteration drop the top `frac` by distance before the center update;
-    final transform marks dist > last threshold as outliers."""
+    final transform marks dist > last threshold as outliers.
+
+    Centers are snapped to a 1e-6 decimal grid after each update,
+    mirroring RobustKMeans(exact_quantile=True) — this makes the kept
+    SET per iteration identical across engines/runs (float partial-sum
+    reorder drift is absorbed by the grid)."""
     centers = INIT4
     k, d = len(centers), len(centers[0])
     q = repr(1.0 - frac)
@@ -352,7 +357,8 @@ def _robust_sql(iters=4, frac=0.05) -> str:
         for j in range(k):
             for m in range(d):
                 pivot.append(
-                    f"coalesce(max(CASE WHEN cl={j} THEN s{m+1}/w END), "
+                    f"coalesce(max(CASE WHEN cl={j} THEN "
+                    f"floor((s{m+1}/w) * 1000000.0 + 0.5) / 1000000.0 END), "
                     f"max({prev[j][m]})) AS c{j}_{m}"
                 )
         psrc = f"g{t}" if t == 1 else f"g{t} CROSS JOIN p{t-1}"

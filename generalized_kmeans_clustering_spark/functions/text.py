@@ -27,6 +27,7 @@ __all__ = [
     "token_count_regex",
     "language_scores",
     "language_id",
+    "language_id_from_scores",
     "min_shingle_fingerprint",
     "char_gram_hashes",
     "winnow_from_grams",
@@ -135,13 +136,17 @@ def language_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def language_id(text: Column) -> Column:
-    """Argmax language code, 'unknown' when no marker matches.
+def language_id_from_scores(scores: dict[str, Column]) -> Column:
+    """Argmax language code from PRE-STAGED score columns.
 
     First-match-wins CASE against the max score, so ties resolve to the
-    earlier entry in ``LANG_MARKERS`` (stable, oracle-portable).
+    earlier entry in the dict (stable, oracle-portable). Pass bound
+    columns (their own ``withColumn``) when composing with other signal
+    expressions: each score is referenced ~5× here, and inlining the
+    full marker-arithmetic tree per reference is what pushed the
+    single-projection corpus pipeline past janino's 64 KB method limit
+    (whole-stage codegen then silently falls back to interpreted).
     """
-    scores = language_scores(text)
     mx = F.greatest(*scores.values())
     expr = None
     for lang in scores:
@@ -149,6 +154,32 @@ def language_id(text: Column) -> Column:
         expr = F.when(cond, F.lit(lang)) if expr is None \
             else expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit("unknown"))
+
+
+def language_id(text: Column) -> Column:
+    """Argmax language code, 'unknown' when no marker matches.
+
+    Single-expression form, written reference-efficiently: each
+    language's score expression appears exactly ONCE, inside an
+    ``array_max`` over ``struct(score, -order, lang)`` (struct ordering
+    is lexicographic → highest score wins, ties → lowest order = the
+    earlier ``LANG_MARKERS`` entry, matching
+    :func:`language_id_from_scores`). The naive greatest/CASE argmax
+    re-references every score ~5×, and since Catalyst inlines
+    expression trees per reference, that blows up generated code in any
+    context where the scores cannot be staged as columns (e.g. a filter
+    predicate this expression gets pushed into). For wide signal
+    projections prefer staging :func:`language_scores` +
+    :func:`language_id_from_scores`.
+    """
+    scores = language_scores(text)
+    entries = [
+        F.struct(score.alias("s"), F.lit(-i).alias("no"),
+                 F.lit(lang).alias("lang"))
+        for i, (lang, score) in enumerate(scores.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("unknown"))
 
 
 #: polynomial rolling-hash parameters (fit in int64: P·B + 255 < 2^63)

@@ -70,9 +70,24 @@ def prepare_corpus(
                          "edge list, e.g. embedding_near_dup_pairs or "
                          "simhash_near_dups output)")
     t = F.col(text_col)
+    # Stage the per-language marker scores in their own projection, then
+    # compute the argmax over plain column refs. Inlining the score
+    # arithmetic per reference (~5 refs each in the argmax CASE) blows
+    # the generated processNext() past janino's 64 KB method limit and
+    # silently drops the whole signal stage out of whole-stage codegen —
+    # the hot map stage of a 100 TB run would execute interpreted.
+    # CollapseProject keeps the stage boundary because the staged
+    # aliases are non-cheap and multiply referenced.
+    score_cols = {lang: f"_ls_{lang}" for lang in Tx.LANG_MARKERS}
+    scores = Tx.language_scores(t)
     out = docs.withColumn("n_tokens", Tx.token_count(t).cast("bigint")) \
-              .withColumn("lang", Tx.language_id(t)) \
-              .withColumn("quality", Tx.quality_score(t))
+              .withColumns({c: scores[lang] for lang, c in score_cols.items()})
+    out = out.withColumn(
+        "lang",
+        Tx.language_id_from_scores(
+            {lang: F.col(c) for lang, c in score_cols.items()}),
+    ).drop(*score_cols.values())
+    out = out.withColumn("quality", Tx.quality_score(t))
     if max_repetition is not None:
         out = out.withColumn("repetition", Tx.repetition_score(t))
 
@@ -92,55 +107,85 @@ def prepare_corpus(
         reason = F.when(pred, F.lit(name)).otherwise(reason)
     out = out.withColumn("reject_reason", reason)
 
-    if dedup is not None:
-        passed = out.where(F.col("reject_reason").isNull())
-        if dedup == "exact":
-            from pyspark.sql import Window
+    if dedup == "exact":
+        # FILTER-FREE formulation. A where(reject_reason IS NULL)
+        # before the fingerprint scan looks natural, but predicate
+        # pushdown substitutes the whole signal forest (language
+        # argmax, quality, token arithmetic) into one scan-level
+        # Filter expression — ~1.4 MB of generated source that
+        # overflows janino's 64 KB method limit, silently dropping
+        # the hot map stage out of whole-stage codegen. Instead the
+        # pass verdict rides as a COLUMN into a per-fingerprint
+        # aggregate (map-side combined, one shuffle keyed on the
+        # fingerprint); only groups with ≥2 passing rows survive,
+        # so the join back is ≈ #duplicate-groups rows — AQE
+        # broadcasts it at any scale where dups ≪ corpus.
+        out = out.withColumn("_fp", Tx.doc_fingerprint(t))
+        grp = (
+            out.select("_fp", F.col(id_col).alias("_gid"),
+                       F.col("reject_reason").isNull().alias("_pass"))
+            .groupBy("_fp")
+            .agg(F.min(F.when(F.col("_pass"), F.col("_gid")))
+                 .alias("_keep_id"),
+                 F.sum(F.col("_pass").cast("int")).alias("_npass"))
+            .where(F.col("_npass") >= 2)
+            .select("_fp", "_keep_id")
+        )
+        out = out.join(grp, "_fp", "left").withColumn(
+            "reject_reason",
+            F.when(F.col("reject_reason").isNull()
+                   & F.col("_keep_id").isNotNull()
+                   & (F.col(id_col) != F.col("_keep_id")),
+                   F.lit("duplicate"))
+            .otherwise(F.col("reject_reason")),
+        ).drop("_fp", "_keep_id")
+    elif dedup is not None:  # minhash | pairs
+        from .dedup import (canonical_duplicates, duplicate_components,
+                            jaccard_verify, lsh_candidate_pairs,
+                            minhash_signatures)
 
-            # one fingerprint scan + one shuffle: window-min over the
-            # fingerprint marks every non-minimal id a duplicate
-            # (the groupBy+join formulation scans and hashes twice)
-            wfp = Window.partitionBy("_fp")
-            dup_ids = (
-                passed.select(F.col(id_col),
-                              Tx.doc_fingerprint(t).alias("_fp"))
-                .withColumn("_keep_id", F.min(id_col).over(wfp))
-                .where(F.col(id_col) != F.col("_keep_id"))
-                .select(F.col(id_col).alias("_dup_id"))
+        # Pushdown barrier: a plain where() here is substituted through
+        # the signal projections into one scan-level Filter whose
+        # generated code overflows janino's 64 KB method limit (see the
+        # exact path comment; PushPredicateThroughNonJoin inlines alias
+        # chains into the predicate with no size guard). Filters are
+        # only held back by a NONDETERMINISTIC project field below
+        # them, so the pass verdict is staged as a column tainted with
+        # a vacuously-true nondeterministic term. Rows still drop
+        # before any signature work.
+        out2 = out.withColumn(
+            "_pass",
+            (F.monotonically_increasing_id() >= 0)
+            & F.col("reject_reason").isNull())
+        passed = out2.where(F.col("_pass")).drop("_pass")
+        if dedup == "pairs":
+            # caller-supplied near-dup evidence (embedding cosine,
+            # SimHash, cross-run LSH, ...) — restrict to rows that
+            # passed the content rules, same as the built-in modes
+            pid = passed.select(F.col(id_col).alias("_pid"))
+            verified = (
+                dedup_pairs.join(pid, dedup_pairs["i"] == pid["_pid"])
+                .drop("_pid")
+                .join(pid, dedup_pairs["j"] == pid["_pid"])
+                .drop("_pid")
             )
-        else:  # minhash | pairs
-            from .dedup import (canonical_duplicates, duplicate_components,
-                                jaccard_verify, lsh_candidate_pairs,
-                                minhash_signatures)
-
-            if dedup == "pairs":
-                # caller-supplied near-dup evidence (embedding cosine,
-                # SimHash, cross-run LSH, ...) — restrict to rows that
-                # passed the content rules, same as the built-in modes
-                pid = passed.select(F.col(id_col).alias("_pid"))
-                verified = (
-                    dedup_pairs.join(pid, dedup_pairs["i"] == pid["_pid"])
-                    .drop("_pid")
-                    .join(pid, dedup_pairs["j"] == pid["_pid"])
-                    .drop("_pid")
-                )
-            else:
-                sigs = minhash_signatures(
-                    passed, text_col=text_col, id_col=id_col,
-                    num_hashes=num_hashes, shingle_n=shingle_n,
-                    hash_fn=hash_fn)
-                pairs = lsh_candidate_pairs(sigs, id_col=id_col,
-                                            num_bands=num_bands,
-                                            num_hashes=num_hashes)
-                verified = jaccard_verify(passed, pairs, text_col=text_col,
-                                          id_col=id_col, shingle_n=shingle_n,
-                                          threshold=minhash_threshold)
-            comp = duplicate_components(verified)
-            marked = canonical_duplicates(
-                passed.join(comp.select(F.col("id").alias(id_col)), id_col),
-                comp, id_col=id_col, text_col=text_col)
-            dup_ids = marked.where(~F.col("is_canonical")) \
-                            .select(F.col(id_col).alias("_dup_id"))
+        else:
+            sigs = minhash_signatures(
+                passed, text_col=text_col, id_col=id_col,
+                num_hashes=num_hashes, shingle_n=shingle_n,
+                hash_fn=hash_fn)
+            pairs = lsh_candidate_pairs(sigs, id_col=id_col,
+                                        num_bands=num_bands,
+                                        num_hashes=num_hashes)
+            verified = jaccard_verify(passed, pairs, text_col=text_col,
+                                      id_col=id_col, shingle_n=shingle_n,
+                                      threshold=minhash_threshold)
+        comp = duplicate_components(verified)
+        marked = canonical_duplicates(
+            passed.join(comp.select(F.col("id").alias(id_col)), id_col),
+            comp, id_col=id_col, text_col=text_col)
+        dup_ids = marked.where(~F.col("is_canonical")) \
+                        .select(F.col(id_col).alias("_dup_id"))
         out = out.join(
             dup_ids, out[id_col] == dup_ids["_dup_id"], "left"
         ).withColumn(

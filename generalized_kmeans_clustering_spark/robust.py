@@ -83,6 +83,14 @@ class RobustKMeans:
         # distance via a distributed TakeOrdered) instead of
         # percentile_approx — engine-agnostic exact semantics for parity
         # checks; default stays approx for 100 TB runs.
+        # In this mode centers are also snapped to a fixed 1e-6 decimal
+        # grid after every update: float aggregation drift (partial-merge
+        # order varies run-to-run under AQE) is ~1e-13 per coordinate
+        # here, so rounding makes each iteration's centers — and hence
+        # every distance, the trim threshold, and the kept SET —
+        # bit-reproducible across runs and engines. Without the snap, a
+        # point sitting exactly on the trim boundary can flip between
+        # runs and compound over iterations.
         self.exact_quantile = exact_quantile
 
     def fit(self, df: DataFrame) -> "RobustKMeansModel":
@@ -160,6 +168,12 @@ class RobustKMeans:
                 new_centers, cost, sizes, empty = centers_from_stats(
                     stats, kernel, k, centers
                 )
+                if self.exact_quantile:
+                    # parity mode: snap to the decimal grid (see
+                    # __init__) — floor(x·1e6 + 0.5)/1e6 is the same
+                    # IEEE arithmetic in numpy and any SQL engine,
+                    # unlike round()'s engine-specific tie-breaking
+                    new_centers = np.floor(new_centers * 1e6 + 0.5) / 1e6
                 mv = float(np.sqrt(((centers - new_centers) ** 2).sum(axis=1)).max())
                 centers = new_centers
                 dist_hist.append(float(cost))

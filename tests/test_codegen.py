@@ -1,0 +1,69 @@
+"""Whole-stage-codegen health: the hot map stages must actually
+compile. janino's 64 KB per-method limit is a silent failure mode —
+Spark falls back to interpreted execution (spark.sql.codegen.fallback
+defaults true) and the only symptom is a log line and a slow stage.
+These tests disable the fallback so an expression tree that outgrows
+codegen FAILS here instead of quietly de-optimizing a 100 TB run.
+
+Regression context: the corpus_prepare signal projection originally
+inlined the language-ID score arithmetic ~180× (argmax CASE references
+each score ~5×, filter pushdown substituted the whole alias chain into
+one scan predicate) → 1.4 MB of generated source, interpreted
+execution. Fixed by staging score columns, a reference-efficient
+array_max argmax, a filter-free exact-dedup formulation, and a
+nondeterministic pushdown barrier on the minhash path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.corpus import (
+    corpus_stats, prepare_corpus,
+)
+
+
+@pytest.fixture()
+def strict_codegen(spark):
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    yield spark
+    spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog chases the fox around the big green field all day ")
+    rows = [(i, base + f"variant {i % 7}") for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_prepare_exact_compiles(strict_codegen, docs):
+    out = prepare_corpus(docs, min_tokens=8, languages=["en"],
+                         min_quality=0.05, dedup="exact")
+    assert out.count() == 40
+    assert corpus_stats(out).count() >= 1
+
+
+def test_corpus_prepare_minhash_compiles(strict_codegen, docs):
+    out = prepare_corpus(docs, min_tokens=8, languages=["en"],
+                         min_quality=0.05, max_repetition=0.9,
+                         dedup="minhash", minhash_threshold=0.8)
+    assert out.count() == 40
+
+
+def test_corpus_prepare_full_signals_compile(strict_codegen, docs):
+    out = prepare_corpus(docs, min_tokens=2, max_tokens=10_000,
+                         languages=["en", "de"], min_quality=0.01,
+                         max_repetition=0.99, redact_pii=True,
+                         dedup="exact")
+    assert out.count() == 40
+
+
+def test_language_id_inline_compiles(strict_codegen, docs):
+    """Standalone language_id must stay codegen-compilable even when a
+    filter substitutes it into the scan predicate."""
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+
+    n = docs.where(Tx.language_id(F.col("text")) == "en").count()
+    assert n == 40

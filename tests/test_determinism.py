@@ -62,3 +62,33 @@ def test_different_seeds_differ(spark, data):
     m1 = GeneralizedKMeans(k=3, seed=1, init_mode="random", max_iter=1).fit(data)
     m2 = GeneralizedKMeans(k=3, seed=2, init_mode="random", max_iter=1).fit(data)
     assert not np.allclose(m1.centers, m2.centers)
+
+
+def test_robust_exact_trim_bitwise_repeatable(spark, data):
+    """exact_quantile parity mode must produce BIT-IDENTICAL cluster
+    memberships across repeated fits: centers snap to a 1e-6 decimal
+    grid each iteration, so float partial-sum reorder drift can never
+    flip a point sitting on the trim boundary (the r4 driver-gate
+    flake)."""
+    from generalized_kmeans_clustering_spark.robust import RobustKMeans
+
+    init = [[0.0, 0.0], [6.0, 0.0], [3.0, 5.0]]
+
+    def counts():
+        m = RobustKMeans(k=3, outlier_mode="trim", outlier_fraction=0.1,
+                         max_iter=4, tol=0.0, initial_centers=init,
+                         exact_quantile=True).fit(data)
+        out = m.transform(data)
+        rows = (out.groupBy("prediction")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("is_outlier").cast("int")).alias("o"))
+                .orderBy("prediction").collect())
+        return [(r["prediction"], r["n"], r["o"]) for r in rows], m.centers
+
+    from pyspark.sql import functions as F
+
+    base_counts, base_centers = counts()
+    for _ in range(2):
+        c, cen = counts()
+        assert c == base_counts
+        assert np.array_equal(cen, base_centers)
