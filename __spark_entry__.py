@@ -885,6 +885,27 @@ def q_dedup_components(spark, sf_dir):
     return out.select("doc_id", "component", "is_canonical").orderBy("doc_id")
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """Same pipeline as dedup_components but through the O(log n)-round
+    large-star/small-star contraction (duplicate_components
+    method='star') — components must be identical to min-label
+    propagation, so it shares that query's oracle."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        canonical_duplicates, duplicate_components, jaccard_verify,
+        lsh_candidate_pairs, minhash_signatures,
+    )
+
+    docs = documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3, hash_fn="md5")
+    pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
+                                bucket_mode="raw")
+    verified = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2)
+    comp = duplicate_components(verified, method="star")
+    in_comp = docs.join(comp.select(F.col("id").alias("doc_id")), "doc_id")
+    out = canonical_duplicates(in_comp, comp)
+    return out.select("doc_id", "component", "is_canonical").orderBy("doc_id")
+
+
 def _lang_sql_pieces(text_expr: str = "text"):
     """(max-score expr, CASE arms) for the language-ID twin, shared by
     the doc_language_id and corpus_prepare oracles."""
@@ -969,6 +990,34 @@ def q_corpus_prepare(spark, sf_dir):
         _rcol(F.col("quality"), 6).alias("quality"),
         "reject_reason", "keep",
     ).orderBy("doc_id")
+
+
+def _corpus_stats_sql(min_tokens=8, languages=("en",), min_quality=0.05,
+                      prefix=64) -> str:
+    """Twin of operators/corpus.corpus_stats over the prepared frame:
+    one row per verdict outcome with doc and token counts."""
+    base = _corpus_prepare_sql(min_tokens=min_tokens, languages=languages,
+                               min_quality=min_quality, prefix=prefix)
+    return (
+        f"WITH prepared AS ({base}) "
+        "SELECT coalesce(reject_reason, 'kept') AS outcome, "
+        "count(*) AS n_docs, sum(n_tokens) AS n_tokens "
+        "FROM prepared GROUP BY outcome ORDER BY outcome"
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Verdict rollup of the corpus-prep run (operators/corpus.py
+    corpus_stats) — the audit table: docs + tokens per outcome."""
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        corpus_stats, prepare_corpus,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 64).alias("text"))
+    out = prepare_corpus(docs, min_tokens=8, languages=["en"],
+                         min_quality=0.05, dedup="exact")
+    return corpus_stats(out).orderBy("outcome")
 
 
 def _decontaminate_sql(n=5, min_collisions=1, bench_max_id=20) -> str:
@@ -2091,6 +2140,62 @@ def q_revenue_by_nation(spark, sf_dir):
     return rev.orderBy("n_name")
 
 
+def q_bucketed_join_rollup(spark, sf_dir):
+    """orders⋈lineitem with BOTH sides bucketed on the order key
+    (sources/bucketing.py): the join plans with zero hash-partitioning
+    Exchange — the shuffle is paid once at ingest, and the claim is
+    plan-ASSERTED here (assert_no_exchange raises into the correctness
+    gate if a shuffle sneaks back in). Broadcast is disabled for the
+    probe so the no-shuffle plan is attributable to bucketing alone."""
+    import re
+
+    from generalized_kmeans_clustering_spark.sources.bucketing import (
+        assert_no_exchange, is_bucketed, write_bucketed_table,
+    )
+
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    ot, lt = f"orders_bjr_{tag}", f"lineitem_bjr_{tag}"
+    # a previous SESSION may have left the managed-table location behind
+    # without a catalog entry — saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS even in overwrite mode; clear both
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = re.sub(r"^file:", "", wh)
+    for t in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_orderpriority"), ot,
+        "o_orderkey", 8, sort_cols="o_orderkey")
+    write_bucketed_table(
+        li.select("l_orderkey", "l_quantity", "l_extendedprice",
+                  "l_discount"), lt, "l_orderkey", 8,
+        sort_cols="l_orderkey")
+    assert is_bucketed(spark, ot) and is_bucketed(spark, lt)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, l = spark.table(ot), spark.table(lt)
+        joined = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+            "o_orderpriority", "l_quantity", "l_extendedprice",
+            "l_discount")
+        assert_no_exchange(joined)
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty"),
+                 _rcol(F.sum(F.col("l_extendedprice")
+                             * (1.0 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("o_orderpriority")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def q_order_priority_stats(spark, sf_dir):
     """Orders-side aggregation with a semi-join filter on lineitem
     (exists a returned item) — TPC-H Q4 flavor on the synthetic schema."""
@@ -2297,7 +2402,8 @@ def q_sparse_kl_assign(spark, sf_dir):
     )
 
 
-# --- rows-only queries (no SQL oracle: hash functions / iterative) ---------
+# --- hash-heavy / iterative queries (oracled like everything else: every
+# entry below has a value-matching oracle_sql() twin) -----------------------
 
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH with the cross-engine md5 shingle hash and raw band
@@ -3358,16 +3464,54 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _attestation_order(names) -> list[str]:
+    """Self-rotating driver-window order: least-recently-GREEN-attested
+    first. The correctness driver records rows for the first 50 dict
+    entries only, so a static order would permanently evict attested
+    queries from the official gate (the r4 judge/advisor concern). This
+    scans the committed ``CORRECTNESS_r*.json`` files and sorts by the
+    last round in which the query had a fully green row (rows+schema+
+    hash); never-attested or red-row queries lead, so every query
+    regains an official row at least every ⌈N/50⌉ rounds with no manual
+    reordering. Ties break on name for a deterministic order within a
+    round. CI still checks ALL queries every run (the oracle-parity
+    parametrization in tests/test_entry_oracle.py)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k, v in data.items():
+            if (isinstance(v, dict) and v.get("rows_match")
+                    and v.get("schema_match") and v.get("hash_match")):
+                last_green[k] = max(last_green.get(k, -1), rnd)
+    return sorted(names, key=lambda n: (last_green.get(n, -1), n))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the correctness driver records the first 50 entries
-    # of this dict.  Rounds 1-3 attested the original 50 (CORRECTNESS_r03.json,
-    # all green); this round the 30 queries added since are listed first so
-    # they get official driver rows too.  Every key keeps its oracle_sql()
-    # twin regardless of position.
+    # NOTE on ordering: the correctness driver records the first 50 dict
+    # entries.  The dict below is declared in build order; the returned
+    # dict is reordered least-recently-attested-first (see
+    # _attestation_order) so official driver rows rotate across the
+    # whole query set round over round.  Every key keeps its
+    # oracle_sql() twin regardless of position.
     q = {
         "multimodal_audio_meta": q_multimodal_audio,
         "dedup_components": q_dedup_components,
+        "dedup_components_star": q_dedup_components_star,
         "corpus_prepare": q_corpus_prepare,
+        "corpus_stats": q_corpus_stats,
         "corpus_decontaminate": q_corpus_decontaminate,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
@@ -3418,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_assign_fixed": q_balanced_assign_fixed,
         "eval_fixed_metrics": q_eval_fixed_metrics,
         "revenue_by_nation": q_revenue_by_nation,
+        "bucketed_join_rollup": q_bucketed_join_rollup,
         "order_priority_stats": q_order_priority_stats,
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
@@ -3455,7 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_assign": q_timeseries_assign,
         "constrained_soft_step": q_constrained_soft,
     }
-    return q
+    return {k: q[k] for k in _attestation_order(q.keys())}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3866,6 +4011,15 @@ FROM wide w ORDER BY xb
         "GROUP BY n_name ORDER BY n_name"
     )
 
+    out["bucketed_join_rollup"] = (
+        "SELECT o_orderpriority, count(*) AS n_items, "
+        "sum(l_quantity) AS sum_qty, "
+        + _r("sum(l_extendedprice * (1.0 - l_discount))", 2)
+        + " AS revenue "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
     out["order_priority_stats"] = (
         "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
         "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
@@ -3937,7 +4091,10 @@ FROM wide w ORDER BY xb
     out["multimodal_image_meta"] = _multimodal_sql()
     out["multimodal_audio_meta"] = _multimodal_audio_sql()
     out["dedup_components"] = _dedup_components_sql()
+    # star contraction must agree exactly with min-label propagation
+    out["dedup_components_star"] = _dedup_components_sql()
     out["corpus_prepare"] = _corpus_prepare_sql()
+    out["corpus_stats"] = _corpus_stats_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
     out["doc_pii_redact"] = _pii_redact_sql()
     out["doc_repetition"] = _repetition_sql()

@@ -65,4 +65,9 @@ from .evaluation import ClusteringEvaluator, evaluate  # noqa: F401
 from . import validation  # noqa: F401
 from .config import GKMConfig  # noqa: F401
 
+# event-table rollups (batch/streaming-parity plans)
+from .operators.rollup import (  # noqa: F401
+    json_prop, session_rollup, sessionize, top_k_by_count, tumbling_rollup,
+)
+
 __version__ = "0.3.0"

@@ -60,6 +60,15 @@ CHUNKED_ELEM_LIMIT = 262_144
 # centers from which auto prefers Lemma-1 pruning for SE-decomposable
 # kernels (bench: pruned beats the exact expression plan from ~k=16)
 PRUNED_AUTO_MIN_K = 16
+# centers beyond which auto stops choosing the pruned rung:
+# PrunedSEAssignment precomputes a k×k center-distance matrix on the
+# driver and ships it in the Arrow UDF closure, so memory is O(k²·8 B)
+# — 32 MiB at this cap, but ~34 GiB at k=65536 (an IVF coarse
+# quantizer). Past the cap auto falls through to the chunked/pandas
+# rungs whose driver state stays O(k·d), preserving SCALE.md's
+# "driver state = k×d" guarantee. Explicit strategy="pruned" is not
+# capped (the caller owns the k² tradeoff).
+PRUNED_AUTO_MAX_K = 2048
 
 
 def distances_column(kernel: Kernel, features: Column, centers: Sequence[Sequence[float]]) -> Column:
@@ -69,7 +78,23 @@ def distances_column(kernel: Kernel, features: Column, centers: Sequence[Sequenc
 
 
 class ExpressionAssignment:
-    """Single-projection argmin over a centers literal."""
+    """Single-projection argmin over a centers literal.
+
+    DELIBERATE SHAPE NOTE (measured, sf0.1 = 600k×4d): the HOF form
+    (``transform`` over a centers literal folding ``zip_with`` terms)
+    is interpreted Catalyst eval — HOFs never whole-stage-codegen —
+    and runs ~0.5-0.7 s per assignment+stats pass at k=32, warm. An
+    unrolled non-HOF rewrite (plain arithmetic over ``F.get``; also
+    tried with centers as broadcast-parameter data so the generated
+    class is iteration-invariant) DOES codegen, but at k=32·d=4 the
+    generated method is 10,714 bytecode — past HotSpot's 8,000
+    HugeMethodLimit, so it is never JIT-compiled and runs in the
+    bytecode interpreter at a stable 4.7 s (7× slower); splitting
+    (methodSplitThreshold=128) only recovers to ~3 s. Interpreted HOF
+    eval is itself compiled JVM code and wins below the pandas/pruned
+    crossover, so the HOF literal projection is the keeper. For large
+    k the auto tree already routes to the Arrow/numpy paths.
+    """
 
     name = "expression"
 
@@ -360,8 +385,10 @@ def auto_assigner(k: int, d: int, strategy: str = "auto", spark=None,
         # round-trip costs more than the skipped distance math) and is
         # only sound for SE-decomposable kernels
         # (``AutoAssignment.scala:19-89`` prefers the accelerated SE
-        # strategy in the same regime).
-        if caps.se_fast_path and k >= PRUNED_AUTO_MIN_K:
+        # strategy in the same regime). Upper-bounded so the k×k
+        # center-distance matrix stays broadcast-small (see
+        # PRUNED_AUTO_MAX_K).
+        if caps.se_fast_path and PRUNED_AUTO_MIN_K <= k <= PRUNED_AUTO_MAX_K:
             return PrunedSEAssignment()
     if elems <= EXPRESSION_ELEM_LIMIT and (center_cap is None or k < center_cap):
         return ExpressionAssignment()

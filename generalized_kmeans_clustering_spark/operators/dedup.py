@@ -279,36 +279,107 @@ def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
     return out.where(F.col("hamming") <= max_hamming).select("i", "j", "hamming")
 
 
+#: integral Spark SQL types for which the label-sum convergence scalar
+#: is exact; any other orderable type uses a hash-sum change detector
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _label_signature(col_type: str):
+    """Scalar change detector for a label column: exact sum for
+    integral ids; 64-bit hash sum otherwise (labels are element-wise
+    monotone under min, so an unchanged sum ⟺ fixpoint — exactly for
+    sums, w.h.p. for hash sums)."""
+    if col_type in _INTEGRAL_TYPES:
+        return lambda c: F.sum(F.col(c).cast("decimal(38,0)"))
+    # decimal accumulator: a long sum of 64-bit hashes overflows under
+    # ANSI arithmetic
+    return lambda c: F.sum(
+        F.xxhash64(F.col(c).cast("string")).cast("decimal(38,0)"))
+
+
 def duplicate_components(pairs: DataFrame, i_col: str = "i",
-                         j_col: str = "j", max_iter: int = 25) -> DataFrame:
+                         j_col: str = "j", max_iter: int = 25,
+                         method: str = "label",
+                         telemetry: dict | None = None) -> DataFrame:
     """Connected components over a duplicate-pair edge list →
-    ``(id, component)`` with ``component`` = the smallest id reachable.
+    ``(id, component)`` with ``component`` = the smallest id reachable
+    (the id column's own ordering — long, string, UUID all work; the
+    two id columns must share a type).
 
     Engine extension: turns verified near-dup PAIRS (LSH/SimHash/
     embedding) into duplicate GROUPS — the step a training-data
     pipeline actually needs before canonical-document selection.
 
-    Iterative min-label propagation, fully distributed: each round is
-    one ``groupBy(id).min(label)`` over the node's own label unioned
-    with its neighbors' labels (edges replicated in both directions).
-    Rounds needed = graph diameter; near-dup components from LSH
-    banding are dense (almost cliques), so 2-4 rounds is typical.
-    Convergence is detected with a single scalar aggregate — the sum of
-    labels strictly decreases until the fixpoint, so no per-row diff
-    join is needed. Lineage is cut with ``localCheckpoint`` every few
-    rounds. Only ids touched by at least one pair appear in the output
-    (singletons are their own component by definition).
+    Two distributed strategies behind one API:
+
+    - ``method="label"`` (default): iterative min-label propagation —
+      each round is one ``groupBy(id).min(label)`` over the node's own
+      label unioned with its neighbors' labels. Rounds = graph
+      DIAMETER; near-dup components from LSH banding are near-cliques,
+      so 2-4 rounds is typical. The fast path for dedup graphs.
+    - ``method="star"``: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond"): each round rewires edges toward local minima, halving
+      component height — O(log n) rounds regardless of shape. Choose
+      this when components can be long CHAINS (e.g. transitive
+      near-dup edits), where label propagation would need
+      diameter-many rounds.
+
+    Convergence is detected with a single scalar aggregate per round
+    (label sum for integral ids, hash sum otherwise); lineage is cut
+    with ``localCheckpoint``. If the fixpoint is not reached within
+    ``max_iter`` a warning is emitted — the result may be OVER-SPLIT
+    (under-deduplication). Pass ``telemetry={}`` to receive
+    ``{"rounds": r, "converged": bool}``. Only ids touched by at least
+    one pair appear in the output (singletons are their own component
+    by definition).
 
     At 100 TB: shuffles are keyed on the id column only; edge rows =
     2·|pairs| ≪ n for any sane threshold; driver state is one scalar
     per round.
     """
+    import warnings
+
+    from ..errors import DataError
+
+    if method not in ("label", "star"):
+        raise ValueError("method: 'label' | 'star'")
+    dtypes = dict(pairs.dtypes)
+    ti, tj = dtypes[i_col], dtypes[j_col]
+    if ti != tj:
+        raise DataError(
+            f"duplicate_components: id columns must share a type, got "
+            f"{i_col}: {ti} vs {j_col}: {tj}"
+        )
+    sig = _label_signature(ti)
+    if method == "star":
+        labels, rounds, converged = _components_star(
+            pairs, i_col, j_col, max_iter, sig)
+    else:
+        labels, rounds, converged = _components_label(
+            pairs, i_col, j_col, max_iter, sig)
+    if not converged:
+        warnings.warn(
+            f"duplicate_components(method={method!r}) did not reach a "
+            f"fixpoint within max_iter={max_iter} rounds; components may "
+            f"be over-split (under-deduplication). Label propagation "
+            f"needs diameter-many rounds — raise max_iter or use "
+            f"method='star' (O(log n) rounds) for chain-shaped graphs.",
+            RuntimeWarning,
+        )
+    if telemetry is not None:
+        telemetry["rounds"] = rounds
+        telemetry["converged"] = converged
+    return labels
+
+
+def _components_label(pairs, i_col, j_col, max_iter, sig):
+    """Min-label propagation; rounds = component diameter."""
     e = (
-        pairs.select(F.col(i_col).cast("long").alias("src"),
-                     F.col(j_col).cast("long").alias("dst"))
+        pairs.select(F.col(i_col).alias("src"), F.col(j_col).alias("dst"))
         .unionAll(
-            pairs.select(F.col(j_col).cast("long").alias("src"),
-                         F.col(i_col).cast("long").alias("dst")))
+            pairs.select(F.col(j_col).alias("src"),
+                         F.col(i_col).alias("dst")))
         .persist()
     )
     labels = (
@@ -316,8 +387,9 @@ def duplicate_components(pairs: DataFrame, i_col: str = "i",
         .withColumn("component", F.col("id"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    prev_sum = labels.agg(sig("component")).first()[0]
     prev = None
+    rounds, converged = 0, False
     for it in range(max_iter):
         nb = (
             e.join(labels.withColumnRenamed("id", "src"), "src")
@@ -329,18 +401,99 @@ def duplicate_components(pairs: DataFrame, i_col: str = "i",
         )
         nxt = (nxt.localCheckpoint(eager=True) if (it + 1) % 5 == 0
                else nxt.persist())
-        s = nxt.agg(F.sum("component")).first()[0]
+        s = nxt.agg(sig("component")).first()[0]
         if prev is not None:
             prev.unpersist()
         prev = labels
         labels = nxt
+        rounds = it + 1
         if s == prev_sum:  # labels only decrease: equal sum == fixpoint
+            converged = True
             break
         prev_sum = s
     e.unpersist()
     if prev is not None:
         prev.unpersist()
-    return labels
+    return labels, rounds, converged
+
+
+def _star_sym(e):
+    return e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e):
+    """For each node u: connect every LARGER neighbor to
+    min(Γ(u) ∪ {u}) — pulls high nodes toward local minima."""
+    s = _star_sym(e)
+    mins = s.groupBy("u").agg(F.min("v").alias("_mv"))
+    return (
+        s.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"),
+                F.least(F.col("_mv"), F.col("u")).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e):
+    """For each node u: connect u and every SMALLER neighbor to the
+    minimum of those neighbors — flattens chains into stars."""
+    s = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .where(F.col("u") != F.col("v")))
+    mins = s.groupBy("u").agg(F.min("v").alias("_mv"))
+    rewired = s.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("_mv").alias("v"))
+    own = mins.select(F.col("u"), F.col("_mv").alias("v"))
+    return (rewired.unionAll(own)
+            .where(F.col("u") != F.col("v")).distinct())
+
+
+def _components_star(pairs, i_col, j_col, max_iter, sig):
+    """Large-star/small-star alternation; O(log n) rounds for any
+    component shape. At the fixpoint the edge set is a star forest
+    (every node → its component minimum)."""
+    nodes = (
+        pairs.select(F.col(i_col).alias("id"))
+        .unionAll(pairs.select(F.col(j_col).alias("id")))
+        .distinct().persist()
+    )
+    e = (
+        pairs.select(F.col(i_col).alias("u"), F.col(j_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct().persist()
+    )
+    edge_sig = e.agg(F.count(F.lit(1)),
+                     sig("u"), sig("v")).first()
+    prev_sig = tuple(edge_sig)
+    rounds, converged = 0, False
+    prev = None
+    for it in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        s = tuple(nxt.agg(F.count(F.lit(1)), sig("u"), sig("v")).first())
+        if prev is not None:
+            prev.unpersist()
+        prev = e
+        e = nxt
+        rounds = it + 1
+        if s == prev_sig:  # star forest reached: both ops are no-ops
+            converged = True
+            break
+        prev_sig = s
+    comp = e.groupBy("u").agg(F.min("v").alias("component"))
+    labels = (
+        nodes.join(comp.withColumnRenamed("u", "id"), "id", "left")
+        .select("id",
+                F.coalesce("component", F.col("id")).alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    nodes.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    e.unpersist()
+    return labels, rounds, converged
 
 
 def canonical_duplicates(df: DataFrame, components: DataFrame,

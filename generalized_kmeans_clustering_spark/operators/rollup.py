@@ -21,7 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["tumbling_rollup", "sessionize", "top_k_by_count", "json_prop"]
+__all__ = ["tumbling_rollup", "sessionize", "session_rollup",
+           "top_k_by_count", "json_prop"]
 
 
 def tumbling_rollup(

@@ -211,23 +211,23 @@ def write_ivf_index(indexed: DataFrame, model, path: str,
     the files, not the corpus) plus the coarse centroids as a JSON
     sidecar (model state: n_lists × d doubles).
     """
-    import json
-
     indexed.write.mode(mode).partitionBy("_list").parquet(f"{path}/vectors")
-    # centroids via the model's own persistence-free state (tiny)
-    sidecar = {
-        "n_lists": int(len(model.centers)),
-        "dim": int(model.centers.shape[1]),
-        "kernel": model.kernel_name,
-        "centers": [[float(v) for v in c] for c in model.centers],
-    }
-    # sidecar via the driver-side filesystem (local paths; HDFS/S3
-    # users write it with their own client — it is k·d doubles)
-    import os
-
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/centroids.json", "w") as f:
-        json.dump(sidecar, f)
+    # centroids via the model's own persistence-free state (tiny).
+    # Written THROUGH Spark as a 1-row JSON dataset so vectors and
+    # sidecar land on the SAME filesystem (HDFS/S3/local alike) — a
+    # driver-local open() would split the index directory across
+    # filesystems on any non-local deployment.
+    spark = indexed.sparkSession
+    sidecar = spark.createDataFrame(
+        [(
+            int(len(model.centers)),
+            int(model.centers.shape[1]),
+            model.kernel_name,
+            [[float(v) for v in c] for c in model.centers],
+        )],
+        "n_lists int, dim int, kernel string, centers array<array<double>>",
+    )
+    sidecar.coalesce(1).write.mode(mode).json(f"{path}/centroids")
 
 
 def read_ivf_index(spark, path: str):
@@ -236,11 +236,18 @@ def read_ivf_index(spark, path: str):
     partitioned ``_list`` column are pruned at the parquet-scan level
     (visible as PartitionFilters in the plan)."""
     import json
+    import os
 
     from ..kmeans import GeneralizedKMeansModel
 
-    with open(f"{path}/centroids.json") as f:
-        sidecar = json.load(f)
+    legacy = f"{path}/centroids.json"
+    if os.path.exists(legacy):  # pre-0.3 layout: driver-local sidecar
+        with open(legacy) as f:
+            sidecar = json.load(f)
+    else:
+        row = spark.read.json(f"{path}/centroids").first()
+        sidecar = {"centers": [list(c) for c in row["centers"]],
+                   "kernel": row["kernel"]}
     indexed = spark.read.parquet(f"{path}/vectors")
     model = GeneralizedKMeansModel(
         centers=sidecar["centers"], kernel_name=sidecar["kernel"],

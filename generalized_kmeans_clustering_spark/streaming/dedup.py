@@ -6,9 +6,13 @@ own watermarked ``dropDuplicates`` state store — content fingerprints
 are the dedup key, the watermark bounds state size, and the identical
 plan runs batch or streaming. Signature computation (MinHash/SimHash)
 is stateless expression work, so those operators run verbatim on a
-streaming DataFrame; only the pair JOIN is batch-only (stream-stream
-self-joins need two watermarked sides — run LSH banding per
-micro-batch via ``foreachBatch`` when near-dup pairs are needed live).
+streaming DataFrame. The pair JOIN runs live through
+:class:`StreamingNearDup` — a ``foreachBatch`` handler that LSH-bands
+each micro-batch against itself AND the accumulated signature state
+store (a declarative stream-stream self-join would need two
+watermarked sides, which Structured Streaming cannot plan for this
+shape; the per-batch join is the standard answer). See
+``examples/streaming_near_dup.py`` for the worked end-to-end flow.
 
 At scale: dedup state is one row per distinct fingerprint inside the
 watermark horizon — state grows with distinct content per window, not

@@ -54,3 +54,11 @@ def test_corpus_prep_example(spark, sf_dir):
     assert out["fit_iterations"] >= 1
     assert out["event_count"] >= out["fit_iterations"] * 2 + 2
     assert out["report_lines"] > 3
+
+
+def test_streaming_near_dup_example(spark, sf_dir):
+    import streaming_near_dup
+
+    out = streaming_near_dup.main(spark, sf_dir)
+    assert out["signatures_in_state"] == out["docs"]
+    assert out["near_dup_pairs"] >= 0

@@ -345,3 +345,120 @@ def test_repetition_score(spark):
         "id", repetition_score(F.col("text"), 3).alias("rep")).collect()}
     assert out[1] > 0.9
     assert out[2] == 0.0
+
+
+def test_components_star_matches_label_and_union_find(spark):
+    """method='star' (large/small-star contraction) must produce the
+    exact same components as min-label propagation on mixed shapes."""
+    import random
+
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(30)]                    # chain
+    edges += [(100 + rng.randrange(8), 100 + rng.randrange(8))
+              for _ in range(20)]                              # dense blob
+    edges += [(200, 201), (202, 203), (201, 203)]              # merged pairs
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    # the 30-chain has diameter 29, so label propagation needs > the
+    # default 25 rounds — exactly the regime method='star' exists for
+    lab = {r["id"]: r["component"]
+           for r in duplicate_components(pairs, method="label",
+                                         max_iter=40).collect()}
+    star = {r["id"]: r["component"]
+            for r in duplicate_components(pairs, method="star").collect()}
+    assert star == lab
+
+
+def test_components_star_path_graph_logarithmic_rounds(spark):
+    """A 10k-node PATH graph (diameter 9999): label propagation would
+    need ~10k rounds; star contraction must converge in O(log n) —
+    assert ≤ ceil(log2 n) + 4 rounds and correct components."""
+    import math
+
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "i long, j long")
+    tel = {}
+    out = duplicate_components(pairs, method="star", telemetry=tel)
+    assert tel["converged"]
+    assert tel["rounds"] <= math.ceil(math.log2(n)) + 4, tel
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_components_string_ids(spark):
+    """Arbitrary orderable id types: string/UUID ids propagate without
+    the silent null-cast degeneration (r4 advice)."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-a", "doc-b"), ("doc-x", "doc-y")],
+        "i string, j string")
+    for method in ("label", "star"):
+        out = {r["id"]: r["component"]
+               for r in duplicate_components(pairs, method=method).collect()}
+        assert out == {"doc-a": "doc-a", "doc-b": "doc-a",
+                       "doc-c": "doc-a", "doc-x": "doc-x",
+                       "doc-y": "doc-x"}, method
+
+
+def test_components_mismatched_id_types_raise(spark):
+    from generalized_kmeans_clustering_spark.errors import DataError
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame([(1, "a")], "i long, j string")
+    with pytest.raises(DataError):
+        duplicate_components(pairs)
+
+
+def test_components_unconverged_warns(spark):
+    import warnings
+
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "i long, j long")
+    tel = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        duplicate_components(pairs, max_iter=3, telemetry=tel).collect()
+    assert not tel["converged"]
+    assert any("fixpoint" in str(x.message) for x in w)
+
+
+def test_prepare_corpus_minhash_string_ids(spark):
+    """End-to-end: minhash dedup with STRING doc ids (r4 advice: the
+    long-cast used to null out propagation and silently mark zero
+    duplicates)."""
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    long_en = ("the quick brown fox jumps over the lazy dog and then "
+               "the dog chases the fox around the big green field") * 2
+    docs = spark.createDataFrame(
+        [("a1", long_en), ("a2", long_en),
+         ("b9", "the and is of to a completely different short doc that "
+          "still has enough english tokens to pass the simple rules")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r["reject_reason"] for r in prepare_corpus(
+        docs, min_tokens=5, languages=["en"], dedup="minhash",
+        minhash_threshold=0.8).collect()}
+    assert out["a1"] is None
+    assert out["a2"] == "duplicate"
+    assert out["b9"] is None

@@ -163,5 +163,8 @@ def test_duplicate_components_match_union_find(spark_global, edges):
     pairs = spark_global.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "i long, j long")
     got = {r["id"]: r["component"]
-           for r in duplicate_components(pairs).collect()}
+           for r in duplicate_components(pairs, max_iter=40).collect()}
     assert got == expect
+    star = {r["id"]: r["component"]
+            for r in duplicate_components(pairs, method="star").collect()}
+    assert star == expect

@@ -83,3 +83,26 @@ def test_fit_with_pruned_strategy_surfaces_rate(spark, df):
     assert np.allclose(model.centers, exact.centers)
     # transform does not leak the telemetry column
     assert "_ncomp" not in model.transform(df).columns
+
+
+def test_auto_rung_bounded_by_max_k(spark):
+    """auto picks the pruned rung only inside [MIN_K, MAX_K]: beyond the
+    cap the k×k driver matrix would dwarf the O(k·d) state the other
+    rungs guarantee (r4 advice), so auto must fall through."""
+    from generalized_kmeans_clustering_spark.functions.kernels import get_kernel
+    from generalized_kmeans_clustering_spark.operators.assignment import (
+        PRUNED_AUTO_MAX_K, PRUNED_AUTO_MIN_K, PrunedSEAssignment,
+        auto_assigner,
+    )
+
+    se = get_kernel("squaredEuclidean")
+    d = 4
+    inside = auto_assigner(PRUNED_AUTO_MIN_K, d, "auto", kernel=se)
+    assert isinstance(inside, PrunedSEAssignment)
+    at_cap = auto_assigner(PRUNED_AUTO_MAX_K, d, "auto", kernel=se)
+    assert isinstance(at_cap, PrunedSEAssignment)
+    beyond = auto_assigner(PRUNED_AUTO_MAX_K + 1, d, "auto", kernel=se)
+    assert not isinstance(beyond, PrunedSEAssignment)
+    # explicit opt-in stays uncapped: the caller owns the k² tradeoff
+    explicit = auto_assigner(PRUNED_AUTO_MAX_K + 1, d, "pruned", kernel=se)
+    assert isinstance(explicit, PrunedSEAssignment)
