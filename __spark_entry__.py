@@ -1020,6 +1020,96 @@ def q_corpus_stats(spark, sf_dir):
     return corpus_stats(out).orderBy("outcome")
 
 
+_NTOK_SQL = ("CAST(length(text) - length(replace(text, ' ', '')) + 1 "
+             "AS BIGINT)")
+
+
+def _sample_budget_sql(budgets=(("de", 2000), ("en", 4000)), seed=5) -> str:
+    """Twin of operators/sampling.token_budget_sample (md5 bucket):
+    per-lang threshold = int(min(1, budget/total)·1e6); keep iff
+    md5-bucket(doc_id|seed) < threshold."""
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    thr_cases = " ".join(
+        f"WHEN lang = '{lang}' THEN (CASE WHEN total <= {b} THEN 1000000 "
+        f"ELSE CAST(floor(({b} * 1.0 / total) * 1000000) AS BIGINT) END)"
+        for lang, b in budgets
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens "
+        "FROM documents), "
+        "tot AS (SELECT lang, sum(n_tokens) AS total FROM t GROUP BY lang), "
+        f"thr AS (SELECT lang, CASE {thr_cases} ELSE 0 END AS th FROM tot) "
+        "SELECT t.doc_id, t.lang, t.n_tokens FROM t JOIN thr USING (lang) "
+        f"WHERE ({md5i}) % 1000000 < thr.th ORDER BY doc_id"
+    )
+
+
+def q_corpus_sample_budget(spark, sf_dir):
+    """Token-budget corpus sampling (operators/sampling.py): sample each
+    language down to a token budget with a deterministic md5 hash filter
+    — reproducible across runs/partitionings/engines, unlike
+    df.sample()."""
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id", "lang",
+        Tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    out = token_budget_sample(
+        docs, {"de": 2000, "en": 4000}, strata_col="lang",
+        id_col="doc_id", seed=5, hash_fn="md5",
+    )
+    return out.select("doc_id", "lang", "n_tokens").orderBy("doc_id")
+
+
+def _pack_spans_sql(seq_len=512, num_shards=4, seed=1) -> str:
+    """Twin of operators/packing.pack_concat (md5 order key): window
+    cumsum per shard, spans over the crossed seq_len windows."""
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    L = seq_len
+    return (
+        f"WITH t AS (SELECT doc_id, {_NTOK_SQL} AS n FROM documents), "
+        f"k AS (SELECT doc_id, n, {md5i} AS key FROM t WHERE n > 0), "
+        f"s AS (SELECT *, CAST(key % {num_shards} AS INTEGER) AS shard "
+        "FROM k), "
+        "c AS (SELECT *, sum(n) OVER (PARTITION BY shard "
+        "ORDER BY key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS cum FROM s), "
+        "p AS (SELECT *, cum - n AS prev FROM c), "
+        "x AS (SELECT doc_id, shard, prev, cum, "
+        f"unnest(generate_series(CAST(floor(prev / {L}) AS BIGINT), "
+        f"CAST(floor((cum - 1) / {L}) AS BIGINT))) AS ps FROM p) "
+        "SELECT doc_id, shard, CAST(ps AS BIGINT) AS pack, "
+        f"greatest(prev - ps * {L}, 0) AS pack_offset, "
+        f"greatest(ps * {L} - prev, 0) AS doc_offset, "
+        f"least((ps + 1) * {L}, cum) - greatest(ps * {L}, prev) AS length "
+        "FROM x ORDER BY doc_id, pack"
+    )
+
+
+def q_corpus_pack_spans(spark, sf_dir):
+    """Concat-and-split sequence packing (operators/packing.py): lay the
+    corpus out in md5-hash order across 4 shards and slice exact 512-token
+    training sequences; one row per (document × sequence) span."""
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        pack_concat,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        Tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    out = pack_concat(docs, seq_len=512, num_shards=4, seed=1,
+                      hash_fn="md5")
+    return out.orderBy("doc_id", "pack")
+
+
 def _decontaminate_sql(n=5, min_collisions=1, bench_max_id=20) -> str:
     """Twin of operators/decontamination.decontaminate (ngram, md5
     hash): benchmark = docs with doc_id < bench_max_id; collision =
@@ -3512,6 +3602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": q_dedup_components_star,
         "corpus_prepare": q_corpus_prepare,
         "corpus_stats": q_corpus_stats,
+        "corpus_sample_budget": q_corpus_sample_budget,
+        "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_decontaminate": q_corpus_decontaminate,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
@@ -4095,6 +4187,8 @@ FROM wide w ORDER BY xb
     out["dedup_components_star"] = _dedup_components_sql()
     out["corpus_prepare"] = _corpus_prepare_sql()
     out["corpus_stats"] = _corpus_stats_sql()
+    out["corpus_sample_budget"] = _sample_budget_sql()
+    out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
     out["doc_pii_redact"] = _pii_redact_sql()
     out["doc_repetition"] = _repetition_sql()

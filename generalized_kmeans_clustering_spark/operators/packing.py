@@ -1,0 +1,168 @@
+"""Sequence packing: documents → fixed-length training sequences.
+
+Engine extensions (driver mandate: large-scale training-data pipeline
+operators). LLM pretraining consumes fixed ``seq_len`` token windows;
+the corpus is variable-length documents. Two standard packings:
+
+- :func:`pack_concat` — the "concat-and-split" packing every major
+  pretraining pipeline uses: documents are laid out in a deterministic
+  stream order, and the stream is sliced at exact ``seq_len``
+  boundaries. A document crossing a boundary contributes SPANS to both
+  sequences. Every sequence except the last per shard is exactly full
+  (zero padding waste). Pure expressions: a window cumsum gives each
+  doc its stream interval; the crossed windows explode via
+  ``sequence``/``inline``.
+- :func:`pack_next_fit` — greedy next-fit WITHOUT splitting: a doc
+  that would overflow the open sequence starts a new one; docs longer
+  than ``seq_len`` get a flagged singleton pack. Inherently a
+  sequential walk, so it runs as an Arrow ``applyInPandas`` per shard.
+
+Distribution model (both): documents are hash-assigned to
+``num_shards`` independent streams and packing is per-shard — the
+classic trick that makes an inherently sequential layout
+embarrassingly parallel at the cost of ≤1 partial sequence per shard.
+Order within a shard is ``(hash(id, seed), id)``: deterministic across
+runs, partitionings and engines (``hash_fn="md5"`` is bit-identical in
+the DuckDB oracle).
+
+At 100 TB: one shuffle keyed on the shard (window cumsum), then
+map-only span math. Shard count bounds the partial-sequence waste at
+``num_shards·seq_len`` tokens — negligible against any real corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["pack_concat", "pack_next_fit"]
+
+
+def _order_key(id_col: Column, seed: int, hash_fn: str) -> Column:
+    s = F.concat_ws("|", id_col.cast("string"), F.lit(str(seed)))
+    if hash_fn == "xxhash64":
+        return F.xxhash64(s)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_fn: xxhash64 | md5, got {hash_fn!r}")
+
+
+def pack_concat(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Concat-and-split packing → one row per (document × sequence)
+    span: ``(id, shard, pack, pack_offset, doc_offset, length)``.
+
+    ``pack`` numbers sequences within the shard; ``(shard, pack)`` is
+    the global sequence key. ``doc_offset``/``length`` slice the
+    document's tokens; ``pack_offset`` places the slice in the
+    sequence. Invariants (tested): every pack except the last per
+    shard sums to exactly ``seq_len``; each document's spans reassemble
+    it exactly.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    key = _order_key(F.col(id_col), seed, hash_fn)
+    staged = (
+        df.select(id_col, F.col(token_col).cast("long").alias("_n"))
+        .where(F.col("_n") > 0)
+        .withColumn("_key", key)
+        .withColumn("shard", F.pmod(F.col("_key"), F.lit(num_shards))
+                    .cast("int"))
+    )
+    w = (Window.partitionBy("shard").orderBy("_key", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = staged.withColumn("_cum", F.sum("_n").over(w)) \
+                   .withColumn("_prev", F.col("_cum") - F.col("_n"))
+    L = F.lit(int(seq_len))
+    p0 = F.floor(F.col("_prev") / L)
+    p1 = F.floor((F.col("_cum") - 1) / L)
+    spans = F.transform(
+        F.sequence(p0, p1),
+        lambda p: F.struct(
+            p.cast("long").alias("pack"),
+            F.greatest(F.col("_prev") - p * L, F.lit(0))
+            .alias("pack_offset"),
+            F.greatest(p * L - F.col("_prev"), F.lit(0))
+            .alias("doc_offset"),
+            (F.least((p + 1) * L, F.col("_cum"))
+             - F.greatest(p * L, F.col("_prev"))).alias("length"),
+        ),
+    )
+    return staged.select(
+        id_col, "shard", F.inline(spans)
+    ).select(id_col, "shard", "pack", "pack_offset", "doc_offset", "length")
+
+
+def pack_next_fit(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Greedy next-fit packing (documents never split) →
+    ``(id, shard, pack, pack_offset, overflow)``.
+
+    A document that would overflow the open sequence closes it and
+    starts the next; a document longer than ``seq_len`` occupies a
+    singleton pack with ``overflow=true`` (the caller decides whether
+    to truncate, chunk with :func:`pack_concat`, or drop). The
+    sequential walk runs per shard as an Arrow grouped-map — state is
+    one (fill, pack) pair, never the shard's documents.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    import pandas as pd
+
+    key = _order_key(F.col(id_col), seed, hash_fn)
+    staged = (
+        df.select(id_col, F.col(token_col).cast("long").alias("_n"))
+        .where(F.col("_n") > 0)
+        .withColumn("_key", key)
+        .withColumn("shard", F.pmod(F.col("_key"), F.lit(num_shards))
+                    .cast("int"))
+    )
+    id_type = dict(staged.dtypes)[id_col]
+    L = int(seq_len)
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_key", id_col], kind="mergesort")
+        packs, offsets, overflows = [], [], []
+        pack, fill = 0, 0
+        for n in pdf["_n"]:
+            n = int(n)
+            if n > L:  # flagged singleton pack
+                if fill > 0:
+                    pack += 1
+                packs.append(pack)
+                offsets.append(0)
+                overflows.append(True)
+                pack += 1
+                fill = 0
+                continue
+            if fill + n > L:
+                pack += 1
+                fill = 0
+            packs.append(pack)
+            offsets.append(fill)
+            overflows.append(False)
+            fill += n
+        out = pdf[[id_col, "shard"]].copy()
+        out["pack"] = packs
+        out["pack_offset"] = offsets
+        out["overflow"] = overflows
+        return out
+
+    schema = (f"{id_col} {id_type}, shard int, pack long, "
+              "pack_offset long, overflow boolean")
+    return staged.groupBy("shard").applyInPandas(_walk, schema)

@@ -1,0 +1,136 @@
+"""Deterministic corpus sampling for training-data curation.
+
+Engine extensions (driver mandate: large-scale training-data pipeline
+operators). A training mix is specified as per-stratum (language,
+domain, source, …) sampling rates or TOKEN BUDGETS; this module turns
+that into a reproducible, content-addressed sample:
+
+- keep/drop is a pure function of ``hash(id, seed)`` — the same rows
+  are kept on every run, any partitioning, any cluster size, and any
+  engine (``hash_fn="md5"`` is bit-identical in DuckDB for oracle
+  checks). ``df.sample()`` gives none of these: its RNG draws depend
+  on partition layout.
+- everything is expression-only (map-side filter); the only job that
+  touches the driver is the per-stratum token-sum in
+  :func:`token_budget_sample` (k strata rows).
+
+At 100 TB: :func:`sample_hash` / :func:`stratified_sample_hash` are
+shuffle-free scans with the filter pushed at the scan when the id and
+stratum columns are top-level parquet columns; ``token_budget_sample``
+adds ONE map-side-combined aggregation keyed on the stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_hash",
+    "stratified_sample_hash",
+    "token_budget_sample",
+]
+
+#: denominator of the keep predicate: hash-bucket ∈ [0, _SCALE) and a
+#: fraction f keeps buckets < f·_SCALE — so fractions are honored to
+#: 1e-6 granularity
+_SCALE = 1_000_000
+
+
+def _bucket(id_col: Column, seed: int, hash_fn: str) -> Column:
+    """Uniform bucket in [0, _SCALE) from (id, seed) — deterministic,
+    partitioning-independent. ``md5`` mode is engine-portable (the
+    DuckDB oracle computes the identical value); ``xxhash64`` is the
+    fastest JVM-side production path."""
+    s = F.concat_ws("|", id_col.cast("string"), F.lit(str(seed)))
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(s)
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn: xxhash64 | md5, got {hash_fn!r}")
+    return F.pmod(h, F.lit(_SCALE))
+
+
+def sample_hash(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Reproducible Bernoulli(fraction) sample keyed on the id column.
+
+    Disjointness: samples with the same seed nest (fraction 0.1 ⊆
+    fraction 0.2), and different seeds are independent — so a held-out
+    split is ``sample_hash(df, f, seed=a)`` vs its complement, never a
+    second RNG draw.
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction in [0, 1]")
+    return df.where(
+        _bucket(F.col(id_col), seed, hash_fn) < int(fraction * _SCALE)
+    )
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum reproducible sampling: ``fractions`` maps stratum
+    value → keep fraction; strata not listed keep ``default_fraction``
+    (0 = drop, 1 = keep all). One expression-only filter — the
+    fraction lookup is a CASE chain over the (small) fractions dict.
+    """
+    for v in fractions.values():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError("every fraction in [0, 1]")
+    thresh = F.lit(int(default_fraction * _SCALE))
+    for value, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(int(frac * _SCALE))
+        ).otherwise(thresh)
+    return df.where(_bucket(F.col(id_col), seed, hash_fn) < thresh)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict,
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    keep_unlisted: bool = False,
+) -> DataFrame:
+    """Sample each stratum down to a TOKEN budget — the way a training
+    mix is actually specified ("100 B tokens of en, 30 B of de, …").
+
+    One aggregation computes per-stratum token totals (k strata rows to
+    the driver); the keep fraction per stratum is
+    ``min(1, budget / total)`` and the sample itself is the same
+    deterministic hash filter as :func:`stratified_sample_hash`, so the
+    realized token count concentrates around the budget (exact in
+    expectation; relative error ~1/√n_docs per stratum).
+
+    Strata without a budget are dropped unless ``keep_unlisted``.
+    """
+    totals = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(token_col).alias("t")).collect()
+    }
+    fractions = {}
+    for stratum, budget in budgets.items():
+        total = totals.get(stratum, 0)
+        fractions[stratum] = 1.0 if total <= budget else budget / total
+    return stratified_sample_hash(
+        df, fractions, strata_col=strata_col, id_col=id_col,
+        default_fraction=1.0 if keep_unlisted else 0.0,
+        seed=seed, hash_fn=hash_fn,
+    )

@@ -1,0 +1,166 @@
+"""Deterministic sampling (operators/sampling.py) and sequence packing
+(operators/packing.py) for training-data curation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.packing import (
+    pack_concat, pack_next_fit,
+)
+from generalized_kmeans_clustering_spark.operators.sampling import (
+    sample_hash, stratified_sample_hash, token_budget_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        Tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        Tx.language_id(F.col("text")).alias("lang"),
+    ).cache()
+
+
+# --- sampling ---------------------------------------------------------------
+
+def test_sample_hash_reproducible_and_nested(spark, docs):
+    a1 = {r["doc_id"] for r in sample_hash(docs, 0.3, seed=7).collect()}
+    a2 = {r["doc_id"] for r in sample_hash(
+        docs.repartition(13), 0.3, seed=7).collect()}
+    assert a1 == a2  # partitioning-independent
+    small = {r["doc_id"] for r in sample_hash(docs, 0.1, seed=7).collect()}
+    assert small <= a1  # same-seed samples nest
+    other = {r["doc_id"] for r in sample_hash(docs, 0.3, seed=8).collect()}
+    assert other != a1  # different seed -> different sample
+    n = docs.count()
+    assert abs(len(a1) / n - 0.3) < 0.1
+
+
+def test_sample_hash_bounds(spark, docs):
+    assert sample_hash(docs, 0.0).count() == 0
+    assert sample_hash(docs, 1.0).count() == docs.count()
+    with pytest.raises(ValueError):
+        sample_hash(docs, 1.5)
+
+
+def test_stratified_fractions(spark, docs):
+    out = stratified_sample_hash(
+        docs, {"en": 1.0, "de": 0.0}, strata_col="lang", seed=3)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    en_total = docs.where("lang = 'en'").count()
+    assert got.get("en", 0) == en_total
+    assert "de" not in got
+    # unlisted strata follow default_fraction
+    assert not any(k not in ("en",) for k in got)
+
+
+def test_token_budget_sample(spark, docs):
+    totals = {r["lang"]: r["t"] for r in docs.groupBy("lang")
+              .agg(F.sum("n_tokens").alias("t")).collect()}
+    lang, total = max(totals.items(), key=lambda kv: kv[1])
+    budget = total // 3
+    out = token_budget_sample(docs, {lang: budget}, strata_col="lang",
+                              seed=5)
+    assert {r["lang"] for r in out.select("lang").distinct().collect()} \
+        == {lang}
+    realized = out.agg(F.sum("n_tokens")).first()[0]
+    assert realized <= total
+    assert abs(realized - budget) / budget < 0.35  # concentrates on budget
+    # a budget above the total keeps the whole stratum
+    all_kept = token_budget_sample(docs, {lang: total * 2},
+                                   strata_col="lang", seed=5)
+    assert all_kept.count() == docs.where(F.col("lang") == lang).count()
+
+
+# --- packing ----------------------------------------------------------------
+
+SEQ = 512
+
+
+def test_pack_concat_invariants(spark, docs):
+    spans = pack_concat(docs, SEQ, num_shards=8, seed=1).cache()
+    # 1. every document's spans reassemble it exactly
+    doc_sums = spans.groupBy("doc_id").agg(
+        F.sum("length").alias("s"),
+        F.min("doc_offset").alias("mn"),
+        F.max(F.col("doc_offset") + F.col("length")).alias("mx"))
+    joined = doc_sums.join(docs, "doc_id")
+    bad = joined.where((F.col("s") != F.col("n_tokens"))
+                       | (F.col("mn") != 0)
+                       | (F.col("mx") != F.col("n_tokens"))).count()
+    assert bad == 0
+    # 2. every pack except the last per shard is exactly full
+    packs = spans.groupBy("shard", "pack").agg(F.sum("length").alias("fill"))
+    last = packs.groupBy("shard").agg(F.max("pack").alias("last_pack"))
+    partial = (packs.join(last, "shard")
+               .where((F.col("pack") != F.col("last_pack"))
+                      & (F.col("fill") != SEQ)).count())
+    assert partial == 0
+    full = packs.where(F.col("fill") == SEQ).count()
+    assert full > 0
+    # 3. no span exceeds the sequence
+    assert spans.where(
+        (F.col("pack_offset") + F.col("length")) > SEQ).count() == 0
+    spans.unpersist()
+
+
+def test_pack_concat_deterministic(spark, docs):
+    a = sorted(map(tuple, pack_concat(docs, SEQ, num_shards=8,
+                                      seed=1).collect()))
+    b = sorted(map(tuple, pack_concat(docs.repartition(17), SEQ,
+                                      num_shards=8, seed=1).collect()))
+    assert a == b
+
+
+def test_pack_next_fit_invariants(spark, docs):
+    out = pack_next_fit(docs, SEQ, num_shards=8, seed=1).cache()
+    assert out.count() == docs.count()  # no doc dropped or split
+    fills = (out.where(~F.col("overflow")).join(docs, "doc_id")
+             .groupBy("shard", "pack").agg(F.sum("n_tokens").alias("fill")))
+    assert fills.where(F.col("fill") > SEQ).count() == 0
+    over = out.where(F.col("overflow")).join(docs, "doc_id")
+    assert over.where(F.col("n_tokens") <= SEQ).count() == 0
+    # overflow docs sit alone in their pack
+    singleton = out.join(
+        out.groupBy("shard", "pack").agg(F.count(F.lit(1)).alias("c")),
+        ["shard", "pack"])
+    assert singleton.where(F.col("overflow") & (F.col("c") > 1)).count() == 0
+    out.unpersist()
+
+
+def test_pack_next_fit_matches_serial_walk(spark):
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([100, 300, 200, 512, 600, 50, 480,
+                                       40, 30, 513])],
+        "doc_id long, n_tokens long")
+    out = pack_next_fit(docs, 512, num_shards=1, seed=2)
+    rows = {r["doc_id"]: (r["pack"], r["pack_offset"], r["overflow"])
+            for r in out.collect()}
+    # replicate the walk on the driver in the same hash order
+    order = [r["doc_id"] for r in docs.select(
+        "doc_id",
+        F.xxhash64(F.concat_ws("|", F.col("doc_id").cast("string"),
+                               F.lit("2"))).alias("k"))
+        .orderBy("k", "doc_id").collect()]
+    n_of = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    pack, fill = 0, 0
+    expect = {}
+    for d in order:
+        n = n_of[d]
+        if n > 512:
+            if fill > 0:
+                pack += 1
+            expect[d] = (pack, 0, True)
+            pack += 1
+            fill = 0
+            continue
+        if fill + n > 512:
+            pack += 1
+            fill = 0
+        expect[d] = (pack, fill, False)
+        fill += n
+    assert rows == expect
