@@ -47,6 +47,24 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     clean = decontaminate(kept, bench, method="ngram", n=5, mode="drop")
     n_clean = clean.count()
 
+    # shape the training mix: sample the clean corpus down to a token
+    # budget (deterministic hash filter — same rows every run), then
+    # pack the survivors into fixed-length training sequences
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        pack_concat,
+    )
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    total_tokens = int(clean.agg(F.sum("n_tokens")).first()[0] or 0)
+    mixed = token_budget_sample(
+        clean, {"en": max(total_tokens // 2, 1)}, strata_col="lang",
+        token_col="n_tokens", seed=7,
+    )
+    spans = pack_concat(mixed, seq_len=256, num_shards=4, seed=7)
+    n_sequences = spans.select("shard", "pack").distinct().count()
+
     # cluster the kept docs by their quality signals, watching the
     # typed event log live through a caller-owned sink
     feats = kept.select(
@@ -64,6 +82,9 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "input_docs": int(docs.count()),
         "kept_docs": int(audit.get("kept", 0)),
         "decontaminated_docs": n_clean,
+        "sampled_tokens": int(
+            mixed.agg(F.sum("n_tokens")).first()[0] or 0),
+        "training_sequences": n_sequences,
         "audit": audit,
         "fit_iterations": model.summary.iterations,
         "event_count": sink.size,

@@ -50,6 +50,8 @@ def test_corpus_prep_example(spark, sf_dir):
     out = corpus_prep.main(spark, sf_dir)
     assert out["kept_docs"] <= out["input_docs"]
     assert out["decontaminated_docs"] <= out["kept_docs"]
+    assert out["training_sequences"] >= 1
+    assert out["sampled_tokens"] >= 1
     assert sum(out["audit"].values()) == out["input_docs"]
     assert out["fit_iterations"] >= 1
     assert out["event_count"] >= out["fit_iterations"] * 2 + 2
