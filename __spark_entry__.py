@@ -865,10 +865,10 @@ def _dedup_components_sql(num_hashes=16, shingle_n=3, num_bands=4,
     )
 
 
-def q_dedup_components(spark, sf_dir):
-    """Pairs → duplicate GROUPS → canonical doc per group: the full
-    near-dup pipeline a training corpus needs (minhash → LSH → verify →
-    connected components → keep-longest)."""
+def _dedup_components_pipeline(spark, sf_dir, method):
+    """Shared body of the two components queries: minhash → LSH →
+    verify → connected components (``method``) → keep-longest. Both
+    methods must agree exactly, so both queries share one oracle."""
     from generalized_kmeans_clustering_spark.operators.dedup import (
         canonical_duplicates, duplicate_components, jaccard_verify,
         lsh_candidate_pairs, minhash_signatures,
@@ -879,10 +879,17 @@ def q_dedup_components(spark, sf_dir):
     pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
                                 bucket_mode="raw")
     verified = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2)
-    comp = duplicate_components(verified)
+    comp = duplicate_components(verified, method=method)
     in_comp = docs.join(comp.select(F.col("id").alias("doc_id")), "doc_id")
     out = canonical_duplicates(in_comp, comp)
     return out.select("doc_id", "component", "is_canonical").orderBy("doc_id")
+
+
+def q_dedup_components(spark, sf_dir):
+    """Pairs → duplicate GROUPS → canonical doc per group: the full
+    near-dup pipeline a training corpus needs (minhash → LSH → verify →
+    connected components → keep-longest)."""
+    return _dedup_components_pipeline(spark, sf_dir, "label")
 
 
 def q_dedup_components_star(spark, sf_dir):
@@ -890,20 +897,7 @@ def q_dedup_components_star(spark, sf_dir):
     large-star/small-star contraction (duplicate_components
     method='star') — components must be identical to min-label
     propagation, so it shares that query's oracle."""
-    from generalized_kmeans_clustering_spark.operators.dedup import (
-        canonical_duplicates, duplicate_components, jaccard_verify,
-        lsh_candidate_pairs, minhash_signatures,
-    )
-
-    docs = documents(spark, sf_dir)
-    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3, hash_fn="md5")
-    pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
-                                bucket_mode="raw")
-    verified = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2)
-    comp = duplicate_components(verified, method="star")
-    in_comp = docs.join(comp.select(F.col("id").alias("doc_id")), "doc_id")
-    out = canonical_duplicates(in_comp, comp)
-    return out.select("doc_id", "component", "is_canonical").orderBy("doc_id")
+    return _dedup_components_pipeline(spark, sf_dir, "star")
 
 
 def _lang_sql_pieces(text_expr: str = "text"):
@@ -2273,7 +2267,11 @@ def q_bucketed_join_rollup(spark, sf_dir):
             "o_orderpriority", "l_quantity", "l_extendedprice",
             "l_discount")
         assert_no_exchange(joined)
-        return (
+        # collect WHILE broadcast is still disabled, so the recorded
+        # rows come from the exact plan assert_no_exchange attested —
+        # returning the lazy frame would let the restored conf re-plan
+        # the join (broadcast) at driver-collect time
+        rows = (
             joined.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum("l_quantity").alias("sum_qty"),
@@ -2281,9 +2279,14 @@ def q_bucketed_join_rollup(spark, sf_dir):
                              * (1.0 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .orderBy("o_orderpriority")
+            .collect()
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return spark.createDataFrame(
+        rows, "o_orderpriority string, n_items bigint, sum_qty double, "
+        "revenue double",
+    ).orderBy("o_orderpriority")
 
 
 def q_order_priority_stats(spark, sf_dir):

@@ -24,6 +24,7 @@ sys.path.insert(
 
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
@@ -52,7 +53,12 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
         pairs_dir=f"{workdir}/pairs",
         num_hashes=32, num_bands=8, threshold=0.7,
     )
-    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    # maxFilesPerTrigger forces MULTIPLE micro-batches out of the
+    # already-landed files — without it, availableNow admits everything
+    # into batch 0 and the accumulated-state join (the point of this
+    # example) would never execute
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
     q = (stream.writeStream.foreachBatch(nd.process_batch)
          .option("checkpointLocation", f"{workdir}/ckpt")
          .trigger(availableNow=True).start())
@@ -60,13 +66,28 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
 
     pairs = nd.pairs(spark)
     n_pairs = pairs.count()
-    n_cross = pairs.where("i % 2 != j % 2").count()  # across the days
-    n_state = spark.read.parquet(nd.state_dir).count()
+    # genuinely cross-BATCH pairs: endpoints whose signatures landed in
+    # different micro-batches (arrival batch recorded in the state
+    # store), i.e. pairs found through the accumulated state rather
+    # than the within-batch self-join
+    state = spark.read.parquet(nd.state_dir)
+    arrival = state.select("doc_id", F.col("batch_id").alias("_ab"))
+    n_cross = (
+        pairs
+        .join(arrival.withColumnRenamed("doc_id", "i")
+              .withColumnRenamed("_ab", "_ai"), "i")
+        .join(arrival.withColumnRenamed("doc_id", "j")
+              .withColumnRenamed("_ab", "_aj"), "j")
+        .where(F.col("_ai") != F.col("_aj")).count()
+    )
+    n_batches = state.select("batch_id").distinct().count()
+    n_state = state.count()
     if owns_workdir:
         shutil.rmtree(workdir, ignore_errors=True)
     return {
         "near_dup_pairs": n_pairs,
         "cross_batch_pairs": n_cross,
+        "micro_batches": n_batches,
         "signatures_in_state": n_state,
         "docs": docs.count(),
     }

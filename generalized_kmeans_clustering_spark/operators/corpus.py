@@ -129,9 +129,15 @@ def prepare_corpus(
                  .alias("_keep_id"),
                  F.sum(F.col("_pass").cast("int")).alias("_npass"))
             .where(F.col("_npass") >= 2)
-            .select("_fp", "_keep_id")
+            .select(F.col("_fp").alias("_gfp"), "_keep_id")
         )
-        out = out.join(grp, "_fp", "left").withColumn(
+        # null-SAFE join key: groupBy puts all NULL-text rows (NULL
+        # fingerprint) in one group, and they must dedup against each
+        # other like any other identical-content group — a null-unsafe
+        # equi-join would silently keep every NULL-text row
+        out = out.join(
+            grp, F.col("_fp").eqNullSafe(F.col("_gfp")), "left"
+        ).drop("_gfp").withColumn(
             "reject_reason",
             F.when(F.col("reject_reason").isNull()
                    & F.col("_keep_id").isNotNull()

@@ -32,20 +32,13 @@ map-only span math. Shard count bounds the partial-sequence waste at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .sampling import hash_key as _order_key
+
 __all__ = ["pack_concat", "pack_next_fit"]
-
-
-def _order_key(id_col: Column, seed: int, hash_fn: str) -> Column:
-    s = F.concat_ws("|", id_col.cast("string"), F.lit(str(seed)))
-    if hash_fn == "xxhash64":
-        return F.xxhash64(s)
-    if hash_fn == "md5":
-        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    raise ValueError(f"hash_fn: xxhash64 | md5, got {hash_fn!r}")
 
 
 def pack_concat(
@@ -116,9 +109,16 @@ def pack_next_fit(
     A document that would overflow the open sequence closes it and
     starts the next; a document longer than ``seq_len`` occupies a
     singleton pack with ``overflow=true`` (the caller decides whether
-    to truncate, chunk with :func:`pack_concat`, or drop). The
-    sequential walk runs per shard as an Arrow grouped-map — state is
-    one (fill, pack) pair, never the shard's documents.
+    to truncate, chunk with :func:`pack_concat`, or drop).
+
+    SCALE CAVEAT: the per-shard walk is an Arrow grouped-map, and
+    ``applyInPandas`` materializes EACH SHARD's (id, n_tokens, key)
+    rows as one in-memory pandas frame before the walk — so size
+    ``num_shards`` such that corpus_rows/num_shards × ~32 B fits an
+    executor (e.g. 10 B docs → num_shards ≥ ~4096), and note
+    ``num_shards`` also caps parallelism. :func:`pack_concat` has no
+    such limit (pure window cumsum) and is the preferred form at
+    extreme scale.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "hash_key",
     "sample_hash",
     "stratified_sample_hash",
     "token_budget_sample",
@@ -37,19 +38,25 @@ __all__ = [
 _SCALE = 1_000_000
 
 
-def _bucket(id_col: Column, seed: int, hash_fn: str) -> Column:
-    """Uniform bucket in [0, _SCALE) from (id, seed) — deterministic,
-    partitioning-independent. ``md5`` mode is engine-portable (the
-    DuckDB oracle computes the identical value); ``xxhash64`` is the
-    fastest JVM-side production path."""
+def hash_key(id_col: Column, seed: int, hash_fn: str = "xxhash64") -> Column:
+    """int64 hash of ``(id, seed)`` — deterministic and
+    partitioning-independent; the shared primitive behind hash
+    sampling here and the shard/order keys in
+    :mod:`operators.packing`. ``md5`` mode (non-negative, 60-bit) is
+    engine-portable — the DuckDB oracle's ``_MD5INT`` computes the
+    identical value; ``xxhash64`` is the fastest JVM-side production
+    path."""
     s = F.concat_ws("|", id_col.cast("string"), F.lit(str(seed)))
     if hash_fn == "xxhash64":
-        h = F.xxhash64(s)
-    elif hash_fn == "md5":
-        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    else:
-        raise ValueError(f"hash_fn: xxhash64 | md5, got {hash_fn!r}")
-    return F.pmod(h, F.lit(_SCALE))
+        return F.xxhash64(s)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_fn: xxhash64 | md5, got {hash_fn!r}")
+
+
+def _bucket(id_col: Column, seed: int, hash_fn: str) -> Column:
+    """Uniform bucket in [0, _SCALE) from (id, seed)."""
+    return F.pmod(hash_key(id_col, seed, hash_fn), F.lit(_SCALE))
 
 
 def sample_hash(
@@ -127,7 +134,9 @@ def token_budget_sample(
     }
     fractions = {}
     for stratum, budget in budgets.items():
-        total = totals.get(stratum, 0)
+        # sum() aggregates to NULL (None) when every token value in the
+        # stratum is NULL — treat as zero tokens, same as absent
+        total = totals.get(stratum) or 0
         fractions[stratum] = 1.0 if total <= budget else budget / total
     return stratified_sample_hash(
         df, fractions, strata_col=strata_col, id_col=id_col,

@@ -240,14 +240,22 @@ def read_ivf_index(spark, path: str):
 
     from ..kmeans import GeneralizedKMeansModel
 
-    legacy = f"{path}/centroids.json"
-    if os.path.exists(legacy):  # pre-0.3 layout: driver-local sidecar
-        with open(legacy) as f:
-            sidecar = json.load(f)
-    else:
+    # Prefer the current Spark-written layout: a pre-0.3 index that was
+    # later re-written in place leaves its driver-local centroids.json
+    # behind (overwrite only replaces what Spark manages), and loading
+    # that stale sidecar would silently pair old centers with new
+    # vectors. The legacy file is only consulted when no centroids/
+    # dataset exists.
+    try:
         row = spark.read.json(f"{path}/centroids").first()
         sidecar = {"centers": [list(c) for c in row["centers"]],
                    "kernel": row["kernel"]}
+    except Exception:
+        legacy = f"{path}/centroids.json"
+        if not os.path.exists(legacy):
+            raise
+        with open(legacy) as f:  # pre-0.3 layout: driver-local sidecar
+            sidecar = json.load(f)
     indexed = spark.read.parquet(f"{path}/vectors")
     model = GeneralizedKMeansModel(
         centers=sidecar["centers"], kernel_name=sidecar["kernel"],

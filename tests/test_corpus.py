@@ -130,3 +130,17 @@ def test_repetition_rule_and_pii_redaction(spark):
     assert "<EMAIL>" in out[3]["text"]
     assert "admin@site" not in out[3]["text"]
     assert "repetition" in out[1].asDict()
+
+
+def test_exact_dedup_null_text_rows_group(spark):
+    """NULL-text rows share a NULL fingerprint and must dedup against
+    each other (null-SAFE group join) — a null-unsafe equi-join would
+    silently keep every NULL-text row."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "the quick brown fox and the dog")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["reject_reason"]
+           for r in prepare_corpus(docs, dedup="exact").collect()}
+    assert out[1] is None
+    assert out[2] == "duplicate"
+    assert out[3] is None

@@ -63,4 +63,5 @@ def test_streaming_near_dup_example(spark, sf_dir):
 
     out = streaming_near_dup.main(spark, sf_dir)
     assert out["signatures_in_state"] == out["docs"]
+    assert out["micro_batches"] >= 2  # the cross-batch state path ran
     assert out["near_dup_pairs"] >= 0

@@ -462,3 +462,27 @@ def test_prepare_corpus_minhash_string_ids(spark):
     assert out["a1"] is None
     assert out["a2"] == "duplicate"
     assert out["b9"] is None
+
+
+def test_ivf_read_prefers_current_sidecar_over_stale_legacy(spark, tmp_path,
+                                                            sf_dir):
+    """A pre-0.3 index re-written in place leaves its driver-local
+    centroids.json behind; read_ivf_index must load the CURRENT
+    Spark-written sidecar, not silently pair stale centers with new
+    vectors."""
+    import json
+
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index, read_ivf_index, write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    indexed, model = ivf_index(emb, n_lists=3, seed=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(indexed, model, path)
+    # plant a stale legacy sidecar with recognizably wrong state
+    with open(f"{path}/centroids.json", "w") as f:
+        json.dump({"centers": [[0.0]], "kernel": "l1"}, f)
+    _, m2 = read_ivf_index(spark, path)
+    assert m2.kernel_name == model.kernel_name != "l1"
+    assert m2.centers.shape == model.centers.shape

@@ -164,3 +164,15 @@ def test_pack_next_fit_matches_serial_walk(spark):
         expect[d] = (pack, fill, False)
         fill += n
     assert rows == expect
+
+
+def test_token_budget_null_token_stratum(spark):
+    """A budgeted stratum whose token column is all NULL must behave
+    like an empty stratum (kept in full at zero realized tokens), not
+    crash on the None aggregate."""
+    df = spark.createDataFrame(
+        [(1, "xx", None), (2, "xx", None), (3, "en", 50)],
+        "doc_id long, lang string, n_tokens long")
+    out = token_budget_sample(df, {"xx": 100, "en": 10}, strata_col="lang")
+    langs = [r["lang"] for r in out.collect()]
+    assert langs.count("xx") == 2  # total 0 <= budget -> fraction 1.0
