@@ -1104,6 +1104,59 @@ def q_corpus_pack_spans(spark, sf_dir):
     return out.orderBy("doc_id", "pack")
 
 
+def _line_dedup_sql(words_per_line=2, max_occ=20) -> str:
+    """Twin of operators/dedup.drop_repeated_lines over documents with
+    synthesized line structure (every ``words_per_line`` words = one
+    line): lines repeated more than ``max_occ`` times across the corpus
+    drop entirely."""
+    w = words_per_line
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "l AS (SELECT doc_id, list_transform(range(0, "
+        f"CAST(ceil(len(toks) / {w}.0) AS BIGINT)), "
+        f"i -> array_to_string(toks[i*{w}+1:i*{w}+{w}], ' ')) AS lines "
+        "FROM t), "
+        "ex AS (SELECT unnest(lines) AS line FROM l), "
+        f"rep AS (SELECT line FROM ex GROUP BY line "
+        f"HAVING count(*) > {max_occ}), "
+        "r AS (SELECT coalesce(list(line), []) AS repl FROM rep), "
+        "k AS (SELECT doc_id, lines, list_filter(lines, "
+        "x -> NOT (list_contains(repl, x) AND length(x) >= 1)) AS kept "
+        "FROM l CROSS JOIN r) "
+        "SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept, "
+        "CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped, "
+        "md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5 "
+        "FROM k ORDER BY doc_id"
+    )
+
+
+def q_doc_line_dedup(spark, sf_dir):
+    """Corpus-wide repeated-line removal (C4/RefinedWeb boilerplate
+    rule, operators/dedup.drop_repeated_lines). The flat synthetic docs
+    get line structure synthesized (2 words per line) so genuinely
+    repeated lines exist; any line seen >20× across the corpus drops
+    from every document."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_lines,
+    )
+
+    w = 2
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+    )
+    lined = docs.withColumn("text", F.array_join(lines, "\n"))
+    out = drop_repeated_lines(lined, max_occurrences=20, min_line_chars=1)
+    return out.select(
+        "doc_id", "n_lines_kept", "n_lines_dropped",
+        F.md5(F.col("text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def _decontaminate_sql(n=5, min_collisions=1, bench_max_id=20) -> str:
     """Twin of operators/decontamination.decontaminate (ngram, md5
     hash): benchmark = docs with doc_id < bench_max_id; collision =
@@ -3607,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "corpus_sample_budget": q_corpus_sample_budget,
         "corpus_pack_spans": q_corpus_pack_spans,
+        "doc_line_dedup": q_doc_line_dedup,
         "corpus_decontaminate": q_corpus_decontaminate,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
@@ -4192,6 +4246,7 @@ FROM wide w ORDER BY xb
     out["corpus_stats"] = _corpus_stats_sql()
     out["corpus_sample_budget"] = _sample_budget_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
+    out["doc_line_dedup"] = _line_dedup_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
     out["doc_pii_redact"] = _pii_redact_sql()
     out["doc_repetition"] = _repetition_sql()

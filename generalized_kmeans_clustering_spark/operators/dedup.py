@@ -31,6 +31,8 @@ __all__ = [
     "jaccard_verify",
     "simhash64",
     "simhash_near_dups",
+    "line_occurrences",
+    "drop_repeated_lines",
     "duplicate_components",
     "canonical_duplicates",
     "deduplicate",
@@ -494,6 +496,85 @@ def _components_star(pairs, i_col, j_col, max_iter, sig):
         prev.unpersist()
     e.unpersist()
     return labels, rounds, converged
+
+
+def line_occurrences(df: DataFrame, text_col: str = "text",
+                     line_sep: str = "\n") -> DataFrame:
+    """Corpus-wide line frequency table ``(line_hash, n)`` — the
+    evidence behind :func:`drop_repeated_lines`. One shuffle keyed on
+    the 128-bit line fingerprint (map-side combined)."""
+    lines = df.select(
+        F.explode(F.split(F.col(text_col), line_sep)).alias("_line"))
+    return (
+        lines.where(F.col("_line") != "")
+        .groupBy(F.md5(F.col("_line").cast("binary")).alias("line_hash"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drop_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    max_occurrences: int = 1,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Remove boilerplate: drop every line whose EXACT content appears
+    more than ``max_occurrences`` times across the whole corpus
+    (headers, navigation, license blocks — the C4/RefinedWeb line-dedup
+    rule). ALL occurrences of an over-represented line are dropped, not
+    just the copies. Lines shorter than ``min_line_chars`` are always
+    kept (short and empty lines repeat naturally; the default of 1
+    preserves blank-line paragraph structure).
+
+    Output = input columns with ``text_col`` rewritten (kept lines
+    re-joined in original order) plus ``n_lines_kept`` /
+    ``n_lines_dropped``. Rows are grouped by the non-text columns for
+    reassembly, so they must identify the document (any table with a
+    doc id qualifies).
+
+    At 100 TB: one groupBy shuffle on the line fingerprint; only the
+    OVER-REPRESENTED lines (≪ corpus for any sane threshold) join back
+    against the exploded lines, so AQE broadcasts them; reassembly is
+    one groupBy keyed on the doc columns. No collect.
+    """
+    other_cols = [c for c in df.columns if c != text_col]
+    exploded = df.select(
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), line_sep))
+        .alias("_pos", "_line"),
+    ).withColumn("_lh", F.md5(F.col("_line").cast("binary")))
+    repeated = (
+        exploded.groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_occurrences)
+        .select("_lh")
+    )
+    marked = exploded.join(
+        repeated.withColumn("_rep", F.lit(True)), "_lh", "left"
+    ).withColumn(
+        "_drop",
+        F.coalesce(F.col("_rep"), F.lit(False))
+        & (F.length("_line") >= min_line_chars),
+    )
+    rebuilt = (
+        marked.groupBy(*other_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(~F.col("_drop"),
+                               F.struct(F.col("_pos"), F.col("_line"))))),
+                    lambda s: s["_line"],
+                ),
+                line_sep,
+            ).alias(text_col),
+            F.sum((~F.col("_drop")).cast("long")).alias("n_lines_kept"),
+            F.sum(F.col("_drop").cast("long")).alias("n_lines_dropped"),
+        )
+    )
+    return rebuilt.select(*other_cols, text_col,
+                          "n_lines_kept", "n_lines_dropped")
 
 
 def canonical_duplicates(df: DataFrame, components: DataFrame,

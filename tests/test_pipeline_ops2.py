@@ -486,3 +486,48 @@ def test_ivf_read_prefers_current_sidecar_over_stale_legacy(spark, tmp_path,
     _, m2 = read_ivf_index(spark, path)
     assert m2.kernel_name == model.kernel_name != "l1"
     assert m2.centers.shape == model.centers.shape
+
+
+def test_drop_repeated_lines_boilerplate(spark):
+    """The C4/RefinedWeb rule: a line repeated across the corpus is
+    boilerplate — ALL its occurrences drop; unique lines survive in
+    original order; short lines are exempt."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_lines, line_occurrences,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [(1, f"unique opening line\n{boiler}\nmore unique content"),
+         (2, f"{boiler}\nanother document body"),
+         (3, f"third document text\n{boiler}"),
+         (4, "ok\ncompletely original document\nok")],  # 'ok' is short
+        "doc_id long, text string")
+
+    occ = {r["line_hash"]: r["n"] for r in line_occurrences(docs).collect()}
+    assert max(occ.values()) == 3  # the boilerplate line
+
+    out = {r["doc_id"]: r for r in drop_repeated_lines(
+        docs, max_occurrences=1, min_line_chars=3).collect()}
+    assert out[1]["text"] == "unique opening line\nmore unique content"
+    assert out[1]["n_lines_dropped"] == 1
+    assert out[2]["text"] == "another document body"
+    assert out[3]["text"] == "third document text"
+    # 'ok' repeats but is under min_line_chars -> kept, order preserved
+    assert out[4]["text"] == "ok\ncompletely original document\nok"
+    assert out[4]["n_lines_dropped"] == 0
+
+
+def test_drop_repeated_lines_all_dropped_and_empty(spark):
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same line here"), (2, "same line here"), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in drop_repeated_lines(docs).collect()}
+    assert out[1]["text"] == "" and out[1]["n_lines_kept"] == 0
+    assert out[2]["text"] == ""
+    # empty text row survives untouched
+    assert out[3]["n_lines_dropped"] == 0
