@@ -1086,6 +1086,45 @@ def _pack_spans_sql(seq_len=512, num_shards=4, seed=1) -> str:
     )
 
 
+def _pack_texts_sql(seq_len=512, num_shards=4, seed=1) -> str:
+    """Twin of operators/packing.materialize_packs over the
+    pack_concat spans: per-(shard, pack) ordered reassembly of the
+    documents' token slices."""
+    spans = _pack_spans_sql(seq_len=seq_len, num_shards=num_shards,
+                            seed=seed)
+    return (
+        f"WITH spans AS ({spans}), "
+        "d AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "p AS (SELECT s.shard, s.pack, s.pack_offset, s.length, "
+        "array_to_string(d.toks[s.doc_offset+1:s.doc_offset+s.length], ' ')"
+        " AS piece FROM spans s JOIN d USING (doc_id)) "
+        "SELECT shard, pack, count(*) AS n_docs, "
+        "sum(length) AS n_tokens, "
+        "string_agg(piece, ' ' ORDER BY pack_offset) AS text "
+        "FROM p GROUP BY shard, pack ORDER BY shard, pack"
+    )
+
+
+def q_corpus_pack_texts(spark, sf_dir):
+    """Materialized training sequences (operators/packing.py
+    materialize_packs): the pack_concat spans joined back to the corpus
+    and reassembled into per-sequence text, 512 tokens per sequence."""
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        materialize_packs, pack_concat,
+    )
+
+    raw = documents(spark, sf_dir).select("doc_id", "text")
+    docs = raw.withColumn(
+        "n_tokens", Tx.token_count(F.col("text")).cast("bigint"))
+    spans = pack_concat(docs, seq_len=512, num_shards=4, seed=1,
+                        hash_fn="md5")
+    out = materialize_packs(raw, spans)
+    return out.select("shard", "pack", "n_docs", "n_tokens",
+                      "text").orderBy("shard", "pack")
+
+
 def q_corpus_pack_spans(spark, sf_dir):
     """Concat-and-split sequence packing (operators/packing.py): lay the
     corpus out in md5-hash order across 4 shards and slice exact 512-token
@@ -3661,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_budget": q_corpus_sample_budget,
         "corpus_pack_spans": q_corpus_pack_spans,
         "doc_line_dedup": q_doc_line_dedup,
+        "corpus_pack_texts": q_corpus_pack_texts,
         "corpus_decontaminate": q_corpus_decontaminate,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
@@ -4247,6 +4287,7 @@ FROM wide w ORDER BY xb
     out["corpus_sample_budget"] = _sample_budget_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
+    out["corpus_pack_texts"] = _pack_texts_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
     out["doc_pii_redact"] = _pii_redact_sql()
     out["doc_repetition"] = _repetition_sql()

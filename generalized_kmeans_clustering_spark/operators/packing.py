@@ -38,7 +38,7 @@ from pyspark.sql.window import Window
 
 from .sampling import hash_key as _order_key
 
-__all__ = ["pack_concat", "pack_next_fit"]
+__all__ = ["pack_concat", "pack_next_fit", "materialize_packs"]
 
 
 def pack_concat(
@@ -166,3 +166,52 @@ def pack_next_fit(
     schema = (f"{id_col} {id_type}, shard int, pack long, "
               "pack_offset long, overflow boolean")
     return staged.groupBy("shard").applyInPandas(_walk, schema)
+
+
+def materialize_packs(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_sep: str = " ",
+) -> DataFrame:
+    """Turn :func:`pack_concat` spans into actual training-sequence
+    TEXT: ``(shard, pack, n_docs, n_tokens, text)`` with each
+    document's token slice placed at its ``pack_offset`` and slices
+    joined in order (tokens = whitespace words, matching
+    ``functions.text.token_count``'s corpus convention).
+
+    Plan: one equi-join of spans (span rows ≈ docs + boundary
+    crossings) against the corpus on the doc id, a per-span token
+    slice (``slice`` over the split array — pure expressions), and one
+    groupBy on (shard, pack) whose ``sort_array(collect_list(struct))``
+    reassembles slices in offset order. Shuffle volume = the packed
+    text itself (the output), keyed on the sequence id — no skew
+    (every sequence is ≤ seq_len tokens by construction).
+    """
+    pieces = (
+        spans.join(docs.select(id_col, text_col), id_col)
+        .withColumn(
+            "_piece",
+            F.array_join(
+                F.slice(F.split(F.col(text_col), " "),
+                        F.col("doc_offset").cast("int") + 1,
+                        F.col("length").cast("int")),
+                " "),
+        )
+    )
+    return (
+        pieces.groupBy("shard", "pack")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("length").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("pack_offset"), F.col("_piece")))),
+                    lambda s: s["_piece"],
+                ),
+                doc_sep,
+            ).alias(text_col),
+        )
+    )

@@ -176,3 +176,30 @@ def test_token_budget_null_token_stratum(spark):
     out = token_budget_sample(df, {"xx": 100, "en": 10}, strata_col="lang")
     langs = [r["lang"] for r in out.collect()]
     assert langs.count("xx") == 2  # total 0 <= budget -> fraction 1.0
+
+
+def test_materialize_packs_reassembles_exact_token_stream(spark, docs, sf_dir):
+    """Every sequence's text must contain exactly its spans' tokens in
+    offset order; full sequences carry exactly SEQ tokens."""
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        materialize_packs,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    spans = pack_concat(docs, SEQ, num_shards=4, seed=9)
+    packs = materialize_packs(raw, spans).cache()
+    # token counts of the text agree with the span arithmetic
+    bad = packs.where(
+        F.size(F.split(F.col("text"), " ")) != F.col("n_tokens")).count()
+    assert bad == 0
+    # all but the last pack per shard hold exactly SEQ tokens
+    last = packs.groupBy("shard").agg(F.max("pack").alias("lp"))
+    partial = (packs.join(last, "shard")
+               .where((F.col("pack") != F.col("lp"))
+                      & (F.col("n_tokens") != SEQ)).count())
+    assert partial == 0
+    # total token mass is conserved
+    assert packs.agg(F.sum("n_tokens")).first()[0] == \
+        docs.agg(F.sum("n_tokens")).first()[0]
+    packs.unpersist()
