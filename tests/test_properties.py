@@ -168,3 +168,46 @@ def test_duplicate_components_match_union_find(spark_global, edges):
     star = {r["id"]: r["component"]
             for r in duplicate_components(pairs, method="star").collect()}
     assert star == expect
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(1, 700), min_size=1, max_size=40),
+       st.integers(0, 3))
+def test_pack_concat_matches_python_reference(spark_global, sizes, seed):
+    """pack_concat's distributed span math == a straight python walk
+    over the same hash-ordered token stream (exact pack ids, offsets
+    and lengths, not just invariants)."""
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        pack_concat,
+    )
+
+    L = 256
+    docs = spark_global.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)],
+        "doc_id long, n_tokens long")
+    spans = pack_concat(docs, L, num_shards=2, seed=seed)
+    got = sorted(tuple(r) for r in spans.collect())
+
+    # python reference: same xxhash64 order, same per-shard stream walk
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        "doc_id", "n_tokens",
+        F.xxhash64(F.concat_ws("|", F.col("doc_id").cast("string"),
+                               F.lit(str(seed)))).alias("k"),
+    ).collect()
+    expect = []
+    for shard in (0, 1):
+        stream = sorted(((r["k"], r["doc_id"], r["n_tokens"])
+                         for r in keyed if r["k"] % 2 == shard),
+                        key=lambda t: (t[0], t[1]))
+        cum = 0
+        for _, did, n in stream:
+            prev, cum = cum, cum + n
+            for p in range(prev // L, (cum - 1) // L + 1):
+                expect.append((did, shard,
+                               p,
+                               max(prev - p * L, 0),
+                               max(p * L - prev, 0),
+                               min((p + 1) * L, cum) - max(p * L, prev)))
+    assert got == sorted(expect)
