@@ -53,6 +53,8 @@ def prepare_corpus(
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
     dedup_pairs: DataFrame | None = None,
+    dedup_lines_max_occurrences: int | None = None,
+    line_sep: str = "\n",
 ) -> DataFrame:
     """Annotate every document with signals + a keep/reject verdict.
 
@@ -62,6 +64,13 @@ def prepare_corpus(
     fingerprint; minhash: longest text then smallest id per connected
     near-dup component) and only runs among rows that passed the
     content rules — a filtered-out row can't crowd out a good one.
+
+    ``dedup_lines_max_occurrences`` (optional) first rewrites
+    ``text_col`` through :func:`..dedup.drop_repeated_lines` — the
+    C4/RefinedWeb boilerplate rule — so every downstream signal, rule
+    and document-level dedup sees the cleaned text; the per-row
+    ``n_lines_kept``/``n_lines_dropped`` audit columns ride through to
+    the output.
     """
     if dedup not in (None, "exact", "minhash", "pairs"):
         raise ValueError("dedup: None | 'exact' | 'minhash' | 'pairs'")
@@ -69,6 +78,12 @@ def prepare_corpus(
         raise ValueError("dedup='pairs' requires dedup_pairs (an (i, j) "
                          "edge list, e.g. embedding_near_dup_pairs or "
                          "simhash_near_dups output)")
+    if dedup_lines_max_occurrences is not None:
+        from .dedup import drop_repeated_lines
+
+        docs = drop_repeated_lines(
+            docs, text_col=text_col, line_sep=line_sep,
+            max_occurrences=dedup_lines_max_occurrences)
     t = F.col(text_col)
     # Stage the per-language marker scores in their own projection, then
     # compute the argmax over plain column refs. Inlining the score

@@ -144,3 +144,28 @@ def test_exact_dedup_null_text_rows_group(spark):
     assert out[1] is None
     assert out[2] == "duplicate"
     assert out[3] is None
+
+
+def test_prepare_corpus_line_dedup_prestage(spark):
+    """Boilerplate removal runs FIRST: signals and document-level dedup
+    see the cleaned text, and the line-audit columns ride through."""
+    banner = "subscribe to the newsletter for more updates"
+    body_a = "the quick brown fox jumps over the lazy dog today"
+    body_b = "an entirely different body of english text is right here"
+    docs = spark.createDataFrame(
+        [(1, f"{banner}\n{body_a}"),
+         (2, f"{banner}\n{body_b}"),
+         (3, f"{banner}\n{body_a}")],   # same body as 1 after cleaning
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prepare_corpus(
+        docs, min_tokens=5, dedup="exact",
+        dedup_lines_max_occurrences=2).collect()}
+    # banner (3 occurrences > 2) stripped everywhere
+    assert all(banner not in out[i]["text"] for i in (1, 2, 3))
+    assert out[1]["n_lines_dropped"] == 1
+    # doc 3 is now an exact duplicate of doc 1's CLEANED text
+    assert out[1]["reject_reason"] is None
+    assert out[3]["reject_reason"] == "duplicate"
+    assert out[2]["reject_reason"] is None
+    # n_tokens computed on cleaned text (banner words gone)
+    assert out[1]["n_tokens"] == len(body_a.split(" "))
