@@ -378,7 +378,8 @@ def _robust_sql(iters=4, frac=0.05) -> str:
     return (
         "WITH " + ",\n".join(parts) + "\n"
         f"SELECT cl AS prediction, count(*) AS n, "
-        f"sum(CASE WHEN dmin > (SELECT thr FROM thr{iters}) THEN 1 ELSE 0 END) "
+        f"CAST(sum(CASE WHEN dmin > (SELECT thr FROM thr{iters}) "
+        f"THEN 1 ELSE 0 END) AS BIGINT) "
         f"AS n_outliers FROM af GROUP BY cl ORDER BY prediction"
     )
 
@@ -995,7 +996,7 @@ def _corpus_stats_sql(min_tokens=8, languages=("en",), min_quality=0.05,
     return (
         f"WITH prepared AS ({base}) "
         "SELECT coalesce(reject_reason, 'kept') AS outcome, "
-        "count(*) AS n_docs, sum(n_tokens) AS n_tokens "
+        "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens "
         "FROM prepared GROUP BY outcome ORDER BY outcome"
     )
 
@@ -1076,12 +1077,13 @@ def _pack_spans_sql(seq_len=512, num_shards=4, seed=1) -> str:
         "CURRENT ROW) AS cum FROM s), "
         "p AS (SELECT *, cum - n AS prev FROM c), "
         "x AS (SELECT doc_id, shard, prev, cum, "
-        f"unnest(generate_series(CAST(floor(prev / {L}) AS BIGINT), "
-        f"CAST(floor((cum - 1) / {L}) AS BIGINT))) AS ps FROM p) "
+        f"unnest(generate_series(CAST(prev // {L} AS BIGINT), "
+        f"CAST((cum - 1) // {L} AS BIGINT))) AS ps FROM p) "
         "SELECT doc_id, shard, CAST(ps AS BIGINT) AS pack, "
-        f"greatest(prev - ps * {L}, 0) AS pack_offset, "
-        f"greatest(ps * {L} - prev, 0) AS doc_offset, "
-        f"least((ps + 1) * {L}, cum) - greatest(ps * {L}, prev) AS length "
+        f"CAST(greatest(prev - ps * {L}, 0) AS BIGINT) AS pack_offset, "
+        f"CAST(greatest(ps * {L} - prev, 0) AS BIGINT) AS doc_offset, "
+        f"CAST(least((ps + 1) * {L}, cum) - greatest(ps * {L}, prev) "
+        f"AS BIGINT) AS length "
         "FROM x ORDER BY doc_id, pack"
     )
 
@@ -1100,7 +1102,7 @@ def _pack_texts_sql(seq_len=512, num_shards=4, seed=1) -> str:
         "array_to_string(d.toks[s.doc_offset+1:s.doc_offset+s.length], ' ')"
         " AS piece FROM spans s JOIN d USING (doc_id)) "
         "SELECT shard, pack, count(*) AS n_docs, "
-        "sum(length) AS n_tokens, "
+        "CAST(sum(length) AS BIGINT) AS n_tokens, "
         "string_agg(piece, ' ' ORDER BY pack_offset) AS text "
         "FROM p GROUP BY shard, pack ORDER BY shard, pack"
     )

@@ -75,8 +75,11 @@ def pack_concat(
     staged = staged.withColumn("_cum", F.sum("_n").over(w)) \
                    .withColumn("_prev", F.col("_cum") - F.col("_n"))
     L = F.lit(int(seq_len))
-    p0 = F.floor(F.col("_prev") / L)
-    p1 = F.floor((F.col("_cum") - 1) / L)
+    # `div` is exact long integer division (both operands non-negative
+    # here); `floor(x / L)` would round-trip through double and give
+    # off-by-one pack boundaries past 2^53 cumulative tokens.
+    p0 = F.expr(f"_prev div {int(seq_len)}")
+    p1 = F.expr(f"(_cum - 1) div {int(seq_len)}")
     spans = F.transform(
         F.sequence(p0, p1),
         lambda p: F.struct(

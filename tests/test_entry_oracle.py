@@ -83,3 +83,31 @@ def test_all_queries_run(spark, sf_dir):
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+# The driver's value hash is TYPE-sensitive where this file's Python
+# value-compare is not: DuckDB promotes sum(BIGINT) — including window
+# sums and greatest/least over them — to HUGEINT, which hashes
+# differently from Spark's BIGINT even when every value is equal
+# (int == int passes here, so round 5 shipped 4 red rows the local
+# gate could not see). Binding the relation is enough to get result
+# types — no execution, so this scan is cheap.
+_DISALLOWED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_oracle_result_types_hashable(sf_dir, name):
+    sql = entrymod.oracle_sql()[name]
+    con = duck_conn(sf_dir)
+    try:
+        rel = con.sql(sql)
+        bad = [
+            (col, str(typ))
+            for col, typ in zip(rel.columns, rel.types)
+            if any(d in str(typ).upper() for d in _DISALLOWED_ORACLE_TYPES)
+        ]
+    finally:
+        con.close()
+    assert not bad, (
+        f"{name}: oracle columns {bad} have driver-hash-unsafe DuckDB "
+        "types — wrap the aggregate in CAST(... AS BIGINT/DOUBLE)")
