@@ -498,13 +498,23 @@ def _components_star(pairs, i_col, j_col, max_iter, sig):
     return labels, rounds, converged
 
 
+def _regex_quote(sep: str) -> str:
+    """Java ``Pattern.quote``: ``F.split`` treats its separator as a
+    regex, while reassembly (``array_join``) and the oracle twins use
+    it literally — so quote it, or ``|``/``.``/``\\r\\n``-style
+    separators split wrong and corrupt the rejoin."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def line_occurrences(df: DataFrame, text_col: str = "text",
                      line_sep: str = "\n") -> DataFrame:
     """Corpus-wide line frequency table ``(line_hash, n)`` — the
     evidence behind :func:`drop_repeated_lines`. One shuffle keyed on
-    the 128-bit line fingerprint (map-side combined)."""
+    the 128-bit line fingerprint (map-side combined). ``line_sep`` is
+    taken literally (regex-quoted before the split)."""
     lines = df.select(
-        F.explode(F.split(F.col(text_col), line_sep)).alias("_line"))
+        F.explode(F.split(F.col(text_col), _regex_quote(line_sep)))
+        .alias("_line"))
     return (
         lines.where(F.col("_line") != "")
         .groupBy(F.md5(F.col("_line").cast("binary")).alias("line_hash"))
@@ -539,9 +549,16 @@ def drop_repeated_lines(
     one groupBy keyed on the doc columns. No collect.
     """
     other_cols = [c for c in df.columns if c != text_col]
+    # posexplode_outer: a NULL text splits to NULL and a plain
+    # posexplode would emit ZERO rows — the document would silently
+    # vanish from the output (and from prepare_corpus's audit, breaking
+    # its row-preservation invariant). The outer variant keeps one
+    # (_pos, _line) = (NULL, NULL) row, which no rule drops, so the
+    # document survives with text NULL and n_lines_kept = 0.
     exploded = df.select(
         *other_cols,
-        F.posexplode(F.split(F.col(text_col), line_sep))
+        F.posexplode_outer(F.split(F.col(text_col),
+                                   _regex_quote(line_sep)))
         .alias("_pos", "_line"),
     ).withColumn("_lh", F.md5(F.col("_line").cast("binary")))
     repeated = (
@@ -557,19 +574,24 @@ def drop_repeated_lines(
         F.coalesce(F.col("_rep"), F.lit(False))
         & (F.length("_line") >= min_line_chars),
     )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(~F.col("_drop") & F.col("_line").isNotNull(),
+                       F.struct(F.col("_pos"), F.col("_line"))))),
+            lambda s: s["_line"],
+        ),
+        line_sep,
+    )
     rebuilt = (
         marked.groupBy(*other_cols)
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(~F.col("_drop"),
-                               F.struct(F.col("_pos"), F.col("_line"))))),
-                    lambda s: s["_line"],
-                ),
-                line_sep,
-            ).alias(text_col),
-            F.sum((~F.col("_drop")).cast("long")).alias("n_lines_kept"),
+            # NULL-text docs (single all-NULL exploded row) keep NULL
+            # text instead of being rewritten to "".
+            F.when(F.max(F.col("_line").isNotNull()), kept_text)
+            .alias(text_col),
+            F.sum((~F.col("_drop") & F.col("_line").isNotNull())
+                  .cast("long")).alias("n_lines_kept"),
             F.sum(F.col("_drop").cast("long")).alias("n_lines_dropped"),
         )
     )

@@ -246,11 +246,22 @@ def read_ivf_index(spark, path: str):
     # that stale sidecar would silently pair old centers with new
     # vectors. The legacy file is only consulted when no centroids/
     # dataset exists.
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.json(f"{path}/centroids").first()
         sidecar = {"centers": [list(c) for c in row["centers"]],
                    "kernel": row["kernel"]}
-    except Exception:
+    except AnalysisException as e:
+        # Fall back ONLY when the centroids dataset is absent. A
+        # corrupt or partially-written centroids/ (or a transient FS
+        # error) must propagate — silently loading the stale legacy
+        # sidecar would pair old centers with new vectors, exactly the
+        # failure the layout precedence exists to prevent.
+        cond = getattr(e, "getCondition", getattr(
+            e, "getErrorClass", lambda: None))() or str(e)
+        if "PATH_NOT_FOUND" not in cond:
+            raise
         legacy = f"{path}/centroids.json"
         if not os.path.exists(legacy):
             raise

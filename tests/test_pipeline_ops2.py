@@ -524,10 +524,35 @@ def test_drop_repeated_lines_all_dropped_and_empty(spark):
     )
 
     docs = spark.createDataFrame(
-        [(1, "same line here"), (2, "same line here"), (3, "")],
+        [(1, "same line here"), (2, "same line here"), (3, ""),
+         (4, None)],
         "doc_id long, text string")
     out = {r["doc_id"]: r for r in drop_repeated_lines(docs).collect()}
     assert out[1]["text"] == "" and out[1]["n_lines_kept"] == 0
     assert out[2]["text"] == ""
     # empty text row survives untouched
     assert out[3]["n_lines_dropped"] == 0
+    # NULL text must SURVIVE (posexplode_outer), not vanish from the
+    # output, with NULL text and zero line counts
+    assert 4 in out and out[4]["text"] is None
+    assert out[4]["n_lines_kept"] == 0 and out[4]["n_lines_dropped"] == 0
+
+
+def test_drop_repeated_lines_regex_separator(spark):
+    """line_sep is literal, not a Java regex: '|' must split on pipes
+    and round-trip through the array_join reassembly."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_lines, line_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "boilerplate line|unique alpha"),
+         (2, "boilerplate line|unique beta")],
+        "doc_id long, text string")
+    occ = line_occurrences(docs, line_sep="|").collect()
+    assert sorted(r["n"] for r in occ) == [1, 1, 2]
+    out = {r["doc_id"]: r for r in drop_repeated_lines(
+        docs, line_sep="|", min_line_chars=3).collect()}
+    assert out[1]["text"] == "unique alpha"
+    assert out[2]["text"] == "unique beta"
+    assert out[1]["n_lines_dropped"] == 1
