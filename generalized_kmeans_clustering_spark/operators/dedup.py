@@ -299,9 +299,15 @@ def _label_signature(col_type: str):
         F.xxhash64(F.col(c).cast("string")).cast("decimal(38,0)"))
 
 
+#: Rounds of min-label propagation ``method="auto"`` tries before
+#: concluding the graph is not near-clique-shaped and switching to
+#: star contraction. LSH/SimHash dup components converge in 2-3.
+AUTO_LABEL_ROUNDS = 3
+
+
 def duplicate_components(pairs: DataFrame, i_col: str = "i",
                          j_col: str = "j", max_iter: int = 25,
-                         method: str = "label",
+                         method: str = "auto",
                          telemetry: dict | None = None) -> DataFrame:
     """Connected components over a duplicate-pair edge list →
     ``(id, component)`` with ``component`` = the smallest id reachable
@@ -312,9 +318,15 @@ def duplicate_components(pairs: DataFrame, i_col: str = "i",
     embedding) into duplicate GROUPS — the step a training-data
     pipeline actually needs before canonical-document selection.
 
-    Two distributed strategies behind one API:
+    Three strategies behind one API:
 
-    - ``method="label"`` (default): iterative min-label propagation —
+    - ``method="auto"`` (default): min-label propagation for up to
+      ``AUTO_LABEL_ROUNDS`` rounds — enough for the near-clique
+      components LSH banding produces — then, if not converged,
+      restarts with star contraction. The common case stays on the
+      cheap path; chain-shaped graphs converge without the caller
+      having to know their graph's diameter.
+    - ``method="label"``: iterative min-label propagation —
       each round is one ``groupBy(id).min(label)`` over the node's own
       label unioned with its neighbors' labels. Rounds = graph
       DIAMETER; near-dup components from LSH banding are near-cliques,
@@ -332,7 +344,7 @@ def duplicate_components(pairs: DataFrame, i_col: str = "i",
     with ``localCheckpoint``. If the fixpoint is not reached within
     ``max_iter`` a warning is emitted — the result may be OVER-SPLIT
     (under-deduplication). Pass ``telemetry={}`` to receive
-    ``{"rounds": r, "converged": bool}``. Only ids touched by at least
+    ``{"rounds": r, "converged": bool, "method": strategy_used}``. Only ids touched by at least
     one pair appear in the output (singletons are their own component
     by definition).
 
@@ -344,8 +356,8 @@ def duplicate_components(pairs: DataFrame, i_col: str = "i",
 
     from ..errors import DataError
 
-    if method not in ("label", "star"):
-        raise ValueError("method: 'label' | 'star'")
+    if method not in ("auto", "label", "star"):
+        raise ValueError("method: 'auto' | 'label' | 'star'")
     dtypes = dict(pairs.dtypes)
     ti, tj = dtypes[i_col], dtypes[j_col]
     if ti != tj:
@@ -354,17 +366,28 @@ def duplicate_components(pairs: DataFrame, i_col: str = "i",
             f"{i_col}: {ti} vs {j_col}: {tj}"
         )
     sig = _label_signature(ti)
+    method_used = method
     if method == "star":
         labels, rounds, converged = _components_star(
             pairs, i_col, j_col, max_iter, sig)
-    else:
+    elif method == "label":
         labels, rounds, converged = _components_label(
             pairs, i_col, j_col, max_iter, sig)
+    else:  # auto: cheap label rounds first, star if the graph is deep
+        budget = min(AUTO_LABEL_ROUNDS, max_iter)
+        labels, rounds, converged = _components_label(
+            pairs, i_col, j_col, budget, sig)
+        method_used = "label"
+        if not converged:
+            labels, srounds, converged = _components_star(
+                pairs, i_col, j_col, max_iter, sig)
+            rounds += srounds
+            method_used = "star"
     if not converged:
         warnings.warn(
-            f"duplicate_components(method={method!r}) did not reach a "
-            f"fixpoint within max_iter={max_iter} rounds; components may "
-            f"be over-split (under-deduplication). Label propagation "
+            f"duplicate_components(method={method_used!r}) did not reach "
+            f"a fixpoint within max_iter={max_iter} rounds; components "
+            f"may be over-split (under-deduplication). Label propagation "
             f"needs diameter-many rounds — raise max_iter or use "
             f"method='star' (O(log n) rounds) for chain-shaped graphs.",
             RuntimeWarning,
@@ -372,6 +395,7 @@ def duplicate_components(pairs: DataFrame, i_col: str = "i",
     if telemetry is not None:
         telemetry["rounds"] = rounds
         telemetry["converged"] = converged
+        telemetry["method"] = method_used
     return labels
 
 

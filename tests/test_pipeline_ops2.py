@@ -395,6 +395,51 @@ def test_components_star_path_graph_logarithmic_rounds(spark):
     assert all(r["component"] == 0 for r in rows)
 
 
+def test_components_auto_default_converges_on_path_graph(spark):
+    """The DEFAULT API (method='auto') on a 10k path graph: label
+    propagation alone would need ~10k rounds and emit the over-split
+    warning; auto must hand off to star contraction, converge, and
+    stay silent."""
+    import warnings
+
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        AUTO_LABEL_ROUNDS, duplicate_components,
+    )
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "i long, j long")
+    tel = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # warning = fail
+        out = duplicate_components(pairs, telemetry=tel)
+        rows = out.collect()
+    assert tel["converged"] and tel["method"] == "star"
+    assert tel["rounds"] > AUTO_LABEL_ROUNDS  # label tried, then star
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_components_auto_stays_on_label_for_cliques(spark):
+    """Near-clique dup graphs (the LSH-banding common case) must stay
+    on the cheap label path under method='auto'."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    edges = [(a, b) for g in range(5)
+             for a in range(g * 10, g * 10 + 4)
+             for b in range(a + 1, g * 10 + 4)]
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    tel = {}
+    out = {r["id"]: r["component"]
+           for r in duplicate_components(pairs, telemetry=tel).collect()}
+    assert tel["converged"] and tel["method"] == "label"
+    for g in range(5):
+        for a in range(g * 10, g * 10 + 4):
+            assert out[a] == g * 10
+
+
 def test_components_string_ids(spark):
     """Arbitrary orderable id types: string/UUID ids propagate without
     the silent null-cast degeneration (r4 advice)."""
