@@ -1,0 +1,159 @@
+"""Scaling spot-bench: the four heaviest pipelines at sf0.1 (600k-row
+lineitem / 5k docs) vs a 10x self-union (~sf1), on the same local[32]
+box and bench protocol. Purpose: demonstrate the ~linear scaling the
+100 TB plan-shape arguments claim, and catch any super-linear surprise
+(window-cumsum skew, join fan-out) before a real cluster does.
+
+The 10x corpus is NOT a naive text duplication: exact copies would put
+every document in a 10x-bigger near-dup group, and candidate PAIRS
+grow quadratically in group size — the DATA would scale 100x even
+though the engine work is the interesting variable. Each copy instead
+applies its own character permutation to the text (copy 0 = original),
+so shingle/minhash content differs across copies and the dup structure
+scales linearly: 10x docs, 10x groups, same group-size distribution.
+
+Run: python bench_scale.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+Prints one JSON line: {"pairs": {query: {"t1": s, "t10": s, "ratio": r}}}
+Results are recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+from pyspark.sql import SparkSession
+
+# 10 character bijections over the high-frequency letters: each copy's
+# text is translate()'d through its own permutation, so copies share no
+# shingles while lengths / token counts / language-marker statistics
+# stay comparable (vowels map to vowels).
+_VOWELS = "aeiou"
+_CONS = "tnshr"
+
+
+def _perm(copy: int) -> tuple[str, str]:
+    src = _VOWELS + _CONS
+    v = _VOWELS[copy % 5:] + _VOWELS[:copy % 5]
+    c = _CONS[copy % 5:] + _CONS[:copy % 5]
+    if copy >= 5:
+        v = v[::-1]
+    return src, v + c
+
+
+def scaled_lineitem(em, spark, sf_dir, copies):
+    base = em.lineitem_feats(spark, sf_dir)
+    out = None
+    for i in range(copies):
+        c = base.withColumn("id", F.col("id") + F.lit(i * 10_000_000_000))
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
+def scaled_documents(em, spark, sf_dir, copies):
+    base = em.documents(spark, sf_dir)
+    out = None
+    for i in range(copies):
+        src, dst = _perm(i)
+        c = base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000_000)).alias("doc_id"),
+            "lang",
+            (F.translate(F.col("text"), src, dst) if i else F.col("text"))
+            .alias("text"),
+        )
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gkmeans-bench-scale")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "0")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        prepare_corpus,
+    )
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components, jaccard_verify, lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        pack_concat,
+    )
+
+    def settle():
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+
+    def timed(fn, runs=2):
+        best = None
+        for _ in range(runs):
+            settle()
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    results: dict[str, dict] = {}
+
+    def compare(name, make_fn):
+        out = {}
+        for scale in (1, 10):
+            li = scaled_lineitem(em, spark, sf_dir, scale) \
+                .repartition(int(cpus)).cache()
+            docs = scaled_documents(em, spark, sf_dir, scale) \
+                .repartition(int(cpus)).cache()
+            li.count(), docs.count()
+            fn = make_fn(li, docs)
+            fn()  # warm (JIT + cache residency) outside the timed region
+            out["t1" if scale == 1 else "t10"] = timed(fn)
+            li.unpersist(), docs.unpersist()
+        out["ratio"] = round(out["t10"] / out["t1"], 2)
+        results[name] = out
+        print(f"[scale] {name}: 1x {out['t1']}s  10x {out['t10']}s  "
+              f"ratio {out['ratio']}", file=sys.stderr, flush=True)
+
+    compare("fit_se_k8", lambda li, docs: lambda: GeneralizedKMeans(
+        k=8, divergence="se", max_iter=5, seed=42).fit(li))
+    compare("corpus_prepare", lambda li, docs: lambda: prepare_corpus(
+        docs, min_tokens=10, languages=["en"], min_quality=0.05,
+        dedup="exact").groupBy("keep").count().collect())
+    compare("dedup_components", lambda li, docs: lambda: duplicate_components(
+        jaccard_verify(
+            docs,
+            lsh_candidate_pairs(minhash_signatures(docs, num_hashes=32),
+                                num_hashes=32),
+            threshold=0.5)).count())
+    compare("pack_concat", lambda li, docs: lambda: pack_concat(
+        docs.select("doc_id",
+                    Tx.token_count(F.col("text")).alias("n_tokens")),
+        512, num_shards=64).groupBy("shard").count().collect())
+
+    print(json.dumps({"metric": "scale_ratio_10x", "pairs": results,
+                      "sf_base": sf_dir, "protocol": "v3-scale-spot"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
