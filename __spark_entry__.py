@@ -1145,6 +1145,79 @@ def q_corpus_pack_spans(spark, sf_dir):
     return out.orderBy("doc_id", "pack")
 
 
+def _pack_next_fit_sql(seq_len=64, num_shards=4, seed=1) -> str:
+    """Twin of operators/packing.pack_next_fit: the greedy per-shard
+    walk is deterministic given the md5 order, so a recursive CTE
+    advances each shard one document at a time carrying the open
+    sequence's (pack, fill) state — the same transition function as the
+    operator's Arrow walk."""
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    L = seq_len
+    return (
+        f"WITH RECURSIVE t AS (SELECT doc_id, {_NTOK_SQL} AS n, "
+        f"{md5i} AS key FROM documents), "
+        f"s AS (SELECT doc_id, n, key, "
+        f"CAST(key % {num_shards} AS INTEGER) AS shard "
+        "FROM t WHERE n > 0), "
+        "r AS (SELECT doc_id, n, shard, CAST(row_number() OVER "
+        "(PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS rn "
+        "FROM s), "
+        "walk(shard, rn, doc_id, pack, pack_offset, overflow, "
+        "st_pack, st_fill) AS ("
+        # first doc per shard: open pack 0, fill 0
+        f"SELECT shard, rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        f"n > {L}, "
+        f"CAST(CASE WHEN n > {L} THEN 1 ELSE 0 END AS BIGINT), "
+        f"CAST(CASE WHEN n > {L} THEN 0 ELSE n END AS BIGINT) "
+        "FROM r WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT r.shard, r.rn, r.doc_id, "
+        # emitted pack for this doc
+        f"CAST(CASE WHEN r.n > {L} THEN w.st_pack + "
+        f"(CASE WHEN w.st_fill > 0 THEN 1 ELSE 0 END) "
+        f"WHEN w.st_fill + r.n > {L} THEN w.st_pack + 1 "
+        "ELSE w.st_pack END AS BIGINT), "
+        # offset inside the emitted pack
+        f"CAST(CASE WHEN r.n > {L} OR w.st_fill + r.n > {L} THEN 0 "
+        "ELSE w.st_fill END AS BIGINT), "
+        f"r.n > {L}, "
+        # state after this doc: next open pack id
+        f"CAST(CASE WHEN r.n > {L} THEN w.st_pack + "
+        f"(CASE WHEN w.st_fill > 0 THEN 1 ELSE 0 END) + 1 "
+        f"WHEN w.st_fill + r.n > {L} THEN w.st_pack + 1 "
+        "ELSE w.st_pack END AS BIGINT), "
+        f"CAST(CASE WHEN r.n > {L} THEN 0 "
+        f"WHEN w.st_fill + r.n > {L} THEN r.n "
+        "ELSE w.st_fill + r.n END AS BIGINT) "
+        "FROM walk w JOIN r ON r.shard = w.shard AND r.rn = w.rn + 1) "
+        "SELECT doc_id, shard, pack, pack_offset, overflow "
+        "FROM walk ORDER BY doc_id"
+    )
+
+
+def q_corpus_pack_next_fit(spark, sf_dir):
+    """Greedy next-fit sequence packing without document splitting
+    (operators/packing.py pack_next_fit): md5-hash order across 4
+    shards, 64-token sequences, overlong docs flagged as overflow
+    singletons. The per-shard Arrow walk's exact output is replayed by
+    a recursive-CTE oracle."""
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        pack_next_fit,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id",
+        Tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    out = pack_next_fit(docs, seq_len=64, num_shards=4, seed=1,
+                        hash_fn="md5")
+    return out.select("doc_id", "shard", F.col("pack").cast("bigint"),
+                      F.col("pack_offset").cast("bigint"),
+                      "overflow").orderBy("doc_id")
+
+
 def _line_dedup_sql(words_per_line=2, max_occ=20) -> str:
     """Twin of operators/dedup.drop_repeated_lines over documents with
     synthesized line structure (every ``words_per_line`` words = one
@@ -3701,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "corpus_sample_budget": q_corpus_sample_budget,
         "corpus_pack_spans": q_corpus_pack_spans,
+        "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "doc_line_dedup": q_doc_line_dedup,
         "corpus_pack_texts": q_corpus_pack_texts,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -4288,6 +4362,7 @@ FROM wide w ORDER BY xb
     out["corpus_stats"] = _corpus_stats_sql()
     out["corpus_sample_budget"] = _sample_budget_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
+    out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["corpus_pack_texts"] = _pack_texts_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
