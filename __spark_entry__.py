@@ -1218,6 +1218,97 @@ def q_corpus_pack_next_fit(spark, sf_dir):
                       "overflow").orderBy("doc_id")
 
 
+def _streaming_near_dup_sql(num_hashes=16, num_bands=4, shingle_n=3,
+                            threshold=0.5, seed=42) -> str:
+    """Twin of streaming/dedup.StreamingNearDup over the WHOLE corpus:
+    the union of per-batch (new-vs-new + new-vs-old) band joins equals
+    the batch LSH candidate set, and the estimated Jaccard is a pure
+    function of the two md5 signatures — so the streaming run's
+    orientation-normalized output equals this one batch SQL regardless
+    of how the stream was micro-batched."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        _minhash_params, _P,
+    )
+
+    params = _minhash_params(num_hashes, seed)
+    rows_per_band = num_hashes // num_bands
+    sh = _SHINGLES.format(n=shingle_n)
+    md5i = _MD5INT.format(s="s")
+    sigs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h*{a} + {b}) % {_P})) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        f"sh AS (SELECT doc_id, {sh} AS shingles FROM t), "
+        f"hs AS MATERIALIZED (SELECT doc_id, list_transform(shingles, "
+        f"s -> ({md5i}) % {_P}) AS hs FROM sh), "
+        f"sig AS MATERIALIZED (SELECT doc_id, {sigs} FROM hs), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j "
+        "FROM bands l JOIN bands r ON l.band = r.band "
+        "AND l.bucket = r.bucket AND l.doc_id < r.doc_id), "
+        f"e AS (SELECT c.i, c.j, CAST({matches} AS DOUBLE) / "
+        f"{float(num_hashes)!r} AS est_jaccard FROM cand c "
+        "JOIN sig a ON a.doc_id = c.i JOIN sig b ON b.doc_id = c.j) "
+        f"SELECT i, j, est_jaccard FROM e WHERE est_jaccard >= {threshold} "
+        "ORDER BY i, j"
+    )
+
+
+def q_streaming_near_dup(spark, sf_dir):
+    """Cross-batch streaming near-dup detection
+    (streaming/dedup.StreamingNearDup): the documents table replayed as
+    a 2-file availableNow STREAM through the foreachBatch handler —
+    per-batch LSH band joins against the accumulated signature store —
+    then the emitted pairs, orientation-normalized. Must equal the
+    batch LSH + estimated-Jaccard result however the stream was
+    micro-batched (the oracle is that batch SQL)."""
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        StreamingNearDup,
+    )
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_nd_")
+    docs = documents(spark, sf_dir)
+    indir = f"{root}/in"
+    docs.repartition(2, "doc_id").write.mode("overwrite").parquet(indir)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(indir))
+    nd = StreamingNearDup(
+        f"{root}/state", f"{root}/pairs", num_hashes=16, num_bands=4,
+        shingle_n=3, threshold=0.5, seed=42, hash_fn="md5")
+    q = (stream.writeStream.foreachBatch(nd.process_batch)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = (
+        nd.pairs(spark)
+        .select(F.least("i", "j").alias("i"),
+                F.greatest("i", "j").alias("j"), "est_jaccard")
+        .distinct().orderBy("i", "j")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _line_dedup_sql(words_per_line=2, max_occ=20) -> str:
     """Twin of operators/dedup.drop_repeated_lines over documents with
     synthesized line structure (every ``words_per_line`` words = one
@@ -3775,6 +3866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_budget": q_corpus_sample_budget,
         "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
+        "streaming_near_dup_pairs": q_streaming_near_dup,
         "doc_line_dedup": q_doc_line_dedup,
         "corpus_pack_texts": q_corpus_pack_texts,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -4363,6 +4455,7 @@ FROM wide w ORDER BY xb
     out["corpus_sample_budget"] = _sample_budget_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
+    out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["corpus_pack_texts"] = _pack_texts_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()

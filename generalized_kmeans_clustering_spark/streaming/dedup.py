@@ -108,7 +108,7 @@ class StreamingNearDup:
                  text_col: str = "text", id_col: str = "doc_id",
                  num_hashes: int = 32, num_bands: int = 8,
                  shingle_n: int = 3, threshold: float = 0.8,
-                 seed: int = 42):
+                 seed: int = 42, hash_fn: str = "xxhash64"):
         self.state_dir = state_dir
         self.pairs_dir = pairs_dir
         self.text_col = text_col
@@ -118,6 +118,9 @@ class StreamingNearDup:
         self.shingle_n = shingle_n
         self.threshold = threshold
         self.seed = seed
+        # 'md5' makes signatures (hence pairs) cross-engine
+        # reproducible for oracle checks; xxhash64 is production.
+        self.hash_fn = hash_fn
 
     def _bands(self, sigs: DataFrame) -> DataFrame:
         rows_per_band = self.num_hashes // self.num_bands
@@ -138,7 +141,7 @@ class StreamingNearDup:
         sigs = minhash_signatures(
             batch_df, text_col=self.text_col, id_col=self.id_col,
             num_hashes=self.num_hashes, shingle_n=self.shingle_n,
-            seed=self.seed,
+            seed=self.seed, hash_fn=self.hash_fn,
         ).localCheckpoint(eager=True)
         new_bands = self._bands(sigs)
         try:

@@ -250,3 +250,63 @@ def test_streaming_near_dup_via_foreachBatch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["i"], r["j"]) for r in nd.pairs(spark).collect()}
     assert (10, 11) in got
+
+
+def test_streaming_near_dup_matches_batch_lsh(spark, sf_dir, tmp_path):
+    """Batch parity: a 3-batch streamed run over the documents table
+    must emit exactly the pairs the batch operators produce —
+    lsh_candidate_pairs candidates filtered by the same
+    estimated-Jaccard — independent of micro-batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures,
+    )
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        StreamingNearDup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "nd_src")
+    docs.repartition(3, "doc_id").write.mode("overwrite").parquet(src)
+
+    nd = StreamingNearDup(
+        state_dir=str(tmp_path / "nd_state"),
+        pairs_dir=str(tmp_path / "nd_pairs"),
+        num_hashes=16, num_bands=4, shingle_n=3, threshold=0.5,
+        seed=42, hash_fn="md5")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(nd.process_batch)
+         .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    streamed = {
+        (r["i"], r["j"], r["est_jaccard"])
+        for r in nd.pairs(spark)
+        .select(F.least("i", "j").alias("i"),
+                F.greatest("i", "j").alias("j"), "est_jaccard")
+        .distinct().collect()
+    }
+
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3,
+                              seed=42, hash_fn="md5")
+    cand = lsh_candidate_pairs(sigs, num_bands=4)
+    batch = {
+        (r["i"], r["j"], r["est_jaccard"])
+        for r in cand
+        .join(sigs.select(F.col("doc_id").alias("i"),
+                          F.col("signature").alias("_si")), "i")
+        .join(sigs.select(F.col("doc_id").alias("j"),
+                          F.col("signature").alias("_sj")), "j")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("_si", "_sj",
+                           lambda a, b: (a == b).cast("int")),
+                F.lit(0), lambda acc, v: acc + v) / F.lit(16.0))
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("i", "j", "est_jaccard").collect()
+    }
+    assert streamed == batch and len(batch) > 0
