@@ -98,6 +98,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     hash_fn: str = "xxhash64",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, signature: array<bigint>[num_hashes]) via expressions only.
 
@@ -125,9 +126,12 @@ def minhash_signatures(
     )
     # Record the signature width in column metadata so downstream LSH
     # banding can read it from the schema instead of probing a row.
+    # keep_cols rides extra columns through (e.g. an event-time column
+    # for the streaming stream-stream join).
     return df.select(
         F.col(id_col),
         sig.alias("signature", metadata={"num_hashes": num_hashes}),
+        *[F.col(c) for c in keep_cols],
     )
 
 

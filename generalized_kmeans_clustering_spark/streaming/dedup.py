@@ -6,13 +6,19 @@ own watermarked ``dropDuplicates`` state store — content fingerprints
 are the dedup key, the watermark bounds state size, and the identical
 plan runs batch or streaming. Signature computation (MinHash/SimHash)
 is stateless expression work, so those operators run verbatim on a
-streaming DataFrame. The pair JOIN runs live through
-:class:`StreamingNearDup` — a ``foreachBatch`` handler that LSH-bands
-each micro-batch against itself AND the accumulated signature state
-store (a declarative stream-stream self-join would need two
-watermarked sides, which Structured Streaming cannot plan for this
-shape; the per-batch join is the standard answer). See
-``examples/streaming_near_dup.py`` for the worked end-to-end flow.
+streaming DataFrame. The pair JOIN runs live two ways:
+
+- :func:`streaming_lsh_pairs` — a TRUE declarative watermarked
+  stream-stream self-join on the banded signatures: Spark's symmetric
+  hash join keeps both sides' state, the event-time range condition
+  lets the watermark evict it, and pairs are found across micro-batch
+  boundaries within the time horizon. Fully planned by the engine — no
+  side-managed state.
+- :class:`StreamingNearDup` — a ``foreachBatch`` handler that LSH-bands
+  each micro-batch against itself AND an accumulated signature state
+  store. Choose this when pairs must be found against ALL history (an
+  unbounded dedup horizon), which no watermarked join can express. See
+  ``examples/streaming_near_dup.py`` for the worked end-to-end flow.
 
 At scale: dedup state is one row per distinct fingerprint inside the
 watermark horizon — state grows with distinct content per window, not
@@ -26,7 +32,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint
 
-__all__ = ["streaming_exact_dedup", "streaming_minhash_signatures"]
+__all__ = ["streaming_exact_dedup", "streaming_minhash_signatures",
+           "streaming_lsh_pairs", "StreamingNearDup"]
 
 
 def streaming_exact_dedup(
@@ -70,6 +77,101 @@ def streaming_minhash_signatures(
     return minhash_signatures(stream, text_col=text_col, id_col=id_col,
                               num_hashes=num_hashes, shingle_n=shingle_n,
                               seed=seed)
+
+
+def _band_explode(sigs: DataFrame, id_col: str, num_hashes: int,
+                  num_bands: int, extra_cols: tuple = ()) -> DataFrame:
+    """Explode signatures to (id, signature, band, bucket) rows —
+    bucket = xxhash64 of the band's signature components."""
+    rows_per_band = num_hashes // num_bands
+
+    def key(b):
+        return F.xxhash64(F.concat_ws(",", *[
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]))
+
+    return sigs.select(
+        id_col, "signature", *extra_cols,
+        F.posexplode(F.array(*[key(b) for b in range(num_bands)]))
+        .alias("band", "bucket"),
+    )
+
+
+def streaming_lsh_pairs(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    horizon: str = "10 minutes",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float | None = None,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    dedup_pairs: bool = True,
+) -> DataFrame:
+    """TRUE watermarked stream-stream LSH near-dup join →
+    streaming ``(i, j, ts, est_jaccard)``.
+
+    Fully declarative: signatures are a stateless fold, the banded
+    frame self-joins under Spark's symmetric hash join with BOTH sides
+    watermarked on ``ts_col``, and the event-time range condition
+    (``|ts_i - ts_j| <= horizon``) is what lets the watermark evict
+    join state — so state is bounded by stream rate x horizon, not by
+    history. Pairs ARE found across micro-batch boundaries (unlike a
+    per-batch self-join); pairs farther apart than ``horizon`` in
+    event time are by definition out of scope — use
+    :class:`StreamingNearDup` when the dedup horizon must be unbounded.
+
+    ``est_jaccard`` is the fraction of agreeing MinHash components
+    (same estimator as :class:`StreamingNearDup`); pass ``threshold``
+    to filter. With ``dedup_pairs`` a pair matching in several bands is
+    emitted once via ``dropDuplicatesWithinWatermark`` (state likewise
+    watermark-bounded). ``ts`` is the smaller-id document's event time
+    (the raw watermarked column — a derived time would untag the
+    watermark and break the downstream dedup).
+
+    At 100 TB-scale rates: shuffle is keyed on (band, bucket) — the
+    same bucketed join as the batch operator, never all-pairs; both
+    stateful operators' stores hold only the horizon window.
+    """
+    from ..operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        stream, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, seed=seed, hash_fn=hash_fn,
+        keep_cols=(ts_col,),
+    )
+    bands = _band_explode(sigs, id_col, num_hashes, num_bands,
+                          extra_cols=(ts_col,)) \
+        .withWatermark(ts_col, horizon)
+    l, r = bands.alias("l"), bands.alias("r")
+    joined = l.join(r, F.expr(
+        f"l.band = r.band AND l.bucket = r.bucket "
+        f"AND l.{id_col} < r.{id_col} "
+        f"AND r.{ts_col} >= l.{ts_col} - interval {horizon} "
+        f"AND r.{ts_col} <= l.{ts_col} + interval {horizon}"
+    ))
+    pairs = joined.select(
+        F.col(f"l.{id_col}").alias("i"),
+        F.col(f"r.{id_col}").alias("j"),
+        # must stay the raw left-side event-time column: any derived
+        # expression (e.g. least(l.ts, r.ts)) loses the watermark tag
+        # and dropDuplicatesWithinWatermark refuses the plan
+        F.col(f"l.{ts_col}").alias(ts_col),
+        (F.aggregate(
+            F.zip_with("l.signature", "r.signature",
+                       lambda a, b: (a == b).cast("int")),
+            F.lit(0), lambda acc, v: acc + v,
+        ) / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+    if threshold is not None:
+        pairs = pairs.where(F.col("est_jaccard") >= threshold)
+    if dedup_pairs:
+        pairs = pairs.dropDuplicatesWithinWatermark(["i", "j"])
+    return pairs
 
 
 class StreamingNearDup:
@@ -123,16 +225,8 @@ class StreamingNearDup:
         self.hash_fn = hash_fn
 
     def _bands(self, sigs: DataFrame) -> DataFrame:
-        rows_per_band = self.num_hashes // self.num_bands
-        key = lambda b: F.xxhash64(F.concat_ws(",", *[
-            F.element_at("signature", b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]))
-        return sigs.select(
-            self.id_col, "signature",
-            F.posexplode(F.array(*[key(b) for b in range(self.num_bands)])
-                         ).alias("band", "bucket"),
-        )
+        return _band_explode(sigs, self.id_col, self.num_hashes,
+                             self.num_bands)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import minhash_signatures

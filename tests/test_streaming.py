@@ -310,3 +310,52 @@ def test_streaming_near_dup_matches_batch_lsh(spark, sf_dir, tmp_path):
         .select("i", "j", "est_jaccard").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_lsh_pairs_watermarked_join(spark, tmp_path):
+    """TRUE stream-stream LSH join: near-dups within the event-time
+    horizon pair across micro-batch boundaries; the same content
+    farther apart than the horizon does not; band multi-matches emit
+    once."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        streaming_lsh_pairs,
+    )
+
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau ") * 2
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    src = str(tmp_path / "ss_src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1); the
+    # (1, 2) near-dup pair spans the batch boundary
+    spark.createDataFrame(
+        [(1, text, t0),
+         (3, "completely different content here in every way", t0 + 2 * m)],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.parquet(f"{src}/f0")
+    spark.createDataFrame(
+        [(2, text + "tiny change", t0 + m),
+         (4, text, t0 + datetime.timedelta(hours=3))],  # out of horizon
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*"))
+    pairs = streaming_lsh_pairs(
+        stream, ts_col="ts", horizon="10 minutes",
+        num_hashes=16, num_bands=4, threshold=0.5)
+    out = str(tmp_path / "ss_out")
+    q = (pairs.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = sorted((r["i"], r["j"]) for r in spark.read.parquet(out).collect())
+    assert got == [(1, 2)]  # cross-batch, in-horizon, emitted once
+    est = spark.read.parquet(out).first()["est_jaccard"]
+    assert 0.5 <= est <= 1.0
