@@ -195,6 +195,22 @@ def main():
         docs, min_tokens=10, languages=["en"], min_quality=0.05,
         dedup="exact",
     ).groupBy("keep").count().collect())
+    # corpus-wide repeated-line removal (C4/RefinedWeb boilerplate rule)
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_lines,
+    )
+    timed("line_dedup", lambda: drop_repeated_lines(
+        docs.select("doc_id", "text"),
+    ).agg(F.sum("n_lines_dropped")).collect())
+    # concat-and-split sequence packing over the corpus
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        pack_concat,
+    )
+    timed("pack_concat", lambda: pack_concat(
+        docs.select("doc_id", Tx.token_count(F.col("text"))
+                    .alias("n_tokens")),
+        512, num_shards=64,
+    ).groupBy("shard").count().collect())
     # soft-kmeans fit (fuzzy variant: one-agg-per-iteration path)
     from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeans
     timed("fit_soft_k4", lambda: SoftKMeans(

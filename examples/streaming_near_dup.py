@@ -1,14 +1,18 @@
 """Executable documentation: LIVE near-duplicate detection on a
 document stream.
 
-Stream-stream LSH self-joins need two watermarked sides, which
-Structured Streaming cannot plan for this shape — the engineering
-answer is ``foreachBatch``: per micro-batch, MinHash-sign the batch
-(stateless fold), LSH-band-join it against BOTH itself and the
-accumulated signature state store, verify by estimated Jaccard, and
-append confirmed pairs. State = one H·8-byte signature row per
-document ever seen — independent of text size — and the band join
-stays bucketed on (band, bucket), never all-pairs.
+Two shapes exist. ``streaming_lsh_pairs`` is the fully declarative
+one — a watermarked stream-stream self-join of the banded signatures,
+state evicted at the watermark, for when a bounded event-time dedup
+horizon is acceptable. This example shows the OTHER shape: when pairs
+must be found against ALL history (unbounded horizon, which no
+watermarked join can express), the answer is ``foreachBatch``: per
+micro-batch, MinHash-sign the batch (stateless fold), LSH-band-join it
+against BOTH itself and the accumulated signature state store, verify
+by estimated Jaccard, and append confirmed pairs. State = one
+H·8-byte signature row per document ever seen — independent of text
+size — and the band join stays bucketed on (band, bucket), never
+all-pairs.
 
 The same handler is checkpoint-replay idempotent (a replayed batch
 overwrites its own pairs partition), so an availableNow backfill and a
