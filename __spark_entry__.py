@@ -1061,6 +1061,38 @@ def q_corpus_sample_budget(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens").orderBy("doc_id")
 
 
+def _interleave_sql(num_shards=8, seed=3) -> str:
+    """Twin of operators/sampling.interleave_shards (md5 key): shard =
+    md5_60bit(id|seed) % num_shards, pos = row_number within the shard
+    in (key, id) order."""
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    return (
+        f"WITH t AS (SELECT doc_id, {md5i} AS k FROM documents), "
+        f"s AS (SELECT doc_id, k, CAST(k % {num_shards} AS INTEGER) "
+        "AS shard FROM t) "
+        "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard "
+        "ORDER BY k, doc_id) AS BIGINT) AS pos "
+        "FROM s ORDER BY doc_id"
+    )
+
+
+def q_corpus_interleave(spark, sf_dir):
+    """Deterministic epoch order (operators/sampling.interleave_shards):
+    every document gets a (shard, pos) slot from hash(id, seed) — the
+    reproducible 'global shuffle' a training run reads back in, same
+    answer on any partitioning or cluster size (orderBy(rand()) is
+    neither)."""
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        interleave_shards,
+    )
+
+    docs = documents(spark, sf_dir)
+    out = interleave_shards(docs, num_shards=8, id_col="doc_id", seed=3,
+                            hash_fn="md5")
+    return out.select("doc_id", "shard", "pos").orderBy("doc_id")
+
+
 def _pack_spans_sql(seq_len=512, num_shards=4, seed=1) -> str:
     """Twin of operators/packing.pack_concat (md5 order key): window
     cumsum per shard, spans over the crossed seq_len windows."""
@@ -2246,6 +2278,89 @@ def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107) -> str:
         f"SELECT query_id, neighbor_id, {_r('sim', 6)} AS sim, rank FROM r "
         f"WHERE rank <= {k} ORDER BY query_id, rank"
     )
+
+
+def _semantic_dedup_sql(threshold=0.35, n_lists=8, cen_lo=100,
+                        cen_hi=107) -> str:
+    """Twin of operators/semantic.semantic_dedup with fixed coarse
+    centroids (corpus vectors cen_lo..cen_hi, max_iter=0): spherical
+    assignment with the engine's exact epsilons (same CTEs as the IVF
+    twin), within-list plain-cosine pairs ≥ threshold, connected
+    components by recursive min-reachable-id, and SemDeDup's keep rule
+    (lowest centroid_sim, ties → smallest id)."""
+    return (
+        "WITH RECURSIVE cen AS (SELECT CAST(row_number() OVER "
+        "(ORDER BY vec_id) - 1 AS INTEGER) AS cj, "
+        "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+        f"WHERE vec_id BETWEEN {cen_lo} AND {cen_hi}), "
+        "cenn AS (SELECT cj, list_transform(cv, x -> x / "
+        "(sqrt(list_dot_product(cv, cv)) + 1e-10)) AS cn FROM cen), "
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "corpn AS (SELECT vec_id, v, list_transform(v, x -> x / "
+        "(sqrt(list_dot_product(v, v)) + 1e-10)) AS xn FROM corpus), "
+        "asg AS (SELECT vec_id, v, cj, "
+        "1 - list_dot_product(xn, cn) / (sqrt(list_dot_product(xn, xn)) * "
+        "sqrt(list_dot_product(cn, cn)) + 1e-10) AS d "
+        "FROM corpn CROSS JOIN cenn), "
+        "lists AS MATERIALIZED (SELECT vec_id, v, cj AS lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d ASC, cj ASC) AS rn FROM asg) WHERE rn = 1), "
+        "prs AS MATERIALIZED (SELECT a.vec_id AS pi, b.vec_id AS pj "
+        "FROM lists a JOIN lists b ON a.lst = b.lst "
+        "AND a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, "
+        f"a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {threshold!r}), "
+        "edges2 AS (SELECT pi AS ea, pj AS eb FROM prs "
+        "UNION ALL SELECT pj, pi FROM prs), "
+        "reach(id, r) AS (SELECT ea, ea FROM "
+        "(SELECT DISTINCT ea FROM edges2) "
+        "UNION SELECT e.eb, rr.r FROM reach rr JOIN edges2 e "
+        "ON e.ea = rr.id), "
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), "
+        "cs AS (SELECT l.vec_id, l.lst, list_dot_product(l.v, c.cv) / "
+        "(sqrt(list_dot_product(l.v, l.v)) * "
+        "sqrt(list_dot_product(c.cv, c.cv))) AS csim "
+        "FROM lists l JOIN cen c ON c.cj = l.lst), "
+        "lab AS (SELECT cs.vec_id, cs.lst, cs.csim, "
+        "coalesce(comp.component, cs.vec_id) AS component "
+        "FROM cs LEFT JOIN comp ON comp.id = cs.vec_id) "
+        "SELECT vec_id, CAST(lst AS INTEGER) AS list, "
+        f"{_r('csim', 6)} AS centroid_sim, component, "
+        "(row_number() OVER (PARTITION BY component "
+        "ORDER BY csim ASC, vec_id ASC) = 1) AS is_canonical "
+        "FROM lab ORDER BY vec_id"
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/semantic.py): coarse
+    spherical clusters (fixed centroids = corpus vectors 100..107,
+    max_iter=0 for a deterministic replay), within-list cosine pairs ≥
+    0.35 → duplicate components → keep the member FARTHEST from its
+    centroid (the SemDeDup rule, arXiv:2303.09540); production trains
+    the centroids (same code path, random init)."""
+    from generalized_kmeans_clustering_spark.operators.semantic import (
+        semantic_dedup,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    cen_rows = (
+        emb.where(F.col("vec_id").between(100, 107))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    init = [[float(v) for v in r["embedding"]] for r in cen_rows]
+    out = semantic_dedup(
+        emb, threshold=0.35, n_lists=8, seed=42, max_iter=0,
+        initial_centers=init, keep="far_from_centroid", method="auto",
+    )
+    return out.select(
+        "vec_id",
+        F.col("list").cast("int").alias("list"),
+        _rcol(F.col("centroid_sim"), 6).alias("centroid_sim"),
+        "component",
+        "is_canonical",
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3864,6 +3979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": q_corpus_prepare,
         "corpus_stats": q_corpus_stats,
         "corpus_sample_budget": q_corpus_sample_budget,
+        "corpus_interleave": q_corpus_interleave,
+        "semantic_dedup_groups": q_semantic_dedup,
         "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
@@ -4453,6 +4570,8 @@ FROM wide w ORDER BY xb
     out["corpus_prepare"] = _corpus_prepare_sql()
     out["corpus_stats"] = _corpus_stats_sql()
     out["corpus_sample_budget"] = _sample_budget_sql()
+    out["corpus_interleave"] = _interleave_sql()
+    out["semantic_dedup_groups"] = _semantic_dedup_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()

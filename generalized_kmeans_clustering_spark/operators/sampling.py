@@ -30,6 +30,7 @@ __all__ = [
     "sample_hash",
     "stratified_sample_hash",
     "token_budget_sample",
+    "interleave_shards",
 ]
 
 #: denominator of the keep predicate: hash-bucket ∈ [0, _SCALE) and a
@@ -143,3 +144,45 @@ def token_budget_sample(
         default_fraction=1.0 if keep_unlisted else 0.0,
         seed=seed, hash_fn=hash_fn,
     )
+
+
+def interleave_shards(
+    df: DataFrame,
+    num_shards: int = 1024,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training order — the "epoch shuffle".
+
+    Adds ``(shard, pos)``: each row lands in ``shard =
+    hash(id, seed) % num_shards`` and ``pos`` numbers the shard's rows
+    in ``(hash(id, seed), id)`` order (1-based). Reading shards
+    round-robin (or ``ORDER BY pos, shard``) yields a reproducible
+    pseudo-random interleave of the corpus — same order on every run,
+    any partitioning, any cluster size — unlike ``orderBy(rand())``,
+    whose draw depends on the partition layout. A new ``seed`` is a
+    new epoch order.
+
+    The same ``(hash, id)`` key orders :func:`~.packing.pack_concat`'s
+    shard streams, so interleave → pack is one consistent layout: a
+    doc's interleave position and its packed sequence agree.
+
+    At 100 TB: ONE shuffle keyed on the shard (the window numbering);
+    writing with ``partitionBy(shard)`` makes each shard's order a
+    plain ``ORDER BY pos`` scan at training time.
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    from pyspark.sql.window import Window
+
+    key = hash_key(F.col(id_col), seed, hash_fn)
+    staged = df.withColumn("_key", key).withColumn(
+        shard_col, F.pmod(F.col("_key"), F.lit(num_shards)).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy("_key", id_col)
+    return staged.withColumn(
+        pos_col, F.row_number().over(w).cast("long")
+    ).drop("_key")

@@ -1,0 +1,150 @@
+"""semantic_dedup (SemDeDup-style) + interleave_shards tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.packing import pack_concat
+from generalized_kmeans_clustering_spark.operators.sampling import (
+    interleave_shards,
+)
+from generalized_kmeans_clustering_spark.operators.semantic import (
+    semantic_dedup,
+    semantic_near_dup_pairs,
+)
+
+
+def _emb_df(spark):
+    # two tight groups near the axes plus two isolated singletons; the
+    # fixed centers put groups in separate lists
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # group A (near e1), most typical
+        (1, [0.99, 0.14, 0.0]),     # group A
+        (2, [0.97, 0.24, 0.0]),     # group A, least typical
+        (3, [0.0, 1.0, 0.0]),       # group B (near e2)
+        (4, [0.1, 0.99, 0.0]),      # group B
+        (5, [0.0, 0.0, 1.0]),       # singleton (own list)
+        (6, [-1.0, 0.2, 0.1]),      # singleton in list 1's cell? no: far
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+CENTERS = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+
+def _run(spark, keep):
+    df = _emb_df(spark)
+    out = semantic_dedup(
+        df, threshold=0.95, n_lists=3, seed=0, max_iter=0,
+        initial_centers=CENTERS, keep=keep,
+    )
+    return {r["vec_id"]: r.asDict() for r in out.collect()}
+
+
+def test_all_rows_survive_and_groups_form(spark):
+    v = _run(spark, "far_from_centroid")
+    assert set(v) == {0, 1, 2, 3, 4, 5, 6}
+    # group A = {0,1,2} shares component 0; group B = {3,4} shares 3
+    assert v[0]["component"] == v[1]["component"] == v[2]["component"] == 0
+    assert v[3]["component"] == v[4]["component"] == 3
+    # singletons are their own component and canonical
+    for vid in (5, 6):
+        assert v[vid]["component"] == vid
+        assert v[vid]["is_canonical"]
+
+
+def test_far_from_centroid_keeps_least_typical(spark):
+    v = _run(spark, "far_from_centroid")
+    # group A: vec 2 has the lowest cosine to e1 → canonical
+    assert [vid for vid in (0, 1, 2) if v[vid]["is_canonical"]] == [2]
+    # exactly one canonical per component
+    assert sum(v[vid]["is_canonical"] for vid in (3, 4)) == 1
+
+
+def test_near_centroid_and_min_id_policies(spark):
+    near = _run(spark, "near_centroid")
+    assert [vid for vid in (0, 1, 2) if near[vid]["is_canonical"]] == [0]
+    mid = _run(spark, "min_id")
+    assert [vid for vid in (0, 1, 2) if mid[vid]["is_canonical"]] == [0]
+    assert [vid for vid in (3, 4) if mid[vid]["is_canonical"]] == [3]
+
+
+def test_pairs_stay_within_list(spark):
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    df = _emb_df(spark)
+    indexed, _ = ivf_index(df, n_lists=3, seed=0, max_iter=0,
+                           initial_centers=CENTERS)
+    pairs = semantic_near_dup_pairs(indexed, 0.95).collect()
+    got = {(r["i"], r["j"]) for r in pairs}
+    # cross-list near-dups are the method's documented blind spot:
+    # only within-list pairs can appear
+    lists = {r["vec_id"]: r["_list"] for r in indexed.collect()}
+    for i, j in got:
+        assert lists[i] == lists[j]
+    assert (0, 1) in got and (1, 2) in got
+
+
+def test_bad_keep_policy_raises(spark):
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(_emb_df(spark), keep="newest")
+
+
+def test_interleave_deterministic_and_partition_independent(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a = interleave_shards(df, num_shards=8, seed=7)
+    b = interleave_shards(df.repartition(13), num_shards=8, seed=7)
+    ra = {r["doc_id"]: (r["shard"], r["pos"]) for r in a.collect()}
+    rb = {r["doc_id"]: (r["shard"], r["pos"]) for r in b.collect()}
+    assert ra == rb
+    # pos is a 1..n_shard_rows numbering within each shard
+    from collections import Counter
+
+    per_shard = Counter(s for s, _ in ra.values())
+    for shard, n in per_shard.items():
+        poss = sorted(p for s, p in ra.values() if s == shard)
+        assert poss == list(range(1, n + 1))
+
+
+def test_interleave_seed_changes_order(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in interleave_shards(df, num_shards=4, seed=1).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in interleave_shards(df, num_shards=4, seed=2).collect()}
+    assert a != b
+
+
+def test_interleave_agrees_with_pack_concat_order(spark):
+    """interleave → pack is one consistent layout: within a shard,
+    ascending interleave pos must equal ascending first-pack/offset
+    order of pack_concat under the same (num_shards, seed, hash_fn)."""
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tokens"),
+    )
+    inter = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in interleave_shards(df, num_shards=4, seed=9).collect()}
+    spans = pack_concat(df, seq_len=64, num_shards=4, seed=9)
+    first = (
+        spans.groupBy("doc_id", "shard")
+        .agg(F.min(F.struct("pack", "pack_offset")).alias("at"))
+        .collect()
+    )
+    assert {r["doc_id"]: r["shard"] for r in first} == {
+        d: s for d, (s, _) in inter.items()
+    }
+    for shard in range(4):
+        by_inter = sorted(
+            (p, d) for d, (s, p) in inter.items() if s == shard)
+        by_pack = sorted(
+            ((r["at"]["pack"], r["at"]["pack_offset"]), r["doc_id"])
+            for r in first if r["shard"] == shard)
+        assert [d for _, d in by_inter] == [d for _, d in by_pack]
+
+
+def test_interleave_rejects_bad_shards(spark):
+    with pytest.raises(ValueError, match="num_shards"):
+        interleave_shards(spark.range(3).withColumnRenamed("id", "doc_id"),
+                          num_shards=0)
