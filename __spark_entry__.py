@@ -2280,6 +2280,78 @@ def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107) -> str:
     )
 
 
+def _pq_topk_sql(m=4, dsub=16, k=3, cb_lo=200, cb_hi=207) -> str:
+    """Twin of operators/quantization pq_encode + pq_topk with fixed
+    codebooks (subvectors of corpus vectors cb_lo..cb_hi): per
+    (vector, subspace) argmin over the 8 codewords (first-index-wins),
+    per-query ADC lookup sums added in subspace order (matching the
+    engine's left-to-right aggregate fold), top-k ascending."""
+    subs = ", ".join(f"({j})" for j in range(m))
+    ad = " + ".join(
+        f"max(CASE WHEN e.j = {j} THEN l.d END)" for j in range(m)
+    )
+    return (
+        "WITH cbv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS INTEGER) AS ci, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings WHERE vec_id BETWEEN {cb_lo} AND {cb_hi}), "
+        f"subs AS (SELECT j FROM (VALUES {subs}) s(j)), "
+        "cbe AS (SELECT s.j, c.ci, "
+        f"c.cv[s.j*{dsub}+1 : (s.j+1)*{dsub}] AS ce "
+        "FROM cbv c CROSS JOIN subs s), "
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "dd AS MATERIALIZED (SELECT t.vec_id, e.j, e.ci, "
+        f"list_reduce(list_transform(range(1, {dsub + 1}), t2 -> "
+        f"(t.v[e.j*{dsub} + CAST(t2 AS INTEGER)] - ce[CAST(t2 AS INTEGER)])"
+        f" * (t.v[e.j*{dsub} + CAST(t2 AS INTEGER)] - "
+        "ce[CAST(t2 AS INTEGER)])), (a, b) -> a + b) AS d "
+        "FROM corpus t CROSS JOIN cbe e), "
+        "enc AS (SELECT vec_id, j, ci AS code FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id, j "
+        "ORDER BY d ASC, ci ASC) AS rn FROM dd) WHERE rn = 1), "
+        "lut AS (SELECT dd.vec_id AS query_id, dd.j, dd.ci, dd.d "
+        "FROM dd WHERE dd.vec_id < 5), "
+        "sc AS (SELECT l.query_id, e.vec_id AS neighbor_id, "
+        f"{ad} AS ad "
+        "FROM enc e JOIN lut l ON l.j = e.j AND l.ci = e.code "
+        "WHERE e.vec_id <> l.query_id GROUP BY l.query_id, e.vec_id), "
+        "r AS (SELECT query_id, neighbor_id, ad, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY ad ASC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) "
+        f"SELECT query_id, neighbor_id, {_r('ad', 6)} AS approx_dist, "
+        f"rank FROM r WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/quantization.py): codebooks
+    pinned to subvectors of corpus vectors 200..207 via
+    train_pq(initial_codebooks=…, max_iter=0) for a deterministic
+    replay (production trains them — same code path, the engine's own
+    per-subspace SE k-means), corpus encoded to 4 codes/vector, ADC
+    top-3 per query by additive lookup — full vectors never touched on
+    the corpus side."""
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        pq_encode, pq_topk, train_pq,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    cb_rows = (
+        emb.where(F.col("vec_id").between(200, 207))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    vecs = [[float(v) for v in r["embedding"]] for r in cb_rows]
+    init = [[vec[j * 16:(j + 1) * 16] for vec in vecs] for j in range(4)]
+    model = train_pq(emb, m=4, k_sub=8, seed=0, max_iter=0,
+                     initial_codebooks=init)
+    enc = pq_encode(emb, model)
+    out = pq_topk(enc, model, emb.where(F.col("vec_id") < 5), k=3)
+    return out.select(
+        "query_id", "neighbor_id",
+        _rcol(F.col("approx_dist"), 6).alias("approx_dist"), "rank",
+    ).orderBy("query_id", "rank")
+
+
 def _semantic_dedup_sql(threshold=0.35, n_lists=8, cen_lo=100,
                         cen_hi=107) -> str:
     """Twin of operators/semantic.semantic_dedup with fixed coarse
@@ -3981,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_budget": q_corpus_sample_budget,
         "corpus_interleave": q_corpus_interleave,
         "semantic_dedup_groups": q_semantic_dedup,
+        "similarity_pq_topk": q_pq_topk,
         "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
@@ -4572,6 +4645,7 @@ FROM wide w ORDER BY xb
     out["corpus_sample_budget"] = _sample_budget_sql()
     out["corpus_interleave"] = _interleave_sql()
     out["semantic_dedup_groups"] = _semantic_dedup_sql()
+    out["similarity_pq_topk"] = _pq_topk_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()

@@ -1,0 +1,222 @@
+"""Product quantization (PQ) for embedding columns — the memory-scale
+ANN path.
+
+Engine extension (driver mandate: similarity search at 100 TB).
+IVF-Flat (:mod:`.similarity`) prunes *candidates* but still stores and
+scans full float vectors. PQ (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", IEEE TPAMI 2011) compresses
+the vectors themselves: split each d-dim vector into ``m`` subvectors,
+k-means each subspace into ``k_sub`` codewords, and store each vector
+as ``m`` small codes — d·4 bytes shrink to ``m`` code slots (64-dim
+float32 at m=8, k_sub=256 is 32× smaller), and distances against a
+query are additive lookups in a per-query ``m × k_sub`` table (ADC —
+asymmetric distance computation), never a decode.
+
+The clustering engine IS the codebook trainer: each subspace codebook
+is a :class:`~..kmeans.GeneralizedKMeans` SE fit over the sliced
+column — distributed training, no sklearn. Everything else is pure
+Catalyst expressions:
+
+- encode: per subspace an argmin over the codebook literal
+  (``array_position(dists, array_min(dists))`` — first-index-wins,
+  the assignment layer's convention);
+- search: the query-side lookup tables are a staged projection, the
+  corpus side is one broadcast join + an ``aggregate``/``zip_with``
+  fold over (codes, tables) — no Python, no decode, no shuffle of the
+  corpus beyond the final per-query top-k window (Spark 4's
+  WindowGroupLimit keeps ≤ k rows per partition pre-shuffle).
+
+At 100 TB: train on a :func:`~.sampling.sample_hash` sample (PQ
+codebooks need ~100k-1M vectors, not the corpus), encode the corpus in
+one map-only pass, store ``(id, codes)`` — the scan that serves ANN
+reads m bytes/vector, not d·4. Compose with
+:func:`~.similarity.ivf_index` for IVF-PQ: coarse lists prune
+candidates, PQ codes score them. Distances are PLAIN squared L2
+(not the Bregman half-SE): exact for encode argmin in each subspace,
+additive-approximate for ADC (quantization error is bounded by the
+per-subspace distortion the training fit minimizes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.kernels import array_lit
+
+__all__ = ["PQModel", "train_pq", "pq_encode", "pq_decode", "pq_topk"]
+
+
+@dataclass
+class PQModel:
+    """``codebooks[j]`` is the j-th subspace's ``k_sub × (d/m)``
+    codeword list; ``d = m · dsub``."""
+
+    codebooks: list  # m × k_sub × dsub floats
+    d: int
+
+    @property
+    def m(self) -> int:
+        return len(self.codebooks)
+
+    @property
+    def k_sub(self) -> int:
+        return len(self.codebooks[0])
+
+    @property
+    def dsub(self) -> int:
+        return self.d // self.m
+
+
+def _sqdist(x: Column, y: Column) -> Column:
+    """Plain squared L2 between two equal-length array columns."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sub(vec: Column, j: int, dsub: int) -> Column:
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _codeword_dists(subv: Column, cb_lit: Column) -> Column:
+    """array<double> of squared L2 from ``subv`` to every codeword.
+    The HOF lambda takes ONE parameter on purpose: pyspark passes
+    (element, index) to two-parameter lambdas — defaults included —
+    so binding the subvector must happen via this closure, not a
+    default argument."""
+    return F.transform(cb_lit, lambda c: _sqdist(subv, c))
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    k_sub: int = 256,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    initial_codebooks=None,
+) -> PQModel:
+    """Train per-subspace codebooks with the engine's own k-means.
+
+    ``m`` must divide the vector dimension. ``initial_codebooks`` +
+    ``max_iter=0`` pins the codebooks (deterministic replays / loading
+    a previously trained model); otherwise each subspace runs a
+    distributed SE fit. Train on a hash sample at scale — codebook
+    quality saturates far below corpus size.
+    """
+    from ..kmeans import GeneralizedKMeans
+
+    first = df.select(F.size(vec_col).alias("n")).first()
+    if first is None:
+        raise ValueError("train_pq: empty input")
+    d = first["n"]
+    if d % m != 0:
+        raise ValueError(f"m={m} must divide vector dim {d}")
+    dsub = d // m
+    base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    codebooks = []
+    for j in range(m):
+        init = None if initial_codebooks is None else initial_codebooks[j]
+        sub = base.select(_sub(F.col("_v"), j, dsub).alias("_s"))
+        model = GeneralizedKMeans(
+            k=k_sub, divergence="se", seed=seed + j, max_iter=max_iter,
+            features_col="_s", initial_centers=init,
+        ).fit(sub)
+        codebooks.append([[float(x) for x in c] for c in model.centers])
+    return PQModel(codebooks=codebooks, d=d)
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PQModel,
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Add ``codes``: array<int> of length m, ``codes[j]`` = index of
+    the nearest codeword in subspace j (squared L2, first-index-wins).
+    One map-only projection; the codebooks ride as expression literals
+    (model state, m·k_sub·dsub doubles — never data)."""
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for j, cb in enumerate(model.codebooks):
+        cb_lit = F.array(*[array_lit(c) for c in cb])
+        dists = _codeword_dists(_sub(v, j, model.dsub), cb_lit)
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_decode(
+    df: DataFrame,
+    model: PQModel,
+    code_col: str = "codes",
+    out_col: str = "reconstruction",
+) -> DataFrame:
+    """Reconstruct the quantized vector (concatenated codewords) —
+    for distortion measurement; ADC search never decodes."""
+    parts = [
+        F.element_at(
+            F.array(*[array_lit(c) for c in cb]),
+            F.element_at(F.col(code_col), j + 1) + 1,
+        )
+        for j, cb in enumerate(model.codebooks)
+    ]
+    return df.withColumn(out_col, F.concat(*parts))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    model: PQModel,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC top-k: ``(query_id, neighbor_id, approx_dist, rank)`` by
+    ascending approximate squared L2.
+
+    The per-query ``m × k_sub`` lookup tables are staged as ONE
+    query-side projection (computed once per query, not per
+    candidate), the join broadcasts the query side, and scoring is an
+    ``aggregate`` over ``zip_with(codes, tables)`` — pure JVM
+    expressions over the m-byte codes; full vectors are only read on
+    the query side."""
+    qv = F.col(vec_col).cast("array<double>")
+    luts = F.array(*[
+        _codeword_dists(
+            _sub(qv, j, model.dsub),
+            F.array(*[array_lit(c) for c in cb]),
+        )
+        for j, cb in enumerate(model.codebooks)
+    ])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), luts.alias("_luts"))
+    cand = encoded.select(
+        F.col(id_col).alias("neighbor_id"), code_col
+    ).crossJoin(F.broadcast(q))
+    if exclude_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col(code_col), F.col("_luts"),
+            lambda cd, lut: F.element_at(lut, cd + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("approx_dist", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

@@ -1,0 +1,124 @@
+"""Product quantization (train_pq / pq_encode / pq_decode / pq_topk)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.quantization import (
+    PQModel,
+    pq_decode,
+    pq_encode,
+    pq_topk,
+    train_pq,
+)
+
+# 4-dim vectors, m=2 subspaces of 2 dims; codebooks with 2 codewords
+# per subspace placed exactly at the data's subvector values
+CB = [
+    [[0.0, 0.0], [10.0, 10.0]],   # subspace 0
+    [[0.0, 5.0], [5.0, 0.0]],     # subspace 1
+]
+MODEL = PQModel(codebooks=CB, d=4)
+
+
+def _df(spark):
+    rows = [
+        (0, [0.1, -0.1, 0.0, 5.1]),    # codes (0, 0)
+        (1, [9.9, 10.2, 4.9, 0.1]),    # codes (1, 1)
+        (2, [10.1, 9.8, 0.2, 4.8]),    # codes (1, 0)
+        (3, [0.0, 0.3, 5.2, -0.2]),    # codes (0, 1)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_encode_picks_nearest_codeword_per_subspace(spark):
+    out = pq_encode(_df(spark), MODEL).collect()
+    got = {r["vec_id"]: list(r["codes"]) for r in out}
+    assert got == {0: [0, 0], 1: [1, 1], 2: [1, 0], 3: [0, 1]}
+
+
+def test_decode_reconstructs_codeword_concat(spark):
+    enc = pq_encode(_df(spark), MODEL)
+    dec = pq_decode(enc, MODEL).collect()
+    rec = {r["vec_id"]: list(r["reconstruction"]) for r in dec}
+    assert rec[0] == [0.0, 0.0, 0.0, 5.0]
+    assert rec[1] == [10.0, 10.0, 5.0, 0.0]
+    # distortion vs original is the small placement noise only
+    for r in dec:
+        err = sum((a - b) ** 2
+                  for a, b in zip(r["embedding"], r["reconstruction"]))
+        assert err < 0.2
+
+
+def test_exact_codeword_vectors_have_zero_adc_distance(spark):
+    rows = [(10, [0.0, 0.0, 5.0, 0.0]), (11, [10.0, 10.0, 0.0, 5.0])]
+    df = _df(spark).union(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"))
+    enc = pq_encode(df, MODEL)
+    out = pq_topk(enc, MODEL, df.where(F.col("vec_id") == 10), k=6,
+                  exclude_self=False)
+    got = {r["neighbor_id"]: r["approx_dist"] for r in out.collect()}
+    # self distance is exactly 0 (vector 10 IS codewords (0,1))
+    assert got[10] == 0.0
+    # vector 3 shares the same codes → identical ADC distance 0
+    assert got[3] == 0.0
+
+
+def test_topk_orders_by_additive_lookup(spark):
+    df = _df(spark)
+    enc = pq_encode(df, MODEL)
+    out = pq_topk(enc, MODEL, df.where(F.col("vec_id") == 0), k=3)
+    rows = out.orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [3, 2, 1]
+    dists = [r["approx_dist"] for r in rows]
+    assert dists == sorted(dists)
+    # ADC = sum of query-subvector-to-codeword distances for the
+    # neighbor's codes: neighbor 3 is (0, 1) → d(q0, cb0[0]) +
+    # d(q1, cb1[1]) with q = [0.1,-0.1 | 0.0,5.1]
+    expected = (0.1**2 + 0.1**2) + (5.0**2 + 5.1**2)
+    assert math.isclose(dists[0], expected, rel_tol=1e-9)
+
+
+def test_train_pq_recovers_subspace_clusters(spark):
+    import random
+
+    rng = random.Random(0)
+    rows = []
+    for i in range(400):
+        a = [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]
+        b = [0.0, 5.0] if i % 3 == 0 else [5.0, 0.0]
+        vec = [x + rng.gauss(0, 0.05) for x in a + b]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = train_pq(df, m=2, k_sub=2, seed=1, max_iter=8)
+    assert model.m == 2 and model.k_sub == 2 and model.dsub == 2
+    # each learned codebook has one codeword near each true center
+    for j, truths in enumerate([[[0, 0], [10, 10]], [[0, 5], [5, 0]]]):
+        for t in truths:
+            best = min(
+                sum((a - b) ** 2 for a, b in zip(c, t))
+                for c in model.codebooks[j]
+            )
+            assert best < 0.1, (j, t, model.codebooks[j])
+    # reconstruction error after training is the noise floor
+    enc = pq_decode(pq_encode(df, model), model)
+    mse = enc.select(
+        F.aggregate(
+            F.zip_with("embedding", "reconstruction",
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("e")
+    ).agg(F.avg("e")).first()[0]
+    assert mse < 0.1
+
+
+def test_train_pq_validates_m(spark):
+    with pytest.raises(ValueError, match="divide"):
+        train_pq(_df(spark), m=3, k_sub=2)
+
+
+def test_encode_plan_is_python_free(spark):
+    enc = pq_encode(_df(spark), MODEL)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
