@@ -2352,6 +2352,131 @@ def q_pq_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def _ivfpq_topk_sql(n_lists=8, m=4, dsub=16, k=3, nprobe=4,
+                    cen_lo=100, cen_hi=107, cb_lo=200, cb_hi=207) -> str:
+    """Twin of operators/quantization ivf_pq_index + ivf_pq_topk with
+    pinned coarse centers (embeddings cen_lo..cen_hi) and pinned
+    residual codebooks (subvectors of embeddings cb_lo..cb_hi): coarse
+    assignment by the expression strategy's half-SE fold (argmin
+    first-index-wins), residual v - center[list], per-subspace code
+    argmin, query probes by plain squared L2 (cd ASC, list ASC) <=
+    nprobe, per-(query, probed-list) residual lookup tables, ADC sums
+    added in subspace order, top-k ascending."""
+    d = m * dsub
+
+    def _fold(av, bv):
+        # left fold of (av[i]-bv[i])^2 — matches Spark's aggregate
+        # (0.0 + e1 == e1 exactly; list_reduce starts at e1)
+        return (
+            f"list_reduce(list_transform(range(1, {dsub + 1}), t2 -> "
+            f"({av} - {bv}) * ({av} - {bv})), (a, b) -> a + b)"
+        )
+
+    full_fold = (
+        f"list_reduce(list_transform(range(1, {d + 1}), t2 -> "
+        "({a} - {b}) * ({a} - {b})), (x, y) -> x + y)"
+    )
+    subs = ", ".join(f"({j})" for j in range(m))
+    ad = " + ".join(
+        f"max(CASE WHEN e.sj = {j} THEN l.d END)" for j in range(m)
+    )
+    cd_corpus = full_fold.format(
+        a="t.v[CAST(t2 AS INTEGER)]", b="c.cv[CAST(t2 AS INTEGER)]")
+    cd_query = full_fold.format(
+        a="q.qv[CAST(t2 AS INTEGER)]", b="c.cv[CAST(t2 AS INTEGER)]")
+    return (
+        "WITH cen AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) "
+        "- 1 AS INTEGER) AS j, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings WHERE vec_id BETWEEN {cen_lo} AND {cen_hi}), "
+        "cbv AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS INTEGER) AS ci, CAST(embedding AS DOUBLE[]) AS bv "
+        f"FROM embeddings WHERE vec_id BETWEEN {cb_lo} AND {cb_hi}), "
+        f"subs AS (SELECT sj FROM (VALUES {subs}) s(sj)), "
+        "cbe AS (SELECT s.sj, c.ci, "
+        f"c.bv[s.sj*{dsub}+1 : (s.sj+1)*{dsub}] AS ce "
+        "FROM cbv c CROSS JOIN subs s), "
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"casg AS (SELECT t.vec_id, t.v, c.j, {cd_corpus} / 2.0 AS cd "
+        "FROM corpus t CROSS JOIN cen c), "
+        "lists AS (SELECT vec_id, v, j AS lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cd ASC, j ASC) AS rn FROM casg) WHERE rn = 1), "
+        f"res AS (SELECT l.vec_id, l.lst, list_transform(range(1, {d + 1}), "
+        "i -> l.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv "
+        "FROM lists l JOIN cen c ON c.j = l.lst), "
+        "dd AS MATERIALIZED (SELECT t.vec_id, t.lst, e.sj, e.ci, "
+        + _fold(f"t.rv[e.sj*{dsub} + CAST(t2 AS INTEGER)]",
+                "ce[CAST(t2 AS INTEGER)]")
+        + " AS d FROM res t CROSS JOIN cbe e), "
+        "enc AS (SELECT vec_id, lst, sj, ci AS code FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id, sj "
+        "ORDER BY d ASC, ci ASC) AS rn FROM dd) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) "
+        "AS qv FROM embeddings WHERE vec_id < 5), "
+        f"qcd AS (SELECT q.query_id, q.qv, c.j, {cd_query} AS cd "
+        "FROM q CROSS JOIN cen c), "
+        "probes AS (SELECT query_id, qv, j AS lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cd ASC, j ASC) AS pr FROM qcd) WHERE pr <= {nprobe}), "
+        f"qr AS (SELECT p.query_id, p.lst, list_transform(range(1, {d + 1}), "
+        "i -> p.qv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv "
+        "FROM probes p JOIN cen c ON c.j = p.lst), "
+        "lut AS MATERIALIZED (SELECT t.query_id, t.lst, e.sj, e.ci, "
+        + _fold(f"t.rv[e.sj*{dsub} + CAST(t2 AS INTEGER)]",
+                "ce[CAST(t2 AS INTEGER)]")
+        + " AS d FROM qr t CROSS JOIN cbe e), "
+        "sc AS (SELECT l.query_id, e.vec_id AS neighbor_id, "
+        f"{ad} AS ad "
+        "FROM enc e JOIN lut l ON l.lst = e.lst AND l.sj = e.sj "
+        "AND l.ci = e.code "
+        "WHERE e.vec_id <> l.query_id GROUP BY l.query_id, e.vec_id), "
+        "r AS (SELECT query_id, neighbor_id, ad, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY ad ASC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) "
+        f"SELECT query_id, neighbor_id, {_r('ad', 6)} AS approx_dist, "
+        f"rank FROM r WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """Residual IVF-PQ ANN (operators/quantization.py): coarse lists
+    pinned to embeddings 100..107 (SE, expression strategy so the
+    DuckDB twin can replay the exact fold order), residual codebooks
+    pinned to subvectors of embeddings 200..207, nprobe-4 probe, ADC
+    top-3 per query — candidates are scored from m=4 codes only; the
+    corpus's full vectors are read once at index build and never at
+    query time."""
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_pq_index, ivf_pq_topk,
+    )
+
+    emb = embeddings(spark, sf_dir)
+
+    def _vals(lo, hi):
+        rows = (
+            emb.where(F.col("vec_id").between(lo, hi))
+            .orderBy("vec_id").select("embedding").collect()
+        )
+        return [[float(v) for v in r["embedding"]] for r in rows]
+
+    coarse = _vals(100, 107)
+    vecs = _vals(200, 207)
+    init_cb = [[vec[j * 16:(j + 1) * 16] for vec in vecs] for j in range(4)]
+    enc, cm, pm = ivf_pq_index(
+        emb, n_lists=8, m=4, k_sub=8, seed=0,
+        coarse_max_iter=0, pq_max_iter=0,
+        initial_coarse=coarse, initial_codebooks=init_cb,
+        coarse_assignment_strategy="expression",
+    )
+    out = ivf_pq_topk(enc, cm, pm, emb.where(F.col("vec_id") < 5),
+                      k=3, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id",
+        _rcol(F.col("approx_dist"), 6).alias("approx_dist"), "rank",
+    ).orderBy("query_id", "rank")
+
+
 def _semantic_dedup_sql(threshold=0.35, n_lists=8, cen_lo=100,
                         cen_hi=107) -> str:
     """Twin of operators/semantic.semantic_dedup with fixed coarse
@@ -4054,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_interleave": q_corpus_interleave,
         "semantic_dedup_groups": q_semantic_dedup,
         "similarity_pq_topk": q_pq_topk,
+        "similarity_ivfpq_topk": q_ivfpq_topk,
         "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
@@ -4646,6 +4772,7 @@ FROM wide w ORDER BY xb
     out["corpus_interleave"] = _interleave_sql()
     out["semantic_dedup_groups"] = _semantic_dedup_sql()
     out["similarity_pq_topk"] = _pq_topk_sql()
+    out["similarity_ivfpq_topk"] = _ivfpq_topk_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()

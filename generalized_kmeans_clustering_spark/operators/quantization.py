@@ -47,7 +47,10 @@ from pyspark.sql.window import Window
 
 from ..functions.kernels import array_lit
 
-__all__ = ["PQModel", "train_pq", "pq_encode", "pq_decode", "pq_topk"]
+__all__ = [
+    "PQModel", "train_pq", "pq_encode", "pq_decode", "pq_topk",
+    "ivf_pq_index", "ivf_pq_topk",
+]
 
 
 @dataclass
@@ -219,4 +222,141 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    n_lists: int = 64,
+    m: int = 8,
+    k_sub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    coarse_max_iter: int = 10,
+    pq_max_iter: int = 10,
+    initial_coarse=None,
+    initial_codebooks=None,
+    coarse_assignment_strategy: str = "auto",
+):
+    """IVF-PQ index (Faiss-style, residual-encoded): coarse SE k-means
+    buckets the corpus into ``n_lists`` inverted lists, then PQ
+    codebooks are trained on the RESIDUALS ``v - centroid`` (residual
+    energy is what is left to quantize once the coarse step has
+    explained the bucket mean — the standard accuracy win over coding
+    raw vectors). Both trainers are this engine's own distributed
+    GeneralizedKMeans; pin ``initial_coarse``/``initial_codebooks``
+    with the ``*_max_iter=0`` convention for deterministic replays.
+
+    Returns ``(encoded, coarse_model, pq_model)`` where ``encoded`` is
+    ``(id, _list, codes)`` — m code slots per vector instead of d·4
+    bytes. Persist it partitioned by ``_list`` (the
+    :func:`~.similarity.write_ivf_index` layout): at 100 TB a probe
+    reads nprobe/n_lists of the files and m bytes per candidate.
+    """
+    from ..kmeans import GeneralizedKMeans
+
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    coarse = GeneralizedKMeans(
+        k=n_lists, divergence="se", seed=seed, max_iter=coarse_max_iter,
+        features_col="_v", prediction_col="_list",
+        initial_centers=initial_coarse,
+        assignment_strategy=coarse_assignment_strategy,
+    ).fit(base)
+    indexed = coarse.transform(base)
+    centers_lit = F.array(*[array_lit(c) for c in coarse.centers.tolist()])
+    resid = F.zip_with(
+        F.col("_v"),
+        F.element_at(centers_lit, F.col("_list") + 1),
+        lambda a, b: a - b,
+    )
+    with_res = indexed.withColumn("_r", resid)
+    pq = train_pq(
+        with_res, m=m, k_sub=k_sub, vec_col="_r", seed=seed,
+        max_iter=pq_max_iter, initial_codebooks=initial_codebooks,
+    )
+    encoded = pq_encode(with_res, pq, vec_col="_r").select(
+        id_col, "_list", "codes")
+    return encoded, coarse, pq
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    coarse_model,
+    pq_model: PQModel,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """ADC top-k through the inverted lists: probe the ``nprobe``
+    nearest coarse centroids per query (squared L2), build the lookup
+    tables from the per-list QUERY RESIDUAL ``q - centroid`` (so the
+    additive score approximates ``|q - v|²`` exactly as in residual
+    IVF-PQ: ``q - v = (q - c) - (v - c)`` with ``v - c`` quantized),
+    and score candidates by m lookups — corpus vectors are never read.
+
+    The probe side (nprobe rows × m·k_sub lookup doubles per query) is
+    broadcast into an equi-join on ``_list``, which prunes to the
+    probed partitions when ``encoded`` is stored partitioned by
+    ``_list``. Set ``broadcast_queries=False`` for a large query table
+    — the join then shuffles both sides on ``_list``.
+    """
+    C = coarse_model.centers
+    centers_lit = F.array(*[array_lit(c) for c in C.tolist()])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"))
+    cd = F.transform(centers_lit, lambda c: _sqdist(F.col("_qv"), c))
+    exploded = q.withColumn("_cd", cd).select(
+        "query_id", "_qv", F.posexplode("_cd").alias("_list", "_cdist"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.asc("_cdist"), F.asc("_list"))
+    probes = (
+        exploded.withColumn("_pr", F.row_number().over(wp))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_list", "_qv")
+    )
+    qres = F.zip_with(
+        F.col("_qv"),
+        F.element_at(centers_lit, F.col("_list") + 1),
+        lambda a, b: a - b,
+    )
+    luts = F.array(*[
+        _codeword_dists(
+            _sub(F.col("_qr"), j, pq_model.dsub),
+            F.array(*[array_lit(c) for c in cb]),
+        )
+        for j, cb in enumerate(pq_model.codebooks)
+    ])
+    staged = (
+        probes.withColumn("_qr", qres)
+        .withColumn("_luts", luts)
+        .select("query_id", "_list", "_luts")
+    )
+    if broadcast_queries:
+        staged = F.broadcast(staged)
+    cand = encoded.join(staged, on="_list")
+    if exclude_self:
+        cand = cand.where(F.col(id_col) != F.col("query_id"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("_luts"),
+            lambda cd_, lut: F.element_at(lut, cd_ + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc(id_col))
+    return (
+        cand.withColumn("approx_dist", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                "approx_dist", "rank")
     )

@@ -122,3 +122,102 @@ def test_encode_plan_is_python_free(spark):
     enc = pq_encode(_df(spark), MODEL)
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---- IVF-PQ (residual-encoded) ----
+
+from generalized_kmeans_clustering_spark.operators.quantization import (  # noqa: E402
+    ivf_pq_index,
+    ivf_pq_topk,
+)
+
+COARSE = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0]]
+RES_CB = [
+    [[0.0, 0.0], [1.0, 1.0]],     # subspace 0 residual codewords
+    [[0.0, 0.0], [-1.0, -1.0]],   # subspace 1 residual codewords
+]
+
+
+def _ivf_df(spark):
+    rows = [
+        (0, [0.1, 0.1, 0.0, 0.0]),      # list 0, residual codes (0, 0)
+        (1, [1.0, 1.0, -1.0, -1.0]),    # list 0, residual codes (1, 1)
+        (2, [10.0, 10.0, 10.0, 10.0]),  # list 1, residual codes (0, 0)
+        (3, [11.0, 11.0, 9.0, 9.0]),    # list 1, residual codes (1, 1)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _pinned_index(spark):
+    return ivf_pq_index(
+        _ivf_df(spark), n_lists=2, m=2, k_sub=2, seed=0,
+        coarse_max_iter=0, pq_max_iter=0,
+        initial_coarse=COARSE, initial_codebooks=RES_CB,
+    )
+
+
+def test_ivf_pq_index_lists_and_residual_codes(spark):
+    enc, coarse, pq = _pinned_index(spark)
+    got = {r["vec_id"]: (r["_list"], list(r["codes"]))
+           for r in enc.collect()}
+    assert got == {0: (0, [0, 0]), 1: (0, [1, 1]),
+                   2: (1, [0, 0]), 3: (1, [1, 1])}
+    assert pq.m == 2 and pq.dsub == 2
+
+
+def test_ivf_pq_topk_nprobe1_stays_in_probed_list(spark):
+    enc, coarse, pq = _pinned_index(spark)
+    df = _ivf_df(spark)
+    out = ivf_pq_topk(enc, coarse, pq, df.where(F.col("vec_id") == 0),
+                      k=10, nprobe=1)
+    rows = out.collect()
+    # only list 0 is probed → the sole candidate is vector 1
+    assert [(r["neighbor_id"], r["rank"]) for r in rows] == [(1, 1)]
+    # residual exactly at a codeword → ADC distance is EXACT |q-v|^2
+    assert math.isclose(rows[0]["approx_dist"], 3.62, rel_tol=1e-9)
+
+
+def test_ivf_pq_topk_nprobe2_exact_when_residuals_are_codewords(spark):
+    enc, coarse, pq = _pinned_index(spark)
+    df = _ivf_df(spark)
+    out = ivf_pq_topk(enc, coarse, pq, df.where(F.col("vec_id") == 0),
+                      k=3, nprobe=2)
+    rows = out.orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [1, 2, 3]
+    # every residual coincides with a codeword, so all ADC distances
+    # equal the true squared L2 from the query
+    want = {1: 3.62, 2: 396.02, 3: 399.62}
+    for r in rows:
+        assert math.isclose(r["approx_dist"], want[r["neighbor_id"]],
+                            rel_tol=1e-9), r
+
+
+def test_ivf_pq_trained_end_to_end_finds_cluster_neighbors(spark):
+    import random
+
+    rng = random.Random(7)
+    centers = [[0.0] * 4, [20.0] * 4, [0.0, 20.0, 0.0, 20.0]]
+    rows = [
+        (i, [c + rng.gauss(0, 0.3) for c in centers[i % 3]])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc, coarse, pq = ivf_pq_index(df, n_lists=3, m=2, k_sub=4, seed=1,
+                                   coarse_max_iter=8, pq_max_iter=4)
+    out = ivf_pq_topk(enc, coarse, pq, df.where(F.col("vec_id") < 6),
+                      k=5, nprobe=1)
+    rows = out.collect()
+    assert len(rows) == 30
+    # neighbors must come from the query's own cluster (mod-3 class)
+    for r in rows:
+        assert r["neighbor_id"] % 3 == r["query_id"] % 3, r
+
+
+def test_ivf_pq_plans_python_free_and_broadcast(spark):
+    enc, coarse, pq = _pinned_index(spark)
+    df = _ivf_df(spark)
+    out = ivf_pq_topk(enc, coarse, pq, df.where(F.col("vec_id") == 0),
+                      k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
