@@ -1061,6 +1061,114 @@ def q_corpus_sample_budget(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens").orderBy("doc_id")
 
 
+def _sample_temperature_sql(alpha=0.5, budget=30_000, seed=7) -> str:
+    """Twin of operators/sampling.temperature_sample (md5 bucket):
+    per-lang share p_s ∝ total_s^alpha with the normalizer folded in
+    sorted-lang order (list_reduce over list(... ORDER BY lang) — the
+    engine's sorted-dict Python sum), budget_s = (p_s/z)·budget,
+    threshold = floor(min(1, budget_s/total_s)·1e6), keep iff
+    md5-bucket(doc_id|seed) < threshold."""
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    return (
+        f"WITH t AS (SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens "
+        "FROM documents), "
+        "tot AS (SELECT lang, sum(n_tokens) AS total FROM t GROUP BY lang), "
+        "z AS (SELECT list_reduce(list(p ORDER BY lang), (a, b) -> a + b) "
+        f"AS z FROM (SELECT lang, pow(total, {alpha}) AS p FROM tot "
+        "WHERE total > 0)), "
+        "thr AS (SELECT lang, CASE WHEN total <= 0 THEN 0 "
+        f"WHEN total <= pow(total, {alpha}) / z.z * {budget} THEN 1000000 "
+        f"ELSE CAST(floor(pow(total, {alpha}) / z.z * {budget} "
+        "/ total * 1000000) AS BIGINT) END AS th FROM tot CROSS JOIN z) "
+        "SELECT t.doc_id, t.lang, t.n_tokens FROM t JOIN thr USING (lang) "
+        f"WHERE ({md5i}) % 1000000 < thr.th ORDER BY doc_id"
+    )
+
+
+def q_corpus_sample_temperature(spark, sf_dir):
+    """Temperature-mixed corpus sampling (operators/sampling.py):
+    per-language budgets ∝ total_tokens^alpha (the mT5/XLM-R
+    multilingual mixing rule — alpha<1 up-weights low-resource
+    languages), realized by the same deterministic md5 hash filter as
+    the token-budget sampler."""
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id", "lang",
+        Tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    out = temperature_sample(
+        docs, alpha=0.5, total_budget=30_000, strata_col="lang",
+        id_col="doc_id", seed=7, hash_fn="md5",
+    )
+    return out.select("doc_id", "lang", "n_tokens").orderBy("doc_id")
+
+
+def _dsir_weights_sql(n_buckets=512, seed=0, digits=6) -> str:
+    """Twin of operators/dsir.dsir_weights (md5 buckets, target = the
+    English documents, raw = all documents): unigram+bigram features of
+    the space-split lowercased text, bucket = md5_60bit(gram|seed) %
+    n_buckets, Laplace-smoothed bucket log-probabilities over the full
+    bucket domain, per-doc Σ(log p̂_target − log p̂_raw); gram-less
+    docs keep weight 0."""
+    md5i = _MD5INT.format(s=f"concat(g, '|', '{seed}')")
+    B = n_buckets
+    return (
+        "WITH d AS (SELECT doc_id, lang, "
+        "lower(coalesce(text, '')) AS t FROM documents), "
+        "tk AS (SELECT doc_id, lang, "
+        "list_filter(string_split(t, ' '), x -> x <> '') AS tk FROM d), "
+        "gr AS (SELECT doc_id, lang, unnest(tk || "
+        "list_transform(range(1, len(tk)), i -> "
+        "tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1])) "
+        "AS g FROM tk), "
+        f"gb AS MATERIALIZED (SELECT doc_id, lang, "
+        f"CAST(({md5i}) % {B} AS INTEGER) AS bucket FROM gr), "
+        "rc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY bucket), "
+        "tc AS (SELECT bucket, count(*) AS c FROM gb WHERE lang = 'en' "
+        "GROUP BY bucket), "
+        "rn AS (SELECT count(*) AS n FROM gb), "
+        "tn AS (SELECT count(*) AS n FROM gb WHERE lang = 'en'), "
+        f"dom AS (SELECT CAST(range AS INTEGER) AS bucket FROM range({B})), "
+        "ratio AS MATERIALIZED (SELECT dom.bucket, "
+        f"ln((coalesce(tc.c, 0) + 1.0) / (tn.n + {B})) - "
+        f"ln((coalesce(rc.c, 0) + 1.0) / (rn.n + {B})) AS lr "
+        "FROM dom CROSS JOIN rn CROSS JOIN tn "
+        "LEFT JOIN tc ON tc.bucket = dom.bucket "
+        "LEFT JOIN rc ON rc.bucket = dom.bucket), "
+        "w AS (SELECT gb.doc_id, sum(r.lr) AS w FROM gb "
+        "JOIN ratio r ON r.bucket = gb.bucket GROUP BY gb.doc_id) "
+        f"SELECT d.doc_id, {_r('coalesce(w.w, 0.0)', digits)} "
+        "AS log_weight FROM d LEFT JOIN w ON w.doc_id = d.doc_id "
+        "ORDER BY d.doc_id"
+    )
+
+
+def q_corpus_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py, Xie et al. NeurIPS
+    2023): hashed unigram+bigram bag models of the target corpus (the
+    English documents) vs the raw corpus (all documents); each doc's
+    log importance weight is the sum of bucket log-probability ratios
+    — positive = looks like the target. md5 buckets for the
+    cross-engine replay; xxhash64 is the production path."""
+    from generalized_kmeans_clustering_spark.operators.dsir import (
+        dsir_weights,
+    )
+
+    docs = documents(spark, sf_dir).select("doc_id", "lang", "text")
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_weights(
+        docs, target, n_buckets=512, seed=0, hash_fn="md5",
+    )
+    return out.select(
+        "doc_id", _rcol(F.col("log_weight"), 6).alias("log_weight"),
+    ).orderBy("doc_id")
+
+
 def _interleave_sql(num_shards=8, seed=3) -> str:
     """Twin of operators/sampling.interleave_shards (md5 key): shard =
     md5_60bit(id|seed) % num_shards, pos = row_number within the shard
@@ -4176,6 +4284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": q_corpus_prepare,
         "corpus_stats": q_corpus_stats,
         "corpus_sample_budget": q_corpus_sample_budget,
+        "corpus_sample_temperature": q_corpus_sample_temperature,
+        "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_interleave": q_corpus_interleave,
         "semantic_dedup_groups": q_semantic_dedup,
         "similarity_pq_topk": q_pq_topk,
@@ -4769,6 +4879,8 @@ FROM wide w ORDER BY xb
     out["corpus_prepare"] = _corpus_prepare_sql()
     out["corpus_stats"] = _corpus_stats_sql()
     out["corpus_sample_budget"] = _sample_budget_sql()
+    out["corpus_sample_temperature"] = _sample_temperature_sql()
+    out["corpus_dsir_weights"] = _dsir_weights_sql()
     out["corpus_interleave"] = _interleave_sql()
     out["semantic_dedup_groups"] = _semantic_dedup_sql()
     out["similarity_pq_topk"] = _pq_topk_sql()

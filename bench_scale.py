@@ -70,6 +70,19 @@ def scaled_documents(em, spark, sf_dir, copies):
     return out
 
 
+def scaled_embeddings(spark, sf_dir, copies):
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    out = None
+    for i in range(copies):
+        c = base.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        out = c if out is None else out.unionAll(c)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -149,6 +162,47 @@ def main():
         docs.select("doc_id",
                     Tx.token_count(F.col("text")).alias("n_tokens")),
         512, num_shards=64).groupBy("shard").count().collect())
+
+    # IVF-PQ serving path: encode (map-only) + ADC probe top-k for 50
+    # queries, models pinned (training scaling is fit_se_k8's row; the
+    # serving cost is what grows with the corpus). Candidate work is
+    # linear in corpus size — no quadratic dup structure to dodge, so
+    # plain vec_id-offset copies are the right 10x here.
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_pq_index, ivf_pq_topk,
+    )
+
+    def ivfpq_pair(scale):
+        emb = scaled_embeddings(spark, sf_dir, scale) \
+            .repartition(int(cpus)).cache()
+        emb.count()
+        base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = base.where(F.col("vec_id").between(100, 107)) \
+            .orderBy("vec_id").select("embedding").collect()
+        coarse = [[float(v) for v in r["embedding"]] for r in rows]
+        rows = base.where(F.col("vec_id").between(200, 207)) \
+            .orderBy("vec_id").select("embedding").collect()
+        vecs = [[float(v) for v in r["embedding"]] for r in rows]
+        cb = [[vec[j * 16:(j + 1) * 16] for vec in vecs] for j in range(4)]
+
+        def run():
+            enc, cm, pm = ivf_pq_index(
+                emb, n_lists=8, m=4, k_sub=8, seed=0,
+                coarse_max_iter=0, pq_max_iter=0,
+                initial_coarse=coarse, initial_codebooks=cb)
+            q = emb.where(F.col("vec_id") < 50)
+            ivf_pq_topk(enc, cm, pm, q, k=10, nprobe=4).count()
+
+        run()  # warm
+        t = timed(run)
+        emb.unpersist()
+        return t
+
+    out = {"t1": ivfpq_pair(1), "t10": ivfpq_pair(10)}
+    out["ratio"] = round(out["t10"] / out["t1"], 2)
+    results["ivf_pq_encode_topk"] = out
+    print(f"[scale] ivf_pq_encode_topk: 1x {out['t1']}s  10x {out['t10']}s"
+          f"  ratio {out['ratio']}", file=sys.stderr, flush=True)
 
     print(json.dumps({"metric": "scale_ratio_10x", "pairs": results,
                       "sf_base": sf_dir, "protocol": "v3-scale-spot"}))

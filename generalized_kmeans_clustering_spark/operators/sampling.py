@@ -30,6 +30,8 @@ __all__ = [
     "sample_hash",
     "stratified_sample_hash",
     "token_budget_sample",
+    "temperature_budgets",
+    "temperature_sample",
     "interleave_shards",
 ]
 
@@ -143,6 +145,64 @@ def token_budget_sample(
         df, fractions, strata_col=strata_col, id_col=id_col,
         default_fraction=1.0 if keep_unlisted else 0.0,
         seed=seed, hash_fn=hash_fn,
+    )
+
+
+def temperature_budgets(
+    totals: dict, alpha: float, total_budget: int
+) -> dict:
+    """Allocate a total token budget across strata by temperature
+    sampling (the multilingual-LM mixing rule, e.g. mT5/XLM-R):
+    ``p_s ∝ totals[s] ** alpha``, budget_s = p_s · total_budget.
+    ``alpha=1`` is proportional (no rebalancing); ``alpha→0`` is
+    uniform; the usual range is 0.2-0.7 to up-weight low-resource
+    strata. Pure driver math over k strata rows."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    powered = {s: (t or 0) ** alpha for s, t in totals.items() if (t or 0) > 0}
+    # fold in sorted-stratum order: float addition is order-sensitive
+    # and `totals` arrives in collect() order — keep the normalizer
+    # bit-reproducible across runs (and mirrorable by the SQL twin)
+    z = sum(powered[s] for s in sorted(powered, key=str))
+    if z == 0:
+        return {s: 0 for s in totals}
+    return {s: p / z * total_budget for s, p in powered.items()}
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    total_budget: int,
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One-call temperature-mixed sample: per-stratum token totals
+    (one map-side-combined agg, k rows to the driver) →
+    :func:`temperature_budgets` → the deterministic hash filter of
+    :func:`stratified_sample_hash`.
+
+    Downsampling only: a stratum whose temperature share exceeds its
+    actual tokens keeps everything (fraction capped at 1) — hash
+    sampling cannot replicate rows. True up-sampling of small strata
+    is an epoch-schedule concern: repeat the stratum across epochs via
+    :func:`interleave_shards` with per-epoch seeds.
+    """
+    totals = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(token_col).alias("t")).collect()
+    }
+    budgets = temperature_budgets(totals, alpha, total_budget)
+    fractions = {}
+    for stratum, budget in budgets.items():
+        total = totals.get(stratum) or 0
+        fractions[stratum] = 1.0 if total <= budget else budget / total
+    return stratified_sample_hash(
+        df, fractions, strata_col=strata_col, id_col=id_col,
+        default_fraction=0.0, seed=seed, hash_fn=hash_fn,
     )
 
 
