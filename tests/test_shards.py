@@ -1,0 +1,85 @@
+"""Training-shard sink: write/read/verify + partition pruning."""
+
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.functions import text as Tx
+from generalized_kmeans_clustering_spark.operators.packing import (
+    materialize_packs,
+    pack_concat,
+)
+from generalized_kmeans_clustering_spark.sources.shards import (
+    read_training_shards,
+    shard_manifest,
+    verify_training_shards,
+    write_training_shards,
+)
+
+
+def _packs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    spans = pack_concat(
+        docs.select("doc_id", Tx.token_count(F.col("text"))
+                    .alias("n_tokens")),
+        seq_len=64, num_shards=8, seed=1,
+    )
+    return materialize_packs(docs, spans)
+
+
+def test_roundtrip_and_verify_intact(spark, sf_dir, tmp_path):
+    packs = _packs(spark, sf_dir)
+    path = str(tmp_path / "shards")
+    write_training_shards(packs, path)
+    got, manifest = read_training_shards(spark, path)
+    assert got.count() == packs.count()
+    m = {r["shard"]: r for r in manifest.collect()}
+    assert len(m) == 8
+    # manifest totals equal the data totals per shard
+    want = {r["shard"]: r for r in shard_manifest(packs).collect()}
+    for s in want:
+        assert m[s]["n_packs"] == want[s]["n_packs"]
+        assert m[s]["n_tokens"] == want[s]["n_tokens"]
+        assert m[s]["sha256"] == want[s]["sha256"]
+    # verification passes on intact data
+    assert verify_training_shards(spark, path).count() == 0
+
+
+def test_manifest_is_reproducible_across_runs(spark, sf_dir):
+    a = {r["shard"]: r["sha256"]
+         for r in shard_manifest(_packs(spark, sf_dir)).collect()}
+    b = {r["shard"]: r["sha256"]
+         for r in shard_manifest(_packs(spark, sf_dir)).collect()}
+    assert a == b
+
+
+def test_verify_detects_tampered_manifest(spark, sf_dir, tmp_path):
+    packs = _packs(spark, sf_dir)
+    path = str(tmp_path / "shards")
+    write_training_shards(packs, path)
+    _, manifest = read_training_shards(spark, path)
+    rows = [
+        (r["shard"], r["n_packs"], r["n_docs"], r["n_tokens"],
+         "0" * 64 if r["shard"] == 3 else r["sha256"])
+        for r in manifest.collect()  # materialize before overwriting
+    ]
+    bad = spark.createDataFrame(
+        rows,
+        "shard int, n_packs long, n_docs long, n_tokens long, sha256 string",
+    )
+    bad.coalesce(1).write.mode("overwrite").json(f"{path}/manifest")
+    rows = verify_training_shards(spark, path).collect()
+    assert [r["shard"] for r in rows] == [3]
+    assert rows[0]["expected_sha256"] == "0" * 64
+    assert rows[0]["actual_sha256"] != rows[0]["expected_sha256"]
+
+
+def test_single_shard_read_prunes_partitions(spark, sf_dir, tmp_path):
+    packs = _packs(spark, sf_dir)
+    path = str(tmp_path / "shards")
+    write_training_shards(packs, path)
+    got, _ = read_training_shards(spark, path)
+    one = got.where(F.col("shard") == 5)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert one.count() > 0
+    assert one.select("shard").distinct().collect()[0]["shard"] == 5
