@@ -1169,6 +1169,98 @@ def q_corpus_dsir_weights(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _quality_lr_sql(n_buckets=256, iters=5, lr=500.0, bias_lr=1.0, seed=0,
+                    digits=6) -> str:
+    """Twin of operators/classifier train_hashed_lr + score_hashed_lr
+    (md5 buckets, labels = lang='en'): unrolled full-batch GD from
+    w=0, b=0 — per iteration margins over featured docs, residuals
+    σ(m+b) − y, bucket gradients Σ cnt·r, update w −= (lr·g)/n with
+    the engine's multiply-then-divide order; final σ scores over ALL
+    docs (gram-less docs score σ(bias))."""
+    md5i = _MD5INT.format(s=f"concat(g, '|', '{seed}')")
+    B = n_buckets
+    parts = [
+        "d AS (SELECT doc_id, lang, lower(coalesce(text, '')) AS t "
+        "FROM documents)",
+        "tk AS (SELECT doc_id, "
+        "list_filter(string_split(t, ' '), x -> x <> '') AS tk FROM d)",
+        "gr AS (SELECT doc_id, unnest(tk || "
+        "list_transform(range(1, len(tk)), i -> "
+        "tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1])) "
+        "AS g FROM tk)",
+        f"fe AS MATERIALIZED (SELECT doc_id, bucket, "
+        "c / sum(c) OVER (PARTITION BY doc_id) AS cnt FROM "
+        f"(SELECT doc_id, CAST(({md5i}) % {B} AS INTEGER) AS bucket, "
+        "CAST(count(*) AS DOUBLE) AS c FROM gr GROUP BY 1, 2))",
+        "lb AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 "
+        "END AS y FROM d)",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)",
+        # prior-logit bias init (mirrors train_hashed_lr): p clamped,
+        # sum(y)/n is an exact integer-valued double in both engines
+        "b0 AS (SELECT ln(p / (1.0 - p)) AS b FROM (SELECT "
+        "least(greatest((SELECT sum(y) FROM lb) / n.n, 1e-12), "
+        "1.0 - 1e-12) AS p FROM n))",
+        "w0 AS (SELECT 0 AS bucket, 0.0 AS w WHERE 1 = 0)",
+    ]
+    prev_w, prev_b = "w0", "b0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"m{t} AS (SELECT fe.doc_id, "
+            f"sum(fe.cnt * coalesce({prev_w}.w, 0.0)) AS m FROM fe "
+            f"LEFT JOIN {prev_w} USING (bucket) GROUP BY fe.doc_id)")
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT lb.doc_id, "
+            f"1.0 / (1.0 + exp(-(m{t}.m + {prev_b}.b))) - lb.y AS r "
+            f"FROM lb JOIN m{t} USING (doc_id) CROSS JOIN {prev_b})")
+        parts.append(
+            f"g{t} AS (SELECT fe.bucket, sum(fe.cnt * r{t}.r) AS g "
+            f"FROM fe JOIN r{t} USING (doc_id) GROUP BY fe.bucket)")
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT g.bucket, "
+            f"coalesce({prev_w}.w, 0.0) - ({lr!r} * g.g) / n.n AS w "
+            f"FROM g{t} g LEFT JOIN {prev_w} ON {prev_w}.bucket = g.bucket "
+            "CROSS JOIN n)")
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT {prev_b}.b - "
+            f"({bias_lr!r} * (SELECT sum(r) FROM r{t})) / n.n AS b "
+            f"FROM n CROSS JOIN {prev_b})")
+        prev_w, prev_b = f"w{t}", f"b{t}"
+    parts.append(
+        f"mf AS (SELECT fe.doc_id, sum(fe.cnt * coalesce({prev_w}.w, 0.0)) "
+        f"AS m FROM fe LEFT JOIN {prev_w} USING (bucket) "
+        "GROUP BY fe.doc_id)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT d.doc_id, "
+        + _r(f"1.0 / (1.0 + exp(-(coalesce(mf.m, 0.0) + {prev_b}.b)))",
+             digits)
+        + f" AS quality_score FROM d LEFT JOIN mf USING (doc_id) "
+        f"CROSS JOIN {prev_b} ORDER BY d.doc_id"
+    )
+
+
+def q_corpus_quality_lr(spark, sf_dir):
+    """Hashed n-gram logistic quality classifier
+    (operators/classifier.py — the GPT-3/CCNet-style corpus filter):
+    full-batch GD over hashed unigram+bigram buckets with the English
+    documents as the quality reference, then σ scores for every doc.
+    md5 buckets for the cross-engine replay; xxhash64 in production."""
+    from generalized_kmeans_clustering_spark.operators.classifier import (
+        score_hashed_lr, train_hashed_lr,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("_y"))
+    model = train_hashed_lr(
+        docs, "_y", n_buckets=256, max_iter=5, learning_rate=500.0,
+        bias_learning_rate=1.0, seed=0, hash_fn="md5",
+    )
+    out = score_hashed_lr(docs, model)
+    return out.select(
+        "doc_id", _rcol(F.col("quality_score"), 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
 def _interleave_sql(num_shards=8, seed=3) -> str:
     """Twin of operators/sampling.interleave_shards (md5 key): shard =
     md5_60bit(id|seed) % num_shards, pos = row_number within the shard
@@ -4286,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_budget": q_corpus_sample_budget,
         "corpus_sample_temperature": q_corpus_sample_temperature,
         "corpus_dsir_weights": q_corpus_dsir_weights,
+        "corpus_quality_lr": q_corpus_quality_lr,
         "corpus_interleave": q_corpus_interleave,
         "semantic_dedup_groups": q_semantic_dedup,
         "similarity_pq_topk": q_pq_topk,
@@ -4881,6 +4974,7 @@ FROM wide w ORDER BY xb
     out["corpus_sample_budget"] = _sample_budget_sql()
     out["corpus_sample_temperature"] = _sample_temperature_sql()
     out["corpus_dsir_weights"] = _dsir_weights_sql()
+    out["corpus_quality_lr"] = _quality_lr_sql()
     out["corpus_interleave"] = _interleave_sql()
     out["semantic_dedup_groups"] = _semantic_dedup_sql()
     out["similarity_pq_topk"] = _pq_topk_sql()

@@ -1,0 +1,209 @@
+"""Hashed n-gram quality classifier (the GPT-3/CCNet-style filter).
+
+Engine extension (driver mandate: training-data pipeline operators).
+The canonical corpus quality filter trains a linear classifier over
+hashed bag-of-n-gram features with a "good" reference corpus as
+positives (WebText/Wikipedia in GPT-3's pipeline) and raw crawl as
+negatives, then keeps documents whose score passes a (possibly
+stochastically relaxed) threshold. This module is that filter as pure
+DataFrame algebra — logistic regression on the same hashed
+unigram+bigram buckets :mod:`.dsir` uses, trained by full-batch
+gradient descent:
+
+    score(doc) = σ(b + Σ_buckets count·w[bucket])
+    grad_w[k]  = Σ_docs (σ(margin_d) − y_d) · count_{d,k} / n
+    grad_b     = Σ_docs (σ(margin_d) − y_d) / n
+
+Distribution model: features are exploded ONCE into
+``(doc_id, bucket, cnt, y)`` (cached / pre-partitioned by doc id);
+each GD iteration is two aggregations — margins by doc (the B-row
+weight table joins in broadcast), gradients by bucket (≤ B rows to
+the driver, which holds the weight vector between iterations: model
+state, B doubles, never data). No per-row Python, no all-pairs, no
+driver materialization of any per-doc state.
+
+Full-batch GD (not SGD) is the deliberate choice: deterministic for a
+given input (sums are order-rounded only at 1e-15 — outputs are
+stable to any sane rounding), embarrassingly parallel, and a handful
+of passes is enough for the filtering use-case where only the score
+ORDER matters. At 100 TB, train on a hash sample
+(:func:`~.sampling.sample_hash`) — quality-filter fidelity saturates
+far below corpus size — then score the corpus in one map-side
+broadcast join + doc-keyed aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dsir import dsir_ngram_buckets
+
+__all__ = ["HashedLRModel", "train_hashed_lr", "score_hashed_lr"]
+
+
+@dataclass
+class HashedLRModel:
+    """``weights[k]`` is bucket k's coefficient; ``bias`` the
+    intercept; ``n_buckets``/``seed``/``hash_fn`` pin the featurizer
+    so scoring reproduces training's buckets."""
+
+    weights: list
+    bias: float
+    n_buckets: int
+    seed: int
+    hash_fn: str
+
+
+def _features(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    seed: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, bucket, cnt): per-doc hashed n-gram term frequencies,
+    exploded. tf (count / doc gram total — the fastText-style
+    normalization) rather than raw counts: it bounds every margin by
+    max|w| regardless of document length, so GD is stable without
+    per-dataset learning-rate tuning. The per-doc totals are integer
+    sums (exact in float — order-independent), keeping features
+    bit-deterministic."""
+    counts = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                dsir_ngram_buckets(F.col(text_col), n_buckets, seed, hash_fn)
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("_c").over(Window.partitionBy(id_col))
+    return counts.select(
+        id_col, "bucket", (F.col("_c") / total).alias("cnt"))
+
+
+def train_hashed_lr(
+    df: DataFrame,
+    label_col: str,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+    learning_rate: float = 1.0,
+    bias_learning_rate: float | None = None,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> HashedLRModel:
+    """Fit the classifier. ``label_col`` is 0/1 (1 = quality
+    reference). Per iteration: one doc-keyed aggregation (margins +
+    residuals) and one bucket-keyed aggregation (gradients, ≤ B rows
+    collected). Weights start at zero, step = plain GD with the
+    1/n-scaled gradient — deterministic given the input set.
+
+    ``bias_learning_rate`` (default: ``learning_rate``) exists because
+    the two gradient scales differ by orders of magnitude: the bias
+    gradient is a mean residual (O(0.1)) while tf-scaled weight
+    gradients are O(tf·residual) ≈ O(1e-3) — a weight-sized step
+    diverges on the bias (its curvature bounds stable steps at
+    ~2/(p(1-p))). With the prior-logit init the bias starts at the
+    constant-model optimum, so a small/zero bias rate is the stable
+    choice while weights take the large steps they need."""
+    spark = df.sparkSession
+    feats = _features(df, n_buckets, text_col, id_col, seed, hash_fn)
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y"))
+    agg = labels.agg(
+        F.count("*").alias("n"), F.sum("_y").alias("pos")).first()
+    n = agg["n"]
+    if n == 0:
+        raise ValueError("train_hashed_lr: empty input")
+    feats = feats.join(labels, id_col).cache()
+
+    w = [0.0] * n_buckets
+    # start the bias at the class prior's logit: the constant-predictor
+    # optimum. Otherwise plain GD spends its first iterations moving
+    # the bias (whose gradient is ~|0.5 − ȳ|, orders of magnitude
+    # larger than any tf-scaled weight gradient) and the weights barely
+    # learn within a small iteration budget.
+    pos = float(agg["pos"] or 0.0)
+    p = min(max(pos / n, 1e-12), 1.0 - 1e-12)
+    b = math.log(p / (1.0 - p))
+    bias_lr = (learning_rate if bias_learning_rate is None
+               else bias_learning_rate)
+    for _ in range(max_iter):
+        wt = spark.createDataFrame(
+            [(k, wk) for k, wk in enumerate(w) if wk != 0.0] or [(0, 0.0)],
+            "bucket int, w double",
+        )
+        margins = (
+            feats.join(F.broadcast(wt), "bucket", "left")
+            .groupBy(id_col, "_y")
+            .agg(F.sum(
+                F.col("cnt") * F.coalesce(F.col("w"), F.lit(0.0))
+            ).alias("_m"))
+            .withColumn(
+                "_r",
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_m") + F.lit(b))))
+                - F.col("_y"),
+            )
+        )
+        grads = {
+            r["bucket"]: r["g"]
+            for r in feats.join(
+                margins.select(id_col, "_r"), id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("cnt") * F.col("_r")).alias("g"))
+            .collect()
+        }
+        gb = margins.agg(F.sum("_r")).first()[0] or 0.0
+        w = [
+            wk - learning_rate * grads.get(k, 0.0) / n
+            for k, wk in enumerate(w)
+        ]
+        b = b - bias_lr * gb / n
+    feats.unpersist()
+    return HashedLRModel(
+        weights=w, bias=b, n_buckets=n_buckets, seed=seed, hash_fn=hash_fn)
+
+
+def score_hashed_lr(
+    df: DataFrame,
+    model: HashedLRModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """``df`` plus ``quality_score`` = σ(bias + Σ count·w[bucket]) —
+    one broadcast join of the B-row weight table + one doc-keyed
+    aggregation; docs with no grams score σ(bias)."""
+    spark = df.sparkSession
+    wt = spark.createDataFrame(
+        [(k, wk) for k, wk in enumerate(model.weights) if wk != 0.0]
+        or [(0, 0.0)],
+        "bucket int, w double",
+    )
+    feats = _features(
+        df, model.n_buckets, text_col, id_col, model.seed, model.hash_fn)
+    margins = (
+        feats.join(F.broadcast(wt), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum(
+            F.col("cnt") * F.coalesce(F.col("w"), F.lit(0.0))
+        ).alias("_m"))
+    )
+    sig = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.coalesce(F.col("_m"), F.lit(0.0))
+                             + F.lit(model.bias))))
+    return (
+        df.join(margins, id_col, "left")
+        .withColumn(score_col, sig)
+        .drop("_m")
+    )

@@ -1,0 +1,121 @@
+"""Hashed n-gram logistic quality classifier."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.classifier import (
+    HashedLRModel,
+    score_hashed_lr,
+    train_hashed_lr,
+)
+
+
+def _labeled(spark):
+    pos = [
+        "the quick brown fox jumps over the lazy dog",
+        "a well written sentence with proper words",
+        "the cat sat on the mat and purred softly",
+        "clear prose is the mark of quality text",
+    ]
+    neg = [
+        "buy cheap now click here buy cheap now",
+        "zzz qqq xxx spam spam spam click click",
+        "win win win free free free click now",
+        "qqq zzz buy buy buy cheap cheap cheap",
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(pos)] + [
+        (100 + i, t, 0) for i, t in enumerate(neg)]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_train_separates_pos_from_neg(spark):
+    df = _labeled(spark)
+    model = train_hashed_lr(df, "label", n_buckets=256, max_iter=30,
+                            learning_rate=100.0, bias_learning_rate=1.0)
+    scored = score_hashed_lr(df, model)
+    s = {r["doc_id"]: r["quality_score"] for r in scored.collect()}
+    pos = [s[i] for i in range(4)]
+    neg = [s[100 + i] for i in range(4)]
+    assert min(pos) > max(neg), (pos, neg)
+    assert all(0.0 < v < 1.0 for v in s.values())
+
+
+def test_training_is_deterministic(spark):
+    df = _labeled(spark)
+    a = train_hashed_lr(df, "label", n_buckets=128, max_iter=5)
+    b = train_hashed_lr(df, "label", n_buckets=128, max_iter=5)
+    assert a.weights == b.weights and a.bias == b.bias
+
+
+def test_zero_iter_model_scores_prior(spark):
+    # balanced labels -> prior logit 0 -> every doc scores 0.5
+    df = _labeled(spark)
+    model = train_hashed_lr(df, "label", n_buckets=64, max_iter=0)
+    assert model.weights == [0.0] * 64 and model.bias == 0.0
+    scored = score_hashed_lr(df, model)
+    for r in scored.collect():
+        assert math.isclose(r["quality_score"], 0.5, rel_tol=1e-12)
+    # unbalanced labels -> bias starts at logit(pos/n)
+    skew = df.where(F.col("doc_id") != 103)  # 4 pos, 3 neg
+    m2 = train_hashed_lr(skew, "label", n_buckets=64, max_iter=0)
+    assert math.isclose(m2.bias, math.log((4 / 7) / (3 / 7)), rel_tol=1e-12)
+
+
+def test_score_handles_null_and_empty_text(spark):
+    df = _labeled(spark)
+    model = train_hashed_lr(df, "label", n_buckets=128, max_iter=5)
+    extra = spark.createDataFrame(
+        [(500, None, 0), (501, "", 0)], "doc_id long, text string, label int")
+    scored = score_hashed_lr(extra, model)
+    want = 1.0 / (1.0 + math.exp(-model.bias))
+    for r in scored.collect():
+        assert math.isclose(r["quality_score"], want, rel_tol=1e-12)
+
+
+def test_empty_input_raises(spark):
+    df = _labeled(spark).where(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        train_hashed_lr(df, "label", n_buckets=32)
+
+
+def test_gd_step_matches_hand_computation(spark):
+    # one doc "a a" (label 1), one doc "b" (label 0): after one
+    # iteration from w=0,b=0 the gradient is computable by hand.
+    # residuals at w=0: sigma(0) - y -> -0.5 (doc 0), +0.5 (doc 1);
+    # grad[k] = sum_docs(cnt*r)/n; step = -grad. Expected buckets come
+    # from the featurizer itself so collisions can't break the test.
+    from collections import Counter
+
+    from generalized_kmeans_clustering_spark.operators.dsir import (
+        dsir_ngram_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a a", 1), (1, "b", 0)], "doc_id long, text string, label int")
+    B = 8
+    rows = df.select(
+        "doc_id",
+        dsir_ngram_buckets(F.col("text"), B, 0, "md5").alias("bk"),
+    ).collect()
+    buckets = {r["doc_id"]: Counter(r["bk"]) for r in rows}
+    assert sum(buckets[0].values()) == 3  # 'a','a','a a'
+    assert sum(buckets[1].values()) == 1  # 'b'
+    expected = [0.0] * B
+    for doc, resid in ((0, -0.5), (1, 0.5)):  # balanced prior: b0=0
+        total = sum(buckets[doc].values())
+        for k, cnt in buckets[doc].items():
+            expected[k] -= 1.0 * ((cnt / total) * resid) / 2.0
+    model = train_hashed_lr(df, "label", n_buckets=B, max_iter=1,
+                            learning_rate=1.0, hash_fn="md5")
+    assert model.weights == pytest.approx(expected)
+    assert model.bias == pytest.approx(0.0)  # residuals cancel
+
+
+def test_plan_is_python_free(spark):
+    df = _labeled(spark)
+    model = train_hashed_lr(df, "label", n_buckets=64, max_iter=2)
+    scored = score_hashed_lr(df, model)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
