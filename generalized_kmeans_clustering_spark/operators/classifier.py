@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 
 from .dsir import dsir_ngram_buckets
 
-__all__ = ["HashedLRModel", "train_hashed_lr", "score_hashed_lr"]
+__all__ = ["HashedLRModel", "train_hashed_lr", "score_hashed_lr",
+           "pareto_quality_filter"]
 
 
 @dataclass
@@ -207,3 +208,29 @@ def score_hashed_lr(
         .withColumn(score_col, sig)
         .drop("_m")
     )
+
+
+def pareto_quality_filter(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """GPT-3's stochastic quality keep rule: keep a document iff
+    ``score > 1 − pareto(alpha)`` — high scorers are almost always
+    kept, low scorers survive with small probability, preserving some
+    distributional diversity instead of a hard cliff. The Pareto draw
+    is the deterministic inverse-CDF of a hash uniform
+    (``(1−u)^(−1/alpha) − 1`` with ``u = (bucket+0.5)/1e6``), so the
+    kept set is reproducible on any partitioning or engine — one
+    expression-only filter, pushable to the scan."""
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    from .sampling import _SCALE, _bucket
+
+    u = (_bucket(F.col(id_col), seed, hash_fn) + F.lit(0.5)) / F.lit(
+        float(_SCALE))
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scored.where(F.col(score_col) > F.lit(1.0) - pareto)

@@ -113,6 +113,27 @@ def test_gd_step_matches_hand_computation(spark):
     assert model.bias == pytest.approx(0.0)  # residuals cancel
 
 
+def test_pareto_filter_keeps_high_scores_and_is_deterministic(spark):
+    from generalized_kmeans_clustering_spark.operators.classifier import (
+        pareto_quality_filter,
+    )
+
+    rows = [(i, 0.95) for i in range(200)] + [
+        (1000 + i, 0.05) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, quality_score double")
+    kept = pareto_quality_filter(df, alpha=9.0)
+    hi = kept.where("doc_id < 1000").count()
+    lo = kept.where("doc_id >= 1000").count()
+    # P(keep | 0.95) = P(pareto > 0.05) = (1.05)^-9 ~ 0.64
+    # P(keep | 0.05) = P(pareto > 0.95) = (1.95)^-9 ~ 0.0025
+    assert hi > 90 and lo < 20, (hi, lo)
+    again = pareto_quality_filter(df, alpha=9.0)
+    assert sorted(r["doc_id"] for r in kept.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    with pytest.raises(ValueError):
+        pareto_quality_filter(df, alpha=0)
+
+
 def test_plan_is_python_free(spark):
     df = _labeled(spark)
     model = train_hashed_lr(df, "label", n_buckets=64, max_iter=2)
