@@ -2443,6 +2443,67 @@ def _gkm_full_sql(iters=10, k=8, d=4, digits=4) -> str:
     )
 
 
+def _knn_cosine_sql(k=3) -> str:
+    """Twin of q_knn_cosine: exact brute-force cosine top-k."""
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+        "s AS (SELECT query_id, neighbor_id, "
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim "
+        "FROM c CROSS JOIN q WHERE neighbor_id <> query_id), "
+        "r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM s) "
+        f"SELECT query_id, neighbor_id, {_r('sim', 6)} AS sim, rank FROM r "
+        f"WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+def _ivf_recall_sql(k=3) -> str:
+    """Twin of q_ivf_recall: recall@k of the pinned-centroid IVF probe
+    against the exact brute-force top-k — both sides are the existing
+    oracle twins composed as subqueries; recall = hit count / k."""
+    return (
+        f"WITH a AS (SELECT query_id, neighbor_id FROM ({_ivf_topk_sql()})), "
+        f"e AS (SELECT query_id, neighbor_id FROM ({_knn_cosine_sql()})), "
+        f"h AS (SELECT a.query_id, count(*) / CAST({k} AS DOUBLE) AS r "
+        "FROM a JOIN e ON a.query_id = e.query_id "
+        "AND a.neighbor_id = e.neighbor_id GROUP BY a.query_id), "
+        "qs AS (SELECT DISTINCT query_id FROM e) "
+        f"SELECT qs.query_id, {_r('coalesce(h.r, 0.0)', 6)} AS recall "
+        "FROM qs LEFT JOIN h ON h.query_id = qs.query_id "
+        "ORDER BY qs.query_id"
+    )
+
+
+def q_ivf_recall(spark, sf_dir):
+    """In-engine ANN quality gauge (operators/similarity.ann_recall):
+    recall@3 of the pinned-centroid IVF probe (nprobe=4 of 8 lists)
+    against the exact cosine top-3 — the measurement loop a user runs
+    while tuning nprobe/n_lists; at scale it joins only the two result
+    tables, never the corpus."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ann_recall, cosine_topk, ivf_index, ivf_topk,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    cen_rows = (
+        emb.where(F.col("vec_id").between(100, 107))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    init = [[float(v) for v in r["embedding"]] for r in cen_rows]
+    indexed, model = ivf_index(
+        emb, n_lists=8, seed=42, max_iter=0, initial_centers=init
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = ivf_topk(indexed, model, queries, k=3, nprobe=4)
+    exact = cosine_topk(emb, queries, k=3)
+    out = ann_recall(approx, exact, k=3)
+    return out.select(
+        "query_id", _rcol(F.col("recall"), 6).alias("recall"),
+    ).orderBy("query_id")
+
+
 def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107) -> str:
     """Twin of q_ivf_topk: fixed coarse centroids (corpus vectors
     cen_lo..cen_hi), spherical assignment with the engine's exact
@@ -4383,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_groups": q_semantic_dedup,
         "similarity_pq_topk": q_pq_topk,
         "similarity_ivfpq_topk": q_ivfpq_topk,
+        "similarity_ivf_recall": q_ivf_recall,
         "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
@@ -4979,6 +5041,7 @@ FROM wide w ORDER BY xb
     out["semantic_dedup_groups"] = _semantic_dedup_sql()
     out["similarity_pq_topk"] = _pq_topk_sql()
     out["similarity_ivfpq_topk"] = _ivfpq_topk_sql()
+    out["similarity_ivf_recall"] = _ivf_recall_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()
@@ -4998,16 +5061,5 @@ FROM wide w ORDER BY xb
     out["sparse_kl_assign"] = _sparse_kl_assign_sql()
 
     out["similarity_ivf_topk"] = _ivf_topk_sql()
-    out["knn_cosine_top3"] = (
-        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
-        "FROM embeddings WHERE vec_id < 5), "
-        "c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
-        "s AS (SELECT query_id, neighbor_id, "
-        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim "
-        "FROM c CROSS JOIN q WHERE neighbor_id <> query_id), "
-        "r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER "
-        "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM s) "
-        f"SELECT query_id, neighbor_id, {_r('sim', 6)} AS sim, rank FROM r "
-        "WHERE rank <= 3 ORDER BY query_id, rank"
-    )
+    out["knn_cosine_top3"] = _knn_cosine_sql()
     return out

@@ -25,6 +25,7 @@ from ..functions.kernels import dot
 __all__ = [
     "cosine_sim", "cosine_topk", "ivf_index", "ivf_topk",
     "embedding_near_dup_pairs", "embedding_near_dups_ivf",
+    "ann_recall",
 ]
 
 
@@ -201,6 +202,36 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rank")
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against an
+    exact baseline: ``(query_id, recall)`` with recall = |approx ∩
+    exact| / k. The in-engine quality gauge for tuning
+    nprobe/n_lists/PQ size — run it on a query sample while the index
+    parameters are chosen, at full scale it is one equi-join + one
+    groupBy on the (tiny) result tables, never on the corpus.
+
+    Queries present in ``exact`` but absent from ``approx`` (or with
+    no overlapping neighbors) score 0."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    hits = (
+        approx.select(query_col, neighbor_col)
+        .join(exact.select(query_col, neighbor_col),
+              [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg((F.count("*") / F.lit(float(k))).alias("recall"))
+    )
+    qs = exact.select(query_col).distinct()
+    return qs.join(hits, query_col, "left").select(
+        query_col, F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall"))
 
 
 def write_ivf_index(indexed: DataFrame, model, path: str,

@@ -120,3 +120,23 @@ def test_ivf_recall(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, recall
+
+
+def test_ann_recall_counts_overlap_per_query(spark):
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ann_recall,
+    )
+
+    exact = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 12), (1, 20), (1, 21), (1, 22),
+         (2, 30), (2, 31), (2, 32)],
+        "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 99),   # 2/3
+         (1, 20), (1, 21), (1, 22)],  # 3/3; query 2 missing -> 0
+        "query_id long, neighbor_id long")
+    out = {r["query_id"]: r["recall"]
+           for r in ann_recall(approx, exact, k=3).collect()}
+    assert out == {0: pytest.approx(2 / 3), 1: pytest.approx(1.0), 2: 0.0}
+    with pytest.raises(ValueError):
+        ann_recall(approx, exact, k=0)
