@@ -211,6 +211,52 @@ def main():
                     .alias("n_tokens")),
         512, num_shards=64,
     ).groupBy("shard").count().collect())
+    # DSIR importance weights: hashed n-gram bucket models (target =
+    # the English docs) + broadcast log-ratio scoring of every doc
+    from generalized_kmeans_clustering_spark.operators.dsir import (
+        dsir_weights,
+    )
+    timed("dsir_weights", lambda: dsir_weights(
+        docs.select("doc_id", "lang", "text"),
+        docs.where(F.col("lang") == "en").select("doc_id", "lang", "text"),
+        n_buckets=4096,
+    ).agg(F.sum("log_weight")).collect())
+    # hashed-tf logistic quality classifier: 5 GD iterations (2 aggs
+    # each) + full-corpus scoring pass
+    from generalized_kmeans_clustering_spark.operators.classifier import (
+        score_hashed_lr, train_hashed_lr,
+    )
+
+    def _quality_lr():
+        labeled = docs.select(
+            "doc_id", "text", (F.col("lang") == "en").cast("int").alias("_y"))
+        model = train_hashed_lr(labeled, "_y", n_buckets=4096, max_iter=5,
+                                learning_rate=300.0, bias_learning_rate=1.0)
+        score_hashed_lr(labeled, model).agg(
+            F.avg("quality_score")).collect()
+
+    timed("quality_lr_train_score", _quality_lr)
+    # residual IVF-PQ serving path: encode corpus + ADC top-10 for 50
+    # queries (models pinned — training cost is the fit_* rows)
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_pq_index, ivf_pq_topk,
+    )
+
+    def _ivfpq():
+        rows = emb.where(F.col("vec_id").between(100, 107)) \
+            .orderBy("vec_id").select("embedding").collect()
+        coarse = [[float(v) for v in r["embedding"]] for r in rows]
+        rows = emb.where(F.col("vec_id").between(200, 207)) \
+            .orderBy("vec_id").select("embedding").collect()
+        vecs = [[float(v) for v in r["embedding"]] for r in rows]
+        cb = [[vec[j * 16:(j + 1) * 16] for vec in vecs] for j in range(4)]
+        enc, cm, pm = ivf_pq_index(
+            emb, n_lists=8, m=4, k_sub=8, seed=0, coarse_max_iter=0,
+            pq_max_iter=0, initial_coarse=coarse, initial_codebooks=cb)
+        ivf_pq_topk(enc, cm, pm, emb.where(F.col("vec_id") < 50),
+                    k=10, nprobe=4).count()
+
+    timed("ivfpq_encode_topk", _ivfpq)
     # soft-kmeans fit (fuzzy variant: one-agg-per-iteration path)
     from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeans
     timed("fit_soft_k4", lambda: SoftKMeans(

@@ -181,10 +181,39 @@ def score_hashed_lr(
     text_col: str = "text",
     id_col: str = "doc_id",
     score_col: str = "quality_score",
+    method: str = "join",
 ) -> DataFrame:
-    """``df`` plus ``quality_score`` = σ(bias + Σ count·w[bucket]) —
-    one broadcast join of the B-row weight table + one doc-keyed
-    aggregation; docs with no grams score σ(bias)."""
+    """``df`` plus ``quality_score`` = σ(bias + Σ tf·w[bucket]); docs
+    with no grams score σ(bias).
+
+    ``method="join"`` (default): one broadcast join of the B-row
+    weight table + one doc-keyed aggregation — the right shape when B
+    is large (weights never enter the plan).
+    ``method="expression"``: the weight vector rides as an expression
+    literal and the margin is a pure projection
+    (``aggregate`` over the gram buckets) — NO shuffle, no
+    aggregation, so it composes with Structured Streaming untouched
+    (stateless map) and with any downstream operator without a stage
+    break. Plan size grows with B; prefer it for B ≤ ~64k."""
+    if method == "expression":
+        from ..functions.kernels import array_lit
+
+        buckets = dsir_ngram_buckets(
+            F.col(text_col), model.n_buckets, model.seed, model.hash_fn)
+        w_lit = array_lit(model.weights)
+        staged = df.withColumn("_bk", buckets)
+        margin = F.when(
+            F.size("_bk") > 0,
+            F.aggregate(
+                F.col("_bk"), F.lit(0.0),
+                lambda acc, bk: acc + F.element_at(w_lit, bk + 1),
+            ) / F.size("_bk"),
+        ).otherwise(F.lit(0.0))
+        sig = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(margin + F.lit(model.bias))))
+        return staged.withColumn(score_col, sig).drop("_bk")
+    if method != "join":
+        raise ValueError(f"method: join | expression, got {method!r}")
     spark = df.sparkSession
     wt = spark.createDataFrame(
         [(k, wk) for k, wk in enumerate(model.weights) if wk != 0.0]

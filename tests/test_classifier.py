@@ -134,6 +134,47 @@ def test_pareto_filter_keeps_high_scores_and_is_deterministic(spark):
         pareto_quality_filter(df, alpha=0)
 
 
+def test_expression_scoring_matches_join_scoring(spark):
+    df = _labeled(spark)
+    model = train_hashed_lr(df, "label", n_buckets=128, max_iter=8,
+                            learning_rate=50.0, bias_learning_rate=1.0)
+    a = {r["doc_id"]: r["quality_score"]
+         for r in score_hashed_lr(df, model, method="join").collect()}
+    b = {r["doc_id"]: r["quality_score"]
+         for r in score_hashed_lr(df, model,
+                                  method="expression").collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=1e-9), k
+    # expression path is a pure projection: no Exchange at all
+    plan = score_hashed_lr(df, model, method="expression") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    with pytest.raises(ValueError, match="method"):
+        score_hashed_lr(df, model, method="bogus")
+
+
+def test_expression_scoring_composes_with_streaming(spark, tmp_path):
+    df = _labeled(spark)
+    model = train_hashed_lr(df, "label", n_buckets=128, max_iter=8,
+                            learning_rate=50.0, bias_learning_rate=1.0)
+    src = str(tmp_path / "stream_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, label int").parquet(src)
+    scored = score_hashed_lr(stream, model, method="expression")
+    q = (scored.writeStream.format("memory").queryName("quality_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["quality_score"]
+           for r in spark.sql("SELECT * FROM quality_sink").collect()}
+    want = {r["doc_id"]: r["quality_score"]
+            for r in score_hashed_lr(df, model,
+                                     method="expression").collect()}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert math.isclose(got[k], want[k], rel_tol=1e-12), k
+
+
 def test_plan_is_python_free(spark):
     df = _labeled(spark)
     model = train_hashed_lr(df, "label", n_buckets=64, max_iter=2)
