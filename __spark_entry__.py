@@ -2443,6 +2443,90 @@ def _gkm_full_sql(iters=10, k=8, d=4, digits=4) -> str:
     )
 
 
+def _top_ngrams_sql(n=2, k=25) -> str:
+    """Twin of operators/text_features.top_ngrams: whitespace bigrams
+    (space-joined), corpus-wide counts, top-k by (occurrences DESC,
+    ngram ASC)."""
+    return (
+        "WITH tk AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS tk "
+        "FROM documents), "
+        "gr AS (SELECT doc_id, unnest("
+        f"list_filter(list_transform(range(1, len(tk) - {n} + 2), "
+        f"i -> array_to_string(tk[CAST(i AS INTEGER) : "
+        f"CAST(i AS INTEGER) + {n} - 1], ' ')), "
+        "g -> len(string_split(g, ' ')) = " + str(n) + ")) AS g FROM tk), "
+        "c AS (SELECT g AS ngram, CAST(count(DISTINCT doc_id) AS BIGINT) "
+        "AS n_docs, CAST(count(*) AS BIGINT) AS n_occurrences "
+        "FROM gr GROUP BY g) "
+        "SELECT ngram, n_docs, n_occurrences, "
+        "CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC) "
+        "AS INTEGER) AS rank FROM c "
+        f"ORDER BY n_occurrences DESC, ngram ASC LIMIT {k}"
+    )
+
+
+def q_doc_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-k bigrams (operators/text_features.top_ngrams):
+    the boilerplate-discovery / contamination-screening analytics
+    staple — zipfian counts collapse map-side, final top-k is a
+    TakeOrdered."""
+    from generalized_kmeans_clustering_spark.operators.text_features import (
+        top_ngrams,
+    )
+
+    docs = documents(spark, sf_dir)
+    return top_ngrams(docs, n=2, k=25).select(
+        "ngram", "n_docs", "n_occurrences", "rank"
+    ).orderBy("rank")
+
+
+def _emb_simhash_sql(num_bits=60, dim=64, seed=42) -> str:
+    """Twin of operators/similarity.embedding_simhash: the SAME
+    driver-generated Rademacher hyperplanes as literals (srp_signs is
+    parameter state, not a cross-engine hash), per-bit explicit
+    left-fold dot (multiplication by ±1.0 is exact, so the fold is
+    bit-identical to Spark's aggregate(zip_with))."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        srp_signs,
+    )
+
+    signs = srp_signs(num_bits, dim, seed)
+    bits = []
+    for i, row in enumerate(signs):
+        lits = ", ".join("1.0" if v > 0 else "-1.0" for v in row)
+        fold = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), t -> "
+            f"v[CAST(t AS INTEGER)] * ([{lits}])[CAST(t AS INTEGER)]), "
+            "(a, b) -> a + b)"
+        )
+        bits.append(
+            f"(CASE WHEN {fold} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT "
+            "END)")
+    return (
+        "WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings) "
+        "SELECT vec_id, CAST(" + " + ".join(bits) + " AS BIGINT) "
+        "AS simhash FROM t ORDER BY vec_id"
+    )
+
+
+def q_emb_simhash(spark, sf_dir):
+    """Sign-random-projection SimHash for embeddings
+    (operators/similarity.embedding_simhash, Charikar LSH): 60
+    Rademacher hyperplane sign bits packed into a BIGINT — Hamming
+    distance estimates cosine angle; map-only, no index, feeds the
+    dedup layer's pigeonhole blocking."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        embedding_simhash,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    return embedding_simhash(emb, num_bits=60, seed=42).select(
+        "vec_id", "simhash"
+    ).orderBy("vec_id")
+
+
 def _knn_cosine_sql(k=3) -> str:
     """Twin of q_knn_cosine: exact brute-force cosine top-k."""
     return (
@@ -4445,6 +4529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_topk": q_pq_topk,
         "similarity_ivfpq_topk": q_ivfpq_topk,
         "similarity_ivf_recall": q_ivf_recall,
+        "doc_top_ngrams": q_doc_top_ngrams,
+        "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
@@ -5042,6 +5128,8 @@ FROM wide w ORDER BY xb
     out["similarity_pq_topk"] = _pq_topk_sql()
     out["similarity_ivfpq_topk"] = _ivfpq_topk_sql()
     out["similarity_ivf_recall"] = _ivf_recall_sql()
+    out["doc_top_ngrams"] = _top_ngrams_sql()
+    out["emb_simhash_srp"] = _emb_simhash_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()

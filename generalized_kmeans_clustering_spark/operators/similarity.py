@@ -25,6 +25,7 @@ from ..functions.kernels import dot
 __all__ = [
     "cosine_sim", "cosine_topk", "ivf_index", "ivf_topk",
     "embedding_near_dup_pairs", "embedding_near_dups_ivf",
+    "embedding_simhash", "embedding_simhash_near_dups",
     "ann_recall",
 ]
 
@@ -202,6 +203,80 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rank")
     )
+
+
+def srp_signs(num_bits: int, dim: int, seed: int) -> list:
+    """Deterministic Rademacher hyperplane matrix (num_bits × dim of
+    ±1.0) from md5 of ``seed|bit|dim`` — parameter state, generated
+    driver-side and embedded as literals, so any engine (the DuckDB
+    oracle included) reproduces it without sharing a hash function."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(
+                f"{seed}|{i}|{j}".encode()).digest()[0] & 1 else -1.0
+            for j in range(dim)
+        ]
+        for i in range(num_bits)
+    ]
+
+
+def embedding_simhash(
+    df: DataFrame,
+    num_bits: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Charikar sign-random-projection signatures for embeddings:
+    bit i = [⟨v, hᵢ⟩ > 0] with Rademacher hyperplanes hᵢ —
+    P(bit differs) = angle(u,v)/π, so Hamming distance estimates
+    cosine similarity. The text-SimHash twin for the vector column:
+    60 bits packed into a positive BIGINT, map-only (hyperplanes are
+    ~num_bits·d literal doubles — parameter state, never data), no
+    shuffle; feed the result to
+    :func:`~.dedup.simhash_near_dups`-style pigeonhole blocking.
+
+    Unlike :func:`embedding_near_dups_ivf` this needs NO trained
+    index — the right tool when you want one cheap pass that buckets
+    near-duplicate vectors before any clustering exists."""
+    from ..functions.kernels import array_lit, dot
+
+    first = df.select(F.size(vec_col).alias("n")).first()
+    if first is None:
+        raise ValueError("embedding_simhash: empty input")
+    dim = first["n"]
+    signs = srp_signs(num_bits, dim, seed)
+    v = _as_double(F.col(vec_col))
+    sig = F.lit(0).cast("long")
+    for i, row in enumerate(signs):
+        sig = sig + F.when(
+            dot(v, array_lit(row)) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, sig)
+
+
+def embedding_simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(i, j, hamming) pairs with signature Hamming ≤ max_hamming —
+    :func:`embedding_simhash` composed with the dedup layer's 16-bit
+    pigeonhole blocked join (sound for max_hamming ≤ 3): candidate
+    work is per-bucket, never all-pairs."""
+    from .dedup import simhash_near_dups
+
+    sigs = embedding_simhash(
+        df, num_bits=num_bits, id_col=id_col, vec_col=vec_col, seed=seed)
+    return simhash_near_dups(
+        sigs.select(id_col, "simhash"), id_col=id_col,
+        max_hamming=max_hamming)
 
 
 def ann_recall(

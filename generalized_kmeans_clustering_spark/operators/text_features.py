@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["term_counts", "tfidf", "top_terms_per_doc"]
+__all__ = ["term_counts", "tfidf", "top_terms_per_doc", "top_ngrams"]
 
 
 def term_counts(df: DataFrame, text_col: str = "text",
@@ -48,6 +48,65 @@ def tfidf(df: DataFrame, text_col: str = "text",
         .withColumn("idf", idf)
         .withColumn("tfidf", F.col("tf") * F.col("idf"))
         .select(id_col, "term", "tf", "df", "idf", "tfidf")
+    )
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text", id_col: str = "doc_id",
+               min_count: int = 1) -> DataFrame:
+    """Corpus-wide top-k n-grams: ``(ngram, n_docs, n_occurrences,
+    rank)`` by (occurrences desc, ngram asc) — the corpus-analytics
+    staple behind boilerplate discovery, contamination screening and
+    tokenizer-vocabulary sanity checks.
+
+    One explode + one groupBy(ngram): n-gram frequencies are zipfian,
+    so the map-side partial aggregation collapses the head before the
+    shuffle and the reduce side sees ~distinct-gram rows; the final
+    top-k is a TakeOrdered (per-partition heads, no global sort
+    materialization). Whitespace tokens, space-joined n-grams —
+    the corpus convention shared with shingles/DSIR."""
+    if n <= 0 or k <= 0:
+        raise ValueError("n and k must be positive")
+    # stage the token array as a bound column: HOF lambda bodies
+    # re-evaluate their argument EXPRESSIONS per element, so slicing
+    # an unbound split() inside transform() would re-split the text
+    # O(len) times (the measured winnowing pitfall — see tests)
+    staged = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda t: t != "").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    if n == 1:
+        grams = toks
+    else:
+        grams = F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.array_join(
+                    F.slice(toks, i + 1, n), " "),
+            ),
+            # the last n-1 windows are short — drop by gram arity
+            lambda g: F.size(F.split(g, " ")) == n,
+        )
+    exploded = staged.select(
+        F.col(id_col), F.explode(grams).alias("ngram"))
+    counts = (
+        exploded.groupBy("ngram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))),
+        )
     )
 
 
