@@ -113,6 +113,21 @@ def test_gd_step_matches_hand_computation(spark):
     assert model.bias == pytest.approx(0.0)  # residuals cancel
 
 
+def test_train_strategies_agree(spark):
+    df = _labeled(spark)
+    a = train_hashed_lr(df, "label", n_buckets=128, max_iter=6,
+                        learning_rate=50.0, bias_learning_rate=1.0,
+                        strategy="expression")
+    b = train_hashed_lr(df, "label", n_buckets=128, max_iter=6,
+                        learning_rate=50.0, bias_learning_rate=1.0,
+                        strategy="join")
+    assert a.bias == pytest.approx(b.bias, rel=1e-9)
+    for x, y in zip(a.weights, b.weights):
+        assert x == pytest.approx(y, rel=1e-9, abs=1e-12)
+    with pytest.raises(ValueError, match="strategy"):
+        train_hashed_lr(df, "label", strategy="bogus")
+
+
 def test_pareto_filter_keeps_high_scores_and_is_deterministic(spark):
     from generalized_kmeans_clustering_spark.operators.classifier import (
         pareto_quality_filter,
