@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from .dsir import dsir_ngram_buckets
 
 __all__ = ["HashedLRModel", "train_hashed_lr", "score_hashed_lr",
-           "pareto_quality_filter"]
+           "pareto_quality_filter", "write_lr_model", "read_lr_model"]
 
 
 @dataclass
@@ -316,6 +316,35 @@ def score_hashed_lr(
         df.join(margins, id_col, "left")
         .withColumn(score_col, sig)
         .drop("_m")
+    )
+
+
+def write_lr_model(spark, model: HashedLRModel, path: str,
+                   mode: str = "overwrite") -> None:
+    """Persist the classifier as a 1-row JSON dataset written THROUGH
+    Spark (train once on a labeled sample, score any later corpus —
+    the featurizer pins travel with the weights so scoring reproduces
+    training's buckets)."""
+    sidecar = spark.createDataFrame(
+        [([float(x) for x in model.weights], float(model.bias),
+          int(model.n_buckets), int(model.seed), model.hash_fn)],
+        "weights array<double>, bias double, n_buckets int, "
+        "seed int, hash_fn string",
+    )
+    sidecar.coalesce(1).write.mode(mode).json(path)
+
+
+def read_lr_model(spark, path: str) -> HashedLRModel:
+    """Load a :func:`write_lr_model` sidecar."""
+    row = spark.read.json(path).first()
+    if row is None:
+        raise ValueError(f"read_lr_model: no sidecar at {path}")
+    return HashedLRModel(
+        weights=[float(x) for x in row["weights"]],
+        bias=float(row["bias"]),
+        n_buckets=int(row["n_buckets"]),
+        seed=int(row["seed"]),
+        hash_fn=row["hash_fn"],
     )
 
 

@@ -50,6 +50,7 @@ from ..functions.kernels import array_lit
 __all__ = [
     "PQModel", "train_pq", "pq_encode", "pq_decode", "pq_topk",
     "ivf_pq_index", "ivf_pq_topk",
+    "write_pq_model", "read_pq_model",
 ]
 
 
@@ -222,6 +223,32 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+def write_pq_model(spark, model: PQModel, path: str,
+                   mode: str = "overwrite") -> None:
+    """Persist codebooks as a 1-row JSON dataset written THROUGH Spark
+    (HDFS/S3/local alike — same rationale as the IVF sidecar): train
+    once on a sample job, encode/serve from any later job."""
+    sidecar = spark.createDataFrame(
+        [(int(model.m), int(model.k_sub), int(model.d),
+          [[[float(x) for x in c] for c in cb] for cb in model.codebooks])],
+        "m int, k_sub int, d int, "
+        "codebooks array<array<array<double>>>",
+    )
+    sidecar.coalesce(1).write.mode(mode).json(path)
+
+
+def read_pq_model(spark, path: str) -> PQModel:
+    """Load a :func:`write_pq_model` sidecar."""
+    row = spark.read.json(path).first()
+    if row is None:
+        raise ValueError(f"read_pq_model: no sidecar at {path}")
+    return PQModel(
+        codebooks=[[[float(x) for x in c] for c in cb]
+                   for cb in row["codebooks"]],
+        d=int(row["d"]),
     )
 
 

@@ -196,3 +196,26 @@ def test_plan_is_python_free(spark):
     scored = score_hashed_lr(df, model)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_lr_model_roundtrip(spark, tmp_path):
+    from generalized_kmeans_clustering_spark.operators.classifier import (
+        read_lr_model, write_lr_model,
+    )
+
+    df = _labeled(spark)
+    model = train_hashed_lr(df, "label", n_buckets=64, max_iter=4,
+                            learning_rate=50.0, bias_learning_rate=1.0,
+                            hash_fn="md5")
+    path = str(tmp_path / "lr_model")
+    write_lr_model(spark, model, path)
+    loaded = read_lr_model(spark, path)
+    assert loaded.weights == model.weights
+    assert loaded.bias == model.bias
+    assert (loaded.n_buckets, loaded.seed, loaded.hash_fn) == \
+        (model.n_buckets, model.seed, model.hash_fn)
+    a = {r["doc_id"]: r["quality_score"]
+         for r in score_hashed_lr(df, model).collect()}
+    b = {r["doc_id"]: r["quality_score"]
+         for r in score_hashed_lr(df, loaded).collect()}
+    assert a == b

@@ -221,3 +221,20 @@ def test_ivf_pq_plans_python_free_and_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_model_roundtrip(spark, tmp_path):
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        read_pq_model, write_pq_model,
+    )
+
+    path = str(tmp_path / "pq_model")
+    write_pq_model(spark, MODEL, path)
+    loaded = read_pq_model(spark, path)
+    assert loaded.codebooks == MODEL.codebooks
+    assert loaded.d == MODEL.d and loaded.m == MODEL.m
+    # loaded model encodes identically
+    a = pq_encode(_df(spark), MODEL).collect()
+    b = pq_encode(_df(spark), loaded).collect()
+    assert sorted((r["vec_id"], list(r["codes"])) for r in a) == \
+        sorted((r["vec_id"], list(r["codes"])) for r in b)
