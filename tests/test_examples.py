@@ -65,3 +65,14 @@ def test_streaming_near_dup_example(spark, sf_dir):
     assert out["signatures_in_state"] == out["docs"]
     assert out["micro_batches"] >= 2  # the cross-batch state path ran
     assert out["near_dup_pairs"] >= 0
+
+
+def test_curation_select_pack_example(spark, sf_dir):
+    import curation_select_pack
+
+    out = curation_select_pack.main(spark, sf_dir)
+    assert 0 < out["selected_docs"] <= out["input_docs"]
+    assert 0 < out["mixed_docs"] <= out["selected_docs"]
+    assert out["training_sequences"] >= 1
+    assert out["shard_mismatches"] == 0
+    assert 0.0 <= out["ivfpq_recall_at_5"] <= 1.0
