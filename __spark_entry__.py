@@ -1261,6 +1261,56 @@ def q_corpus_quality_lr(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _perplexity_sql(k=1.0, digits=6) -> str:
+    """Twin of operators/lm train_bigram_lm + perplexity_score:
+    reference = the English documents; BOS/EOS-padded lowercase
+    whitespace bigrams, add-k smoothing P = (c+k)/(c1+k·V), unseen
+    context → 1/V, perplexity = exp(−avg ln P)."""
+    return (
+        "WITH d AS (SELECT doc_id, lang, "
+        "list_filter(string_split(lower(coalesce(text, '')), ' '), "
+        "x -> x <> '') AS tk FROM documents), "
+        "p AS (SELECT doc_id, lang, ['<s>'] || tk || ['</s>'] AS pd "
+        "FROM d), "
+        "gg AS MATERIALIZED (SELECT doc_id, lang, "
+        "pd[CAST(i AS INTEGER)] AS w1, pd[CAST(i AS INTEGER) + 1] AS w2 "
+        "FROM p, unnest(range(1, len(pd))) AS u(i)), "
+        "bc AS (SELECT w1, w2, count(*) AS c FROM gg WHERE lang = 'en' "
+        "GROUP BY 1, 2), "
+        "cc AS (SELECT w1, count(*) AS c1 FROM gg WHERE lang = 'en' "
+        "GROUP BY 1), "
+        "vv AS (SELECT CAST(count(DISTINCT w2) + 1 AS DOUBLE) AS V "
+        "FROM gg WHERE lang = 'en'), "
+        "j AS (SELECT gg.doc_id, CASE WHEN cc.c1 IS NOT NULL THEN "
+        f"ln((coalesce(bc.c, 0.0) + {k!r}) / (cc.c1 + ({k!r} * vv.V))) "
+        "ELSE ln(1.0 / vv.V) END AS lp "
+        "FROM gg LEFT JOIN bc ON bc.w1 = gg.w1 AND bc.w2 = gg.w2 "
+        "LEFT JOIN cc ON cc.w1 = gg.w1 CROSS JOIN vv), "
+        "w AS (SELECT doc_id, exp(-avg(lp)) AS px FROM j GROUP BY doc_id) "
+        f"SELECT doc_id, {_r('px', digits)} AS perplexity FROM w "
+        "ORDER BY doc_id"
+    )
+
+
+def q_corpus_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filtering signal (operators/lm.py): an
+    add-k bigram LM trained on the English documents (the clean
+    reference), every doc scored by exp(−avg ln P) — lower = more
+    reference-like. Honest in-engine equivalent of the KenLM step:
+    two count aggregations to train, one explode + broadcast join +
+    doc-keyed mean to score."""
+    from generalized_kmeans_clustering_spark.operators.lm import (
+        perplexity_score, train_bigram_lm,
+    )
+
+    docs = documents(spark, sf_dir).select("doc_id", "lang", "text")
+    model = train_bigram_lm(docs.where(F.col("lang") == "en"), k=1.0)
+    out = perplexity_score(docs, model)
+    return out.select(
+        "doc_id", _rcol(F.col("perplexity"), 6).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
 def _interleave_sql(num_shards=8, seed=3) -> str:
     """Twin of operators/sampling.interleave_shards (md5 key): shard =
     md5_60bit(id|seed) % num_shards, pos = row_number within the shard
@@ -4524,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_temperature": q_corpus_sample_temperature,
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_quality_lr": q_corpus_quality_lr,
+        "corpus_perplexity": q_corpus_perplexity,
         "corpus_interleave": q_corpus_interleave,
         "semantic_dedup_groups": q_semantic_dedup,
         "similarity_pq_topk": q_pq_topk,
@@ -5123,6 +5174,7 @@ FROM wide w ORDER BY xb
     out["corpus_sample_temperature"] = _sample_temperature_sql()
     out["corpus_dsir_weights"] = _dsir_weights_sql()
     out["corpus_quality_lr"] = _quality_lr_sql()
+    out["corpus_perplexity"] = _perplexity_sql()
     out["corpus_interleave"] = _interleave_sql()
     out["semantic_dedup_groups"] = _semantic_dedup_sql()
     out["similarity_pq_topk"] = _pq_topk_sql()
