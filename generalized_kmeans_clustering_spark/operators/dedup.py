@@ -629,10 +629,15 @@ def drop_repeated_lines(
 
 def canonical_duplicates(df: DataFrame, components: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
-                         component_col: str = "component") -> DataFrame:
-    """Mark one canonical row per duplicate component: the longest
-    ``text_col`` wins, ties broken by smallest id. Rows with no dup
-    pair are their own (singleton) component and always canonical.
+                         component_col: str = "component",
+                         prefer_col: str | None = None) -> DataFrame:
+    """Mark one canonical row per duplicate component: by default the
+    longest ``text_col`` wins; pass ``prefer_col`` (e.g. a
+    :func:`~.classifier.score_hashed_lr` quality score or an inverse
+    :func:`~.lm.perplexity_score`) to keep the HIGHEST-valued
+    duplicate instead — "keep the best copy", the curation-grade keep
+    rule. Ties break on smallest id; rows with no dup pair are their
+    own (singleton) component and always canonical.
 
     One shuffle keyed on the component id (window rank). Output = the
     input columns + ``component`` + ``is_canonical``.
@@ -645,8 +650,10 @@ def canonical_duplicates(df: DataFrame, components: DataFrame,
         id_col, "left",
     ).withColumn(component_col,
                  F.coalesce(F.col("_comp"), F.col(id_col))).drop("_comp")
+    head = (F.col(prefer_col).desc() if prefer_col
+            else F.length(text_col).desc())
     w = Window.partitionBy(component_col).orderBy(
-        F.length(text_col).desc(), F.col(id_col).asc())
+        head, F.col(id_col).asc())
     return joined.withColumn(
         "is_canonical", F.row_number().over(w) == 1)
 

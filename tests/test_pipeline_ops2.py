@@ -601,3 +601,24 @@ def test_drop_repeated_lines_regex_separator(spark):
     assert out[1]["text"] == "unique alpha"
     assert out[2]["text"] == "unique beta"
     assert out[1]["n_lines_dropped"] == 1
+
+
+def test_canonical_duplicates_prefer_col_keeps_best(spark):
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        canonical_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "short but great", 0.9), (1, "much longer duplicate text", 0.2),
+         (2, "unrelated", 0.5)],
+        "doc_id long, text string, quality double")
+    comp = spark.createDataFrame([(0, 0), (1, 0)], "id long, component long")
+    # default: longest text wins
+    by_len = {r["doc_id"]: r["is_canonical"]
+              for r in canonical_duplicates(docs, comp).collect()}
+    assert by_len == {0: False, 1: True, 2: True}
+    # prefer_col: highest quality wins
+    by_q = {r["doc_id"]: r["is_canonical"]
+            for r in canonical_duplicates(
+                docs, comp, prefer_col="quality").collect()}
+    assert by_q == {0: True, 1: False, 2: True}
