@@ -55,6 +55,7 @@ def prepare_corpus(
     dedup_pairs: DataFrame | None = None,
     dedup_lines_max_occurrences: int | None = None,
     line_sep: str = "\n",
+    extra_rules=None,
 ) -> DataFrame:
     """Annotate every document with signals + a keep/reject verdict.
 
@@ -71,6 +72,15 @@ def prepare_corpus(
     and document-level dedup sees the cleaned text; the per-row
     ``n_lines_kept``/``n_lines_dropped`` audit columns ride through to
     the output.
+
+    ``extra_rules`` (optional) is a list of ``(predicate_column,
+    reason)`` pairs appended after the built-in rules (built-ins take
+    precedence when several fire): the plug-in point for model-based
+    signals computed upstream — e.g. a
+    :func:`~.lm.perplexity_score` column
+    (``(F.col("perplexity") > 1000, "high_perplexity")``) or a
+    :func:`~.classifier.score_hashed_lr` quality-classifier column.
+    Rejected rows count in the audit like any rule rejection.
     """
     if dedup not in (None, "exact", "minhash", "pairs"):
         raise ValueError("dedup: None | 'exact' | 'minhash' | 'pairs'")
@@ -118,6 +128,9 @@ def prepare_corpus(
         rules.append((F.col("quality") < min_quality, "low_quality"))
     if max_repetition is not None:
         rules.append((F.col("repetition") > max_repetition, "repetitive"))
+    if extra_rules:
+        for pred, name in extra_rules:
+            rules.append((pred, str(name)))
     for pred, name in reversed(rules):
         reason = F.when(pred, F.lit(name)).otherwise(reason)
     out = out.withColumn("reject_reason", reason)

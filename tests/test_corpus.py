@@ -169,3 +169,37 @@ def test_prepare_corpus_line_dedup_prestage(spark):
     assert out[2]["reject_reason"] is None
     # n_tokens computed on cleaned text (banner words gone)
     assert out[1]["n_tokens"] == len(body_a.split(" "))
+
+
+def test_prepare_corpus_extra_rules_model_signal(spark):
+    from pyspark.sql import functions as F
+
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        prepare_corpus,
+    )
+    from generalized_kmeans_clustering_spark.operators.lm import (
+        perplexity_score, train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat today here now"),
+         (1, "the dog sat on the mat today here now"),
+         (2, "zz qq xx vv ww uu tt ss rr pp")],
+        "doc_id long, text string")
+    model = train_bigram_lm(docs.where("doc_id < 2"))
+    scored = perplexity_score(docs, model)
+    thr = scored.where("doc_id < 2").agg(
+        F.max("perplexity")).first()[0] * 1.5
+    out = prepare_corpus(
+        scored, min_tokens=2, dedup=None,
+        extra_rules=[(F.col("perplexity") > thr, "high_perplexity")],
+    )
+    got = {r["doc_id"]: r["reject_reason"] for r in out.collect()}
+    assert got[0] is None and got[1] is None
+    assert got[2] == "high_perplexity"
+    # built-in rules keep precedence over extra rules
+    out2 = prepare_corpus(
+        scored, min_tokens=100, dedup=None,
+        extra_rules=[(F.col("perplexity") > thr, "high_perplexity")],
+    )
+    assert all(r["reject_reason"] == "too_short" for r in out2.collect())
