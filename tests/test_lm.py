@@ -87,3 +87,29 @@ def test_score_plan_python_free_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_score_composes_with_streaming(spark, tmp_path):
+    # the per-doc mean is an aggregation, so streaming goes through
+    # foreachBatch (the repo's pattern for aggregating ops): each
+    # micro-batch is scored with full batch semantics against the
+    # static count tables — no cross-batch state needed, a document
+    # arrives whole within one batch
+    model = train_bigram_lm(_ref(spark))
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "zz qq xx")], "doc_id long, text string")
+    src = str(tmp_path / "lm_stream_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    got = {}
+
+    def handle(batch, _bid):
+        for r in perplexity_score(batch, model).collect():
+            got[r["doc_id"]] = r["perplexity"]
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    want = {r["doc_id"]: r["perplexity"]
+            for r in perplexity_score(df, model).collect()}
+    assert got == want
