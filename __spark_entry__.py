@@ -1261,6 +1261,41 @@ def q_corpus_quality_lr(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _curriculum_sql(num_shards=8, seed=11) -> str:
+    """Twin of operators/sampling.curriculum_shards (md5 shard hash):
+    shard = md5_60bit(id|seed) % num_shards, pos = row_number within
+    the shard in (n_tokens DESC, doc_id ASC) order."""
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    return (
+        f"WITH t AS (SELECT doc_id, {_NTOK_SQL} AS n_tokens, "
+        f"CAST(({md5i}) % {num_shards} AS INTEGER) AS shard "
+        "FROM documents) "
+        "SELECT doc_id, shard, CAST(row_number() OVER "
+        "(PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC) "
+        "AS BIGINT) AS pos FROM t ORDER BY doc_id"
+    )
+
+
+def q_corpus_curriculum(spark, sf_dir):
+    """Curriculum shard layout (operators/sampling.curriculum_shards):
+    hash-random shard membership + score-ordered positions (longest
+    docs first here) — round-robin shard reads give a global order
+    that interleaves sources while trending along the score, with no
+    global sort."""
+    from generalized_kmeans_clustering_spark.functions import text as Tx
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        curriculum_shards,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id", Tx.token_count(F.col("text")).cast("bigint")
+        .alias("n_tokens"))
+    out = curriculum_shards(docs, "n_tokens", num_shards=8, seed=11,
+                            hash_fn="md5")
+    return out.select("doc_id", "shard", "pos").orderBy("doc_id")
+
+
 def _perplexity_sql(k=1.0, digits=6) -> str:
     """Twin of operators/lm train_bigram_lm + perplexity_score:
     reference = the English documents; BOS/EOS-padded lowercase
@@ -4575,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_quality_lr": q_corpus_quality_lr,
         "corpus_perplexity": q_corpus_perplexity,
+        "corpus_curriculum": q_corpus_curriculum,
         "corpus_interleave": q_corpus_interleave,
         "semantic_dedup_groups": q_semantic_dedup,
         "similarity_pq_topk": q_pq_topk,
@@ -5175,6 +5211,7 @@ FROM wide w ORDER BY xb
     out["corpus_dsir_weights"] = _dsir_weights_sql()
     out["corpus_quality_lr"] = _quality_lr_sql()
     out["corpus_perplexity"] = _perplexity_sql()
+    out["corpus_curriculum"] = _curriculum_sql()
     out["corpus_interleave"] = _interleave_sql()
     out["semantic_dedup_groups"] = _semantic_dedup_sql()
     out["similarity_pq_topk"] = _pq_topk_sql()

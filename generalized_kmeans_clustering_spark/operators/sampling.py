@@ -33,6 +33,7 @@ __all__ = [
     "temperature_budgets",
     "temperature_sample",
     "interleave_shards",
+    "curriculum_shards",
 ]
 
 #: denominator of the keep predicate: hash-bucket ∈ [0, _SCALE) and a
@@ -246,3 +247,36 @@ def interleave_shards(
     return staged.withColumn(
         pos_col, F.row_number().over(w).cast("long")
     ).drop("_key")
+
+
+def curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    num_shards: int = 1024,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    ascending: bool = False,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Curriculum ordering: like :func:`interleave_shards`, but within
+    each hash shard the position follows ``score_col`` (descending by
+    default — highest quality first; ``ascending=True`` for
+    easy-to-hard schedules on e.g. a perplexity column). Shard
+    membership stays hash-random, so reading shards round-robin
+    yields a global order that interleaves sources while trending
+    along the score — the standard curriculum/annealing layout
+    without a full global sort: ONE shuffle keyed on the shard,
+    ties broken by id for determinism."""
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    from pyspark.sql.window import Window
+
+    key = hash_key(F.col(id_col), seed, hash_fn)
+    staged = df.withColumn(
+        shard_col, F.pmod(key, F.lit(num_shards)).cast("int"))
+    order = (F.asc(score_col) if ascending else F.desc(score_col))
+    w = Window.partitionBy(shard_col).orderBy(order, F.asc(id_col))
+    return staged.withColumn(
+        pos_col, F.row_number().over(w).cast("long"))

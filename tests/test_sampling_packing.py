@@ -203,3 +203,30 @@ def test_materialize_packs_reassembles_exact_token_stream(spark, docs, sf_dir):
     assert packs.agg(F.sum("n_tokens")).first()[0] == \
         docs.agg(F.sum("n_tokens")).first()[0]
     packs.unpersist()
+
+
+def test_curriculum_shards_orders_by_score_within_shard(spark):
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        curriculum_shards,
+    )
+
+    rows = [(i, float((i * 37) % 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double")
+    out = curriculum_shards(df, "quality", num_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["quality"]))
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, items in by_shard.items():
+        items.sort()
+        qs = [q for _, q in items]
+        assert qs == sorted(qs, reverse=True), shard
+        assert [p for p, _ in items] == list(range(1, len(items) + 1))
+    # ascending mode for easy-to-hard schedules
+    up = curriculum_shards(df, "quality", num_shards=4,
+                           ascending=True).collect()
+    one = sorted((r["pos"], r["quality"]) for r in up if r["shard"] == 0)
+    assert [q for _, q in one] == sorted(q for _, q in one)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        curriculum_shards(df, "quality", num_shards=0)
