@@ -3514,6 +3514,35 @@ def q_simhash(spark, sf_dir):
     return simhash64(docs, hash_fn="md5").orderBy("doc_id")
 
 
+def _image_phash_sql() -> str:
+    """Twin of sources/multimodal.image_phash fake path: md5 60-bit
+    of the content bytes (documents' text as the stand-in media)."""
+    md5i = _MD5INT.format(s="text")
+    return (
+        f"SELECT doc_id AS media_id, CAST({md5i} AS BIGINT) AS phash "
+        "FROM documents ORDER BY media_id"
+    )
+
+
+def q_image_phash(spark, sf_dir):
+    """Image perceptual-hash fingerprints
+    (sources/multimodal.image_phash): the image-dedup signature whose
+    Hamming pairs reuse the text-SimHash pigeonhole blocking. Real DCT
+    pHash is Pillow-gated (absent here); the fake path fingerprints
+    exact content through the same mapInPandas plumbing and is
+    oracle-replayable."""
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        image_phash,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = image_phash(docs)
+    return out.select("media_id", "phash").orderBy("media_id")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: documents' text bytes stand in for media
     content; deterministic fake decode exercises the mapInPandas path."""
@@ -4703,6 +4732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_minhash_lsh,
         "dedup_simhash64": q_simhash,
         "multimodal_image_meta": q_multimodal_meta,
+        "multimodal_image_phash": q_image_phash,
         "mixture_fit": q_mixture_fit,
         "soft_fit": q_soft_fit,
         "multiview_assign_fixed": q_multiview_assign,
@@ -5200,6 +5230,7 @@ FROM wide w ORDER BY xb
     )
     out["dedup_jaccard_verify"] = _jaccard_verify_sql()
     out["multimodal_image_meta"] = _multimodal_sql()
+    out["multimodal_image_phash"] = _image_phash_sql()
     out["multimodal_audio_meta"] = _multimodal_audio_sql()
     out["dedup_components"] = _dedup_components_sql()
     # star contraction must agree exactly with min-label propagation

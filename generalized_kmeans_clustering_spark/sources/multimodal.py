@@ -32,6 +32,8 @@ __all__ = [
     "decode_audio_meta",
     "decode_image_meta",
     "image_embedding",
+    "image_phash",
+    "image_phash_near_dups",
     "sample_video_frames",
 ]
 
@@ -257,6 +259,92 @@ def image_embedding(
             yield pdf
 
     return df.mapInPandas(_embed, out_schema)
+
+
+def image_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    decoder: str = "fake",
+    out_col: str = "phash",
+) -> DataFrame:
+    """64-bit perceptual hash (pHash) per image — the image-dedup
+    fingerprint: near-identical images (recompression, resize, small
+    edits) land within a few Hamming bits of each other, so the text
+    dedup layer's pigeonhole blocking applies unchanged.
+
+    ``decoder='real'`` (Pillow, probed at call time) computes the
+    classic DCT pHash: grayscale → 32×32 → 2-D DCT-II (numpy matmul,
+    no scipy) → top-left 8×8 low-frequency block → bit = coefficient
+    > block median. ``decoder='fake'`` emits the engine's md5 60-bit
+    content hash (exact-content fingerprint — no perceptual
+    robustness, but bit-identical in the DuckDB oracle and exercising
+    the same mapInPandas plumbing and downstream blocking).
+    """
+    if decoder == "real":
+        _require_pil("image phash")
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} bigint"]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+
+        image_mod = _require_pil("image phash") if decoder == "real" else None
+        if decoder == "real":
+            n = 32
+            i_idx = np.arange(n)
+            dct_m = np.sqrt(2.0 / n) * np.cos(
+                np.pi * (2 * i_idx[None, :] + 1) * i_idx[:, None] / (2 * n))
+            dct_m[0] /= np.sqrt(2.0)
+        for pdf in batches:
+            vals = []
+            for b in pdf[content_col]:
+                buf = bytes(b or b"")
+                if decoder == "real":
+                    with image_mod.open(io.BytesIO(buf)) as im:
+                        px = np.asarray(
+                            im.convert("L").resize((32, 32)),
+                            dtype=np.float64)
+                    coeffs = (dct_m @ px @ dct_m.T)[:8, :8].ravel()
+                    med = np.median(coeffs)
+                    bits = coeffs > med
+                    v = 0
+                    for i, bit in enumerate(bits):
+                        if bit:
+                            v |= 1 << i
+                    if v >= 1 << 63:
+                        v -= 1 << 64
+                else:
+                    # cross-engine md5 60-bit convention (dedup._hash64
+                    # md5 mode): top 15 hex digits as an integer
+                    v = int(hashlib.md5(buf).hexdigest()[:15], 16)
+                vals.append(v)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(vals, dtype="int64", index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(_hash, out_schema)
+
+
+def image_phash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    decoder: str = "fake",
+) -> DataFrame:
+    """(i, j, hamming) image near-dup pairs: :func:`image_phash`
+    composed with the dedup layer's 16-bit pigeonhole blocked join
+    (sound for max_hamming ≤ 3) — per-bucket candidates, never
+    all-pairs, exactly the text-SimHash scale path."""
+    from ..operators.dedup import simhash_near_dups
+
+    sigs = image_phash(df, content_col=content_col, decoder=decoder)
+    return simhash_near_dups(
+        sigs.select(id_col, F.col("phash").alias("simhash")),
+        id_col=id_col, max_hamming=max_hamming)
 
 
 def sample_video_frames(

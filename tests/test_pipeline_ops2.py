@@ -622,3 +622,58 @@ def test_canonical_duplicates_prefer_col_keeps_best(spark):
             for r in canonical_duplicates(
                 docs, comp, prefer_col="quality").collect()}
     assert by_q == {0: True, 1: False, 2: True}
+
+
+def test_image_phash_fake_deterministic_and_blocking(spark):
+    import hashlib
+
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        image_phash, image_phash_near_dups,
+    )
+
+    rows = [
+        (0, bytearray(b"same image bytes")),
+        (1, bytearray(b"same image bytes")),    # exact dup of 0
+        (2, bytearray(b"different content")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+    # md5 60-bit convention, computable in pure python
+    want = int(hashlib.md5(b"same image bytes").hexdigest()[:15], 16)
+    assert out[0] == want and out[1] == want
+    assert out[2] != want
+    assert out[3] == int(hashlib.md5(b"").hexdigest()[:15], 16)
+    pairs = {(r["i"], r["j"]): r["hamming"]
+             for r in image_phash_near_dups(df, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs
+
+
+def test_image_phash_real_requires_pil_or_skips(spark):
+    import pytest as _pt
+
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        _try_pil, image_phash,
+    )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"x"))], "media_id long, content binary")
+    if _try_pil() is None:
+        with _pt.raises(NotImplementedError, match="Pillow"):
+            image_phash(df, decoder="real")
+    else:
+        # real path: identical images hash identically; DCT pHash of a
+        # synthetic gradient image is stable
+        import io
+
+        image_mod = _try_pil()
+        buf = io.BytesIO()
+        image_mod.new("L", (40, 40), color=128).save(buf, format="PNG")
+        b = buf.getvalue()
+        d2 = spark.createDataFrame(
+            [(0, bytearray(b)), (1, bytearray(b))],
+            "media_id long, content binary")
+        got = {r["media_id"]: r["phash"]
+               for r in image_phash(d2, decoder="real").collect()}
+        assert got[0] == got[1]
