@@ -3543,6 +3543,85 @@ def q_image_phash(spark, sf_dir):
     return out.select("media_id", "phash").orderBy("media_id")
 
 
+def _video_near_dups_sql(threshold=0.4, num_hashes=32, num_bands=8,
+                         every_n=30, max_frames=8, seed=42,
+                         digits=6) -> str:
+    """Twin of sources/multimodal.video_near_dups (fake sampler +
+    md5-60bit frame hash + bucket_mode='raw'): frames are byte slices
+    (n = min(max_frames, max(len//every_n, 1)), empty slice → NUL),
+    per-video DISTINCT frame-hash sets, the minhash min-fold with
+    _minhash_params(num_hashes, seed), raw concat band buckets,
+    candidate pairs i<j, exact set Jaccard ≥ threshold."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        _minhash_params, _P,
+    )
+
+    params = _minhash_params(num_hashes, seed)
+    rows_per_band = num_hashes // num_bands
+    md5i = _MD5INT.format(s="fbytes")
+    sigs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h*{a} + {b}) % {_P})) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT media_id, {b} AS band, concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS bucket FROM sig"
+        for b in range(num_bands)
+    )
+    return (
+        "WITH v AS (SELECT doc_id AS media_id, coalesce(text, '') AS t "
+        "FROM documents), "
+        "nf AS (SELECT media_id, t, "
+        f"least({max_frames}, greatest(CAST(length(t) // {every_n} "
+        "AS INTEGER), 1)) AS n FROM v), "
+        "fr AS (SELECT media_id, t, CAST(u.f AS INTEGER) AS f "
+        "FROM nf, unnest(range(0, n)) AS u(f)), "
+        "fb AS (SELECT media_id, CASE WHEN "
+        f"substring(t, f * {every_n} + 1, {every_n}) = '' THEN chr(0) "
+        f"ELSE substring(t, f * {every_n} + 1, {every_n}) END AS fbytes "
+        "FROM fr), "
+        f"fh AS (SELECT media_id, list(DISTINCT ({md5i}) % {_P}) AS hs, "
+        f"list(DISTINCT {md5i}) AS raw FROM fb GROUP BY media_id), "
+        f"sig AS MATERIALIZED (SELECT media_id, {sigs} FROM fh), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT l.media_id AS i, r.media_id AS j "
+        "FROM bands l JOIN bands r ON l.band = r.band "
+        "AND l.bucket = r.bucket AND l.media_id < r.media_id), "
+        "jac AS (SELECT c.i, c.j, "
+        "len(list_intersect(a.raw, b.raw)) * 1.0 "
+        "/ len(list_distinct(a.raw || b.raw)) AS jaccard "
+        "FROM cand c JOIN fh a ON a.media_id = c.i "
+        "JOIN fh b ON b.media_id = c.j) "
+        f"SELECT i, j, {_r('jaccard', digits)} AS jaccard FROM jac "
+        f"WHERE jaccard >= {threshold!r} ORDER BY i, j"
+    )
+
+
+def q_video_near_dups(spark, sf_dir):
+    """Video near-duplicate pairs (sources/multimodal.video_near_dups):
+    frame sampling → per-frame perceptual hash → per-video frame-hash
+    set → MinHash/LSH over the sets → exact set-Jaccard verify. The
+    documents' text bytes stand in for video content (exact-dup docs
+    share every frame → Jaccard 1); raw band buckets for the
+    cross-engine replay."""
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        video_near_dups,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = video_near_dups(docs, threshold=0.4, bucket_mode="raw")
+    return out.select(
+        "i", "j", _rcol(F.col("jaccard"), 6).alias("jaccard"),
+    ).orderBy("i", "j")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: documents' text bytes stand in for media
     content; deterministic fake decode exercises the mapInPandas path."""
@@ -4733,6 +4812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": q_simhash,
         "multimodal_image_meta": q_multimodal_meta,
         "multimodal_image_phash": q_image_phash,
+        "multimodal_video_near_dups": q_video_near_dups,
         "mixture_fit": q_mixture_fit,
         "soft_fit": q_soft_fit,
         "multiview_assign_fixed": q_multiview_assign,
@@ -5231,6 +5311,7 @@ FROM wide w ORDER BY xb
     out["dedup_jaccard_verify"] = _jaccard_verify_sql()
     out["multimodal_image_meta"] = _multimodal_sql()
     out["multimodal_image_phash"] = _image_phash_sql()
+    out["multimodal_video_near_dups"] = _video_near_dups_sql()
     out["multimodal_audio_meta"] = _multimodal_audio_sql()
     out["dedup_components"] = _dedup_components_sql()
     # star contraction must agree exactly with min-label propagation

@@ -27,6 +27,7 @@ __all__ = [
     "exact_dedup",
     "exact_dup_groups",
     "minhash_signatures",
+    "minhash_from_hashes",
     "lsh_candidate_pairs",
     "jaccard_verify",
     "simhash64",
@@ -128,6 +129,40 @@ def minhash_signatures(
     # banding can read it from the schema instead of probing a row.
     # keep_cols rides extra columns through (e.g. an event-time column
     # for the streaming stream-stream join).
+    return df.select(
+        F.col(id_col),
+        sig.alias("signature", metadata={"num_hashes": num_hashes}),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
+def minhash_from_hashes(
+    df: DataFrame,
+    hashes_col: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    seed: int = 42,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """:func:`minhash_signatures` generalized to precomputed element
+    hashes: the input carries an ``array<bigint>`` of per-element
+    hashes (video frame perceptual hashes, feature ids, token ids —
+    any SET representation) and the same single-pass min-fold produces
+    the ``(id, signature)`` frame that :func:`lsh_candidate_pairs`
+    consumes. The fold's minima are order-independent, so a
+    ``collect_set`` upstream needs no ordering."""
+    params = _minhash_params(num_hashes, seed)
+    ab = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params
+    ])
+    base = F.transform(F.col(hashes_col), lambda h: F.abs(h) % _P)
+    sig = F.aggregate(
+        base,
+        F.array_repeat(F.lit(_P).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % _P)
+        ),
+    )
     return df.select(
         F.col(id_col),
         sig.alias("signature", metadata={"num_hashes": num_hashes}),

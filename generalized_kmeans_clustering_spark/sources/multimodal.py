@@ -35,6 +35,7 @@ __all__ = [
     "image_phash",
     "image_phash_near_dups",
     "sample_video_frames",
+    "video_near_dups",
 ]
 
 #: canonical media-table layout: opaque bytes + typed metadata
@@ -393,3 +394,55 @@ def sample_video_frames(
             )
 
     return df.mapInPandas(_sample, out_schema)
+
+
+def video_near_dups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    every_n: int = 30,
+    max_frames: int = 8,
+    seed: int = 42,
+    decoder: str = "fake",
+    bucket_mode: str = "hash",
+) -> DataFrame:
+    """(i, j, jaccard) near-duplicate video pairs — the video analog of
+    MinHash text dedup, composed from existing stages: sample frames →
+    perceptual-hash each frame → each video becomes its SET of frame
+    hashes → MinHash signature over the set → LSH band buckets →
+    exact frame-set Jaccard on candidates only.
+
+    Shared frames (re-encodes, trims, overlay edits at frame
+    granularity) put two videos in the same band bucket; candidate
+    work is per-bucket, never all-pairs, and the verify joins touch
+    only candidate videos' hash sets. ``decoder`` gates the per-frame
+    hash (real DCT pHash needs Pillow); the frame sampler itself is
+    the deterministic byte-slicer until an ffmpeg binding exists.
+    """
+    from ..operators.dedup import lsh_candidate_pairs, minhash_from_hashes
+
+    frames = sample_video_frames(
+        df.select(id_col, content_col), content_col=content_col,
+        every_n=every_n, max_frames=max_frames)
+    hashed = image_phash(frames, content_col="frame_bytes",
+                         decoder=decoder, out_col="_fh")
+    sets = hashed.groupBy(id_col).agg(F.collect_set("_fh").alias("_fhs"))
+    sigs = minhash_from_hashes(sets, "_fhs", id_col=id_col,
+                               num_hashes=num_hashes, seed=seed)
+    pairs = lsh_candidate_pairs(sigs, id_col=id_col, num_bands=num_bands,
+                                bucket_mode=bucket_mode)
+    a = sets.select(F.col(id_col).alias("i"), F.col("_fhs").alias("_hi"))
+    b = sets.select(F.col(id_col).alias("j"), F.col("_fhs").alias("_hj"))
+    return (
+        pairs.join(a, "i").join(b, "j")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_hi", "_hj"))
+            / F.size(F.array_union("_hi", "_hj")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )

@@ -677,3 +677,46 @@ def test_image_phash_real_requires_pil_or_skips(spark):
         got = {r["media_id"]: r["phash"]
                for r in image_phash(d2, decoder="real").collect()}
         assert got[0] == got[1]
+
+
+def test_video_near_dups_shared_frames(spark):
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        video_near_dups,
+    )
+
+    base = bytes(range(256)) * 2   # 512 bytes -> 8 frames of 30 bytes
+    rows = [
+        (0, bytearray(base)),
+        (1, bytearray(base[:480] + b"tail-differs-here-in-last-frame")),
+        (2, bytearray(b"completely different video bytes " * 20)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = {(r["i"], r["j"]): r["jaccard"]
+             for r in video_near_dups(df, threshold=0.4).collect()}
+    # videos 0 and 1 share 7 of 8 sampled frames
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.6
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    # determinism
+    again = {(r["i"], r["j"]): r["jaccard"]
+             for r in video_near_dups(df, threshold=0.4).collect()}
+    assert pairs == again
+
+
+def test_minhash_from_hashes_matches_set_jaccard_behavior(spark):
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_from_hashes,
+    )
+
+    rows = [
+        (0, [1, 2, 3, 4, 5, 6, 7, 8]),
+        (1, [1, 2, 3, 4, 5, 6, 7, 9]),   # 7/9 jaccard with 0
+        (2, [100, 200, 300, 400, 500, 600, 700, 800]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, hs array<bigint>")
+    sigs = minhash_from_hashes(df, "hs", num_hashes=32)
+    row = sigs.collect()
+    assert all(len(r["signature"]) == 32 for r in row)
+    pairs = {(r["i"], r["j"])
+             for r in lsh_candidate_pairs(sigs, num_bands=8).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
