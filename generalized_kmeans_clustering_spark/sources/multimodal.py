@@ -36,6 +36,8 @@ __all__ = [
     "image_phash_near_dups",
     "sample_video_frames",
     "video_near_dups",
+    "audio_fingerprint",
+    "audio_near_dups",
 ]
 
 #: canonical media-table layout: opaque bytes + typed metadata
@@ -446,3 +448,165 @@ def video_near_dups(
         .where(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    content_col: str = "content",
+    decoder: str = "real",
+    n_bands: int = 17,
+    window: int = 2048,
+    hop: int = 1024,
+    max_windows: int = 256,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Content-based audio fingerprints (Haitsma & Kalker, "A Highly
+    Robust Audio Fingerprinting System", ISMIR 2002 — simplified):
+    per analysis window, split the FFT magnitudes into ``n_bands``
+    log-spaced energy bands and emit one (n_bands−1)-bit
+    subfingerprint whose bit b is the sign of the band-energy
+    difference's TIME derivative — invariant to global volume and
+    robust to mild re-encoding. Output: ``array<bigint>`` of
+    subfingerprints (≤ max_windows).
+
+    Unlike the image path this ``decoder='real'`` is REAL in every
+    environment: WAV parsing is the stdlib ``wave`` module and the
+    DSP is numpy — no external codec. Bytes that are not readable WAV
+    yield an empty array (a poisoned blob must not kill a 100 TB
+    scan). ``decoder='fake'`` derives deterministic pseudo
+    subfingerprints from content byte slices (md5 60-bit, the video
+    frame convention) for codec-free oracle replays.
+
+    Matching: treat each clip as the SET of its subfingerprints —
+    :func:`audio_near_dups` runs them through
+    :func:`~..operators.dedup.minhash_from_hashes` + LSH exactly like
+    video frames; for Hamming-tolerant matching feed the individual
+    subfingerprints to :func:`~..operators.dedup.simhash_near_dups`.
+    """
+    if decoder not in ("real", "fake"):
+        raise ValueError("decoder: real | fake")
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} array<bigint>"]
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import wave
+
+        for pdf in batches:
+            outs = []
+            for b in pdf[content_col]:
+                buf = bytes(b or b"")
+                if decoder == "fake":
+                    n = min(max_windows, max(len(buf) // 64, 1))
+                    outs.append([
+                        int(hashlib.md5(
+                            buf[i * 64:(i + 1) * 64]).hexdigest()[:15], 16)
+                        for i in range(n)
+                    ])
+                    continue
+                try:
+                    with wave.open(io.BytesIO(buf)) as wf:
+                        nch = wf.getnchannels()
+                        width = wf.getsampwidth()
+                        raw = wf.readframes(wf.getnframes())
+                    if width != 2:
+                        outs.append([])
+                        continue
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    if nch > 1:
+                        x = x[: len(x) // nch * nch] \
+                            .reshape(-1, nch).mean(axis=1)
+                except (wave.Error, EOFError, ValueError):
+                    outs.append([])
+                    continue
+                n_win = min((len(x) - window) // hop + 1 if len(x) >= window
+                            else 0, max_windows + 1)
+                if n_win < 2:
+                    outs.append([])
+                    continue
+                hann = np.hanning(window)
+                nbins = window // 2
+                edges = np.unique(np.geomspace(
+                    1, nbins, n_bands + 1).astype(int))
+                prev = None
+                fps = []
+                for w in range(n_win):
+                    seg = x[w * hop: w * hop + window] * hann
+                    mag = np.abs(np.fft.rfft(seg))[1: nbins + 1]
+                    e = np.array([
+                        float(np.sum(mag[edges[i]-1:edges[i+1]-1] ** 2))
+                        for i in range(len(edges) - 1)
+                    ])
+                    d = e[:-1] - e[1:]
+                    if prev is not None:
+                        bits = (d - prev) > 0
+                        v = 0
+                        for i, bit in enumerate(bits):
+                            if bit:
+                                v |= 1 << i
+                        fps.append(v)
+                    prev = d
+                outs.append(fps[:max_windows])
+            pdf = pdf.copy()
+            pdf[out_col] = outs
+            yield pdf
+
+    return df.mapInPandas(_fp, out_schema)
+
+
+def audio_near_dups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_ber: float = 0.25,
+    n_bands: int = 17,
+    decoder: str = "real",
+) -> DataFrame:
+    """(i, j, ber) near-duplicate audio pairs, Haitsma-style: a pair
+    becomes a CANDIDATE when any window's subfingerprint matches
+    exactly (with ~30 windows/clip even a 5% bit-error rate leaves
+    many exact windows, so recall is high), and is VERIFIED by the
+    aligned bit-error rate — mean Hamming distance over same-position
+    subfingerprints — which is the paper's match metric (ber ≈ 0 for
+    re-encodes/gain changes, ≈ 0.5 for unrelated audio). Exact-set
+    Jaccard is deliberately NOT used here: P(whole window unchanged)
+    = (1−ber)^bits collapses steeply with ber, while aligned BER
+    degrades linearly.
+
+    Scale shape: candidates come from ONE equi-join keyed on the
+    subfingerprint value (no all-pairs); verification joins only
+    candidate pairs' aligned windows. Widen ``n_bands`` for a larger
+    fingerprint space (bits = n_bands−1) when corpus size makes
+    16-bit collisions a candidate-volume concern."""
+    fps = audio_fingerprint(
+        df.select(id_col, content_col), content_col=content_col,
+        decoder=decoder, n_bands=n_bands)
+    pos = fps.select(
+        F.col(id_col),
+        F.posexplode("fingerprints").alias("_win", "_fp"),
+    )
+    a = pos.select(F.col(id_col).alias("i"), F.col("_fp"))
+    b = pos.select(F.col(id_col).alias("j"), F.col("_fp"))
+    cand = (
+        a.join(b, "_fp")
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+    li = pos.select(F.col(id_col).alias("i"),
+                    F.col("_win"), F.col("_fp").alias("_fi"))
+    rj = pos.select(F.col(id_col).alias("j"),
+                    F.col("_win"), F.col("_fp").alias("_fj"))
+    bits = float(max(n_bands - 1, 1))
+    aligned = (
+        cand.join(li, "i")
+        .join(rj, ["j", "_win"])
+        .groupBy("i", "j")
+        .agg((F.avg(F.bit_count(
+            F.col("_fi").bitwiseXOR(F.col("_fj"))))
+            / F.lit(bits)).alias("ber"))
+    )
+    return aligned.where(F.col("ber") <= max_ber).select("i", "j", "ber")
