@@ -88,6 +88,14 @@ def _require_pil(what: str):
     return image_mod
 
 
+#: exceptions a corrupt/undecodable blob can raise inside Pillow —
+#: caught PER ROW so a poisoned blob yields NULL instead of killing
+#: the whole 100 TB scan (UnidentifiedImageError and truncated-file
+#: errors are OSError subclasses; some format parsers raise
+#: ValueError/SyntaxError on malformed headers).
+_PIL_DECODE_ERRORS = (OSError, ValueError, SyntaxError)
+
+
 def _fake_dims(buf: bytes) -> tuple[int, int]:
     """Deterministic pseudo-decode: dims derived from content bytes."""
     h = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
@@ -104,7 +112,10 @@ def decode_image_meta(
     ``decoder='real'`` decodes with Pillow when it is importable
     (probed on the driver for a fast failure, and again in each worker
     in case executor environments differ); otherwise raises
-    ``NotImplementedError`` naming the missing dependency.
+    ``NotImplementedError`` naming the missing dependency. A blob
+    Pillow cannot decode yields NULL width/height/channels for that
+    row — the batch keeps flowing (the audio-path convention: a
+    poisoned blob must not kill a 100 TB scan).
     """
     if decoder == "real":
         _require_pil("image decode")
@@ -122,15 +133,20 @@ def decode_image_meta(
             if decoder == "real":
                 dims, chans = [], []
                 for b in pdf[content_col]:
-                    with image_mod.open(io.BytesIO(bytes(b or b""))) as im:
-                        dims.append(im.size)
-                        chans.append(len(im.getbands()))
-                pdf["channels"] = chans
+                    try:
+                        with image_mod.open(
+                                io.BytesIO(bytes(b or b""))) as im:
+                            dims.append(im.size)
+                            chans.append(len(im.getbands()))
+                    except _PIL_DECODE_ERRORS:
+                        dims.append((None, None))
+                        chans.append(None)
+                pdf["channels"] = pd.array(chans, dtype="Int32")
             else:
                 dims = [_fake_dims(bytes(b or b"")) for b in pdf[content_col]]
-                pdf["channels"] = 3
-            pdf["width"] = [d[0] for d in dims]
-            pdf["height"] = [d[1] for d in dims]
+                pdf["channels"] = pd.array([3] * len(dims), dtype="Int32")
+            pdf["width"] = pd.array([d[0] for d in dims], dtype="Int32")
+            pdf["height"] = pd.array([d[1] for d in dims], dtype="Int32")
             yield pdf
 
     return df.mapInPandas(_decode, out_schema)
@@ -240,11 +256,15 @@ def image_embedding(
             for b in pdf[content_col]:
                 buf = bytes(b or b"")
                 if decoder == "real":
-                    with image_mod.open(io.BytesIO(buf)) as im:
-                        px = np.asarray(
-                            im.convert("L").resize((side, side)),
-                            dtype=np.float64,
-                        ).ravel()
+                    try:
+                        with image_mod.open(io.BytesIO(buf)) as im:
+                            px = np.asarray(
+                                im.convert("L").resize((side, side)),
+                                dtype=np.float64,
+                            ).ravel()
+                    except _PIL_DECODE_ERRORS:
+                        vecs.append(None)  # poisoned blob → NULL row
+                        continue
                     v = np.zeros(dim)
                     v[: px.size] = px[:dim]
                     v -= v.mean()
@@ -281,7 +301,8 @@ def image_phash(
     > block median. ``decoder='fake'`` emits the engine's md5 60-bit
     content hash (exact-content fingerprint — no perceptual
     robustness, but bit-identical in the DuckDB oracle and exercising
-    the same mapInPandas plumbing and downstream blocking).
+    the same mapInPandas plumbing and downstream blocking). A blob
+    Pillow cannot decode yields a NULL hash for that row.
     """
     if decoder == "real":
         _require_pil("image phash")
@@ -306,10 +327,14 @@ def image_phash(
             for b in pdf[content_col]:
                 buf = bytes(b or b"")
                 if decoder == "real":
-                    with image_mod.open(io.BytesIO(buf)) as im:
-                        px = np.asarray(
-                            im.convert("L").resize((32, 32)),
-                            dtype=np.float64)
+                    try:
+                        with image_mod.open(io.BytesIO(buf)) as im:
+                            px = np.asarray(
+                                im.convert("L").resize((32, 32)),
+                                dtype=np.float64)
+                    except _PIL_DECODE_ERRORS:
+                        vals.append(None)  # poisoned blob → NULL row
+                        continue
                     coeffs = (dct_m @ px @ dct_m.T)[:8, :8].ravel()
                     med = np.median(coeffs)
                     bits = coeffs > med
@@ -325,7 +350,7 @@ def image_phash(
                     v = int(hashlib.md5(buf).hexdigest()[:15], 16)
                 vals.append(v)
             pdf = pdf.copy()
-            pdf[out_col] = pd.Series(vals, dtype="int64", index=pdf.index)
+            pdf[out_col] = pd.array(vals, dtype="Int64")
             yield pdf
 
     return df.mapInPandas(_hash, out_schema)
@@ -341,12 +366,15 @@ def image_phash_near_dups(
     """(i, j, hamming) image near-dup pairs: :func:`image_phash`
     composed with the dedup layer's 16-bit pigeonhole blocked join
     (sound for max_hamming ≤ 3) — per-bucket candidates, never
-    all-pairs, exactly the text-SimHash scale path."""
+    all-pairs, exactly the text-SimHash scale path. Undecodable blobs
+    (NULL hash) are excluded from the pair search rather than bucketed
+    together."""
     from ..operators.dedup import simhash_near_dups
 
     sigs = image_phash(df, content_col=content_col, decoder=decoder)
     return simhash_near_dups(
-        sigs.select(id_col, F.col("phash").alias("simhash")),
+        sigs.select(id_col, F.col("phash").alias("simhash"))
+        .where(F.col("simhash").isNotNull()),
         id_col=id_col, max_hamming=max_hamming)
 
 
@@ -420,11 +448,23 @@ def video_near_dups(
     Shared frames (re-encodes, trims, overlay edits at frame
     granularity) put two videos in the same band bucket; candidate
     work is per-bucket, never all-pairs, and the verify joins touch
-    only candidate videos' hash sets. ``decoder`` gates the per-frame
-    hash (real DCT pHash needs Pillow); the frame sampler itself is
-    the deterministic byte-slicer until an ffmpeg binding exists.
+    only candidate videos' hash sets.
+
+    Only ``decoder='fake'`` is accepted today: the frame sampler is
+    the deterministic byte-slicer until an ffmpeg binding exists, and
+    its byte-slice "frames" are not decodable images — forwarding
+    ``decoder='real'`` to the per-frame pHash would NULL every frame
+    hash. When a real frame sampler lands, this gate lifts with it.
     """
     from ..operators.dedup import lsh_candidate_pairs, minhash_from_hashes
+
+    if decoder != "fake":
+        raise NotImplementedError(
+            "video_near_dups: only decoder='fake' is supported while "
+            "frame sampling is the deterministic byte-slicer (no "
+            "ffmpeg binding installed) — byte-slice frames are not "
+            "decodable images, so a real per-frame pHash cannot apply"
+        )
 
     frames = sample_video_frames(
         df.select(id_col, content_col), content_col=content_col,
@@ -450,6 +490,26 @@ def video_near_dups(
     )
 
 
+def audio_fp_band_edges(window: int = 2048, n_bands: int = 17):
+    """The log-spaced FFT-bin band edges :func:`audio_fingerprint`
+    actually uses: integer-cast ``geomspace`` edges collapse at the
+    low-frequency end, so fewer than ``n_bands`` bands can survive —
+    this is the single source of truth for the surviving layout."""
+    nbins = window // 2
+    return np.unique(np.geomspace(1, nbins, n_bands + 1).astype(int))
+
+
+def audio_fp_bits(window: int = 2048, n_bands: int = 17) -> int:
+    """ACTUAL bit width of a real-decoder subfingerprint:
+    ``len(edges) - 1`` bands survive edge collapse, band differences
+    give one fewer value, so each subfingerprint carries
+    ``len(edges) - 2`` bits — 15 at the defaults (window=2048,
+    n_bands=17), NOT ``n_bands - 1``. Both the fingerprint packing and
+    :func:`audio_near_dups`'s BER denominator derive from this, so
+    BER is never systematically understated."""
+    return max(len(audio_fp_band_edges(window, n_bands)) - 2, 1)
+
+
 def audio_fingerprint(
     df: DataFrame,
     content_col: str = "content",
@@ -462,8 +522,10 @@ def audio_fingerprint(
 ) -> DataFrame:
     """Content-based audio fingerprints (Haitsma & Kalker, "A Highly
     Robust Audio Fingerprinting System", ISMIR 2002 — simplified):
-    per analysis window, split the FFT magnitudes into ``n_bands``
-    log-spaced energy bands and emit one (n_bands−1)-bit
+    per analysis window, split the FFT magnitudes into log-spaced
+    energy bands (``n_bands`` requested; integer edge collapse can
+    leave fewer — :func:`audio_fp_bits` reports the surviving width)
+    and emit one ``audio_fp_bits(window, n_bands)``-bit
     subfingerprint whose bit b is the sign of the band-energy
     difference's TIME derivative — invariant to global volume and
     robust to mild re-encoding. Output: ``array<bigint>`` of
@@ -529,8 +591,7 @@ def audio_fingerprint(
                     continue
                 hann = np.hanning(window)
                 nbins = window // 2
-                edges = np.unique(np.geomspace(
-                    1, nbins, n_bands + 1).astype(int))
+                edges = audio_fp_band_edges(window, n_bands)
                 prev = None
                 fps = []
                 for w in range(n_win):
@@ -563,6 +624,7 @@ def audio_near_dups(
     content_col: str = "content",
     max_ber: float = 0.25,
     n_bands: int = 17,
+    window: int = 2048,
     decoder: str = "real",
 ) -> DataFrame:
     """(i, j, ber) near-duplicate audio pairs, Haitsma-style: a pair
@@ -579,11 +641,15 @@ def audio_near_dups(
     Scale shape: candidates come from ONE equi-join keyed on the
     subfingerprint value (no all-pairs); verification joins only
     candidate pairs' aligned windows. Widen ``n_bands`` for a larger
-    fingerprint space (bits = n_bands−1) when corpus size makes
-    16-bit collisions a candidate-volume concern."""
+    fingerprint space (bits = :func:`audio_fp_bits`, 15 at the
+    defaults) when corpus size makes per-window collisions a
+    candidate-volume concern. The BER denominator is the ACTUAL
+    subfingerprint width — :func:`audio_fp_bits` for the real DSP
+    path, 60 for the fake md5 path's 60-bit pseudo subfingerprints —
+    so BER is calibrated either way."""
     fps = audio_fingerprint(
         df.select(id_col, content_col), content_col=content_col,
-        decoder=decoder, n_bands=n_bands)
+        decoder=decoder, n_bands=n_bands, window=window)
     pos = fps.select(
         F.col(id_col),
         F.posexplode("fingerprints").alias("_win", "_fp"),
@@ -600,7 +666,8 @@ def audio_near_dups(
                     F.col("_win"), F.col("_fp").alias("_fi"))
     rj = pos.select(F.col(id_col).alias("j"),
                     F.col("_win"), F.col("_fp").alias("_fj"))
-    bits = float(max(n_bands - 1, 1))
+    bits = 60.0 if decoder == "fake" else float(
+        audio_fp_bits(window, n_bands))
     aligned = (
         cand.join(li, "i")
         .join(rj, ["j", "_win"])

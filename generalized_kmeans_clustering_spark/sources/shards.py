@@ -48,7 +48,14 @@ def shard_manifest(packs: DataFrame) -> DataFrame:
     """``(shard, n_packs, n_docs, n_tokens, sha256)`` — one row per
     shard; ``sha256`` hashes the newline-joined, pack-ordered per-pack
     text sha256s (hashing hashes keeps the shuffled bytes small: 64
-    hex chars per pack, not the pack text)."""
+    hex chars per pack, not the pack text).
+
+    A NULL pack text hashes to the sentinel token ``"-"`` (not a
+    64-hex digest, so it cannot collide with any real hash, and
+    distinct from the empty string's digest): without it ``sha2``
+    yields NULL and ``array_join`` silently SKIPS the element, making
+    a NULL-text pack's shard digest equal an intact shard's — a blind
+    spot in the :func:`verify_training_shards` integrity gate."""
     return (
         packs.groupBy("shard")
         .agg(
@@ -60,8 +67,10 @@ def shard_manifest(packs: DataFrame) -> DataFrame:
                     F.transform(
                         F.array_sort(F.collect_list(F.struct(
                             F.col("pack"),
-                            F.sha2(F.col("text").cast("binary"), 256)
-                            .alias("h"),
+                            F.coalesce(
+                                F.sha2(F.col("text").cast("binary"), 256),
+                                F.lit("-"),
+                            ).alias("h"),
                         ))),
                         lambda s: s["h"],
                     ),

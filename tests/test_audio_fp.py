@@ -14,6 +14,8 @@ import pytest
 
 from generalized_kmeans_clustering_spark.sources.multimodal import (
     audio_fingerprint,
+    audio_fp_band_edges,
+    audio_fp_bits,
     audio_near_dups,
 )
 
@@ -53,7 +55,7 @@ def test_fingerprints_are_nearly_volume_invariant(spark):
     # only matter through 16-bit PCM quantization — far below the
     # ~0.35 no-match threshold
     bits = sum(bin(p ^ q).count("1") for p, q in zip(out[0], out[1]))
-    ber = bits / (len(out[0]) * 16)
+    ber = bits / (len(out[0]) * audio_fp_bits())
     assert ber < 0.1, ber
 
 
@@ -117,3 +119,40 @@ def test_stereo_downmix_and_fake_decoder(spark):
     assert a[0] == a[1] and a[0] != a[2]
     with pytest.raises(ValueError):
         audio_fingerprint(_df(spark, rows), decoder="bogus")
+
+
+def test_fp_bits_derive_from_surviving_band_edges():
+    """ADVICE r6: integer-cast geomspace edges collapse at the low end,
+    so subfingerprints carry len(edges)-2 bits, not n_bands-1. The
+    helper is the single source of truth both for packing and for the
+    BER denominator."""
+    edges = audio_fp_band_edges(2048, 17)
+    assert audio_fp_bits(2048, 17) == len(edges) - 2 == 15  # NOT 16
+    # a non-collapsing layout keeps the requested width
+    wide = audio_fp_band_edges(4096, 8)
+    assert len(wide) == 9 and audio_fp_bits(4096, 8) == 7
+
+
+def test_real_fingerprints_fit_declared_bit_width(spark):
+    """Every real-path subfingerprint must fit in audio_fp_bits() bits
+    — the packed value and the BER denominator must agree."""
+    x = _broadband(3)
+    out = audio_fingerprint(_df(spark, [(0, _pcm_wav(x))])).collect()[0]
+    fps = list(out["fingerprints"])
+    assert fps, "broadband signal must fingerprint"
+    assert max(fps) < (1 << audio_fp_bits()), max(fps)
+
+
+def test_ber_calibrated_identical_audio_is_zero(spark):
+    """BER uses the ACTUAL width for both paths: identical audio gives
+    ber == 0.0 on the real path, and the fake path's 60-bit md5
+    pseudo-subfingerprints are divided by 60, not n_bands-1."""
+    x = _broadband(7)
+    a = _pcm_wav(x)
+    pairs = audio_near_dups(
+        _df(spark, [(0, a), (1, bytes(a))]), max_ber=0.05).collect()
+    assert len(pairs) == 1 and pairs[0]["ber"] == 0.0
+    fake = audio_near_dups(
+        _df(spark, [(0, b"z" * 300), (1, b"z" * 300)]),
+        decoder="fake", max_ber=0.01).collect()
+    assert len(fake) == 1 and fake[0]["ber"] == 0.0

@@ -720,3 +720,47 @@ def test_minhash_from_hashes_matches_set_jaccard_behavior(spark):
              for r in lsh_candidate_pairs(sigs, num_bands=8).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs
+
+
+def test_real_image_decode_poisoned_blob_yields_null_row(spark):
+    """ADVICE r6: a corrupt blob must NULL its row, not kill the scan
+    (the audio-path convention). PIL-gated; the fake path has no
+    decode to poison."""
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        _try_pil, decode_image_meta, image_embedding, image_phash,
+    )
+
+    if _try_pil() is None:
+        pytest.skip("Pillow not installed")
+    import io as _io
+
+    image_mod = _try_pil()
+    buf = _io.BytesIO()
+    image_mod.new("RGB", (8, 8)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(0, bytearray(buf.getvalue())),
+         (1, bytearray(b"\x89PNG garbage that will not decode"))],
+        "media_id long, content binary")
+    meta = {r["media_id"]: r for r in
+            decode_image_meta(df, decoder="real").collect()}
+    assert meta[0]["width"] == 8 and meta[1]["width"] is None
+    ph = {r["media_id"]: r["phash"] for r in
+          image_phash(df, decoder="real").collect()}
+    assert ph[0] is not None and ph[1] is None
+    emb = {r["media_id"]: r["embedding"] for r in
+           image_embedding(df, dim=8, decoder="real").collect()}
+    assert emb[0] is not None and emb[1] is None
+
+
+def test_video_near_dups_rejects_real_decoder(spark):
+    """ADVICE r6: byte-slice 'frames' are not decodable images, so
+    forwarding decoder='real' to the per-frame pHash would NULL every
+    hash — reject it loudly until a real frame sampler exists."""
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        video_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(0, bytearray(bytes(range(250))))], "media_id long, content binary")
+    with pytest.raises(NotImplementedError, match="fake"):
+        video_near_dups(df, decoder="real")

@@ -83,3 +83,21 @@ def test_single_shard_read_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "shard" in plan
     assert one.count() > 0
     assert one.select("shard").distinct().collect()[0]["shard"] == 5
+
+
+def test_null_text_pack_changes_shard_digest(spark):
+    """ADVICE r6: array_join silently skips NULL elements, so a shard
+    with a NULL-text pack used to hash identically to the shard with
+    that pack absent — the integrity gate was blind to it. The NULL
+    sentinel must also stay distinct from an empty-text pack."""
+    schema = "shard int, pack long, n_docs long, n_tokens long, text string"
+    intact = spark.createDataFrame(
+        [(0, 0, 1, 4, "aaaa"), (0, 1, 1, 4, "bbbb")], schema)
+    nulled = spark.createDataFrame(
+        [(0, 0, 1, 4, "aaaa"), (0, 1, 1, 4, None)], schema)
+    absent = spark.createDataFrame([(0, 0, 1, 4, "aaaa")], schema)
+    empty = spark.createDataFrame(
+        [(0, 0, 1, 4, "aaaa"), (0, 1, 1, 0, "")], schema)
+    digests = [shard_manifest(d).collect()[0]["sha256"]
+               for d in (intact, nulled, absent, empty)]
+    assert len(set(digests)) == 4, digests
