@@ -9,6 +9,7 @@ from generalized_kmeans_clustering_spark.operators.sampling import (
 )
 from generalized_kmeans_clustering_spark.operators.semantic import (
     semantic_dedup,
+    semantic_list_stats,
     semantic_near_dup_pairs,
 )
 
@@ -84,6 +85,139 @@ def test_pairs_stay_within_list(spark):
     for i, j in got:
         assert lists[i] == lists[j]
     assert (0, 1) in got and (1, 2) in got
+
+
+def _skewed_indexed(spark, n_hot=220, n_dup_pairs=10):
+    """An ivf_index frame where ONE list holds >50% of the rows: a
+    LOOSE cluster around e1 (most pairs far below threshold) with
+    planted identical-vector duplicate pairs, plus a spread of rows in
+    the other two lists."""
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(n_hot - n_dup_pairs):
+        # σ=0.6 ⇒ ~8% of within-list pairs reach cosine 0.95 — the
+        # realistic SemDeDup density (σ=0.3 would make ~27% of ALL
+        # pairs duplicates: the output-bound regime where candidate
+        # pruning inherently costs recall)
+        v = np.array([1.0, 0.0, 0.0]) + rng.normal(0, 0.6, 3)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    for k in range(n_dup_pairs):  # planted exact dups inside the hot list
+        base = rows[k][1]
+        rows.append((vid, list(base)))
+        vid += 1
+    for _ in range(60):  # the cool lists
+        axis = rng.integers(1, 3)
+        v = np.eye(3)[axis] + rng.normal(0, 0.1, 3)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, _ = ivf_index(df, n_lists=3, seed=0, max_iter=0,
+                           initial_centers=CENTERS)
+    return indexed
+
+
+def test_skew_cap_bounds_candidate_volume(spark):
+    """VERDICT r6 #1: one list holding >50% of rows must NOT reintroduce
+    near-all-pairs work — over-cap lists are recursively sub-split and
+    the telemetry operator proves the candidate count is bounded."""
+    indexed = _skewed_indexed(spark)
+    stats = {r["list"]: r.asDict()
+             for r in semantic_list_stats(indexed, list_size_cap=50)
+             .collect()}
+    hot = sorted((s for s in stats.values() if s["oversized"]),
+                 key=lambda s: -s["size"])
+    assert hot and hot[0]["size"] >= 150  # the mega-list engaged the cap
+    # 16-way sub-split (2 probes) must beat the quadratic count by a
+    # wide margin on the mega-list; lists barely over the cap only
+    # need to come in under their quadratic count (split overhead
+    # shrinks as size/cap grows)
+    mega_full = hot[0]["size"] * (hot[0]["size"] - 1) // 2
+    assert hot[0]["candidate_pairs"] < mega_full / 3, (hot[0], mega_full)
+    for s in hot[1:]:
+        full = s["size"] * (s["size"] - 1) // 2
+        assert s["candidate_pairs"] < full, (s, full)
+    for s in stats.values():
+        if not s["oversized"]:
+            assert s["candidate_pairs"] == s["size"] * (s["size"] - 1) // 2
+
+
+def test_skew_split_is_subset_with_high_recall(spark):
+    """Sub-splitting prunes candidates, never adds them: the over-cap
+    result is a subset of the exact result, keeps every planted
+    identical-vector pair (identical vectors take identical probes),
+    and multi-probing keeps boundary recall high."""
+    indexed = _skewed_indexed(spark)
+    exact = {(r["i"], r["j"]) for r in semantic_near_dup_pairs(
+        indexed, 0.95, list_size_cap=None).collect()}
+    split = {(r["i"], r["j"]) for r in semantic_near_dup_pairs(
+        indexed, 0.95, list_size_cap=50).collect()}
+    assert split <= exact
+    assert len(split) >= 0.85 * len(exact), (len(split), len(exact))
+    for k in range(10):  # planted dups: ids 210..219 duplicate 0..9
+        assert (k, 210 + k) in split
+    # and no duplicate (i, j) rows leak from multi-probe collisions
+    rows = semantic_near_dup_pairs(indexed, 0.95, list_size_cap=50).collect()
+    assert len(rows) == len({(r["i"], r["j"]) for r in rows})
+
+
+def test_default_cap_keeps_small_lists_exact(spark):
+    """Lists at or under the cap take the exact path: default-cap and
+    cap=None agree bit-for-bit on the small fixture."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    df = _emb_df(spark)
+    indexed, _ = ivf_index(df, n_lists=3, seed=0, max_iter=0,
+                           initial_centers=CENTERS)
+    with_cap = {(r["i"], r["j"], round(r["sim"], 12))
+                for r in semantic_near_dup_pairs(indexed, 0.95).collect()}
+    exact = {(r["i"], r["j"], round(r["sim"], 12))
+             for r in semantic_near_dup_pairs(
+                 indexed, 0.95, list_size_cap=None).collect()}
+    assert with_cap == exact
+
+
+def test_semantic_dedup_with_cap_engaged_keeps_planted_groups(spark):
+    """semantic_dedup over the skewed corpus with the cap engaged:
+    every planted duplicate pair lands in one component with exactly
+    one canonical member."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for vid in range(120):
+        v = np.array([1.0, 0.0, 0.0]) + rng.normal(0, 0.3, 3)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+    for k in range(5):
+        rows.append((120 + k, list(rows[k][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r.asDict() for r in semantic_dedup(
+        df, threshold=0.999, n_lists=3, seed=0, max_iter=0,
+        initial_centers=CENTERS, list_size_cap=40,
+    ).collect()}
+    assert len(out) == 125  # verdict frame: every row survives
+    from collections import Counter
+
+    canon_per_comp = Counter(
+        v["component"] for v in out.values() if v["is_canonical"])
+    comps = {v["component"] for v in out.values()}
+    assert all(canon_per_comp[c] == 1 for c in comps)
+    for k in range(5):  # identical vectors always share a component
+        assert out[k]["component"] == out[120 + k]["component"]
+        # and the pair's component is not a singleton for both
+        assert not (out[k]["is_canonical"] and out[120 + k]["is_canonical"])
 
 
 def test_bad_keep_policy_raises(spark):
