@@ -1626,6 +1626,57 @@ def q_streaming_near_dup(spark, sf_dir):
     return out
 
 
+def q_streaming_lsh_pairs(spark, sf_dir):
+    """TRUE watermarked stream-stream LSH self-join
+    (streaming/dedup.streaming_lsh_pairs): documents replayed as a
+    2-file availableNow stream with synthesized event times that all
+    fit inside the join horizon, so Spark's symmetric hash join (both
+    sides watermarked, event-time range condition bounding state) must
+    emit exactly the batch LSH + estimated-Jaccard pair set however
+    the stream was micro-batched. The oracle is the SAME batch SQL as
+    the foreachBatch sibling (streaming_near_dup_pairs) — the two
+    streaming architectures and the batch operator agree on one
+    answer."""
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        streaming_lsh_pairs,
+    )
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_lsh_")
+    # deterministic event times spanning <5 minutes — every pair is
+    # inside the 10-minute horizon, so horizon semantics cannot drop
+    # any pair and the batch twin is exact
+    docs = documents(spark, sf_dir).select(
+        "doc_id", "text",
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=(F.col("doc_id") % 300).cast("double"))
+         ).alias("ts"),
+    )
+    indir = f"{root}/in"
+    docs.repartition(2, "doc_id").write.mode("overwrite").parquet(indir)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(indir))
+    pairs = streaming_lsh_pairs(
+        stream, ts_col="ts", horizon="10 minutes", num_hashes=16,
+        num_bands=4, shingle_n=3, threshold=0.5, seed=42, hash_fn="md5")
+    outdir = f"{root}/pairs"
+    q = (pairs.writeStream.format("parquet")
+         .option("path", outdir)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(outdir)
+        .select("i", "j", "est_jaccard")
+        .distinct().orderBy("i", "j")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _line_dedup_sql(words_per_line=2, max_occ=20) -> str:
     """Twin of operators/dedup.drop_repeated_lines over documents with
     synthesized line structure (every ``words_per_line`` words = one
@@ -3622,6 +3673,61 @@ def q_video_near_dups(spark, sf_dir):
     ).orderBy("i", "j")
 
 
+def _audio_near_dups_sql(max_ber=0.25, max_windows=256, slice_bytes=64,
+                         digits=6) -> str:
+    """Twin of sources/multimodal.audio_near_dups (fake decoder):
+    pseudo subfingerprints are md5 60-bit ints of consecutive 64-byte
+    content slices (n = min(max_windows, max(len//64, 1))), candidates
+    share ANY subfingerprint value, and verification is the aligned
+    bit-error rate — avg bit_count(xor) over same-position windows
+    divided by the fake path's 60-bit width."""
+    md5i = _MD5INT.format(s="sbytes")
+    sb = slice_bytes
+    return (
+        "WITH a AS (SELECT doc_id AS media_id, coalesce(text, '') AS t "
+        "FROM documents), "
+        f"nw AS (SELECT media_id, t, least({max_windows}, "
+        f"greatest(CAST(length(t) // {sb} AS INTEGER), 1)) AS n FROM a), "
+        "w AS (SELECT media_id, CAST(u.w AS INTEGER) AS win, "
+        f"substring(t, CAST(u.w AS INTEGER) * {sb} + 1, {sb}) AS sbytes "
+        "FROM nw, unnest(range(0, n)) AS u(w)), "
+        f"fp AS MATERIALIZED (SELECT media_id, win, "
+        f"CAST({md5i} AS BIGINT) AS fp FROM w), "
+        "cand AS (SELECT DISTINCT l.media_id AS i, r.media_id AS j "
+        "FROM fp l JOIN fp r ON l.fp = r.fp "
+        "AND l.media_id < r.media_id), "
+        "al AS (SELECT c.i, c.j, "
+        "avg(bit_count(xor(a.fp, b.fp))) / 60.0 AS ber "
+        "FROM cand c JOIN fp a ON a.media_id = c.i "
+        "JOIN fp b ON b.media_id = c.j AND b.win = a.win "
+        "GROUP BY c.i, c.j) "
+        f"SELECT i, j, {_r('ber', digits)} AS ber FROM al "
+        f"WHERE ber <= {max_ber!r} ORDER BY i, j"
+    )
+
+
+def q_audio_near_dups(spark, sf_dir):
+    """Audio near-duplicate pairs (sources/multimodal.audio_near_dups):
+    per-window subfingerprints → exact-subfingerprint candidate join →
+    aligned bit-error-rate verify, the Haitsma & Kalker match shape.
+    The documents' text bytes stand in for audio content through the
+    md5-deterministic fake decoder (designed for codec-free oracle
+    replays — the real stdlib-WAV DSP path is covered by
+    tests/test_audio_fp.py)."""
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        audio_near_dups,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = audio_near_dups(docs, decoder="fake", max_ber=0.25)
+    return out.select(
+        "i", "j", _rcol(F.col("ber"), 6).alias("ber"),
+    ).orderBy("i", "j")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column plumbing: documents' text bytes stand in for media
     content; deterministic fake decode exercises the mapInPandas path."""
@@ -4729,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
+        "streaming_lsh_pairs": q_streaming_lsh_pairs,
         "doc_line_dedup": q_doc_line_dedup,
         "corpus_pack_texts": q_corpus_pack_texts,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -4813,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_meta,
         "multimodal_image_phash": q_image_phash,
         "multimodal_video_near_dups": q_video_near_dups,
+        "multimodal_audio_near_dups": q_audio_near_dups,
         "mixture_fit": q_mixture_fit,
         "soft_fit": q_soft_fit,
         "multiview_assign_fixed": q_multiview_assign,
@@ -5312,6 +5420,7 @@ FROM wide w ORDER BY xb
     out["multimodal_image_meta"] = _multimodal_sql()
     out["multimodal_image_phash"] = _image_phash_sql()
     out["multimodal_video_near_dups"] = _video_near_dups_sql()
+    out["multimodal_audio_near_dups"] = _audio_near_dups_sql()
     out["multimodal_audio_meta"] = _multimodal_audio_sql()
     out["dedup_components"] = _dedup_components_sql()
     # star contraction must agree exactly with min-label propagation
@@ -5334,6 +5443,9 @@ FROM wide w ORDER BY xb
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()
+    # the true stream-stream join must reproduce the same batch answer
+    # as its foreachBatch sibling (every event time fits the horizon)
+    out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["corpus_pack_texts"] = _pack_texts_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
