@@ -183,6 +183,7 @@ def pq_topk(
     vec_col: str = "embedding",
     code_col: str = "codes",
     exclude_self: bool = True,
+    max_broadcast_queries: int | None = 4096,
 ) -> DataFrame:
     """ADC top-k: ``(query_id, neighbor_id, approx_dist, rank)`` by
     ascending approximate squared L2.
@@ -192,7 +193,28 @@ def pq_topk(
     candidate), the join broadcasts the query side, and scoring is an
     ``aggregate`` over ``zip_with(codes, tables)`` — pure JVM
     expressions over the m-byte codes; full vectors are only read on
-    the query side."""
+    the query side.
+
+    This is the BRUTE path: every corpus code is scored against every
+    query (|corpus| × |queries| work, no pruning) — intended for
+    broadcast-small query sets. A query table larger than
+    ``max_broadcast_queries`` raises a warning pointing to
+    :func:`ivf_pq_topk` (the nprobe-pruned scale path); pass ``None``
+    to skip the size probe (one ``limit(n+1)`` count on the query
+    side) when the caller already knows the query set is small."""
+    if max_broadcast_queries is not None:
+        probe = queries.limit(max_broadcast_queries + 1).count()
+        if probe > max_broadcast_queries:
+            import warnings
+
+            warnings.warn(
+                f"pq_topk: query side exceeds {max_broadcast_queries} "
+                "rows — the brute ADC path scores |corpus| x |queries| "
+                "candidates with no pruning. Use ivf_pq_topk (nprobe-"
+                "pruned lists) for large query tables, or raise "
+                "max_broadcast_queries to acknowledge the cost.",
+                stacklevel=2,
+            )
     qv = F.col(vec_col).cast("array<double>")
     luts = F.array(*[
         _codeword_dists(

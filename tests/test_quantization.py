@@ -238,3 +238,24 @@ def test_pq_model_roundtrip(spark, tmp_path):
     b = pq_encode(_df(spark), loaded).collect()
     assert sorted((r["vec_id"], list(r["codes"])) for r in a) == \
         sorted((r["vec_id"], list(r["codes"])) for r in b)
+
+
+def test_pq_topk_warns_on_large_query_table(spark):
+    """VERDICT r6 #4: the brute ADC path is |corpus| x |queries| with
+    no pruning — a query table above max_broadcast_queries must warn
+    loudly and point to ivf_pq_topk instead of silently blowing up."""
+    import warnings as w
+
+    df = _df(spark)
+    enc = pq_encode(df, MODEL)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pq_topk(enc, MODEL, df, k=1, max_broadcast_queries=2)
+    msgs = [str(r.message) for r in rec]
+    assert any("ivf_pq_topk" in m for m in msgs), msgs
+    # small query sets and the opt-out stay silent
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pq_topk(enc, MODEL, df.where(F.col("vec_id") == 0), k=1)
+        pq_topk(enc, MODEL, df, k=1, max_broadcast_queries=None)
+    assert not [r for r in rec if "pq_topk" in str(r.message)]
