@@ -321,30 +321,40 @@ def score_hashed_lr(
 
 def write_lr_model(spark, model: HashedLRModel, path: str,
                    mode: str = "overwrite") -> None:
-    """Persist the classifier as a 1-row JSON dataset written THROUGH
-    Spark (train once on a labeled sample, score any later corpus —
-    the featurizer pins travel with the weights so scoring reproduces
-    training's buckets)."""
-    sidecar = spark.createDataFrame(
-        [([float(x) for x in model.weights], float(model.bias),
-          int(model.n_buckets), int(model.seed), model.hash_fn)],
-        "weights array<double>, bias double, n_buckets int, "
-        "seed int, hash_fn string",
-    )
-    sidecar.coalesce(1).write.mode(mode).json(path)
+    """Persist the classifier through the shared checksummed sidecar
+    layout (``sources/sidecar.py`` — sha256-verified on read; train
+    once on a labeled sample, score any later corpus — the featurizer
+    pins travel with the weights so scoring reproduces training's
+    buckets)."""
+    from ..sources.sidecar import write_model_sidecar
+
+    write_model_sidecar(spark, path, "hashed_lr", {
+        "weights": [float(x) for x in model.weights],
+        "bias": float(model.bias),
+        "n_buckets": int(model.n_buckets),
+        "seed": int(model.seed),
+        "hash_fn": model.hash_fn,
+    }, mode=mode)
 
 
 def read_lr_model(spark, path: str) -> HashedLRModel:
-    """Load a :func:`write_lr_model` sidecar."""
-    row = spark.read.json(path).first()
-    if row is None:
-        raise ValueError(f"read_lr_model: no sidecar at {path}")
+    """Load a :func:`write_lr_model` sidecar (shared checksummed
+    layout; pre-r7 bespoke 1-row JSON still readable)."""
+    from ..sources.sidecar import read_model_sidecar
+
+    try:
+        p = read_model_sidecar(spark, path, "hashed_lr")
+    except ValueError as e:
+        if "not a shared-layout sidecar" not in str(e):
+            raise
+        row = spark.read.json(path).first()  # legacy pre-r7 layout
+        p = row.asDict()
     return HashedLRModel(
-        weights=[float(x) for x in row["weights"]],
-        bias=float(row["bias"]),
-        n_buckets=int(row["n_buckets"]),
-        seed=int(row["seed"]),
-        hash_fn=row["hash_fn"],
+        weights=[float(x) for x in p["weights"]],
+        bias=float(p["bias"]),
+        n_buckets=int(p["n_buckets"]),
+        seed=int(p["seed"]),
+        hash_fn=p["hash_fn"],
     )
 
 

@@ -250,27 +250,37 @@ def pq_topk(
 
 def write_pq_model(spark, model: PQModel, path: str,
                    mode: str = "overwrite") -> None:
-    """Persist codebooks as a 1-row JSON dataset written THROUGH Spark
-    (HDFS/S3/local alike — same rationale as the IVF sidecar): train
-    once on a sample job, encode/serve from any later job."""
-    sidecar = spark.createDataFrame(
-        [(int(model.m), int(model.k_sub), int(model.d),
-          [[[float(x) for x in c] for c in cb] for cb in model.codebooks])],
-        "m int, k_sub int, d int, "
-        "codebooks array<array<array<double>>>",
-    )
-    sidecar.coalesce(1).write.mode(mode).json(path)
+    """Persist codebooks through the shared checksummed sidecar layout
+    (``sources/sidecar.py`` — sha256-verified on read, written THROUGH
+    Spark so it lands on the data's filesystem): train once on a
+    sample job, encode/serve from any later job."""
+    from ..sources.sidecar import write_model_sidecar
+
+    write_model_sidecar(spark, path, "pq_codebooks", {
+        "m": int(model.m),
+        "k_sub": int(model.k_sub),
+        "d": int(model.d),
+        "codebooks": [[[float(x) for x in c] for c in cb]
+                      for cb in model.codebooks],
+    }, mode=mode)
 
 
 def read_pq_model(spark, path: str) -> PQModel:
-    """Load a :func:`write_pq_model` sidecar."""
-    row = spark.read.json(path).first()
-    if row is None:
-        raise ValueError(f"read_pq_model: no sidecar at {path}")
+    """Load a :func:`write_pq_model` sidecar (shared checksummed
+    layout; pre-r7 bespoke 1-row JSON still readable)."""
+    from ..sources.sidecar import read_model_sidecar
+
+    try:
+        p = read_model_sidecar(spark, path, "pq_codebooks")
+    except ValueError as e:
+        if "not a shared-layout sidecar" not in str(e):
+            raise
+        row = spark.read.json(path).first()  # legacy pre-r7 layout
+        p = row.asDict()
     return PQModel(
         codebooks=[[[float(x) for x in c] for c in cb]
-                   for cb in row["codebooks"]],
-        d=int(row["d"]),
+                   for cb in p["codebooks"]],
+        d=int(p["d"]),
     )
 
 

@@ -319,21 +319,20 @@ def write_ivf_index(indexed: DataFrame, model, path: str,
     """
     indexed.write.mode(mode).partitionBy("_list").parquet(f"{path}/vectors")
     # centroids via the model's own persistence-free state (tiny).
-    # Written THROUGH Spark as a 1-row JSON dataset so vectors and
-    # sidecar land on the SAME filesystem (HDFS/S3/local alike) — a
-    # driver-local open() would split the index directory across
-    # filesystems on any non-local deployment.
-    spark = indexed.sparkSession
-    sidecar = spark.createDataFrame(
-        [(
-            int(len(model.centers)),
-            int(model.centers.shape[1]),
-            model.kernel_name,
-            [[float(v) for v in c] for c in model.centers],
-        )],
-        "n_lists int, dim int, kernel string, centers array<array<double>>",
-    )
-    sidecar.coalesce(1).write.mode(mode).json(f"{path}/centroids")
+    # Written through the shared checksummed sidecar layout
+    # (sources/sidecar.py) so vectors and sidecar land on the SAME
+    # filesystem (HDFS/S3/local alike) and a truncated sidecar fails
+    # its sha256 instead of silently serving wrong centers.
+    from ..sources.sidecar import write_model_sidecar
+
+    write_model_sidecar(indexed.sparkSession, f"{path}/centroids",
+                        "ivf_centroids", {
+                            "n_lists": int(len(model.centers)),
+                            "dim": int(model.centers.shape[1]),
+                            "kernel": model.kernel_name,
+                            "centers": [[float(v) for v in c]
+                                        for c in model.centers],
+                        }, mode=mode)
 
 
 def read_ivf_index(spark, path: str):
@@ -354,10 +353,21 @@ def read_ivf_index(spark, path: str):
     # dataset exists.
     from pyspark.errors import AnalysisException
 
+    from ..sources.sidecar import read_model_sidecar
+
     try:
-        row = spark.read.json(f"{path}/centroids").first()
-        sidecar = {"centers": [list(c) for c in row["centers"]],
-                   "kernel": row["kernel"]}
+        try:
+            p = read_model_sidecar(spark, f"{path}/centroids",
+                                   "ivf_centroids")
+            sidecar = {"centers": [list(c) for c in p["centers"]],
+                       "kernel": p["kernel"]}
+        except ValueError as ve:
+            if "not a shared-layout sidecar" not in str(ve):
+                raise
+            # r4-r6 bespoke Spark-written 1-row JSON layout
+            row = spark.read.json(f"{path}/centroids").first()
+            sidecar = {"centers": [list(c) for c in row["centers"]],
+                       "kernel": row["kernel"]}
     except AnalysisException as e:
         # Fall back ONLY when the centroids dataset is absent. A
         # corrupt or partially-written centroids/ (or a transient FS
