@@ -1462,6 +1462,92 @@ def q_corpus_pack_spans(spark, sf_dir):
     return out.orderBy("doc_id", "pack")
 
 
+#: fixed merge table for the BPE packing oracle row: the twin must
+#: replay the application independently, so the query uses a known
+#: small vocab instead of corpus-trained merges (training itself is
+#: model fitting — covered by tests/test_tokenizer.py, which also
+#: proves replace-chain == canonical application on every corpus word
+#: with corpus-LEARNED merges)
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("a", "t"), ("a", "n"),
+    ("o", "r"), ("s", "t"), ("a", "r"), ("l", "o"), ("o", "w"),
+    ("i", "n"), ("s", "c"), ("sc", "a"), ("sca", "n"), ("u", "e"),
+    ("r", "y"),
+]
+
+
+def _bpe_pack_spans_sql(seq_len=256, num_shards=4, seed=1,
+                        merges=_BPE_FIXED_MERGES) -> str:
+    """Twin of tokenizer.bpe_token_count → packing.pack_concat: BPE
+    application as a replace chain over a per-symbol-delimited
+    encoding (chr(1) sym chr(2) — symbol-disjoint pair occurrences are
+    string-disjoint, so ONE non-overlapping replace per merge IS
+    canonical greedy left-to-right BPE; a shared-delimiter encoding
+    would skip boundary-sharing occurrences), token count = number of
+    chr(1) markers left, then the exact pack_concat span machinery
+    over those counts."""
+    expr = "s"
+    for a, b in merges:
+        pat = f"chr(1)||'{a}'||chr(2)||chr(1)||'{b}'||chr(2)"
+        rep = f"chr(1)||'{a}{b}'||chr(2)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    L = seq_len
+    return (
+        "WITH d AS (SELECT doc_id, coalesce(text, '') AS text "
+        "FROM documents), "
+        "w AS (SELECT doc_id, u.word AS word FROM d, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS u(word)), "
+        "enc AS (SELECT doc_id, array_to_string(list_transform("
+        "string_split(word, ''), c -> chr(1)||c||chr(2)), '') AS s "
+        "FROM w), "
+        f"seg AS (SELECT doc_id, {expr} AS m FROM enc), "
+        "t AS (SELECT doc_id, CAST(sum(length(m) - "
+        "length(replace(m, chr(1), ''))) AS BIGINT) AS n FROM seg "
+        "GROUP BY doc_id), "
+        f"k AS (SELECT doc_id, n, {md5i} AS key FROM t WHERE n > 0), "
+        f"s AS (SELECT *, CAST(key % {num_shards} AS INTEGER) AS shard "
+        "FROM k), "
+        "c AS (SELECT *, sum(n) OVER (PARTITION BY shard "
+        "ORDER BY key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS cum FROM s), "
+        "p AS (SELECT *, cum - n AS prev FROM c), "
+        "x AS (SELECT doc_id, shard, prev, cum, "
+        f"unnest(generate_series(CAST(prev // {L} AS BIGINT), "
+        f"CAST((cum - 1) // {L} AS BIGINT))) AS ps FROM p) "
+        "SELECT doc_id, shard, CAST(ps AS BIGINT) AS pack, "
+        f"CAST(greatest(prev - ps * {L}, 0) AS BIGINT) AS pack_offset, "
+        f"CAST(greatest(ps * {L} - prev, 0) AS BIGINT) AS doc_offset, "
+        f"CAST(least((ps + 1) * {L}, cum) - greatest(ps * {L}, prev) "
+        f"AS BIGINT) AS length "
+        "FROM x ORDER BY doc_id, pack"
+    )
+
+
+def q_corpus_bpe_pack_spans(spark, sf_dir):
+    """Sequence packing under TRAINED-TOKENIZER counts
+    (operators/tokenizer.bpe_token_count → packing.pack_concat): the
+    budgets/spans mean actual BPE tokens, not whitespace tokens. The
+    merge table is fixed (small vocab) so the DuckDB twin can replay
+    the application; the Arrow-batched pandas-UDF application path is
+    the REAL operator under test."""
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        pack_concat,
+    )
+    from generalized_kmeans_clustering_spark.operators.tokenizer import (
+        BPEModel, bpe_token_count,
+    )
+
+    model = BPEModel(merges=[list(m) for m in _BPE_FIXED_MERGES])
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    toks = bpe_token_count(docs, model).select("doc_id", "n_tokens")
+    out = pack_concat(toks, seq_len=256, num_shards=4, seed=1,
+                      hash_fn="md5")
+    return out.orderBy("doc_id", "pack")
+
+
 def _pack_next_fit_sql(seq_len=64, num_shards=4, seed=1) -> str:
     """Twin of operators/packing.pack_next_fit: the greedy per-shard
     walk is deterministic given the md5 order, so a recursive CTE
@@ -4833,6 +4919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
+        "corpus_bpe_pack_spans": q_corpus_bpe_pack_spans,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
@@ -5441,6 +5528,7 @@ FROM wide w ORDER BY xb
     out["doc_top_ngrams"] = _top_ngrams_sql()
     out["emb_simhash_srp"] = _emb_simhash_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
+    out["corpus_bpe_pack_spans"] = _bpe_pack_spans_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()
     # the true stream-stream join must reproduce the same batch answer
