@@ -101,6 +101,13 @@ def main():
     sample.unpersist()
 
     # flagship: full SE fit, k=8, 5 iterations (distributed kmeans|| init)
+    # r6→r7 note: the 4.00s→4.92s driver drift was chased with an
+    # interleaved same-JVM A/B of the r5 commit (2b0c0cd) vs HEAD —
+    # the fit path is byte-identical between the two (git diff empty
+    # on kmeans/assignment/initialization/update/kernels), and the A/B
+    # mins landed within each other's noise band (r5 4.6s vs HEAD 5.5s
+    # with per-trial swings to 20s on a contended box): environment
+    # variance, nothing to revert.
     model = timed("fit_se_k8", lambda: GeneralizedKMeans(
         k=8, divergence="se", max_iter=5, seed=42).fit(li), runs=3)
     # KL fit
