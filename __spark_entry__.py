@@ -1790,6 +1790,54 @@ def _line_dedup_sql(words_per_line=2, max_occ=20) -> str:
     )
 
 
+def _repeated_spans_sql(n=6, max_occ=1) -> str:
+    """Twin of operators/dedup.drop_repeated_spans: md5 n-gram
+    fingerprints over whitespace tokens, corpus-wide occurrence count
+    (within-doc repeats included), token dropped iff any repeated
+    n-gram starting in [i-n+1, i] covers it."""
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, CAST(u.s AS INTEGER) AS s, "
+        f"md5(array_to_string(toks[u.s:u.s+{n}-1], ' ')) AS gh "
+        f"FROM d, unnest(range(1, len(toks) - {n} + 2)) AS u(s) "
+        f"WHERE len(toks) >= {n}), "
+        f"rep AS (SELECT gh FROM g GROUP BY gh "
+        f"HAVING count(*) > {max_occ}), "
+        "cov AS (SELECT doc_id, list_sort(list(s)) AS starts "
+        "FROM g JOIN rep USING (gh) GROUP BY doc_id), "
+        "k AS (SELECT d.doc_id, d.toks, coalesce(cov.starts, []) "
+        "AS starts FROM d LEFT JOIN cov USING (doc_id)), "
+        "f AS (SELECT doc_id, toks, list_filter(toks, (t, i) -> "
+        f"len(list_filter(starts, s -> s <= i AND i < s + {n})) = 0) "
+        "AS kept FROM k) "
+        "SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_tokens_kept, "
+        "CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_dropped, "
+        "md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5 "
+        "FROM f ORDER BY doc_id"
+    )
+
+
+def q_dedup_repeated_spans(spark, sf_dir):
+    """ExactSubstr-style substring dedup
+    (operators/dedup.drop_repeated_spans, Lee et al. 2107.06499):
+    every 6-token sequence occurring more than once across the corpus
+    is cut from every document — sub-line boilerplate the line rule
+    misses. Verified by per-doc kept/dropped counts and the md5 of the
+    cleaned text."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_spans,
+    )
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    out = drop_repeated_spans(docs, n=6, max_occurrences=1)
+    return out.select(
+        "doc_id", "n_tokens_kept", "n_tokens_dropped",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+        .alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def q_doc_line_dedup(spark, sf_dir):
     """Corpus-wide repeated-line removal (C4/RefinedWeb boilerplate
     rule, operators/dedup.drop_repeated_lines). The flat synthetic docs
@@ -4924,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dup_pairs": q_streaming_near_dup,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
         "doc_line_dedup": q_doc_line_dedup,
+        "dedup_repeated_spans": q_dedup_repeated_spans,
         "corpus_pack_texts": q_corpus_pack_texts,
         "corpus_decontaminate": q_corpus_decontaminate,
         "doc_pii_redact": q_doc_pii_redact,
@@ -5535,6 +5584,7 @@ FROM wide w ORDER BY xb
     # as its foreachBatch sibling (every event time fits the horizon)
     out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
+    out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["corpus_pack_texts"] = _pack_texts_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
     out["doc_pii_redact"] = _pii_redact_sql()

@@ -218,6 +218,21 @@ def main():
                     .alias("n_tokens")),
         512, num_shards=64,
     ).groupBy("shard").count().collect())
+    # trained-tokenizer pipeline: learn 64 BPE merges from the corpus
+    # (one word-count agg + driver merge learning), then pack under
+    # REAL token counts (Arrow-batched application with per-word memo)
+    from generalized_kmeans_clustering_spark.operators.tokenizer import (
+        bpe_token_count, train_bpe,
+    )
+
+    def _bpe_pack():
+        model = train_bpe(docs, num_merges=64)
+        pack_concat(
+            bpe_token_count(docs.select("doc_id", "text"), model),
+            512, num_shards=64,
+        ).groupBy("shard").count().collect()
+
+    timed("bpe_train_pack", _bpe_pack)
     # DSIR importance weights: hashed n-gram bucket models (target =
     # the English docs) + broadcast log-ratio scoring of every doc
     from generalized_kmeans_clustering_spark.operators.dsir import (

@@ -34,6 +34,7 @@ __all__ = [
     "simhash_near_dups",
     "line_occurrences",
     "drop_repeated_lines",
+    "drop_repeated_spans",
     "duplicate_components",
     "canonical_duplicates",
     "deduplicate",
@@ -660,6 +661,97 @@ def drop_repeated_lines(
     )
     return rebuilt.select(*other_cols, text_col,
                           "n_lines_kept", "n_lines_dropped")
+
+
+def drop_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """ExactSubstr-style substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — token-granular variant): CUT every maximal span
+    covered by an ``n``-token sequence that occurs more than
+    ``max_occurrences`` times across the whole corpus (within-document
+    repeats count toward the total, as in the paper). This catches
+    cross-document boilerplate at sub-line granularity — templated
+    sentences, license fragments, quoted chains — that line-level
+    dedup (:func:`drop_repeated_lines`) misses whenever the repetition
+    does not align with line boundaries.
+
+    Output = input columns with ``text_col`` rewritten (tokens outside
+    repeated spans, original order) plus ``n_tokens_kept`` /
+    ``n_tokens_dropped``. Overlapping repeated n-grams merge naturally:
+    a token is dropped iff ANY repeated n-gram covers it. Documents
+    shorter than ``n`` tokens contribute no n-grams and are never cut.
+    Tokens are whitespace units (the curation-layer convention); run
+    text through :func:`~.tokenizer.bpe_tokens` first and re-join when
+    spans should mean trained-tokenizer tokens.
+
+    At 100 TB: one groupBy shuffle on the n-gram fingerprint; only
+    OVER-REPRESENTED grams (≪ corpus for sane thresholds) join back
+    against the exploded grams (AQE broadcasts them); covered starts
+    regroup per doc (one shuffle keyed on the id); the cut itself is a
+    map-only expression — the per-token coverage test is
+    O(|repeated starts in the doc|), which is ~0 for clean documents.
+    No collect anywhere; this is the paper's suffix-array pass
+    re-expressed as hash aggregation (exact for fixed n, rather than
+    all lengths ≥ n — compose several n values to approximate that).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    other_cols = [c for c in df.columns if c != text_col]
+    toks = F.split(F.col(text_col), " ")
+    staged = df.withColumn("_toks", toks)
+    n_t = F.size("_toks")
+    starts = F.when(
+        n_t >= n, F.sequence(F.lit(1), n_t - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = staged.select(
+        id_col,
+        F.explode(starts).alias("_s"),
+        F.col("_toks"),
+    ).select(
+        id_col, "_s",
+        F.md5(F.array_join(F.slice("_toks", F.col("_s"), n), " ")
+              .cast("binary")).alias("_gh"),
+    )
+    repeated = (
+        grams.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_occurrences)
+        .select("_gh")
+    )
+    covered = (
+        grams.join(repeated, "_gh")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_s")).alias("_starts"))
+    )
+    out = staged.join(covered, id_col, "left").withColumn(
+        "_starts",
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+    )
+    kept = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_starts",
+            lambda s: (s <= i + 1) & (i + 1 < s + F.lit(n)),
+        ),
+    )
+    out = out.withColumn("_kept", kept)
+    n_kept = F.when(F.col(text_col).isNull(), F.lit(0)) \
+        .otherwise(F.size("_kept")).cast("long")
+    n_total = F.when(F.col(text_col).isNull(), F.lit(0)) \
+        .otherwise(F.size("_toks")).cast("long")
+    return out.select(
+        *other_cols,
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .otherwise(F.array_join("_kept", " ")).alias(text_col),
+        n_kept.alias("n_tokens_kept"),
+        (n_total - n_kept).alias("n_tokens_dropped"),
+    )
 
 
 def canonical_duplicates(df: DataFrame, components: DataFrame,

@@ -764,3 +764,56 @@ def test_video_near_dups_rejects_real_decoder(spark):
         [(0, bytearray(bytes(range(250))))], "media_id long, content binary")
     with pytest.raises(NotImplementedError, match="fake"):
         video_near_dups(df, decoder="real")
+
+
+def test_drop_repeated_spans_cuts_cross_doc_boilerplate(spark):
+    """ExactSubstr-style token-span dedup: an 8-token sequence shared
+    by two documents is cut from BOTH, even though it never aligns
+    with a line boundary; unique text survives untouched."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_spans,
+    )
+
+    boiler = "this content is provided as is without any warranty"
+    rows = [
+        (0, f"intro words {boiler} tail zero"),
+        (1, f"{boiler} completely different continuation"),
+        (2, "totally unrelated document text with enough words here"),
+        (3, None),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           drop_repeated_spans(df, n=9).orderBy("doc_id").collect()}
+    assert out[0]["text"] == "intro words tail zero"
+    assert out[0]["n_tokens_dropped"] == 9
+    assert out[1]["text"] == "completely different continuation"
+    assert out[2]["n_tokens_dropped"] == 0
+    assert out[3]["text"] is None and out[3]["n_tokens_kept"] == 0
+    assert out[4]["text"] == "tiny"  # shorter than n: never cut
+
+
+def test_drop_repeated_spans_overlaps_merge_and_within_doc_counts(spark):
+    """Overlapping repeated n-grams merge into one maximal cut, and
+    within-document repeats count toward the occurrence threshold
+    (the paper's accounting)."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_spans,
+    )
+
+    # "a b c d" appears twice INSIDE doc 0 (positions 1 and 6) — the
+    # corpus-wide count is 2 > 1, so both occurrences are cut
+    df = spark.createDataFrame(
+        [(0, "a b c d x a b c d y"), (1, "p q r s t u v w")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           drop_repeated_spans(df, n=4).collect()}
+    assert out[0]["text"] == "x y"
+    assert out[0]["n_tokens_dropped"] == 8
+    assert out[1]["n_tokens_dropped"] == 0
+    # overlap merge: "a b c a b c a b c" (n=3): grams at 1..7; the
+    # 3x-repeated "a b c" gram (positions 1,4,7) covers everything
+    df2 = spark.createDataFrame(
+        [(0, "a b c a b c a b c")], "doc_id long, text string")
+    got = drop_repeated_spans(df2, n=3).collect()[0]
+    assert got["text"] == "" and got["n_tokens_dropped"] == 9
