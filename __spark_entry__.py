@@ -1790,6 +1790,73 @@ def _line_dedup_sql(words_per_line=2, max_occ=20) -> str:
     )
 
 
+def _gopher_repetition_sql(top_ns=(2, 3, 4),
+                           dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """Twin of operators/text_features.gopher_repetition_signals:
+    per-doc top-n-gram char mass (count x gram chars / doc chars) and
+    duplicated-n-gram union char coverage, identical integer-exact
+    numerators so the double divisions match bitwise."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    ns = ", ".join(str(n) for n in all_ns)
+    tops = ", ".join(
+        "coalesce(max(CASE WHEN n = {n} THEN top_mass / safe END), 0.0) "
+        "AS top_{n}gram_char_frac".format(n=n) for n in top_ns)
+    dups = ", ".join(
+        "coalesce(max(CASE WHEN n = {n} THEN dup_mass / safe END), 0.0) "
+        "AS dup_{n}gram_char_frac".format(n=n) for n in dup_ns)
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split("
+        "coalesce(text, ''), ' '), t -> t <> '') AS toks "
+        "FROM documents), "
+        "c AS (SELECT doc_id, toks, CAST(list_sum(list_transform(toks, "
+        "t -> length(t))) AS DOUBLE) AS chars FROM d), "
+        f"g AS (SELECT doc_id, n, CAST(u.s AS INTEGER) AS s, "
+        "md5(array_to_string(toks[u.s:u.s+n-1], ' ')) AS gh, "
+        "CAST(list_sum(list_transform(toks[u.s:u.s+n-1], "
+        "t -> length(t))) AS BIGINT) AS gchars "
+        f"FROM c, unnest([{ns}]) AS nn(n), "
+        "unnest(range(1, len(toks) - n + 2)) AS u(s) "
+        "WHERE len(toks) >= n), "
+        "pg AS (SELECT doc_id, n, gh, count(*) AS cnt, "
+        "any_value(gchars) AS gchars, list(s) AS starts "
+        "FROM g GROUP BY doc_id, n, gh), "
+        "pn AS (SELECT doc_id, n, max(cnt * gchars) AS top_mass, "
+        "list_sort(flatten(list(CASE WHEN cnt > 1 THEN starts "
+        "ELSE [] END))) AS dup_starts FROM pg GROUP BY doc_id, n), "
+        "pv AS (SELECT pn.doc_id, pn.n, pn.top_mass, "
+        "CAST(list_sum(list_transform(range(1, len(c.toks) + 1), "
+        "i -> CASE WHEN len(list_filter(pn.dup_starts, "
+        "s -> s <= i AND i < s + pn.n)) > 0 "
+        "THEN length(c.toks[CAST(i AS INTEGER)]) ELSE 0 END)) "
+        "AS BIGINT) AS dup_mass, "
+        "CASE WHEN c.chars > 0 THEN c.chars ELSE 1.0 END AS safe "
+        "FROM pn JOIN c USING (doc_id)), "
+        f"piv AS (SELECT doc_id, {tops}, {dups} "
+        "FROM pv GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        + ", ".join(
+            f"coalesce(piv.top_{n}gram_char_frac, 0.0) "
+            f"AS top_{n}gram_char_frac" for n in top_ns) + ", "
+        + ", ".join(
+            f"coalesce(piv.dup_{n}gram_char_frac, 0.0) "
+            f"AS dup_{n}gram_char_frac" for n in dup_ns)
+        + " FROM d LEFT JOIN piv USING (doc_id) ORDER BY doc_id"
+    )
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition quality signals (Rae et al. 2112.11446,
+    operators/text_features.gopher_repetition_signals): per-doc top
+    2-4-gram character mass and duplicated 5-10-gram union coverage —
+    the within-document "spam" detectors that complement the corpus-
+    wide dedup family."""
+    from generalized_kmeans_clustering_spark.operators.text_features \
+        import gopher_repetition_signals
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    return gopher_repetition_signals(docs).orderBy("doc_id")
+
+
 def _repeated_spans_sql(n=6, max_occ=1) -> str:
     """Twin of operators/dedup.drop_repeated_spans: md5 n-gram
     fingerprints over whitespace tokens, corpus-wide occurrence count
@@ -4973,6 +5040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
         "doc_line_dedup": q_doc_line_dedup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
+        "doc_gopher_repetition": q_gopher_repetition,
         "corpus_pack_texts": q_corpus_pack_texts,
         "corpus_decontaminate": q_corpus_decontaminate,
         "doc_pii_redact": q_doc_pii_redact,
@@ -5585,6 +5653,7 @@ FROM wide w ORDER BY xb
     out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
+    out["doc_gopher_repetition"] = _gopher_repetition_sql()
     out["corpus_pack_texts"] = _pack_texts_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
     out["doc_pii_redact"] = _pii_redact_sql()

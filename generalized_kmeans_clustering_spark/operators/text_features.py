@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["term_counts", "tfidf", "top_terms_per_doc", "top_ngrams"]
+__all__ = ["term_counts", "tfidf", "top_terms_per_doc", "top_ngrams",
+           "gopher_repetition_signals"]
 
 
 def term_counts(df: DataFrame, text_col: str = "text",
@@ -121,4 +122,129 @@ def top_terms_per_doc(df: DataFrame, k: int = 5, text_col: str = "text",
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def gopher_repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Per-document WITHIN-DOC repetition signals from the Gopher
+    data-quality rules (Rae et al. 2021, arXiv:2112.11446 Table A1):
+
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): characters of all
+      occurrences of the document's single most frequent n-gram,
+      divided by the document's characters. Flags "spammy" docs built
+      around one repeated phrase (Gopher drops at > 0.20/0.18/0.16).
+      Occurrence-count × gram-chars is the standard public
+      computation; it can exceed 1 when the top gram overlaps itself
+      ("spam spam spam …") — values that high are drop-worthy anyway.
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): characters covered
+      by n-grams occurring MORE THAN ONCE in the document, divided by
+      document characters — covered positions are counted once (union
+      coverage), so the value is bounded by 1 even for pathological
+      overlap (implementations differ here; union coverage is the
+      deterministic, bounded choice). Gopher drops at > 0.15…0.10.
+
+    Characters mean non-space token characters (numerator and
+    denominator alike), so the fractions are separator-convention
+    independent. Documents shorter than n tokens score 0 for that n;
+    NULL/empty text scores 0 everywhere. Output: one row per input row
+    with ``id_col`` and one column per signal — join back to the
+    corpus and threshold per Gopher, or feed them to
+    :func:`~.corpus.prepare_corpus` via its ``extra_rules`` plug-in.
+
+    Scale shape: ONE explode over (n, start) windows, one map-side-
+    combined groupBy on (doc, n, gram), one per-(doc, n) rollup, one
+    conditional-aggregation pivot keyed on the doc — no collect, no
+    window over the corpus; everything shuffles on the doc id.
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = F.split(F.col(text_col), " ")
+    staged = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.array().cast("array<string>"))
+        .otherwise(F.filter(toks, lambda t: t != "")).alias("_toks"),
+    ).withColumn(
+        "_tl", F.transform("_toks", lambda t: F.length(t))
+    ).withColumn(
+        "_chars",
+        F.aggregate("_tl", F.lit(0), lambda a, x: a + x).cast("double"),
+    )
+    n_t = F.size("_toks")
+    # one exploded pass over every (n, start) window
+    windows = F.flatten(F.array(*[
+        F.when(
+            n_t >= n,
+            F.transform(
+                F.sequence(F.lit(1), n_t - n + 1),
+                lambda s: F.struct(
+                    F.lit(n).alias("n"), s.alias("s"),
+                    F.md5(F.array_join(
+                        F.slice("_toks", s, n), " ").cast("binary"))
+                    .alias("gh"),
+                    F.aggregate(F.slice("_tl", s, n), F.lit(0),
+                                lambda a, x: a + x).alias("gchars"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,s:int,gh:string,gchars:int>>"))
+        for n in all_ns
+    ]))
+    grams = staged.select(
+        id_col, "_chars", F.explode(windows).alias("_w")
+    ).select(id_col, "_chars", "_w.n", "_w.s", "_w.gh", "_w.gchars")
+    per_gram = grams.groupBy(id_col, "n", "gh").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("gchars").alias("gchars"),
+        F.collect_list("s").alias("starts"),
+        F.first("_chars").alias("_chars"),
+    )
+    # per (doc, n): the top-gram char mass and the union coverage of
+    # duplicated grams' starts
+    per_n = per_gram.groupBy(id_col, "n").agg(
+        F.max(F.col("c") * F.col("gchars")).alias("top_mass"),
+        F.array_sort(F.flatten(F.collect_list(
+            F.when(F.col("c") > 1, F.col("starts"))))).alias("dup_starts"),
+        F.first("_chars").alias("_chars"),
+    )
+    # union coverage: token i is covered iff a duplicated gram starts
+    # in (i-n, i]; charge its char length once
+    cov = F.aggregate(
+        F.sequence(F.lit(1), F.size("_toks")),
+        F.lit(0),
+        lambda a, i: a + F.when(
+            F.coalesce(
+                F.exists("_dup_starts",
+                         lambda s: (s <= i) & (i < s + F.col("_n"))),
+                F.lit(False)),
+            F.element_at("_tl", i)).otherwise(F.lit(0)),
+    )
+    per_n2 = per_n.join(
+        staged.select(id_col, "_toks", "_tl"), id_col
+    ).select(
+        id_col, "n", "top_mass", "_chars",
+        F.col("dup_starts").alias("_dup_starts"),
+        F.col("n").alias("_n"), "_toks", "_tl",
+    ).withColumn("dup_mass", cov.cast("double"))
+    safe = F.when(F.col("_chars") > 0, F.col("_chars")).otherwise(F.lit(1.0))
+    pivoted = per_n2.groupBy(id_col).agg(*(
+        [F.coalesce(F.max(F.when(
+            F.col("n") == n,
+            F.col("top_mass") / safe)), F.lit(0.0))
+         .alias(f"top_{n}gram_char_frac") for n in top_ns]
+        + [F.coalesce(F.max(F.when(
+            F.col("n") == n,
+            F.col("dup_mass") / safe)), F.lit(0.0))
+           .alias(f"dup_{n}gram_char_frac") for n in dup_ns]
+    ))
+    return df.select(id_col).join(pivoted, id_col, "left").select(
+        id_col,
+        *[F.coalesce(F.col(f"top_{n}gram_char_frac"), F.lit(0.0))
+          .alias(f"top_{n}gram_char_frac") for n in top_ns],
+        *[F.coalesce(F.col(f"dup_{n}gram_char_frac"), F.lit(0.0))
+          .alias(f"dup_{n}gram_char_frac") for n in dup_ns],
     )

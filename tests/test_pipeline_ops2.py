@@ -817,3 +817,32 @@ def test_drop_repeated_spans_overlaps_merge_and_within_doc_counts(spark):
         [(0, "a b c a b c a b c")], "doc_id long, text string")
     got = drop_repeated_spans(df2, n=3).collect()[0]
     assert got["text"] == "" and got["n_tokens_dropped"] == 9
+
+
+def test_gopher_repetition_signals_hand_computed(spark):
+    """Gopher Table-A1 repetition signals: hand-checked top-gram mass
+    and duplicated-gram union coverage, NULL/empty-safe."""
+    from generalized_kmeans_clustering_spark.operators.text_features \
+        import gopher_repetition_signals
+
+    rows = [
+        (0, "a b c d e f g h a b c d e f g h tail"),
+        (1, "all tokens here are unique words now"),
+        (2, None),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in gopher_repetition_signals(df).collect()}
+    # doc 0: 17 1-char tokens + 'tail' => chars = 16 + 4 = 20
+    # top 2-gram by char mass is 'h tail' (1 occurrence x 5 chars = 5,
+    # beating 'a b' at 2 x 2 = 4) => 5/20
+    assert abs(out[0]["top_2gram_char_frac"] - 5 / 20) < 1e-12
+    # dup 8-gram covers tokens 1..16 (16 chars) => 0.8
+    assert abs(out[0]["dup_8gram_char_frac"] - 16 / 20) < 1e-12
+    assert out[0]["dup_9gram_char_frac"] == 0.0
+    # doc 1: no repeats -> dup fracs 0; top mass = longest 2-gram
+    assert out[1]["dup_5gram_char_frac"] == 0.0
+    assert out[1]["top_2gram_char_frac"] > 0
+    for vid in (2, 3):  # NULL/empty text scores 0 everywhere
+        assert all(v == 0.0 for k, v in out[vid].items() if k != "doc_id")
