@@ -1844,6 +1844,44 @@ def _gopher_repetition_sql(top_ns=(2, 3, 4),
     )
 
 
+def _semantic_decontaminate_sql(threshold=0.35, n_bench=20) -> str:
+    """Twin of operators/decontamination.semantic_decontaminate:
+    benchmark = the first ``n_bench`` embedding rows, corpus = the
+    rest; per-corpus-row max cosine to any benchmark vector, ordered
+    double arithmetic on both engines so the values match bitwise."""
+    return (
+        f"WITH b AS (SELECT embedding AS bv FROM embeddings "
+        f"WHERE vec_id < {n_bench}), "
+        f"c AS (SELECT vec_id, embedding AS cv FROM embeddings "
+        f"WHERE vec_id >= {n_bench}), "
+        "s AS (SELECT c.vec_id, max(list_dot_product(cv, bv) / "
+        "(sqrt(list_dot_product(cv, cv)) * "
+        "sqrt(list_dot_product(bv, bv)))) AS max_benchmark_sim "
+        "FROM c CROSS JOIN b GROUP BY c.vec_id) "
+        "SELECT vec_id, max_benchmark_sim, "
+        f"max_benchmark_sim >= {threshold!r} AS contaminated "
+        "FROM s ORDER BY vec_id"
+    )
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space benchmark decontamination
+    (operators/decontamination.semantic_decontaminate): corpus rows
+    whose max cosine to any benchmark vector reaches the threshold are
+    flagged — paraphrase-level eval leakage the exact/n-gram rules
+    miss. Benchmark broadcasts; one map-side-combined max per row."""
+    from generalized_kmeans_clustering_spark.operators.decontamination \
+        import semantic_decontaminate
+
+    emb = embeddings(spark, sf_dir)
+    bench = emb.where(F.col("vec_id") < 20)
+    corpus = emb.where(F.col("vec_id") >= 20)
+    out = semantic_decontaminate(corpus, bench, threshold=0.35)
+    return out.select(
+        "vec_id", "max_benchmark_sim", "contaminated",
+    ).orderBy("vec_id")
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher repetition quality signals (Rae et al. 2112.11446,
     operators/text_features.gopher_repetition_signals): per-doc top
@@ -5041,6 +5079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "doc_gopher_repetition": q_gopher_repetition,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "corpus_pack_texts": q_corpus_pack_texts,
         "corpus_decontaminate": q_corpus_decontaminate,
         "doc_pii_redact": q_doc_pii_redact,
@@ -5654,6 +5693,7 @@ FROM wide w ORDER BY xb
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()
+    out["semantic_decontaminate"] = _semantic_decontaminate_sql()
     out["corpus_pack_texts"] = _pack_texts_sql()
     out["corpus_decontaminate"] = _decontaminate_sql()
     out["doc_pii_redact"] = _pii_redact_sql()

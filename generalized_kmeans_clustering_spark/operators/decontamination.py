@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.text import doc_fingerprint, shingles
 from .dedup import _P, _hash64
 
-__all__ = ["ngram_collisions", "decontaminate"]
+__all__ = ["ngram_collisions", "decontaminate", "semantic_decontaminate"]
 
 
 def ngram_collisions(
@@ -109,3 +109,56 @@ def decontaminate(
             ["n_collisions"] if method == "ngram" else [])
         return out.where(~F.col("is_contaminated")).drop(*drop_cols)
     return out
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    benchmark_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    benchmark_vec_col: str | None = None,
+    mode: str = "flag",  # "flag" | "drop"
+) -> DataFrame:
+    """Embedding-space decontamination: flag (or drop) corpus rows
+    whose cosine similarity to ANY benchmark row reaches
+    ``threshold`` — catching paraphrased or reformatted eval leakage
+    the exact/n-gram rules (:func:`decontaminate`) miss. Output in
+    ``flag`` mode: every corpus row with ``max_benchmark_sim`` and
+    ``contaminated``; ``drop`` mode keeps only clean rows (original
+    columns).
+
+    Plan shape at 100 TB: the benchmark side is small by definition
+    (eval sets are thousands of vectors) — it BROADCASTS and the scan
+    over the corpus computes a per-row running max in one map-side-
+    combined aggregation keyed on the id; no corpus shuffle of vector
+    data beyond that. For benchmark sets too large to broadcast, index
+    them first (:func:`~.similarity.ivf_index`) and screen with
+    :func:`~.similarity.ivf_topk` instead.
+    """
+    from .similarity import _as_double, cosine_sim
+
+    if mode not in ("flag", "drop"):
+        raise ValueError("mode: flag | drop")
+    bvec = benchmark_vec_col or vec_col
+    bench = benchmark_emb.select(
+        _as_double(F.col(bvec)).alias("_bv")).distinct()
+    scored = (
+        corpus_emb.select(F.col(id_col),
+                          _as_double(F.col(vec_col)).alias("_cv"))
+        .crossJoin(F.broadcast(bench))
+        .withColumn("_sim", cosine_sim(F.col("_cv"), F.col("_bv")))
+        .groupBy(id_col)
+        .agg(F.max("_sim").alias("max_benchmark_sim"))
+        .withColumn("contaminated",
+                    F.col("max_benchmark_sim") >= F.lit(float(threshold)))
+    )
+    flagged = corpus_emb.join(scored, id_col, "left").withColumn(
+        "max_benchmark_sim",
+        F.coalesce(F.col("max_benchmark_sim"), F.lit(float("-inf"))),
+    ).withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False)))
+    if mode == "drop":
+        return flagged.where(~F.col("contaminated")) \
+            .drop("max_benchmark_sim", "contaminated")
+    return flagged

@@ -846,3 +846,32 @@ def test_gopher_repetition_signals_hand_computed(spark):
     assert out[1]["top_2gram_char_frac"] > 0
     for vid in (2, 3):  # NULL/empty text scores 0 everywhere
         assert all(v == 0.0 for k, v in out[vid].items() if k != "doc_id")
+
+
+def test_semantic_decontaminate_flags_and_drops(spark):
+    """Embedding-space decontamination: a corpus row near a benchmark
+    vector is flagged; drop mode removes it and keeps original
+    columns; rows are never lost in flag mode."""
+    from generalized_kmeans_clustering_spark.operators.decontamination \
+        import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(0, [0.99, 0.1, 0.0]),   # ~benchmark direction -> contaminated
+         (1, [0.0, 1.0, 0.0]),    # orthogonal -> clean
+         (2, [-1.0, 0.0, 0.0])],  # opposite -> clean
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r.asDict()
+           for r in semantic_decontaminate(corpus, bench, 0.95).collect()}
+    assert len(out) == 3
+    assert out[0]["contaminated"] and not out[1]["contaminated"]
+    assert not out[2]["contaminated"]
+    assert out[0]["max_benchmark_sim"] > 0.99
+    dropped = semantic_decontaminate(corpus, bench, 0.95, mode="drop")
+    assert {r["vec_id"] for r in dropped.collect()} == {1, 2}
+    assert dropped.columns == corpus.columns
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mode"):
+        semantic_decontaminate(corpus, bench, 0.95, mode="purge")
