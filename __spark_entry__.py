@@ -1850,16 +1850,16 @@ def _semantic_decontaminate_sql(threshold=0.35, n_bench=20) -> str:
     rest; per-corpus-row max cosine to any benchmark vector, ordered
     double arithmetic on both engines so the values match bitwise."""
     return (
-        f"WITH b AS (SELECT embedding AS bv FROM embeddings "
-        f"WHERE vec_id < {n_bench}), "
-        f"c AS (SELECT vec_id, embedding AS cv FROM embeddings "
-        f"WHERE vec_id >= {n_bench}), "
+        f"WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv "
+        f"FROM embeddings WHERE vec_id < {n_bench}), "
+        f"c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings WHERE vec_id >= {n_bench}), "
         "s AS (SELECT c.vec_id, max(list_dot_product(cv, bv) / "
         "(sqrt(list_dot_product(cv, cv)) * "
-        "sqrt(list_dot_product(bv, bv)))) AS max_benchmark_sim "
+        "sqrt(list_dot_product(bv, bv)))) AS ms "
         "FROM c CROSS JOIN b GROUP BY c.vec_id) "
-        "SELECT vec_id, max_benchmark_sim, "
-        f"max_benchmark_sim >= {threshold!r} AS contaminated "
+        f"SELECT vec_id, {_r('ms', 6)} AS max_benchmark_sim, "
+        f"{_r('ms', 6)} >= {threshold!r} AS contaminated "
         "FROM s ORDER BY vec_id"
     )
 
@@ -1877,8 +1877,13 @@ def q_semantic_decontaminate(spark, sf_dir):
     bench = emb.where(F.col("vec_id") < 20)
     corpus = emb.where(F.col("vec_id") >= 20)
     out = semantic_decontaminate(corpus, bench, threshold=0.35)
+    # cross-engine replay: float32 inputs accumulate last-bit dot
+    # differences — round the sim and derive the verdict from the
+    # ROUNDED value on both sides (the knn twin's convention)
+    sim6 = _rcol(F.col("max_benchmark_sim"), 6)
     return out.select(
-        "vec_id", "max_benchmark_sim", "contaminated",
+        "vec_id", sim6.alias("max_benchmark_sim"),
+        (sim6 >= F.lit(0.35)).alias("contaminated"),
     ).orderBy("vec_id")
 
 

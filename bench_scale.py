@@ -162,6 +162,20 @@ def main():
         docs.select("doc_id",
                     Tx.token_count(F.col("text")).alias("n_tokens")),
         512, num_shards=64).groupBy("shard").count().collect())
+    # r7 heavy additions: corpus-repeated span cut (gram groupBy +
+    # covered-start regroup) and the 9-n Gopher repetition bundle
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_spans,
+    )
+    from generalized_kmeans_clustering_spark.operators.text_features import (
+        gopher_repetition_signals,
+    )
+    compare("repeated_spans", lambda li, docs: lambda: drop_repeated_spans(
+        docs.select("doc_id", "text"), n=6,
+    ).agg(F.sum("n_tokens_dropped")).collect())
+    compare("gopher_signals", lambda li, docs: lambda:
+            gopher_repetition_signals(docs)
+            .agg(F.sum("dup_5gram_char_frac")).collect())
 
     # IVF-PQ serving path: encode (map-only) + ADC probe top-k for 50
     # queries, models pinned (training scaling is fit_se_k8's row; the
