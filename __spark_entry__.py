@@ -3285,6 +3285,66 @@ def q_semantic_dedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _semantic_list_stats_sql(n_lists=8, cen_lo=100, cen_hi=107) -> str:
+    """Twin of operators/semantic.semantic_list_stats (exact path):
+    same fixed-centroid spherical assignment CTEs as the dedup twin,
+    then per-list size and the C(size, 2) candidate-pair count the
+    within-list self-join will evaluate."""
+    return (
+        "WITH cen AS (SELECT CAST(row_number() OVER "
+        "(ORDER BY vec_id) - 1 AS INTEGER) AS cj, "
+        "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+        f"WHERE vec_id BETWEEN {cen_lo} AND {cen_hi}), "
+        "cenn AS (SELECT cj, list_transform(cv, x -> x / "
+        "(sqrt(list_dot_product(cv, cv)) + 1e-10)) AS cn FROM cen), "
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "corpn AS (SELECT vec_id, v, list_transform(v, x -> x / "
+        "(sqrt(list_dot_product(v, v)) + 1e-10)) AS xn FROM corpus), "
+        "asg AS (SELECT vec_id, cj, "
+        "1 - list_dot_product(xn, cn) / (sqrt(list_dot_product(xn, xn)) * "
+        "sqrt(list_dot_product(cn, cn)) + 1e-10) AS d "
+        "FROM corpn CROSS JOIN cenn), "
+        "lists AS (SELECT vec_id, cj AS lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d ASC, cj ASC) AS rn FROM asg) WHERE rn = 1) "
+        "SELECT CAST(lst AS INTEGER) AS list, "
+        "CAST(count(*) AS BIGINT) AS size, FALSE AS oversized, "
+        "CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) "
+        "AS candidate_pairs "
+        "FROM lists GROUP BY lst ORDER BY list"
+    )
+
+
+def q_semantic_list_stats(spark, sf_dir):
+    """Candidate-volume telemetry for the semantic-dedup skew cap
+    (operators/semantic.semantic_list_stats): per-coarse-list size and
+    the EXACT candidate-pair count the within-list join will evaluate.
+    The exact (no-cap) path is oracled here; the recursive-split path
+    (hash-sampled farthest-point sub-centers) is covered by
+    tests/test_semantic.py's bounded-candidate assertions."""
+    from generalized_kmeans_clustering_spark.operators.semantic import (
+        semantic_list_stats,
+    )
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    cen_rows = (
+        emb.where(F.col("vec_id").between(100, 107))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    init = [[float(v) for v in r["embedding"]] for r in cen_rows]
+    indexed, _ = ivf_index(emb, n_lists=8, seed=42, max_iter=0,
+                           initial_centers=init)
+    out = semantic_list_stats(indexed, list_size_cap=None)
+    return out.select(
+        F.col("list").cast("int").alias("list"),
+        "size", "oversized", "candidate_pairs",
+    ).orderBy("list")
+
+
 # ---------------------------------------------------------------------------
 # Spark-side query implementations
 
@@ -5071,6 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_interleave": q_corpus_interleave,
         "semantic_dedup_groups": q_semantic_dedup,
+        "semantic_list_stats": q_semantic_list_stats,
         "similarity_pq_topk": q_pq_topk,
         "similarity_ivfpq_topk": q_ivfpq_topk,
         "similarity_ivf_recall": q_ivf_recall,
@@ -5683,6 +5744,7 @@ FROM wide w ORDER BY xb
     out["corpus_curriculum"] = _curriculum_sql()
     out["corpus_interleave"] = _interleave_sql()
     out["semantic_dedup_groups"] = _semantic_dedup_sql()
+    out["semantic_list_stats"] = _semantic_list_stats_sql()
     out["similarity_pq_topk"] = _pq_topk_sql()
     out["similarity_ivfpq_topk"] = _ivfpq_topk_sql()
     out["similarity_ivf_recall"] = _ivf_recall_sql()
