@@ -18,7 +18,7 @@ Units") so those numbers can mean actual model tokens:
   capped at ``max_words`` rows (taken by count desc, word asc —
   deterministic), so driver state is bounded model state, never data.
 - :func:`bpe_token_count` / :func:`bpe_tokens` — application over the
-  corpus as an Arrow-batched pandas UDF with a per-word memo (natural
+  corpus as an Arrow-batched ``mapInPandas`` with a per-word memo (natural
   corpora repeat words heavily, so the memo hit rate is the word
   frequency distribution itself). Merges apply in learned order, each
   exhaustively left-to-right; because a merge's output symbol can only
@@ -39,11 +39,11 @@ Persistence uses the shared checksummed sidecar
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "BPEModel",
@@ -157,44 +157,58 @@ def train_bpe(
             [(r["w"], r["c"]) for r in top], num_merges))
 
 
-def _apply_udfs(model: BPEModel):
-    """(token_count_udf, tokens_udf) sharing one per-word memo."""
+def _apply_map(df: DataFrame, model: BPEModel, text_col: str,
+               out_col: str, out_type: str, per_word):
+    """Append ``out_col`` by applying the merges per word with a
+    batch-lifetime memo. Implemented as ``mapInPandas`` — a PLAN NODE,
+    not a UDF expression — deliberately: a ``pandas_udf`` whose input
+    column is itself a non-codegen higher-order-function expression
+    (e.g. text rewritten by :func:`~.dedup.drop_repeated_spans`) can
+    be left inside an interpreted projection by
+    ``ExtractPythonUDFs`` under AQE and fail with
+    "Cannot evaluate expression: PythonUDF" at run time; the map node
+    has no such extraction step."""
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} {out_type}"]
+    )
     merges = [tuple(m) for m in model.merges]
 
-    def make(fn, ret):
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict = {}
 
-        def per_text(texts: pd.Series) -> pd.Series:
-            out = []
-            for t in texts:
-                if t is None:
-                    out.append(None)
-                    continue
-                acc = fn.start()
-                for w in t.split():
-                    got = memo.get(w)
-                    if got is None:
-                        got = _segment(w, merges)
-                        memo[w] = got
-                    acc = fn.step(acc, got)
-                out.append(acc)
-            return pd.Series(out)
-
-        return pandas_udf(per_text, ret)
-
-    class _Count:
-        start = staticmethod(lambda: 0)
-        step = staticmethod(lambda acc, syms: acc + len(syms))
-
-    class _Toks:
-        start = staticmethod(lambda: [])
-
-        @staticmethod
-        def step(acc, syms):
-            acc.extend(syms)
+        def one(t):
+            if t is None:
+                return None
+            acc = per_word.start()
+            for w in t.split():
+                got = memo.get(w)
+                if got is None:
+                    got = _segment(w, merges)
+                    memo[w] = got
+                acc = per_word.step(acc, got)
             return acc
 
-    return make(_Count, "long"), make(_Toks, "array<string>")
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [one(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(_mapper, out_schema)
+
+
+class _Count:
+    start = staticmethod(lambda: 0)
+    step = staticmethod(lambda acc, syms: acc + len(syms))
+
+
+class _Toks:
+    start = staticmethod(lambda: [])
+
+    @staticmethod
+    def step(acc, syms):
+        acc.extend(syms)
+        return acc
 
 
 def bpe_token_count(
@@ -209,8 +223,7 @@ def bpe_token_count(
     (``token_budget_sample``, ``pack_concat``, shard manifests), so
     budgets and packing spans mean real model tokens. Arrow-batched,
     per-word memoized; NULL text → NULL count."""
-    count_udf, _ = _apply_udfs(model)
-    return df.withColumn(out_col, count_udf(F.col(text_col)))
+    return _apply_map(df, model, text_col, out_col, "bigint", _Count)
 
 
 def bpe_tokens(
@@ -222,8 +235,7 @@ def bpe_tokens(
     """Per-row subword token sequence (``array<string>``) under the
     trained merges — feed to downstream featurizers or inspect
     segmentations. NULL text → NULL."""
-    _, toks_udf = _apply_udfs(model)
-    return df.withColumn(out_col, toks_udf(F.col(text_col)))
+    return _apply_map(df, model, text_col, out_col, "array<string>", _Toks)
 
 
 def write_bpe_model(spark, model: BPEModel, path: str,

@@ -76,3 +76,14 @@ def test_curation_select_pack_example(spark, sf_dir):
     assert out["training_sequences"] >= 1
     assert out["shard_mismatches"] == 0
     assert 0.0 <= out["ivfpq_recall_at_5"] <= 1.0
+
+
+def test_curation_round7_example(spark, sf_dir):
+    import curation_round7
+
+    out = curation_round7.main(spark, sf_dir)
+    assert out["after_gopher"] <= out["input_docs"]
+    assert out["span_tokens_dropped"] >= 0
+    assert out["bpe_merges"] == 32
+    assert out["total_bpe_tokens"] > 0 and out["packs"] > 0
+    assert out["semantic_candidate_pairs"] >= 0
