@@ -253,7 +253,8 @@ def main():
         labeled = docs.select(
             "doc_id", "text", (F.col("lang") == "en").cast("int").alias("_y"))
         model = train_hashed_lr(labeled, "_y", n_buckets=4096, max_iter=5,
-                                learning_rate=300.0, bias_learning_rate=1.0)
+                                learning_rate=300.0, bias_learning_rate=1.0,
+                                strategy="fused")
         score_hashed_lr(labeled, model).agg(
             F.avg("quality_score")).collect()
 

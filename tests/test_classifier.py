@@ -219,3 +219,24 @@ def test_lr_model_roundtrip(spark, tmp_path):
     b = {r["doc_id"]: r["quality_score"]
          for r in score_hashed_lr(df, loaded).collect()}
     assert a == b
+
+
+def test_fused_strategy_matches_join(spark):
+    """strategy='fused' (one job/iteration, per-doc feature arrays)
+    must produce the same model as the join strategy up to float
+    summation grouping (~1e-9 after 5 iterations)."""
+    rows = (
+        [(i, "good clean text with words " * 3, 1) for i in range(30)]
+        + [(100 + i, "spam buy now click here " * 3, 0) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    a = train_hashed_lr(df, "label", n_buckets=128, max_iter=5,
+                        learning_rate=100.0, strategy="join")
+    b = train_hashed_lr(df, "label", n_buckets=128, max_iter=5,
+                        learning_rate=100.0, strategy="fused")
+    assert abs(a.bias - b.bias) < 1e-9
+    assert max(abs(x - y) for x, y in zip(a.weights, b.weights)) < 1e-9
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="strategy"):
+        train_hashed_lr(df, "label", strategy="sgd")
