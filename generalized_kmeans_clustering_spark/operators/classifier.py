@@ -121,25 +121,26 @@ def train_hashed_lr(
 
     ``strategy="join"`` (default): pre-aggregated (doc, bucket, tf)
     features, per iteration a broadcast join of the B-row weight
-    table + two aggregations. ``strategy="expression"``: weights ride
-    as an expression literal, margins are a projection, and the only
-    shuffle per iteration is ONE bucket-keyed gradient aggregation
-    (bias gradient in a sentinel bucket — one Spark job/iteration).
-    Measured on local[32] at sf0.1 (5k docs, B=4096, 5 iters):
-    join ~8s, expression ~13s — the per-gram explode costs more CPU
-    than the saved job round-trips; expression only pays off when
-    per-job latency dominates (many short iterations on a large,
-    busy cluster). ``strategy="fused"`` combines the two: features are
-    pre-grouped ONCE into a per-doc (bucket, tf) array (deduped — no
-    per-gram copies), the margin is a map-only ordered fold against a
-    broadcast weight row, and each iteration is ONE bucket-keyed
-    aggregation — one Spark job and one shuffle per iteration with the
-    join strategy's CPU profile (measured 7.4s vs join's 9.2s at the
-    bench shape, and the job-count gap widens with cluster latency);
-    the recommended scale strategy. Gradients are mathematically
-    identical between strategies; float summation grouping differs at
-    ~1e-16, which is why the default stays "join" (the correctness
-    twin pins its exact grouping)."""
+    table + two aggregations (3 jobs/iteration).
+    ``strategy="expression"``: per-gram bucket arrays staged map-only,
+    margins a projection against a broadcast weight ROW, ONE
+    bucket-keyed gradient aggregation per iteration (bias gradient in
+    a sentinel bucket). ``strategy="fused"``: like expression but over
+    per-doc DEDUPED (bucket, tf) arrays pre-grouped once — the same
+    one-job iteration with per-distinct-bucket shuffle rows instead of
+    per-gram copies. Measured on local[32] at sf0.1 (5k docs, B=4096,
+    5 iters): expression 6.8s, fused 8.7s, join 10.3s. At cluster
+    scale FUSED is the recommendation: its per-iteration shuffle
+    volume is bounded by distinct buckets per doc while expression's
+    grows with raw gram count (~5-10× more rows), and both beat join's
+    per-iteration doc-keyed join + 3 jobs. In every one-job strategy
+    the weights travel as a broadcast 1-row DataFrame, never an
+    expression literal: HOF lambdas re-evaluate captured argument
+    expressions per element and CollapseProject re-inlines staged
+    literals (measured 2× slower as a literal). Gradients are
+    mathematically identical between strategies; float summation
+    grouping differs at ~1e-16, which is why the default stays "join"
+    (the correctness twin pins its exact grouping)."""
     if strategy not in ("expression", "join", "fused"):
         raise ValueError(
             f"strategy: expression | join | fused, got {strategy!r}")
@@ -191,13 +192,13 @@ def train_hashed_lr(
     bias_lr = (learning_rate if bias_learning_rate is None
                else bias_learning_rate)
     if strategy == "expression":
-        from ..functions.kernels import array_lit
-
         for _ in range(max_iter):
-            w_lit = array_lit(w)
+            # broadcast weight ROW, not an expression literal — the
+            # same HOF-lambda literal-reinlining cost the fused
+            # strategy measured (see its comment)
             margin = F.aggregate(
                 F.col("_bk"), F.lit(0.0),
-                lambda acc, bk: acc + F.element_at(w_lit, bk + 1),
+                lambda acc, bk: acc + F.element_at(F.col("_w"), bk + 1),
             ) / F.size("_bk")
             r = (
                 F.lit(1.0) / (F.lit(1.0) + F.exp(-(margin + F.lit(b))))
@@ -217,8 +218,10 @@ def train_hashed_lr(
                 F.array(F.struct(
                     F.lit(-1).alias("bucket"), F.col("_r").alias("g"))),
             )
+            wrow = spark.createDataFrame([(w,)], "_w array<double>")
             rows = (
-                staged.withColumn("_r", r)
+                staged.crossJoin(F.broadcast(wrow))
+                .withColumn("_r", r)
                 .select(F.explode(contrib).alias("c"))
                 .groupBy(F.col("c.bucket").alias("bucket"))
                 .agg(F.sum("c.g").alias("g"))
