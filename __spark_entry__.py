@@ -1526,6 +1526,98 @@ def _bpe_pack_spans_sql(seq_len=256, num_shards=4, seed=1,
     )
 
 
+def _bpe_pack_ids_sql(seq_len=256, num_shards=4, seed=1,
+                      merges=_BPE_FIXED_MERGES) -> str:
+    """Twin of tokenizer.bpe_encode → packing.materialize_packs_ids:
+    per-word replace-chain segmentation (see _bpe_pack_spans_sql),
+    symbols mapped to ids (codepoint for single chars, 0x110000 + rank
+    for merge outputs), per-doc id arrays in word order, the exact
+    pack-span math over len(ids), and per-(shard, pack) offset-ordered
+    reassembly hashed for the compare."""
+    # the whole per-word pipeline (delimited encode → replace chain →
+    # symbol split → id map) rides INSIDE one list_transform lambda so
+    # word order is positional — no explode, no WITH ORDINALITY
+    enc_word = ("array_to_string(list_transform(string_split(word, ''), "
+                "c -> chr(1)||c||chr(2)), '')")
+    expr = enc_word
+    for a, b in merges:
+        pat = f"chr(1)||'{a}'||chr(2)||chr(1)||'{b}'||chr(2)"
+        rep = f"chr(1)||'{a}{b}'||chr(2)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    id_case = "CASE sym " + " ".join(
+        f"WHEN '{a}{b}' THEN {0x110000 + k}"
+        for k, (a, b) in enumerate(merges)
+    ) + " END"
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    L = seq_len
+    return (
+        "WITH d AS (SELECT doc_id, list_filter(string_split("
+        "coalesce(text, ''), ' '), x -> x <> '') AS words "
+        "FROM documents), "
+        "docids AS (SELECT doc_id, flatten(list_transform(words, "
+        f"word -> list_transform(list_filter(string_split(replace("
+        f"{expr}, chr(2), ''), chr(1)), x -> x <> ''), "
+        "sym -> CAST(CASE WHEN length(sym) = 1 THEN unicode(sym) "
+        f"ELSE {id_case} END AS BIGINT)))) AS ids FROM d), "
+        "t AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n "
+        "FROM docids), "
+        f"k AS (SELECT doc_id, ids, n, {md5i} AS key FROM t "
+        "WHERE n > 0), "
+        f"sh AS (SELECT *, CAST(key % {num_shards} AS INTEGER) AS shard "
+        "FROM k), "
+        "c AS (SELECT *, sum(n) OVER (PARTITION BY shard "
+        "ORDER BY key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS cum FROM sh), "
+        "p AS (SELECT *, cum - n AS prev FROM c), "
+        "x AS (SELECT doc_id, ids, shard, prev, cum, "
+        f"unnest(generate_series(CAST(prev // {L} AS BIGINT), "
+        f"CAST((cum - 1) // {L} AS BIGINT))) AS ps FROM p), "
+        "sp AS (SELECT doc_id, ids, shard, CAST(ps AS BIGINT) AS pack, "
+        f"CAST(greatest(prev - ps * {L}, 0) AS BIGINT) AS pack_offset, "
+        f"CAST(greatest(ps * {L} - prev, 0) AS BIGINT) AS doc_offset, "
+        f"CAST(least((ps + 1) * {L}, cum) - greatest(ps * {L}, prev) "
+        "AS BIGINT) AS length FROM x), "
+        "pieces AS (SELECT shard, pack, pack_offset, length, "
+        "ids[CAST(doc_offset AS INTEGER) + 1 : "
+        "CAST(doc_offset + length AS INTEGER)] AS piece FROM sp) "
+        "SELECT shard, pack, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(length) AS BIGINT) AS n_tokens, "
+        "md5(array_to_string(flatten(list(piece ORDER BY pack_offset)), "
+        "',')) AS ids_md5 "
+        "FROM pieces GROUP BY shard, pack ORDER BY shard, pack"
+    )
+
+
+def q_corpus_bpe_pack_ids(spark, sf_dir):
+    """TRAIN-READY packed token-ID sequences
+    (tokenizer.bpe_encode → packing.materialize_packs_ids): documents
+    encoded to BPE ids under the fixed merge table, packed into exact
+    256-id sequences, each pack's ID stream hashed for the compare —
+    the engine's final curation artifact, value-verified end to end."""
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        materialize_packs_ids, pack_concat,
+    )
+    from generalized_kmeans_clustering_spark.operators.tokenizer import (
+        BPEModel, bpe_encode,
+    )
+
+    model = BPEModel(merges=[list(m) for m in _BPE_FIXED_MERGES])
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    enc = bpe_encode(docs, model)
+    counted = enc.select(
+        "doc_id", F.size("token_ids").cast("bigint").alias("n_tokens"))
+    spans = pack_concat(counted, seq_len=256, num_shards=4, seed=1,
+                        hash_fn="md5")
+    packs = materialize_packs_ids(enc, spans)
+    return packs.select(
+        "shard", "pack", "n_docs", "n_tokens",
+        F.md5(F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ).cast("binary")).alias("ids_md5"),
+    ).orderBy("shard", "pack")
+
+
 def q_corpus_bpe_pack_spans(spark, sf_dir):
     """Sequence packing under TRAINED-TOKENIZER counts
     (operators/tokenizer.bpe_token_count → packing.pack_concat): the
@@ -5139,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_bpe_pack_spans": q_corpus_bpe_pack_spans,
+        "corpus_bpe_pack_ids": q_corpus_bpe_pack_ids,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
@@ -5752,6 +5845,7 @@ FROM wide w ORDER BY xb
     out["emb_simhash_srp"] = _emb_simhash_sql()
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_bpe_pack_spans"] = _bpe_pack_spans_sql()
+    out["corpus_bpe_pack_ids"] = _bpe_pack_ids_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()
     # the true stream-stream join must reproduce the same batch answer

@@ -38,7 +38,8 @@ from pyspark.sql.window import Window
 
 from .sampling import hash_key as _order_key
 
-__all__ = ["pack_concat", "pack_next_fit", "materialize_packs"]
+__all__ = ["pack_concat", "pack_next_fit", "materialize_packs",
+           "materialize_packs_ids"]
 
 
 def pack_concat(
@@ -216,5 +217,52 @@ def materialize_packs(
                 ),
                 doc_sep,
             ).alias(text_col),
+        )
+    )
+
+
+def materialize_packs_ids(
+    encoded: DataFrame,
+    spans: DataFrame,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Turn :func:`pack_concat` spans into TRAIN-READY packed token-ID
+    sequences: ``(shard, pack, n_docs, n_tokens, token_ids)`` with
+    each document's ID slice placed at its ``pack_offset`` and slices
+    concatenated in order. ``encoded`` carries an ``array<bigint>``
+    column (:func:`~.tokenizer.bpe_encode`) whose size MUST equal the
+    ``n_tokens`` the spans were computed from — pack with
+    :func:`~.tokenizer.bpe_token_count` counts and that holds by
+    construction.
+
+    Same plan shape as :func:`materialize_packs`: one equi-join of
+    spans against the encoded corpus on the doc id, a per-span
+    ``slice`` of the ID array, and one groupBy on (shard, pack) whose
+    offset-sorted reassembly flattens to the final sequence. Shuffle
+    volume = the packed IDs themselves, keyed on the sequence id, no
+    skew (every sequence ≤ seq_len ids by construction).
+    """
+    pieces = (
+        spans.join(encoded.select(id_col, ids_col), id_col)
+        .withColumn(
+            "_piece",
+            F.slice(F.col(ids_col),
+                    F.col("doc_offset").cast("int") + 1,
+                    F.col("length").cast("int")),
+        )
+    )
+    return (
+        pieces.groupBy("shard", "pack")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("length").alias("n_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("pack_offset"), F.col("_piece")))),
+                    lambda s: s["_piece"],
+                ),
+            ).alias(ids_col),
         )
     )

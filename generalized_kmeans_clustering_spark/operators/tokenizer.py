@@ -50,6 +50,8 @@ __all__ = [
     "train_bpe",
     "bpe_token_count",
     "bpe_tokens",
+    "bpe_encode",
+    "bpe_symbol_ids",
     "write_bpe_model",
     "read_bpe_model",
     "learn_merges_from_counts",
@@ -254,3 +256,46 @@ def read_bpe_model(spark, path: str) -> BPEModel:
 
     p = read_model_sidecar(spark, path, "bpe_merges")
     return BPEModel(merges=[[a, b] for a, b in p["merges"]])
+
+
+#: token-id space: single characters use their Unicode codepoint,
+#: merge outputs use MERGE_ID_BASE + merge rank — disjoint by
+#: construction (MERGE_ID_BASE is one past the last codepoint), so no
+#: trained vocab table is needed to encode and ids are stable across
+#: corpora for the same merge list.
+MERGE_ID_BASE = 0x110000
+
+
+def bpe_symbol_ids(model: BPEModel) -> dict:
+    """Merge-output symbol → token id (rank-based; single characters
+    are implicit codepoint ids)."""
+    return {a + b: MERGE_ID_BASE + k
+            for k, (a, b) in enumerate(model.merges)}
+
+
+def bpe_encode(
+    df: DataFrame,
+    model: BPEModel,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Per-row token-ID sequence (``array<bigint>``) under the trained
+    merges — the train-ready form: feed it to
+    :func:`~.packing.materialize_packs_ids` for packed ID sequences.
+    ``size(token_ids)`` equals :func:`bpe_token_count`'s value by
+    construction (tested), so spans computed from the count column
+    slice the ID arrays exactly. Word boundaries are not marked with a
+    separator id (merges never cross words; add one downstream if the
+    training recipe wants it). NULL text → NULL."""
+    sym_ids = bpe_symbol_ids(model)
+
+    class _Ids:
+        start = staticmethod(lambda: [])
+
+        @staticmethod
+        def step(acc, syms):
+            acc.extend(
+                sym_ids[s] if len(s) > 1 else ord(s) for s in syms)
+            return acc
+
+    return _apply_map(df, model, text_col, out_col, "array<bigint>", _Ids)

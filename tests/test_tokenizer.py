@@ -128,3 +128,68 @@ def test_bpe_counts_drive_pack_concat(spark):
     total = toks.agg(F.sum("n_tokens")).collect()[0][0]
     spans = pack_concat(toks, seq_len=16, num_shards=2, seed=1)
     assert spans.agg(F.sum("length")).collect()[0][0] == total
+
+
+def test_bpe_encode_ids_consistent_with_counts_and_decodable(spark):
+    """size(token_ids) == bpe_token_count by construction, char ids
+    are codepoints, merge ids are MERGE_ID_BASE + rank, and ids decode
+    back to the original text."""
+    from generalized_kmeans_clustering_spark.operators.tokenizer import (
+        MERGE_ID_BASE, bpe_encode, bpe_symbol_ids,
+    )
+
+    model = BPEModel(merges=[["e", "s"], ["es", "t"], ["t", "h"]])
+    df = spark.createDataFrame(
+        [(0, "newest the widest"), (1, None), (2, "")],
+        "doc_id long, text string")
+    enc = {r["doc_id"]: r["token_ids"] for r in
+           bpe_encode(df, model).collect()}
+    cnt = {r["doc_id"]: r["n_tokens"] for r in
+           bpe_token_count(df, model).collect()}
+    assert enc[1] is None and enc[2] == []
+    assert len(enc[0]) == cnt[0]
+    inv = {v: k for k, v in bpe_symbol_ids(model).items()}
+
+    def decode(ids):
+        return "".join(inv[i] if i >= MERGE_ID_BASE else chr(i)
+                       for i in ids)
+
+    # word boundaries are not marked; per-word segments concatenate
+    assert decode(enc[0]) == "newestthewidest"
+    assert MERGE_ID_BASE + 1 in enc[0]  # 'est' merge output used
+
+
+def test_materialize_packs_ids_reassembles_exactly(spark):
+    """Packed ID sequences conserve and reorder nothing: flattening
+    all packs in (shard, pack, offset) order reproduces every
+    document's ID sequence, and every non-final pack per shard is
+    exactly seq_len ids."""
+    from collections import defaultdict
+
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        materialize_packs_ids, pack_concat,
+    )
+    from generalized_kmeans_clustering_spark.operators.tokenizer import (
+        bpe_encode,
+    )
+
+    model = BPEModel(merges=[["e", "s"], ["es", "t"]])
+    df = spark.createDataFrame(
+        [(i, "newest widest " * (i % 5 + 1)) for i in range(40)],
+        "doc_id long, text string")
+    enc = bpe_encode(df, model)
+    counted = enc.select(
+        "doc_id", F.size("token_ids").cast("bigint").alias("n_tokens"))
+    spans = pack_concat(counted, seq_len=32, num_shards=2, seed=5)
+    packs = materialize_packs_ids(enc, spans).collect()
+    total_ids = sum(len(r["token_ids"]) for r in packs)
+    assert total_ids == sum(
+        len(r["token_ids"]) for r in enc.select("token_ids").collect())
+    by_shard = defaultdict(list)
+    for r in packs:
+        by_shard[r["shard"]].append(r)
+        assert len(r["token_ids"]) == r["n_tokens"]
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["pack"])
+        for r in rows[:-1]:
+            assert r["n_tokens"] == 32
