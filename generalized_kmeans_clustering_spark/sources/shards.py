@@ -44,18 +44,29 @@ __all__ = [
 ]
 
 
-def shard_manifest(packs: DataFrame) -> DataFrame:
+def _pack_content_hash(packs: DataFrame, content_col: str):
+    """Per-pack content sha256. Array columns (packed token IDs) hash
+    their comma-joined string form; a NULL content hashes to the
+    sentinel token ``"-"`` (not a 64-hex digest, so it cannot collide
+    with any real hash, and distinct from the empty string's digest):
+    without it ``sha2`` yields NULL and ``array_join`` silently SKIPS
+    the element, making a NULL-content pack's shard digest equal an
+    intact shard's — a blind spot in the
+    :func:`verify_training_shards` integrity gate."""
+    col = F.col(content_col)
+    if dict(packs.dtypes)[content_col].startswith("array"):
+        col = F.array_join(
+            F.transform(col, lambda x: x.cast("string")), ",")
+    return F.coalesce(F.sha2(col.cast("binary"), 256), F.lit("-"))
+
+
+def shard_manifest(packs: DataFrame, content_col: str = "text") -> DataFrame:
     """``(shard, n_packs, n_docs, n_tokens, sha256)`` — one row per
     shard; ``sha256`` hashes the newline-joined, pack-ordered per-pack
-    text sha256s (hashing hashes keeps the shuffled bytes small: 64
-    hex chars per pack, not the pack text).
-
-    A NULL pack text hashes to the sentinel token ``"-"`` (not a
-    64-hex digest, so it cannot collide with any real hash, and
-    distinct from the empty string's digest): without it ``sha2``
-    yields NULL and ``array_join`` silently SKIPS the element, making
-    a NULL-text pack's shard digest equal an intact shard's — a blind
-    spot in the :func:`verify_training_shards` integrity gate."""
+    content sha256s (hashing hashes keeps the shuffled bytes small: 64
+    hex chars per pack, not the pack content). ``content_col`` may be
+    the materialized text or a packed token-ID array
+    (:func:`~..operators.packing.materialize_packs_ids`)."""
     return (
         packs.groupBy("shard")
         .agg(
@@ -67,10 +78,8 @@ def shard_manifest(packs: DataFrame) -> DataFrame:
                     F.transform(
                         F.array_sort(F.collect_list(F.struct(
                             F.col("pack"),
-                            F.coalesce(
-                                F.sha2(F.col("text").cast("binary"), 256),
-                                F.lit("-"),
-                            ).alias("h"),
+                            _pack_content_hash(packs, content_col)
+                            .alias("h"),
                         ))),
                         lambda s: s["h"],
                     ),
@@ -83,15 +92,18 @@ def shard_manifest(packs: DataFrame) -> DataFrame:
 
 
 def write_training_shards(
-    packs: DataFrame, path: str, mode: str = "overwrite"
+    packs: DataFrame, path: str, mode: str = "overwrite",
+    content_col: str = "text",
 ) -> None:
-    """Write ``packs`` (the :func:`materialize_packs` schema) as
-    ``<path>/data`` parquet partitioned by shard + ``<path>/manifest``
-    JSON. One extra shard-keyed aggregation for the manifest; the data
-    write itself is map-only into the partition layout."""
+    """Write ``packs`` (the :func:`materialize_packs` or
+    :func:`materialize_packs_ids` schema — pass
+    ``content_col="token_ids"`` for the latter) as ``<path>/data``
+    parquet partitioned by shard + ``<path>/manifest`` JSON. One extra
+    shard-keyed aggregation for the manifest; the data write itself is
+    map-only into the partition layout."""
     packs.write.mode(mode).partitionBy("shard").parquet(f"{path}/data")
     (
-        shard_manifest(packs)
+        shard_manifest(packs, content_col=content_col)
         .coalesce(1)
         .write.mode(mode).json(f"{path}/manifest")
     )
@@ -107,13 +119,15 @@ def read_training_shards(spark, path: str):
     return packs, manifest
 
 
-def verify_training_shards(spark, path: str) -> DataFrame:
+def verify_training_shards(spark, path: str,
+                           content_col: str = "text") -> DataFrame:
     """Recompute every shard's content hash from the data files and
     full-outer-join against the manifest: returns
     ``(shard, expected_sha256, actual_sha256)`` for shards that are
-    missing, extra, or content-changed. Empty result = intact."""
+    missing, extra, or content-changed. Empty result = intact. Pass
+    the same ``content_col`` the writer used."""
     packs, manifest = read_training_shards(spark, path)
-    actual = shard_manifest(packs).select(
+    actual = shard_manifest(packs, content_col=content_col).select(
         "shard", F.col("sha256").alias("actual_sha256"))
     expected = manifest.select(
         "shard", F.col("sha256").alias("expected_sha256"))

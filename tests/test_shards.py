@@ -101,3 +101,48 @@ def test_null_text_pack_changes_shard_digest(spark):
     digests = [shard_manifest(d).collect()[0]["sha256"]
                for d in (intact, nulled, absent, empty)]
     assert len(set(digests)) == 4, digests
+
+
+def test_id_packs_roundtrip_with_integrity_gate(spark, tmp_path):
+    """Packed token-ID sequences write/read/verify through the same
+    content-addressed sink: intact shards verify clean, a tampered ID
+    stream is caught, and text-vs-ids digests never collide."""
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        materialize_packs_ids, pack_concat,
+    )
+    from generalized_kmeans_clustering_spark.operators.tokenizer import (
+        BPEModel, bpe_encode,
+    )
+    from generalized_kmeans_clustering_spark.sources.shards import (
+        read_training_shards, verify_training_shards,
+        write_training_shards,
+    )
+
+    model = BPEModel(merges=[["e", "s"], ["es", "t"]])
+    df = spark.createDataFrame(
+        [(i, "newest widest " * (i % 4 + 1)) for i in range(30)],
+        "doc_id long, text string")
+    enc = bpe_encode(df, model)
+    counted = enc.select(
+        "doc_id", F.size("token_ids").cast("bigint").alias("n_tokens"))
+    spans = pack_concat(counted, seq_len=32, num_shards=2, seed=2)
+    packs = materialize_packs_ids(enc, spans)
+    path = str(tmp_path / "idshards")
+    write_training_shards(packs, path, content_col="token_ids")
+    got, manifest = read_training_shards(spark, path)
+    assert got.count() == packs.count()
+    assert verify_training_shards(
+        spark, path, content_col="token_ids").count() == 0
+    # tamper: rewrite one shard's data with one id flipped
+    bad = got.withColumn(
+        "token_ids",
+        F.when(F.col("shard") == 0,
+               F.concat(F.slice("token_ids", 1, 1),
+                        F.slice("token_ids", 1, 10000)))
+        .otherwise(F.col("token_ids")))
+    bad.localCheckpoint(eager=True) \
+        .write.mode("overwrite").partitionBy("shard") \
+        .parquet(f"{path}/data")
+    broken = verify_training_shards(
+        spark, path, content_col="token_ids").collect()
+    assert {r["shard"] for r in broken} == {0}
