@@ -67,3 +67,44 @@ def test_language_id_inline_compiles(strict_codegen, docs):
 
     n = docs.where(Tx.language_id(F.col("text")) == "en").count()
     assert n == 40
+
+
+def test_round7_operators_compile_strict(strict_codegen, docs):
+    """Round-7 expression-heavy operators under fallback-disabled
+    codegen: the span cut (per-token coverage lambda), the 9-n Gopher
+    window pass, and the decontamination max must all compile (HOF
+    bodies are interpreted by design in Spark 4.1 — these assert the
+    SURROUNDING stages don't silently de-optimize)."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        drop_repeated_spans,
+    )
+    from generalized_kmeans_clustering_spark.operators.text_features \
+        import gopher_repetition_signals
+
+    assert drop_repeated_spans(docs, n=6).count() == 40
+    assert gopher_repetition_signals(docs).count() == 40
+
+
+def test_semantic_split_and_decontaminate_compile_strict(strict_codegen,
+                                                         spark):
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.operators.decontamination \
+        import semantic_decontaminate
+    from generalized_kmeans_clustering_spark.operators.semantic import (
+        semantic_near_dup_pairs,
+    )
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 4)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, _ = ivf_index(emb, n_lists=2, seed=0, max_iter=1)
+    # cap low enough to engage the recursive split under strict codegen
+    semantic_near_dup_pairs(indexed, 0.9, list_size_cap=30).count()
+    semantic_decontaminate(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 10), 0.9).count()

@@ -71,3 +71,65 @@ def test_srp_signs_shape_values_determinism(num_bits, dim, seed):
     if num_bits * dim >= 32:
         flat = [v for r in a for v in r]
         assert 0.2 < (sum(1 for v in flat if v > 0) / len(flat)) < 0.8
+
+
+# ---- round-7 pure-driver math: BPE learning/application ----
+
+from generalized_kmeans_clustering_spark.operators.tokenizer import (  # noqa: E402
+    _segment,
+    learn_merges_from_counts,
+)
+
+words_st = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=10),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words=words_st, k=st.integers(min_value=0, max_value=12))
+def test_bpe_segments_concatenate_to_word_and_shrink(words, k):
+    """For ANY learned merge list: segments concatenate back to the
+    word exactly, every segment is non-empty, and applying a longer
+    merge list never increases a word's token count."""
+    counts = [(w, words.count(w)) for w in set(words)]
+    merges = learn_merges_from_counts(sorted(counts), k)
+    assert len(merges) <= k
+    for w in set(words):
+        syms = _segment(w, [tuple(m) for m in merges])
+        assert "".join(syms) == w
+        assert all(syms)
+        assert len(syms) <= len(w)
+        if k > 0:
+            fewer = _segment(w, [tuple(m) for m in merges[:-1]])
+            assert len(syms) <= len(fewer)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words=words_st, k=st.integers(min_value=1, max_value=10))
+def test_bpe_replace_chain_twin_equivalence_property(words, k):
+    """The DuckDB twin's per-symbol-delimited replace chain equals
+    canonical application for arbitrary words and learned merges —
+    the property the corpus_bpe_* oracle rows depend on."""
+    counts = [(w, words.count(w)) for w in set(words)]
+    merges = [tuple(m) for m in
+              learn_merges_from_counts(sorted(counts), k)]
+    for w in set(words):
+        s = "".join(f"\x01{c}\x02" for c in w)
+        for a, b in merges:
+            s = s.replace(f"\x01{a}\x02\x01{b}\x02", f"\x01{a}{b}\x02")
+        chain = [t[:-1] for t in s.split("\x01") if t]
+        assert chain == _segment(w, merges), (w, merges)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="abc", min_size=1,
+                                  max_size=8),
+                          st.integers(min_value=1, max_value=100)),
+                min_size=1, max_size=10, unique_by=lambda t: t[0]),
+       st.integers(min_value=0, max_value=8))
+def test_bpe_learning_deterministic(word_counts, k):
+    """Same count table → same merges, independent of input order."""
+    a = learn_merges_from_counts(word_counts, k)
+    b = learn_merges_from_counts(list(reversed(word_counts)), k)
+    assert a == b
