@@ -3377,6 +3377,70 @@ def q_semantic_dedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+_GMEANS_C1 = [10.0, 1.0, 0.1, 0.1]
+_GMEANS_C2 = [45.0, 8.0, 0.9, 0.6]
+
+
+def _gmeans_ad_sql(c1=None, c2=None, digits=4) -> str:
+    """Twin of gmeans.ad_split_statistic over lineitem features with
+    fixed child centers: identical projection, sample-std
+    standardization, rank pairing, and the Abramowitz–Stegun 7.1.26
+    Φ closed form — the arithmetic was chosen to be SQL-expressible so
+    this statistic could sit behind the hard gate."""
+    c1 = c1 or _GMEANS_C1
+    c2 = c2 or _GMEANS_C2
+    v = [a - b for a, b in zip(c1, c2)]
+    nrm = sum(x * x for x in v)
+    proj = " + ".join(f"f{i + 1} * {v[i]!r}" for i in range(4))
+    phi_pos = (
+        "0.5 * (1.0 + (1.0 - (tt * (0.254829592 + tt * (-0.284496736 "
+        "+ tt * (1.421413741 + tt * (-1.453152027 + tt * 1.061405429)))))"
+        " * exp(-xx * xx)))"
+    )
+    return (
+        "WITH f AS (SELECT CAST(l_quantity AS DOUBLE) AS f1, "
+        "l_extendedprice / 10000.0 AS f2, l_discount * 10.0 AS f3, "
+        "l_tax * 10.0 AS f4 FROM lineitem), "
+        f"p AS (SELECT ({proj}) / {nrm!r} AS pr FROM f), "
+        "s AS (SELECT count(*) AS n, avg(pr) AS m, "
+        "stddev_samp(pr) AS sd FROM p), "
+        "z AS (SELECT (pr - m) / sd AS z, "
+        "row_number() OVER (ORDER BY pr) AS i, n FROM p, s), "
+        "e AS (SELECT z, i, n, abs(z) / sqrt(2.0) AS xx, "
+        "1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt FROM z), "
+        f"ph AS (SELECT i, n, CASE WHEN z >= 0 THEN {phi_pos} "
+        f"ELSE 1.0 - {phi_pos} END AS phi0 FROM e), "
+        "cl AS (SELECT i, n, least(greatest(phi0, 1e-15), "
+        "1.0 - 1e-15) AS phi FROM ph), "
+        "t AS (SELECT max(n) AS n, sum((2*i - 1) * ln(phi) "
+        "+ (2*(n - i) + 1) * ln(1.0 - phi)) AS sm FROM cl), "
+        "a AS (SELECT n, (-n - sm / n) * (1.0 + 4.0 / n "
+        "- 25.0 / (n * n)) AS ad FROM t) "
+        f"SELECT CAST(n AS BIGINT) AS n, {_r('ad', digits)} AS ad_stat, "
+        f"{_r('ad', digits)} > 1.8692 AS split FROM a"
+    )
+
+
+def q_gmeans_ad(spark, sf_dir):
+    """G-means split test (gmeans.ad_split_statistic, Hamerly & Elkan
+    NIPS 2003): Anderson–Darling A*² of the corpus projected onto a
+    fixed child-center axis — ONE window + ONE aggregation, fully
+    distributed, Φ via the engine-portable Abramowitz–Stegun closed
+    form. The full grow-k loop (gmeans.GMeans) is pytest-covered
+    (plants 3 Gaussians → k=3; one Gaussian → k=1)."""
+    from generalized_kmeans_clustering_spark.gmeans import (
+        ad_split_statistic,
+    )
+
+    df = lineitem_feats(spark, sf_dir).select("features")
+    out = ad_split_statistic(df, _GMEANS_C1, _GMEANS_C2)
+    ad4 = _rcol(F.col("ad_stat"), 4)
+    return out.select(
+        "n", ad4.alias("ad_stat"),
+        (ad4 > F.lit(1.8692)).alias("split"),
+    )
+
+
 def _semantic_list_stats_sql(n_lists=8, cen_lo=100, cen_hi=107) -> str:
     """Twin of operators/semantic.semantic_list_stats (exact path):
     same fixed-centroid spherical assignment CTEs as the dedup twin,
@@ -5265,6 +5329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clara_build": q_clara_build,
         "silhouette_fixed": q_silhouette_fixed,
         "xmeans_bic_fixed": q_xmeans_bic_fixed,
+        "gmeans_ad_statistic": q_gmeans_ad,
         "minibatch_step": q_minibatch_step,
         "pam_build": q_pam_build,
         "robust_fit": q_robust_fit,
@@ -5838,6 +5903,7 @@ FROM wide w ORDER BY xb
     out["corpus_interleave"] = _interleave_sql()
     out["semantic_dedup_groups"] = _semantic_dedup_sql()
     out["semantic_list_stats"] = _semantic_list_stats_sql()
+    out["gmeans_ad_statistic"] = _gmeans_ad_sql()
     out["similarity_pq_topk"] = _pq_topk_sql()
     out["similarity_ivfpq_topk"] = _ivfpq_topk_sql()
     out["similarity_ivf_recall"] = _ivf_recall_sql()
