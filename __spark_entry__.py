@@ -3377,6 +3377,81 @@ def q_semantic_dedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _semantic_pairs_sql(threshold=0.35, cen_lo=100, cen_hi=107,
+                        digits=6) -> str:
+    """Twin of the within-list semantic pair set (the streaming
+    operator's batch-parity target): the dedup twin's fixed-centroid
+    assignment CTEs, pairs i < j with cosine ≥ threshold."""
+    return (
+        "WITH cen AS (SELECT CAST(row_number() OVER "
+        "(ORDER BY vec_id) - 1 AS INTEGER) AS cj, "
+        "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+        f"WHERE vec_id BETWEEN {cen_lo} AND {cen_hi}), "
+        "cenn AS (SELECT cj, list_transform(cv, x -> x / "
+        "(sqrt(list_dot_product(cv, cv)) + 1e-10)) AS cn FROM cen), "
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "corpn AS (SELECT vec_id, v, list_transform(v, x -> x / "
+        "(sqrt(list_dot_product(v, v)) + 1e-10)) AS xn FROM corpus), "
+        "asg AS (SELECT vec_id, v, cj, "
+        "1 - list_dot_product(xn, cn) / (sqrt(list_dot_product(xn, xn)) * "
+        "sqrt(list_dot_product(cn, cn)) + 1e-10) AS d "
+        "FROM corpn CROSS JOIN cenn), "
+        "lists AS (SELECT vec_id, v, cj AS lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d ASC, cj ASC) AS rn FROM asg) WHERE rn = 1), "
+        "prs AS (SELECT a.vec_id AS i, b.vec_id AS j, "
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+        "* sqrt(list_dot_product(b.v, b.v))) AS sim "
+        "FROM lists a JOIN lists b ON a.lst = b.lst "
+        "AND a.vec_id < b.vec_id) "
+        f"SELECT i, j, {_r('sim', digits)} AS sim FROM prs "
+        f"WHERE sim >= {threshold!r} ORDER BY i, j"
+    )
+
+
+def q_streaming_semantic_pairs(spark, sf_dir):
+    """Streaming SemDeDup (streaming/semantic.StreamingSemanticDedup):
+    the embeddings table replayed as a 2-file availableNow stream
+    through the foreachBatch handler — new-vs-new + new-vs-state
+    within-list cosine pairs against a persisted vector store with
+    fixed coarse centroids. Must equal the batch within-list pair set
+    however the stream was micro-batched (the oracle is that batch
+    SQL)."""
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.semantic import (
+        StreamingSemanticDedup,
+    )
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_sem_")
+    emb = embeddings(spark, sf_dir).select("vec_id", "embedding")
+    cen_rows = (
+        emb.where(F.col("vec_id").between(100, 107))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    centers = [[float(v) for v in r["embedding"]] for r in cen_rows]
+    indir = f"{root}/in"
+    emb.repartition(2, "vec_id").write.mode("overwrite").parquet(indir)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(indir))
+    sd = StreamingSemanticDedup(
+        f"{root}/state", f"{root}/pairs", centers=centers, threshold=0.35)
+    q = (stream.writeStream.foreachBatch(sd.process_batch)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = (
+        sd.pairs(spark)
+        .select("i", "j", _rcol(F.col("sim"), 6).alias("sim"))
+        .distinct().orderBy("i", "j")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 _GMEANS_C1 = [10.0, 1.0, 0.1, 0.1]
 _GMEANS_C2 = [45.0, 8.0, 0.9, 0.6]
 
@@ -5299,6 +5374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
+        "streaming_semantic_pairs": q_streaming_semantic_pairs,
         "doc_line_dedup": q_doc_line_dedup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
         "doc_gopher_repetition": q_gopher_repetition,
@@ -5917,6 +5993,7 @@ FROM wide w ORDER BY xb
     # the true stream-stream join must reproduce the same batch answer
     # as its foreachBatch sibling (every event time fits the horizon)
     out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
+    out["streaming_semantic_pairs"] = _semantic_pairs_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

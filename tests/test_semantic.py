@@ -282,3 +282,40 @@ def test_interleave_rejects_bad_shards(spark):
     with pytest.raises(ValueError, match="num_shards"):
         interleave_shards(spark.range(3).withColumnRenamed("id", "doc_id"),
                           num_shards=0)
+
+
+def test_streaming_semantic_dedup_batch_parity(spark, tmp_path):
+    """StreamingSemanticDedup replayed over micro-batches must emit
+    exactly the batch semantic_near_dup_pairs result for the same
+    fixed centroids (union over batches of new-vs-new + new-vs-older
+    candidates = the full within-list pair set)."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index,
+    )
+    from generalized_kmeans_clustering_spark.streaming.semantic import (
+        StreamingSemanticDedup,
+    )
+
+    df = _emb_df(spark)
+    indexed, _ = ivf_index(df, n_lists=3, seed=0, max_iter=0,
+                           initial_centers=CENTERS)
+    want = {(r["i"], r["j"], round(r["sim"], 9))
+            for r in semantic_near_dup_pairs(
+                indexed, 0.95, list_size_cap=None).collect()}
+
+    sd = StreamingSemanticDedup(
+        str(tmp_path / "state"), str(tmp_path / "pairs"),
+        centers=CENTERS, threshold=0.95)
+    # replay in 3 artificial micro-batches split by id
+    for b, lo, hi in ((0, 0, 2), (1, 2, 5), (2, 5, 99)):
+        sd.process_batch(
+            df.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), b)
+    got = {(r["i"], r["j"], round(r["sim"], 9))
+           for r in sd.pairs(spark).collect()}
+    assert got == want and want  # non-empty parity
+    # replay idempotency: reprocessing batch 1 must not change pairs
+    sd.process_batch(
+        df.where((F.col("vec_id") >= 2) & (F.col("vec_id") < 5)), 1)
+    again = {(r["i"], r["j"], round(r["sim"], 9))
+             for r in sd.pairs(spark).collect()}
+    assert again == want
