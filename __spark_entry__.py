@@ -3410,6 +3410,43 @@ def _semantic_pairs_sql(threshold=0.35, cen_lo=100, cen_hi=107,
     )
 
 
+def _source_rollup_sql(digits=6) -> str:
+    """Twin of operators/corpus.source_rollup: same whitespace token
+    count, the heuristic quality expression, and the per-source
+    exact-dup rate from distinct md5 fingerprints."""
+    punct = ("(length(text) - length(translate(text, '.,;:!?''\"()-', "
+             "''))) * 1.0 / length(text)")
+    digit = ("(length(text) - length(translate(text, '0123456789', "
+             "''))) * 1.0 / length(text)")
+    qual = (f"least(length(text) * 1.0 / 500.0, 1.0) * (1.0 - {punct})"
+            f" * (1.0 - {digit})")
+    return (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum({_NTOK_SQL}) AS BIGINT) AS n_tokens, "
+        f"{_r(f'avg({qual})', digits)} AS avg_quality, "
+        f"{_r('1.0 - count(DISTINCT md5(text)) * 1.0 / count(text)', digits)}"
+        " AS exact_dup_rate "
+        "FROM documents GROUP BY source ORDER BY source"
+    )
+
+
+def q_source_rollup(spark, sf_dir):
+    """Per-source curation dashboard (operators/corpus.source_rollup):
+    the domain-level doc/token/quality/dup-rate view pipelines act on
+    before touching per-document rules."""
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        source_rollup,
+    )
+
+    docs = documents(spark, sf_dir)
+    out = source_rollup(docs)
+    return out.select(
+        "source", "n_docs", "n_tokens",
+        _rcol(F.col("avg_quality"), 6).alias("avg_quality"),
+        _rcol(F.col("exact_dup_rate"), 6).alias("exact_dup_rate"),
+    ).orderBy("source")
+
+
 def q_streaming_semantic_pairs(spark, sf_dir):
     """Streaming SemDeDup (streaming/semantic.StreamingSemanticDedup):
     the embeddings table replayed as a 2-file availableNow stream
@@ -5353,6 +5390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_components_star": q_dedup_components_star,
         "corpus_prepare": q_corpus_prepare,
+        "corpus_source_rollup": q_source_rollup,
         "corpus_stats": q_corpus_stats,
         "corpus_sample_budget": q_corpus_sample_budget,
         "corpus_sample_temperature": q_corpus_sample_temperature,
@@ -5994,6 +6032,7 @@ FROM wide w ORDER BY xb
     # as its foreachBatch sibling (every event time fits the horizon)
     out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
     out["streaming_semantic_pairs"] = _semantic_pairs_sql()
+    out["corpus_source_rollup"] = _source_rollup_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

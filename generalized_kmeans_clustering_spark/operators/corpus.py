@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as Tx
 
-__all__ = ["prepare_corpus", "corpus_stats"]
+__all__ = ["prepare_corpus", "corpus_stats", "source_rollup"]
 
 #: verdict precedence: the FIRST failing rule names the reason
 _REASONS = ("too_short", "too_long", "language", "low_quality",
@@ -243,4 +243,34 @@ def corpus_stats(prepared: DataFrame) -> DataFrame:
             F.coalesce(F.col("reject_reason"), F.lit("kept")).alias("outcome"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tokens").alias("n_tokens"))
+    )
+
+
+def source_rollup(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source curation dashboard:
+    ``(source, n_docs, n_tokens, avg_quality, exact_dup_rate)`` — the
+    domain-level view quality pipelines act on (blocklist a source,
+    re-weight it in the mix, or investigate it) before touching
+    per-document rules. ``exact_dup_rate`` is the fraction of the
+    source's docs that are exact-content copies
+    (1 − distinct fingerprints / docs). One map-side-combined groupBy
+    on the source key; signals are pure expressions. NULL texts count
+    as docs but contribute nothing to token/quality/dup sums (standard
+    aggregate NULL semantics on both engines, so the oracle matches).
+    """
+    t = F.col(text_col)
+    return (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(Tx.token_count(t)).cast("bigint").alias("n_tokens"),
+            F.avg(Tx.quality_score(t)).alias("avg_quality"),
+            (F.lit(1.0)
+             - F.countDistinct(Tx.doc_fingerprint(t))
+             / F.count(t)).alias("exact_dup_rate"),
+        )
     )

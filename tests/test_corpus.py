@@ -203,3 +203,28 @@ def test_prepare_corpus_extra_rules_model_signal(spark):
         extra_rules=[(F.col("perplexity") > thr, "high_perplexity")],
     )
     assert all(r["reject_reason"] == "too_short" for r in out2.collect())
+
+
+def test_source_rollup_signals(spark):
+    """Per-source dashboard: doc/token counts, mean quality, and the
+    exact-dup rate from content fingerprints; NULL texts count as docs
+    but contribute nothing else."""
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        source_rollup,
+    )
+
+    rows = [
+        (0, "web", "clean long text with many informative words here"),
+        (1, "web", "clean long text with many informative words here"),
+        (2, "web", "different web page content entirely new words"),
+        (3, "spam", "!!! 123 !!! 456 !!!"),
+        (4, "spam", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r.asDict() for r in source_rollup(df).collect()}
+    assert out["web"]["n_docs"] == 3
+    # 3 docs, 2 distinct fingerprints -> dup rate 1/3
+    assert abs(out["web"]["exact_dup_rate"] - 1 / 3) < 1e-9
+    assert out["web"]["avg_quality"] > out["spam"]["avg_quality"]
+    assert out["spam"]["n_docs"] == 2  # NULL text still counts as a doc
+    assert out["spam"]["exact_dup_rate"] == 0.0
