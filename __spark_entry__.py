@@ -3097,6 +3097,78 @@ def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107) -> str:
     )
 
 
+def _knn_graph_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107,
+                   mode="union", digits=6) -> str:
+    """Twin of operators/similarity.knn_graph: the IVF top-k twin with
+    the WHOLE corpus as the query side, then undirected
+    symmetrization — union keeps a pair found by either endpoint,
+    mutual requires both."""
+    having = "HAVING count(*) = 2 " if mode == "mutual" else ""
+    return (
+        "WITH cen AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) "
+        "- 1 AS INTEGER) AS j, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings WHERE vec_id BETWEEN {cen_lo} AND {cen_hi}), "
+        "cenn AS (SELECT j, list_transform(cv, x -> x / "
+        "(sqrt(list_dot_product(cv, cv)) + 1e-10)) AS cn FROM cen), "
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "corpn AS (SELECT vec_id, v, list_transform(v, x -> x / "
+        "(sqrt(list_dot_product(v, v)) + 1e-10)) AS xn FROM corpus), "
+        "asg AS (SELECT vec_id, v, j, "
+        "1 - list_dot_product(xn, cn) / (sqrt(list_dot_product(xn, xn)) "
+        "* sqrt(list_dot_product(cn, cn)) + 1e-10) AS d "
+        "FROM corpn CROSS JOIN cenn), "
+        "lists AS (SELECT vec_id, v, j AS lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d ASC, j ASC) AS rn FROM asg) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, "
+        "list_transform(v, x -> x / (sqrt(list_dot_product(v, v)) "
+        "+ 1e-12)) AS qn FROM corpus), "
+        "csims AS (SELECT query_id, qv, j AS lst, "
+        "list_dot_product(qn, cn) AS csim FROM q CROSS JOIN cenn), "
+        "probes AS (SELECT query_id, qv, lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY csim DESC, lst ASC) AS pr FROM csims) "
+        f"WHERE pr <= {nprobe}), "
+        "cand AS (SELECT p.query_id, p.qv, l.vec_id, l.v FROM probes p "
+        "JOIN lists l ON p.lst = l.lst WHERE l.vec_id <> p.query_id), "
+        "scored AS (SELECT query_id, vec_id AS neighbor_id, "
+        "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * "
+        "sqrt(list_dot_product(v, v))) AS sim FROM cand), "
+        "r AS (SELECT query_id, neighbor_id, sim FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {k}), "
+        "und AS (SELECT least(query_id, neighbor_id) AS i, "
+        "greatest(query_id, neighbor_id) AS j, sim FROM r) "
+        f"SELECT i, j, {_r('max(sim)', digits)} AS sim FROM und "
+        f"GROUP BY i, j {having}ORDER BY i, j"
+    )
+
+
+def q_knn_graph(spark, sf_dir):
+    """Corpus-scale kNN graph (operators/similarity.knn_graph): every
+    row's IVF-probed top-3 cosine neighbors with the query side NEVER
+    broadcast (it IS the corpus), symmetrized as the union graph — the
+    affinity input for graph clustering at embedding dimensions the
+    3^d grid cannot reach."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    cen_rows = (
+        emb.where(F.col("vec_id").between(100, 107))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    init = [[float(v) for v in r["embedding"]] for r in cen_rows]
+    out = knn_graph(emb, k=3, n_lists=8, nprobe=4, seed=42, max_iter=0,
+                    initial_centers=init, mode="union")
+    return out.select(
+        "i", "j", _rcol(F.col("sim"), 6).alias("sim"),
+    ).orderBy("i", "j")
+
+
 def _pq_topk_sql(m=4, dsub=16, k=3, cb_lo=200, cb_hi=207) -> str:
     """Twin of operators/quantization pq_encode + pq_topk with fixed
     codebooks (subvectors of corpus vectors cb_lo..cb_hi): per
@@ -5404,6 +5476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_topk": q_pq_topk,
         "similarity_ivfpq_topk": q_ivfpq_topk,
         "similarity_ivf_recall": q_ivf_recall,
+        "similarity_knn_graph": q_knn_graph,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6033,6 +6106,7 @@ FROM wide w ORDER BY xb
     out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
     out["streaming_semantic_pairs"] = _semantic_pairs_sql()
     out["corpus_source_rollup"] = _source_rollup_sql()
+    out["similarity_knn_graph"] = _knn_graph_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

@@ -26,7 +26,7 @@ __all__ = [
     "cosine_sim", "cosine_topk", "ivf_index", "ivf_topk",
     "embedding_near_dup_pairs", "embedding_near_dups_ivf",
     "embedding_simhash", "embedding_simhash_near_dups",
-    "ann_recall",
+    "ann_recall", "knn_graph",
 ]
 
 
@@ -389,3 +389,55 @@ def read_ivf_index(spark, path: str):
         features_col="_v", prediction_col="_list",
     )
     return indexed, model
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 10,
+    n_lists: int = 64,
+    nprobe: int = 8,
+    mode: str = "union",  # "union" | "mutual" | "directed"
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    initial_centers=None,
+) -> DataFrame:
+    """Corpus-scale k-NN graph: EVERY row's approximate top-k cosine
+    neighbors via the IVF self-probe — the standard affinity input for
+    graph clustering (the k-NN alternative to
+    :func:`~.graph.epsilon_affinity_edges`, which needs d ≤ 8),
+    label propagation, or outlier scoring.
+
+    The query side is the corpus itself, so it is NEVER broadcast:
+    probes shuffle on the ``_list`` key against the indexed table
+    (``ivf_topk(..., broadcast_queries=False)``) — candidate work is
+    ~nprobe/n_lists of the quadratic all-pairs, per-query top-k via
+    ``WindowGroupLimit``. Recall is the IVF model's (raise nprobe /
+    n_lists resolution to trade work for recall).
+
+    ``mode="union"`` keeps an undirected edge when EITHER endpoint
+    ranks the other in its top-k (the usual spectral choice);
+    ``"mutual"`` requires BOTH (sparser, robust to hubs); ``"directed"``
+    returns the raw per-query ranking ``(query_id, neighbor_id, sim,
+    rank)``. Undirected output is ``(i, j, sim)`` with i < j.
+    """
+    if mode not in ("union", "mutual", "directed"):
+        raise ValueError("mode: union | mutual | directed")
+    indexed, model = ivf_index(
+        df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed,
+        max_iter=max_iter, initial_centers=initial_centers)
+    nn = ivf_topk(indexed, model, df, k=k, nprobe=nprobe, id_col=id_col,
+                  vec_col=vec_col, broadcast_queries=False)
+    if mode == "directed":
+        return nn
+    und = nn.select(
+        F.least("query_id", "neighbor_id").alias("i"),
+        F.greatest("query_id", "neighbor_id").alias("j"),
+        "sim",
+    )
+    g = und.groupBy("i", "j").agg(
+        F.max("sim").alias("sim"), F.count(F.lit(1)).alias("_c"))
+    if mode == "mutual":
+        g = g.where(F.col("_c") == 2)
+    return g.select("i", "j", "sim")

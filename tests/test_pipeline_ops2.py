@@ -875,3 +875,40 @@ def test_semantic_decontaminate_flags_and_drops(spark):
 
     with _pt.raises(ValueError, match="mode"):
         semantic_decontaminate(corpus, bench, 0.95, mode="purge")
+
+
+def test_knn_graph_modes_and_self_probe(spark):
+    """Corpus-scale kNN graph: directed gives per-query rankings;
+    union keeps an edge when either side names the other; mutual is a
+    subset of union requiring both; planted twin vectors always
+    connect."""
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(40):
+        v = rng.normal(0, 1, 8)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    rows.append((100, list(rows[0][1])))  # exact twin of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    directed = knn_graph(df, k=3, n_lists=2, nprobe=2, seed=1,
+                         mode="directed")
+    per_q = directed.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_q)
+    union = {(r["i"], r["j"]) for r in
+             knn_graph(df, k=3, n_lists=2, nprobe=2, seed=1,
+                       mode="union").collect()}
+    mutual = {(r["i"], r["j"]) for r in
+              knn_graph(df, k=3, n_lists=2, nprobe=2, seed=1,
+                        mode="mutual").collect()}
+    assert mutual <= union
+    assert (0, 100) in mutual  # identical vectors are mutual top-1
+    assert all(i < j for i, j in union)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mode"):
+        knn_graph(df, mode="both")
