@@ -3169,6 +3169,76 @@ def q_knn_graph(spark, sf_dir):
     ).orderBy("i", "j")
 
 
+def q_agreement_metrics(spark, sf_dir):
+    """External clustering-agreement metrics (agreement.py): ARI / NMI /
+    V-measure family from ONE groupBy(label, pred) contingency pass —
+    ground truth = embeddings.label, "clustering" = the sign quadrant
+    of the first two embedding dims (deterministic, oracle-replayable;
+    the metric math is the operator under test)."""
+    from generalized_kmeans_clustering_spark.agreement import (
+        agreement_metrics,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    e = F.col("embedding")
+    pred = (
+        F.when(e[0] >= 0, F.lit(2)).otherwise(F.lit(0))
+        + F.when(e[1] >= 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    out = agreement_metrics(
+        emb.select(F.col("label"), pred.alias("pred")), "label", "pred"
+    )
+    return out.select(
+        "n",
+        *[
+            _rcol(F.col(c), 6).alias(c)
+            for c in (
+                "ari", "rand", "fowlkes_mallows", "nmi", "homogeneity",
+                "completeness", "v_measure", "purity",
+            )
+        ],
+    )
+
+
+def _agreement_sql() -> str:
+    """Twin of agreement.agreement_from_cells over the same sign-quadrant
+    contingency: pair-counting sums + entropies in plain SQL."""
+    return (
+        "WITH base AS (SELECT label AS a, "
+        "CAST(CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END + "
+        "CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END AS INTEGER) AS b "
+        "FROM embeddings), "
+        "cells AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n "
+        "FROM base GROUP BY 1, 2), "
+        "tot AS (SELECT sum(n) AS n FROM cells), "
+        "ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1), "
+        "mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY 1), "
+        "s AS (SELECT "
+        "(SELECT sum(n*(n-1)/2) FROM cells) AS sc, "
+        "(SELECT sum(na*(na-1)/2) FROM ma) AS sa, "
+        "(SELECT sum(nb*(nb-1)/2) FROM mb) AS sb, "
+        "(SELECT n FROM tot) AS n, "
+        "(SELECT -sum((na/t.n)*ln(na/t.n)) FROM ma, tot t) AS ha, "
+        "(SELECT -sum((nb/t.n)*ln(nb/t.n)) FROM mb, tot t) AS hb, "
+        "(SELECT -sum((c.n/t.n)*ln(c.n/m.nb)) "
+        "FROM cells c JOIN mb m ON c.b = m.b, tot t) AS hab, "
+        "(SELECT sum(mx)/any_value(t.n) FROM "
+        "(SELECT b, max(n) AS mx FROM cells GROUP BY b) x, tot t) "
+        "AS purity) "
+        "SELECT CAST(n AS BIGINT) AS n, "
+        + _r("(sc - sa*sb/(n*(n-1)/2)) / ((sa+sb)/2 - sa*sb/(n*(n-1)/2))",
+             6) + " AS ari, "
+        + _r("(n*(n-1)/2 + 2*sc - sa - sb) / (n*(n-1)/2)", 6) + " AS rand, "
+        + _r("sc / sqrt(sa*sb)", 6) + " AS fowlkes_mallows, "
+        + _r("(ha - hab) / sqrt(ha*hb)", 6) + " AS nmi, "
+        + _r("(ha - hab) / ha", 6) + " AS homogeneity, "
+        + _r("(ha - hab) / hb", 6) + " AS completeness, "
+        + _r("2*((ha-hab)/ha)*((ha-hab)/hb) / "
+             "(((ha-hab)/ha) + ((ha-hab)/hb))", 6) + " AS v_measure, "
+        + _r("purity", 6) + " AS purity FROM s"
+    )
+
+
 def _pq_topk_sql(m=4, dsub=16, k=3, cb_lo=200, cb_hi=207) -> str:
     """Twin of operators/quantization pq_encode + pq_topk with fixed
     codebooks (subvectors of corpus vectors cb_lo..cb_hi): per
@@ -5477,6 +5547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfpq_topk": q_ivfpq_topk,
         "similarity_ivf_recall": q_ivf_recall,
         "similarity_knn_graph": q_knn_graph,
+        "eval_agreement_metrics": q_agreement_metrics,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6107,6 +6178,7 @@ FROM wide w ORDER BY xb
     out["streaming_semantic_pairs"] = _semantic_pairs_sql()
     out["corpus_source_rollup"] = _source_rollup_sql()
     out["similarity_knn_graph"] = _knn_graph_sql()
+    out["eval_agreement_metrics"] = _agreement_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()
