@@ -3200,6 +3200,47 @@ def q_agreement_metrics(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (operators/incremental.py): even-id docs
+    form the persisted snapshot store, odd-id docs arrive as the delta;
+    every delta row gets an (in_store, dup_of, is_canonical) verdict
+    from ONE fingerprint-keyed join + one within-delta window. The
+    oracle replays the same min-id semantics in SQL."""
+    from generalized_kmeans_clustering_spark.operators.incremental import (
+        fingerprint_store, incremental_exact_dedup,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 64).alias("text")
+    )
+    store = fingerprint_store(docs.where(F.col("doc_id") % 2 == 0))
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    out = incremental_exact_dedup(delta, store)
+    return out.select(
+        F.col("id").alias("doc_id"), "fingerprint", "in_store",
+        "dup_of", "is_canonical",
+    ).orderBy("doc_id")
+
+
+def _dedup_incremental_sql() -> str:
+    return (
+        "WITH pre AS (SELECT doc_id, substring(text, 1, 64) AS text "
+        "FROM documents), "
+        "store AS (SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id "
+        "FROM pre WHERE doc_id % 2 = 0 GROUP BY 1), "
+        "delta AS (SELECT doc_id, md5(text) AS fingerprint FROM pre "
+        "WHERE doc_id % 2 = 1), "
+        "j AS (SELECT d.doc_id, d.fingerprint, s.keep_id, "
+        "min(d.doc_id) OVER (PARTITION BY d.fingerprint) AS batch_keep "
+        "FROM delta d LEFT JOIN store s ON d.fingerprint = s.fingerprint) "
+        "SELECT doc_id, fingerprint, keep_id IS NOT NULL AS in_store, "
+        "CASE WHEN keep_id IS NOT NULL THEN keep_id "
+        "WHEN doc_id <> batch_keep THEN batch_keep END AS dup_of, "
+        "keep_id IS NULL AND doc_id = batch_keep AS is_canonical "
+        "FROM j ORDER BY doc_id"
+    )
+
+
 def _agreement_sql() -> str:
     """Twin of agreement.agreement_from_cells over the same sign-quadrant
     contingency: pair-counting sums + entropies in plain SQL."""
@@ -5548,6 +5589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_recall": q_ivf_recall,
         "similarity_knn_graph": q_knn_graph,
         "eval_agreement_metrics": q_agreement_metrics,
+        "dedup_incremental": q_dedup_incremental,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6179,6 +6221,7 @@ FROM wide w ORDER BY xb
     out["corpus_source_rollup"] = _source_rollup_sql()
     out["similarity_knn_graph"] = _knn_graph_sql()
     out["eval_agreement_metrics"] = _agreement_sql()
+    out["dedup_incremental"] = _dedup_incremental_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

@@ -171,6 +171,49 @@ def minhash_from_hashes(
     )
 
 
+def _resolve_num_hashes(sigs: DataFrame, num_hashes: int | None) -> int | None:
+    """Signature width from the ``signature`` column metadata (written
+    by the signature builders — no job), falling back to a single-row
+    probe for foreign frames. None only when the frame is empty."""
+    if num_hashes is not None:
+        return num_hashes
+    meta = sigs.schema["signature"].metadata
+    if meta and "num_hashes" in meta:
+        return int(meta["num_hashes"])
+    row = sigs.select("signature").first()
+    return None if row is None else len(row["signature"])
+
+
+def _band_explode_meta(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int | None,
+    num_bands: int,
+) -> DataFrame:
+    """(id, band, bucket) band rows with the width resolved via
+    :func:`_resolve_num_hashes` — the shared front half of every
+    bucketed LSH join (self, incremental, streaming)."""
+    num_hashes = _resolve_num_hashes(sigs, num_hashes)
+    if num_hashes is None:
+        spark = sigs.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} {dict(sigs.dtypes)[id_col]}, band int, bucket bigint"
+        )
+    rows_per_band = num_hashes // num_bands
+
+    def key(b):
+        return F.xxhash64(F.concat_ws(",", *[
+            F.element_at("signature", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]))
+
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[key(b) for b in range(num_bands)]))
+        .alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -188,16 +231,10 @@ def lsh_candidate_pairs(
     ``bucket_mode='raw'`` keys buckets on the joined band string itself
     instead of its xxhash64 (bit-identical cross-engine; bulkier keys).
     """
+    num_hashes = _resolve_num_hashes(sigs, num_hashes)
     if num_hashes is None:
-        meta = sigs.schema["signature"].metadata
-        if meta and "num_hashes" in meta:
-            num_hashes = int(meta["num_hashes"])
-    if num_hashes is None:
-        row = sigs.select("signature").first()
-        if row is None:
-            spark = sigs.sparkSession
-            return spark.createDataFrame([], f"i {dict(sigs.dtypes)[id_col]}, j {dict(sigs.dtypes)[id_col]}")
-        num_hashes = len(row["signature"])
+        spark = sigs.sparkSession
+        return spark.createDataFrame([], f"i {dict(sigs.dtypes)[id_col]}, j {dict(sigs.dtypes)[id_col]}")
     rows_per_band = num_hashes // num_bands
 
     def band_key(b):
