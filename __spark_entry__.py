@@ -3241,6 +3241,117 @@ def _dedup_incremental_sql() -> str:
     )
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Corpus drift gauges (operators/drift.py): the English slice vs
+    the rest of the corpus — JS/KL/TV over unigram distributions plus
+    vocabulary overlap, from two token aggs + one full-outer join +
+    one final agg. Nothing data-sized reaches the driver."""
+    from generalized_kmeans_clustering_spark.operators.drift import (
+        corpus_drift,
+    )
+
+    docs = documents(spark, sf_dir)
+    out = corpus_drift(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        alpha=0.5,
+    )
+    return out.select(
+        "tokens_a", "tokens_b", "vocab_a", "vocab_b", "vocab_union",
+        _rcol(F.col("vocab_jaccard"), 6).alias("vocab_jaccard"),
+        _rcol(F.col("js"), 6).alias("js"),
+        _rcol(F.col("kl_ab"), 6).alias("kl_ab"),
+        _rcol(F.col("kl_ba"), 6).alias("kl_ba"),
+        _rcol(F.col("tv"), 6).alias("tv"),
+    )
+
+
+def q_drift_top_terms(spark, sf_dir):
+    """Per-term drift report (operators/drift.py drift_top_terms):
+    top-20 unigrams by absolute share shift between the English slice
+    and the rest."""
+    from generalized_kmeans_clustering_spark.operators.drift import (
+        drift_top_terms,
+    )
+
+    docs = documents(spark, sf_dir)
+    out = drift_top_terms(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        k=20,
+    )
+    return out.select(
+        "rank", "token",
+        _rcol(F.col("share_a"), 6).alias("share_a"),
+        _rcol(F.col("share_b"), 6).alias("share_b"),
+        _rcol(F.col("delta"), 6).alias("delta"),
+    ).orderBy("rank")
+
+
+_DRIFT_JOIN_SQL = (
+    "tka AS (SELECT unnest(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS token FROM documents WHERE lang = 'en'), "
+    "tkb AS (SELECT unnest(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS token FROM documents WHERE lang <> 'en'), "
+    "ca AS (SELECT token, CAST(count(*) AS BIGINT) AS na FROM tka "
+    "GROUP BY 1), "
+    "cb AS (SELECT token, CAST(count(*) AS BIGINT) AS nb FROM tkb "
+    "GROUP BY 1), "
+    "j AS (SELECT coalesce(ca.token, cb.token) AS token, "
+    "coalesce(na, 0) AS na, coalesce(nb, 0) AS nb "
+    "FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), "
+    "t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS v FROM j), "
+    "x AS (SELECT j.token, j.na, j.nb, t.ta, t.tb, t.v FROM j, t)"
+)
+
+
+def _corpus_drift_sql(alpha=0.5) -> str:
+    p = f"((na + {alpha}) / (ta + {alpha} * v))"
+    q = f"((nb + {alpha}) / (tb + {alpha} * v))"
+    pr, qr = "(CAST(na AS DOUBLE) / ta)", "(CAST(nb AS DOUBLE) / tb)"
+    m = f"(({pr} + {qr}) / 2)"
+    js = (
+        f"sum(CASE WHEN na > 0 THEN 0.5 * {pr} * ln({pr} / {m}) "
+        f"ELSE 0.0 END + CASE WHEN nb > 0 THEN 0.5 * {qr} * "
+        f"ln({qr} / {m}) ELSE 0.0 END)"
+    )
+    return (
+        f"WITH {_DRIFT_JOIN_SQL} "
+        "SELECT CAST(max(ta) AS BIGINT) AS tokens_a, "
+        "CAST(max(tb) AS BIGINT) AS tokens_b, "
+        "CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS vocab_a, "
+        "CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS vocab_b, "
+        "CAST(max(v) AS BIGINT) AS vocab_union, "
+        + _r("sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) "
+             "/ CAST(max(v) AS DOUBLE)", 6) + " AS vocab_jaccard, "
+        + _r(js, 6) + " AS js, "
+        + _r(f"sum({p} * ln({p} / {q}))", 6) + " AS kl_ab, "
+        + _r(f"sum({q} * ln({q} / {p}))", 6) + " AS kl_ba, "
+        + _r(f"0.5 * sum(abs({pr} - {qr}))", 6) + " AS tv "
+        "FROM x"
+    )
+
+
+def _drift_top_terms_sql(k=20) -> str:
+    return (
+        f"WITH {_DRIFT_JOIN_SQL}, "
+        "sc AS (SELECT token, CAST(na AS DOUBLE) / ta AS share_a, "
+        "CAST(nb AS DOUBLE) / tb AS share_b, "
+        "CAST(nb AS DOUBLE) / tb - CAST(na AS DOUBLE) / ta AS delta "
+        "FROM x), "
+        "rk AS (SELECT *, CAST(row_number() OVER "
+        "(ORDER BY abs(delta) DESC, token ASC) AS INTEGER) AS rank "
+        "FROM sc) "
+        "SELECT rank, token, "
+        + _r("share_a", 6) + " AS share_a, "
+        + _r("share_b", 6) + " AS share_b, "
+        + _r("delta", 6) + " AS delta "
+        f"FROM rk WHERE rank <= {k} ORDER BY rank"
+    )
+
+
 def _agreement_sql() -> str:
     """Twin of agreement.agreement_from_cells over the same sign-quadrant
     contingency: pair-counting sums + entropies in plain SQL."""
@@ -5590,6 +5701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_knn_graph": q_knn_graph,
         "eval_agreement_metrics": q_agreement_metrics,
         "dedup_incremental": q_dedup_incremental,
+        "corpus_drift_gauges": q_corpus_drift,
+        "corpus_drift_top_terms": q_drift_top_terms,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6222,6 +6335,8 @@ FROM wide w ORDER BY xb
     out["similarity_knn_graph"] = _knn_graph_sql()
     out["eval_agreement_metrics"] = _agreement_sql()
     out["dedup_incremental"] = _dedup_incremental_sql()
+    out["corpus_drift_gauges"] = _corpus_drift_sql()
+    out["corpus_drift_top_terms"] = _drift_top_terms_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

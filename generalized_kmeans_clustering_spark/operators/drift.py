@@ -1,0 +1,174 @@
+"""Corpus drift audit: distribution shift between two corpus snapshots.
+
+Engine extension (training-data pipeline telemetry). Every pipeline
+decision upstream — new crawl, changed filters, a different sampling
+temperature — shifts the token distribution the model will train on.
+The drift audit quantifies the shift between two corpora (last
+month's snapshot vs this month's, pre- vs post-filter, source A vs
+source B) without collecting either:
+
+- :func:`corpus_drift` — one row of global divergence gauges over the
+  unigram distributions: Jensen–Shannon divergence and both KL
+  directions (additively smoothed over the union vocabulary so KL is
+  finite), total-variation distance on the raw shares, vocabulary
+  Jaccard overlap, and the token/vocab totals.
+- :func:`drift_top_terms` — the "what changed" report: top-k terms by
+  absolute share difference, with per-corpus shares.
+
+Distributed shape: tokenization is an explode; per-corpus counts are
+ONE map-side-combined ``groupBy(token)`` each (zipfian head collapses
+before the shuffle); the two count frames meet in ONE full-outer join
+on the token; totals ride in as a broadcast 1-row frame; the gauges
+are a final single aggregation. Nothing data-sized touches the
+driver. For vocabularies beyond memory-per-key comfort, pass
+``n_buckets`` to hash tokens into a bounded bucket space first (the
+DSIR trick, ``operators/dsir.py``) — divergences over bucketed
+distributions lower-bound the token-level values (data-processing
+inequality) and the output stays ≤ n_buckets rows.
+
+Smoothing: p̂(t) = (c_t + α) / (N + α·V) over the UNION vocabulary V,
+so both smoothed distributions sum to exactly 1 and KL is defined
+even where supports differ; α=0 recovers raw shares (KL then only
+valid when supports match). JS/TV use the raw (unsmoothed) shares —
+both are finite by construction, and reviewers expect TV on actuals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["token_counts", "corpus_drift", "drift_top_terms"]
+
+
+def token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """``(token, n)`` whitespace-unigram counts (the corpus convention
+    shared with shingles/DSIR/top_ngrams). With ``n_buckets``, tokens
+    are hash-bucketed (stringified bucket id) for a bounded result."""
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    if n_buckets is not None:
+        toks = toks.select(
+            F.pmod(F.xxhash64("token", F.lit(seed)), F.lit(n_buckets))
+            .cast("string")
+            .alias("token")
+        )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _joined_shares(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    n_buckets: int | None,
+    seed: int,
+) -> DataFrame:
+    ca = token_counts(df_a, text_col, n_buckets, seed).withColumnRenamed(
+        "n", "na"
+    )
+    cb = token_counts(df_b, text_col, n_buckets, seed).withColumnRenamed(
+        "n", "nb"
+    )
+    j = ca.join(cb, on="token", how="full_outer").select(
+        "token",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    totals = j.agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    return j.crossJoin(F.broadcast(totals))
+
+
+def corpus_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    n_buckets: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """One-row drift gauges between the unigram distributions of two
+    corpora: ``(tokens_a, tokens_b, vocab_a, vocab_b, vocab_union,
+    vocab_jaccard, js, kl_ab, kl_ba, tv)``. See module docstring for
+    the smoothing and bucketing semantics."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    j = _joined_shares(df_a, df_b, text_col, n_buckets, seed)
+    p_raw = F.col("na") / F.col("ta")
+    q_raw = F.col("nb") / F.col("tb")
+    p = (F.col("na") + F.lit(alpha)) / (
+        F.col("ta") + F.lit(alpha) * F.col("v")
+    )
+    q = (F.col("nb") + F.lit(alpha)) / (
+        F.col("tb") + F.lit(alpha) * F.col("v")
+    )
+    m = (p_raw + q_raw) / 2
+    # raw-share JS: 0-count terms contribute 0 from their absent side
+    js_terms = (
+        F.when(F.col("na") > 0, 0.5 * p_raw * F.log(p_raw / m)).otherwise(0.0)
+        + F.when(F.col("nb") > 0, 0.5 * q_raw * F.log(q_raw / m)).otherwise(0.0)
+    )
+    kl_ab = F.when(p > 0, p * F.log(p / q)).otherwise(0.0)
+    kl_ba = F.when(q > 0, q * F.log(q / p)).otherwise(0.0)
+    return j.agg(
+        F.max("ta").alias("tokens_a"),
+        F.max("tb").alias("tokens_b"),
+        F.sum((F.col("na") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("nb") > 0).cast("long")).alias("vocab_b"),
+        F.max("v").alias("vocab_union"),
+        (
+            F.sum(((F.col("na") > 0) & (F.col("nb") > 0)).cast("long"))
+            / F.max("v")
+        ).alias("vocab_jaccard"),
+        F.sum(js_terms).alias("js"),
+        F.sum(kl_ab).alias("kl_ab"),
+        F.sum(kl_ba).alias("kl_ba"),
+        (0.5 * F.sum(F.abs(p_raw - q_raw))).alias("tv"),
+    )
+
+
+def drift_top_terms(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Top-k terms by absolute share difference —
+    ``(token, share_a, share_b, delta, rank)``, ranked by |Δ| desc
+    then token asc. The final top-k is a TakeOrdered over the joined
+    count frame (per-partition heads, no global sort)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    j = _joined_shares(df_a, df_b, text_col, n_buckets, seed)
+    scored = j.select(
+        "token",
+        (F.col("na") / F.col("ta")).alias("share_a"),
+        (F.col("nb") / F.col("tb")).alias("share_b"),
+        (F.col("nb") / F.col("tb") - F.col("na") / F.col("ta")).alias(
+            "delta"
+        ),
+    )
+    return (
+        scored.orderBy(F.abs(F.col("delta")).desc(), F.col("token"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.abs(F.col("delta")).desc(), F.col("token"))
+            ),
+        )
+    )
