@@ -3352,6 +3352,91 @@ def _drift_top_terms_sql(k=20) -> str:
     )
 
 
+def q_doc_collocations(spark, sf_dir):
+    """Top-20 PMI collocations (operators/text_features.py
+    top_collocations): unigram + bigram aggs, keyed joins, TakeOrdered."""
+    from generalized_kmeans_clustering_spark.operators.text_features import (
+        top_collocations,
+    )
+
+    out = top_collocations(documents(spark, sf_dir), k=20, min_count=5)
+    return out.select(
+        "rank", "w1", "w2", "n_pair",
+        _rcol(F.col("pmi"), 6).alias("pmi"),
+    ).orderBy("rank")
+
+
+def _collocations_sql(k=20, min_count=5) -> str:
+    return (
+        "WITH tk AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS tk "
+        "FROM documents), "
+        "uni AS (SELECT unnest(tk) AS w FROM tk), "
+        "uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM uni "
+        "GROUP BY 1), "
+        "pairs AS (SELECT tk[CAST(i AS INTEGER)] AS w1, "
+        "tk[CAST(i AS INTEGER) + 1] AS w2 "
+        "FROM tk, unnest(range(1, len(tk))) AS t(i)), "
+        "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair "
+        f"FROM pairs GROUP BY 1, 2 HAVING count(*) >= {min_count}), "
+        "t1 AS (SELECT sum(n_w) AS t1 FROM uc), "
+        "t2 AS (SELECT count(*) AS t2 FROM pairs), "
+        "sc AS (SELECT b.w1, b.w2, b.n_pair, "
+        "ln((CAST(b.n_pair AS DOUBLE) / t2.t2) / "
+        "((CAST(u1.n_w AS DOUBLE) / t1.t1) * "
+        "(CAST(u2.n_w AS DOUBLE) / t1.t1))) AS pmi "
+        "FROM bc b JOIN uc u1 ON b.w1 = u1.w "
+        "JOIN uc u2 ON b.w2 = u2.w, t1, t2), "
+        "rk AS (SELECT *, CAST(row_number() OVER "
+        "(ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INTEGER) AS rank FROM sc) "
+        "SELECT rank, w1, w2, n_pair, "
+        + _r("pmi", 6) + " AS pmi "
+        f"FROM rk WHERE rank <= {k} ORDER BY rank"
+    )
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source exact-content overlap matrix (operators/corpus.py
+    source_overlap): distinct (fingerprint, source) pairs self-joined
+    on the fingerprint, normalized by per-source distinct content."""
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        source_overlap,
+    )
+
+    # 64-char leading-content fingerprints (the dedup_exact_groups
+    # convention) so the synthetic corpus has non-trivial overlap
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 64).alias("text"), "source"
+    )
+    out = source_overlap(docs)
+    return out.select(
+        "source_a", "source_b", "n_shared",
+        _rcol(F.col("share_of_a"), 6).alias("share_of_a"),
+        _rcol(F.col("share_of_b"), 6).alias("share_of_b"),
+    ).orderBy("source_a", "source_b")
+
+
+def _source_overlap_sql() -> str:
+    return (
+        "WITH fps AS (SELECT DISTINCT md5(substring(text, 1, 64)) AS fp, "
+        "source AS src FROM documents WHERE text IS NOT NULL), "
+        "ps AS (SELECT src, CAST(count(*) AS BIGINT) AS n_distinct "
+        "FROM fps GROUP BY 1), "
+        "sh AS (SELECT a.src AS source_a, b.src AS source_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src "
+        "GROUP BY 1, 2) "
+        "SELECT sh.source_a, sh.source_b, sh.n_shared, "
+        + _r("CAST(sh.n_shared AS DOUBLE) / pa.n_distinct", 6)
+        + " AS share_of_a, "
+        + _r("CAST(sh.n_shared AS DOUBLE) / pb.n_distinct", 6)
+        + " AS share_of_b "
+        "FROM sh JOIN ps pa ON sh.source_a = pa.src "
+        "JOIN ps pb ON sh.source_b = pb.src "
+        "ORDER BY sh.source_a, sh.source_b"
+    )
+
+
 def _agreement_sql() -> str:
     """Twin of agreement.agreement_from_cells over the same sign-quadrant
     contingency: pair-counting sums + entropies in plain SQL."""
@@ -5703,6 +5788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "corpus_drift_gauges": q_corpus_drift,
         "corpus_drift_top_terms": q_drift_top_terms,
+        "doc_collocations": q_doc_collocations,
+        "corpus_source_overlap": q_source_overlap,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6337,6 +6424,8 @@ FROM wide w ORDER BY xb
     out["dedup_incremental"] = _dedup_incremental_sql()
     out["corpus_drift_gauges"] = _corpus_drift_sql()
     out["corpus_drift_top_terms"] = _drift_top_terms_sql()
+    out["doc_collocations"] = _collocations_sql()
+    out["corpus_source_overlap"] = _source_overlap_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

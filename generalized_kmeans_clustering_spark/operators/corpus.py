@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from ..functions import text as Tx
 
-__all__ = ["prepare_corpus", "corpus_stats", "source_rollup"]
+__all__ = ["prepare_corpus", "corpus_stats", "source_rollup",
+           "source_overlap"]
 
 #: verdict precedence: the FIRST failing rule names the reason
 _REASONS = ("too_short", "too_long", "language", "low_quality",
@@ -272,5 +273,67 @@ def source_rollup(
             (F.lit(1.0)
              - F.countDistinct(Tx.doc_fingerprint(t))
              / F.count(t)).alias("exact_dup_rate"),
+        )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source content-overlap matrix:
+    ``(source_a, source_b, n_shared, share_of_a, share_of_b)`` for
+    every ordered-by-name source pair (a < b) that shares at least one
+    exact content fingerprint — "how much of CommonCrawl is already in
+    C4" as one query. ``share_of_x`` normalizes by the source's
+    DISTINCT content count, so a source fully contained in another
+    shows 1.0 regardless of raw duplication.
+
+    Shape: one (fingerprint, source) distinct (map-side combined —
+    within-source copies collapse before the shuffle), a self-join
+    keyed on the fingerprint (per-key fan-out ≤ #sources², never
+    corpus-sized), one groupBy on the source pair, and a broadcast
+    join against the per-source distinct counts. NULL texts carry no
+    fingerprint and drop from the matrix (standard join-key NULL
+    semantics in both engines).
+    """
+    fps = (
+        df.select(
+            Tx.doc_fingerprint(F.col(text_col)).alias("_fp"),
+            F.col(source_col).alias("_src"),
+        )
+        .where(F.col("_fp").isNotNull())
+        .distinct()
+    )
+    per_source = fps.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    a = fps.select("_fp", F.col("_src").alias("source_a"))
+    b = fps.select("_fp", F.col("_src").alias("source_b"))
+    shared = (
+        a.join(b, on="_fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(per_source.select(
+                F.col("_src").alias("source_a"),
+                F.col("n_distinct").alias("_na"))),
+            on="source_a",
+        )
+        .join(
+            F.broadcast(per_source.select(
+                F.col("_src").alias("source_b"),
+                F.col("n_distinct").alias("_nb"))),
+            on="source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_shared",
+            (F.col("n_shared") / F.col("_na")).alias("share_of_a"),
+            (F.col("n_shared") / F.col("_nb")).alias("share_of_b"),
         )
     )

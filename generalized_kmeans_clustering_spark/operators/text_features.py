@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["term_counts", "tfidf", "top_terms_per_doc", "top_ngrams",
-           "gopher_repetition_signals"]
+           "top_collocations", "gopher_repetition_signals"]
 
 
 def term_counts(df: DataFrame, text_col: str = "text",
@@ -107,6 +107,87 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
             "rank",
             F.row_number().over(
                 Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))),
+        )
+    )
+
+
+def top_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide top-k collocations by pointwise mutual information:
+    ``(w1, w2, n_pair, pmi, rank)`` ranked (pmi desc, w1 asc, w2 asc).
+
+    PMI(w1, w2) = ln( p(w1 w2) / (p(w1)·p(w2)) ) with the pair
+    probability over the bigram total and the word probabilities over
+    the unigram total — the classic collocation / multi-word-
+    expression detector (Church & Hanks 1990), and in a curation
+    pipeline the gauge for tokenizer-merge candidates and templated
+    boilerplate ("click here", "all rights reserved" score high).
+    ``min_count`` suppresses the low-frequency PMI explosion (a pair
+    seen once between two hapaxes maxes the statistic).
+
+    Shape: one unigram agg + one bigram agg (both map-side combined,
+    zipfian head collapses pre-shuffle), two keyed joins of the
+    surviving (≥ min_count) bigrams against the unigram counts, totals
+    as broadcast 1-row frames, TakeOrdered top-k. Work after the aggs
+    is proportional to DISTINCT surviving bigrams, not corpus size."""
+    if k <= 0 or min_count <= 0:
+        raise ValueError("k and min_count must be positive")
+    staged = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda t: t != "").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    uni = (
+        staged.select(F.explode(toks).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = staged.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    toks,
+                    # F.get is 0-based and NULL-safe past the end — the
+                    # last token's dangling window filters out below
+                    lambda _, i: F.struct(
+                        F.get(toks, i).alias("w1"),
+                        F.get(toks, i + 1).alias("w2"),
+                    ),
+                ),
+                lambda s: s["w2"].isNotNull(),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    tot_uni = uni.agg(F.sum("n_w").alias("t1"))
+    tot_big = pairs.agg(F.count(F.lit(1)).alias("t2"))
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"),
+                            F.col("n_w").alias("n_w1")), on="w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("n_w").alias("n_w2")), on="w2")
+        .crossJoin(F.broadcast(tot_uni))
+        .crossJoin(F.broadcast(tot_big))
+        .select(
+            "w1", "w2", "n_pair",
+            F.log(
+                (F.col("n_pair") / F.col("t2"))
+                / ((F.col("n_w1") / F.col("t1"))
+                   * (F.col("n_w2") / F.col("t1")))
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))),
         )
     )
 
