@@ -3437,6 +3437,60 @@ def _source_overlap_sql() -> str:
     )
 
 
+def q_sq_topk(spark, sf_dir):
+    """Scalar-quantization serving path (operators/quantization.py
+    SQ8): corpus-trained per-dim [min,max], map-only int8 encode,
+    asymmetric top-5 for 3 queries. floor(x+0.5) rounding keeps the
+    DuckDB twin bit-identical."""
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        sq_encode, sq_topk, train_sq,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    model = train_sq(emb)
+    enc = sq_encode(emb, model)
+    out = sq_topk(enc, model, emb.where(F.col("vec_id") < 3), k=5,
+                  max_broadcast_queries=None)
+    return out.select(
+        "query_id", "neighbor_id",
+        _rcol(F.col("approx_dist"), 6).alias("approx_dist"), "rank",
+    ).orderBy("query_id", "rank")
+
+
+def _sq_topk_sql(d=64, k=5) -> str:
+    idx = "CAST(i AS INTEGER)"
+    return (
+        "WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "dims AS (SELECT CAST(t.i AS INTEGER) AS i, "
+        "min(v[CAST(t.i AS INTEGER)]) AS mn, "
+        "max(v[CAST(t.i AS INTEGER)]) AS mx "
+        f"FROM corpus, unnest(range(1, {d + 1})) AS t(i) GROUP BY 1), "
+        "p AS (SELECT list(mn ORDER BY i) AS mns, "
+        "list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END "
+        "ORDER BY i) AS ss, "
+        "list((mx - mn) / 255.0 ORDER BY i) AS invs FROM dims), "
+        f"dec AS (SELECT c.vec_id, list_transform(range(1, {d + 1}), "
+        f"i -> p.mns[{idx}] + greatest(0, least(255, "
+        f"CAST(floor((c.v[{idx}] - p.mns[{idx}]) * p.ss[{idx}] + 0.5) "
+        f"AS INTEGER))) * p.invs[{idx}]) AS dv "
+        "FROM corpus c, p), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM corpus "
+        "WHERE vec_id < 3), "
+        "sc AS (SELECT q.query_id, d.vec_id AS neighbor_id, "
+        f"list_reduce(list_transform(range(1, {d + 1}), "
+        f"i -> (d.dv[{idx}] - q.qv[{idx}]) * (d.dv[{idx}] - q.qv[{idx}])), "
+        "(a, b) -> a + b) AS approx_dist "
+        "FROM dec d CROSS JOIN q WHERE d.vec_id <> q.query_id), "
+        "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY approx_dist ASC, neighbor_id ASC) AS INTEGER) AS rank "
+        "FROM sc) "
+        "SELECT query_id, neighbor_id, "
+        + _r("approx_dist", 6) + " AS approx_dist, rank "
+        f"FROM rk WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
 def _agreement_sql() -> str:
     """Twin of agreement.agreement_from_cells over the same sign-quadrant
     contingency: pair-counting sums + entropies in plain SQL."""
@@ -5790,6 +5844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_top_terms": q_drift_top_terms,
         "doc_collocations": q_doc_collocations,
         "corpus_source_overlap": q_source_overlap,
+        "similarity_sq_topk": q_sq_topk,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6426,6 +6481,7 @@ FROM wide w ORDER BY xb
     out["corpus_drift_top_terms"] = _drift_top_terms_sql()
     out["doc_collocations"] = _collocations_sql()
     out["corpus_source_overlap"] = _source_overlap_sql()
+    out["similarity_sq_topk"] = _sq_topk_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

@@ -51,6 +51,8 @@ __all__ = [
     "PQModel", "train_pq", "pq_encode", "pq_decode", "pq_topk",
     "ivf_pq_index", "ivf_pq_topk",
     "write_pq_model", "read_pq_model",
+    "SQModel", "train_sq", "sq_encode", "sq_decode", "sq_topk",
+    "write_sq_model", "read_sq_model",
 ]
 
 
@@ -419,3 +421,178 @@ def ivf_pq_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"),
                 "approx_dist", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the zero-training memory-scale path
+# --------------------------------------------------------------------------
+
+@dataclass
+class SQModel:
+    """Per-dimension affine int8 quantizer: ``code_i = round((x_i −
+    mins[i]) · 255 / (maxs[i] − mins[i]))`` clamped to [0, 255];
+    decode is ``mins[i] + code_i · (maxs[i] − mins[i]) / 255``.
+    Model state is 2·d doubles — the smallest model in the ANN layer."""
+
+    mins: list
+    maxs: list
+
+    @property
+    def d(self) -> int:
+        return len(self.mins)
+
+    def _params_lit(self) -> Column:
+        """array<struct<mn, s, inv>> literal: s is the encode scale
+        (255/range, 0 for a constant dimension so its code pins to 0)
+        and inv the decode step (range/255)."""
+        entries = []
+        for mn, mx in zip(self.mins, self.maxs):
+            rng = mx - mn
+            s = 255.0 / rng if rng > 0 else 0.0
+            inv = rng / 255.0
+            entries.append(F.struct(
+                F.lit(float(mn)).alias("mn"),
+                F.lit(float(s)).alias("s"),
+                F.lit(float(inv)).alias("inv"),
+            ))
+        return F.array(*entries)
+
+
+def train_sq(
+    df: DataFrame, vec_col: str = "embedding"
+) -> SQModel:
+    """Per-dimension [min, max] over the corpus — ONE
+    posexplode + groupBy(dim) agg (d result rows of model state; the
+    shuffle carries d keys, map-side combined). SQ8 (Faiss
+    ``ScalarQuantizer`` QT_8bit shape) trades PQ's trained codebooks
+    for a training-free 4× compression with per-dim resolution —
+    the right first rung before PQ's 16-32×."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("_i", "_x"))
+        .groupBy("_i")
+        .agg(F.min("_x").alias("mn"), F.max("_x").alias("mx"))
+        .orderBy("_i")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_sq: empty input")
+    return SQModel(mins=[r["mn"] for r in rows],
+                   maxs=[r["mx"] for r in rows])
+
+
+def sq_encode(
+    df: DataFrame,
+    model: SQModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """``(id, codes: array<int>)`` — map-only projection (store the
+    codes column as 1-byte values at rest; parquet's integer encoding
+    already collapses the 0-255 range). ``floor(x·s + 0.5)`` is used
+    instead of engine-native round so the DuckDB oracle twin is
+    bit-identical."""
+    p = model._params_lit()
+    codes = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        p,
+        lambda x, q: F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor((x - q["mn"]) * q["s"] + F.lit(0.5)).cast("int"),
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), codes.alias(code_col))
+
+
+def sq_decode(
+    encoded: DataFrame,
+    model: SQModel,
+    id_col: str = "vec_id",
+    code_col: str = "codes",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Reconstruct approximate vectors from codes (map-only)."""
+    p = model._params_lit()
+    dec = F.zip_with(
+        F.col(code_col), p, lambda c, q: q["mn"] + c * q["inv"]
+    )
+    return encoded.select(F.col(id_col), dec.alias(vec_col))
+
+
+def sq_topk(
+    encoded: DataFrame,
+    model: SQModel,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    exclude_self: bool = True,
+    max_broadcast_queries: int | None = 4096,
+) -> DataFrame:
+    """Asymmetric top-k over SQ codes: ``(query_id, neighbor_id,
+    approx_dist, rank)`` by ascending approximate squared L2 (decoded
+    corpus point vs full-precision query).
+
+    The decode is staged ONCE as a corpus-side projection (query-
+    independent, unlike PQ's per-query LUTs), then the broadcast-
+    small query side cross-joins in and the score is one
+    ``aggregate``/``zip_with`` fold — d multiplies per candidate
+    (PQ pays m lookups; SQ pays d FLOPs but zero training and exact
+    per-dim resolution). Brute path: |corpus| × |queries| with no
+    pruning — the same ``max_broadcast_queries`` guard as
+    :func:`pq_topk` warns on large query tables."""
+    if max_broadcast_queries is not None:
+        probe = queries.limit(max_broadcast_queries + 1).count()
+        if probe > max_broadcast_queries:
+            import warnings
+
+            warnings.warn(
+                f"sq_topk: query side exceeds {max_broadcast_queries} "
+                "rows — the brute path scores |corpus| x |queries| "
+                "candidates with no pruning. Prune with an IVF list "
+                "join first, or raise max_broadcast_queries to "
+                "acknowledge the cost.",
+                stacklevel=2,
+            )
+    staged = sq_decode(
+        encoded, model, id_col=id_col, code_col=code_col,
+        vec_col="_dec",
+    ).withColumnRenamed(id_col, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cand = staged.crossJoin(F.broadcast(q))
+    if exclude_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("approx_dist", _sqdist(F.col("_dec"), F.col("_qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+def write_sq_model(spark, model: SQModel, path: str) -> None:
+    """Persist through the shared checksummed sidecar layout."""
+    from ..sources.sidecar import write_model_sidecar
+
+    write_model_sidecar(
+        spark, path, "sq",
+        {"mins": [float(v) for v in model.mins],
+         "maxs": [float(v) for v in model.maxs]},
+    )
+
+
+def read_sq_model(spark, path: str) -> SQModel:
+    from ..sources.sidecar import read_model_sidecar
+
+    payload = read_model_sidecar(spark, path, "sq")
+    return SQModel(mins=payload["mins"], maxs=payload["maxs"])

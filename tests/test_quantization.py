@@ -259,3 +259,101 @@ def test_pq_topk_warns_on_large_query_table(spark):
         pq_topk(enc, MODEL, df.where(F.col("vec_id") == 0), k=1)
         pq_topk(enc, MODEL, df, k=1, max_broadcast_queries=None)
     assert not [r for r in rec if "pq_topk" in str(r.message)]
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (SQ8)
+# --------------------------------------------------------------------------
+
+def test_sq_roundtrip_bounds(spark):
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        SQModel, sq_decode, sq_encode, train_sq,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 10.0]), (1, [1.0, 20.0]), (2, [0.5, 15.0])],
+        "vec_id long, embedding array<double>",
+    )
+    m = train_sq(df)
+    assert m.mins == [0.0, 10.0] and m.maxs == [1.0, 20.0]
+    enc = {r["vec_id"]: r["codes"] for r in sq_encode(df, m).collect()}
+    assert enc[0] == [0, 0] and enc[1] == [255, 255]
+    assert enc[2] == [128, 128]  # midpoint rounds up via floor(x+0.5)
+    dec = {r["vec_id"]: r["vector"]
+           for r in sq_decode(sq_encode(df, m), m).collect()}
+    # reconstruction error bounded by half a step per dim
+    for vid, orig in ((0, [0.0, 10.0]), (1, [1.0, 20.0]), (2, [0.5, 15.0])):
+        for o, d, step in zip(orig, dec[vid], [1 / 255, 10 / 255]):
+            assert abs(o - d) <= step / 2 + 1e-12
+
+
+def test_sq_constant_dimension(spark):
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        sq_decode, sq_encode, train_sq,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [5.0, 1.0]), (1, [5.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    m = train_sq(df)
+    enc = {r["vec_id"]: r["codes"] for r in sq_encode(df, m).collect()}
+    assert enc[0][0] == 0 and enc[1][0] == 0
+    dec = {r["vec_id"]: r["vector"]
+           for r in sq_decode(sq_encode(df, m), m).collect()}
+    assert dec[0][0] == 5.0  # constant dim reconstructs exactly
+
+
+def test_sq_topk_matches_exact_on_coarse_grid(spark):
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        sq_encode, sq_topk, train_sq,
+    )
+
+    # well-separated points: quantized ordering == exact ordering
+    rows = [(i, [float(i * 10), float(100 - i * 10)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = train_sq(df)
+    out = sq_topk(sq_encode(df, m), m, df.where("vec_id = 0"), k=3,
+                  max_broadcast_queries=None).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+
+
+def test_sq_topk_warns_on_large_query_side(spark):
+    import warnings
+
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        sq_encode, sq_topk, train_sq,
+    )
+
+    rows = [(i, [float(i), 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = train_sq(df)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sq_topk(sq_encode(df, m), m, df, k=2, max_broadcast_queries=4)
+    assert any("sq_topk" in str(x.message) for x in w)
+
+
+def test_sq_model_sidecar_roundtrip(spark, tmp_path):
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        SQModel, read_sq_model, write_sq_model,
+    )
+
+    m = SQModel(mins=[0.0, -1.5], maxs=[2.0, 3.5])
+    path = str(tmp_path / "sq_model")
+    write_sq_model(spark, m, path)
+    back = read_sq_model(spark, path)
+    assert back.mins == m.mins and back.maxs == m.maxs
+    assert back.d == 2
+
+
+def test_train_sq_empty_raises(spark):
+    import pytest as _pt
+
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        train_sq,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError):
+        train_sq(empty)
