@@ -3491,6 +3491,127 @@ def _sq_topk_sql(d=64, k=5) -> str:
     )
 
 
+def q_dedup_normalized(spark, sf_dir):
+    """Normalization-invariant dedup (functions/text.normalize_text):
+    the corpus is perturbed with case flips and punctuation suffixes
+    (deterministic by doc_id), then grouped by the NORMALIZED
+    fingerprint — raw fingerprints differ, normalized ones reunite the
+    variants."""
+    from generalized_kmeans_clustering_spark.functions.text import (
+        normalized_fingerprint,
+    )
+
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 64).alias("text")
+    )
+    perturbed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("text")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit("!!  ")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return (
+        perturbed.select(
+            normalized_fingerprint(F.col("text")).alias("fingerprint"),
+            "doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+def _dedup_normalized_sql() -> str:
+    # normalize = lower -> strip non [letter digit ws] -> collapse ws
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(ptext), "
+        "'[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return (
+        "WITH pre AS (SELECT doc_id, substring(text, 1, 64) AS text "
+        "FROM documents), "
+        "pert AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+        "THEN upper(text) WHEN doc_id % 3 = 1 "
+        "THEN text || '!!  ' ELSE text END AS ptext FROM pre) "
+        f"SELECT md5({norm}) AS fingerprint, "
+        "CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keep_id "
+        f"FROM pert GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint"
+    )
+
+
+def q_cap_per_source(spark, sf_dir):
+    """Per-source document cap (operators/sampling.cap_per_group): at
+    most 10 docs per source by the deterministic (md5-hash, id) order —
+    the RefinedWeb per-domain cap, partitioning-independent."""
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    docs = documents(spark, sf_dir).select("doc_id", "source")
+    out = cap_per_group(docs, cap=10, group_col="source",
+                        id_col="doc_id", seed=3, hash_fn="md5")
+    return out.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+def _cap_per_source_sql(cap=10, seed=3) -> str:
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    return (
+        f"WITH rk AS (SELECT source, doc_id, row_number() OVER "
+        f"(PARTITION BY source ORDER BY ({md5i}) ASC, doc_id ASC) AS rn "
+        "FROM documents) "
+        f"SELECT source, doc_id FROM rk WHERE rn <= {cap} "
+        "ORDER BY source, doc_id"
+    )
+
+
+def q_events_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection (operators/rollup.py
+    rolling_zscore): each event scored against its type's own trailing
+    50 values; anomalous rows (|z| > 2.5) returned. Explicit frame
+    sums keep the arithmetic engine-portable."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        rolling_zscore,
+    )
+
+    ev = events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value")
+    out = rolling_zscore(ev, lookback=50, min_history=10, threshold=2.5)
+    return (
+        out.where(F.col("is_anomaly"))
+        .select(
+            "event_id", "event_type", "n_history",
+            _rcol(F.col("value"), 4).alias("value"),
+            _rcol(F.col("zscore"), 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _events_zscore_sql(lookback=50, min_history=10, threshold=2.5) -> str:
+    frame = f"ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING"
+    part = f"PARTITION BY event_type ORDER BY ts ASC, event_id ASC {frame}"
+    return (
+        "WITH st AS (SELECT event_id, event_type, value, "
+        f"count(value) OVER ({part}) AS n, "
+        f"sum(value) OVER ({part}) AS s1, "
+        f"sum(value * value) OVER ({part}) AS s2 FROM events), "
+        "z AS (SELECT event_id, event_type, value, n, "
+        f"CASE WHEN n >= {min_history} AND "
+        "sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) > 0 "
+        "THEN (value - s1 / n) / "
+        "sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END AS zs "
+        "FROM st) "
+        "SELECT event_id, event_type, CAST(n AS BIGINT) AS n_history, "
+        + _r("value", 4) + " AS value, "
+        + _r("zs", 4) + " AS zscore "
+        f"FROM z WHERE abs(zs) > {threshold} ORDER BY event_id"
+    )
+
+
 def _agreement_sql() -> str:
     """Twin of agreement.agreement_from_cells over the same sign-quadrant
     contingency: pair-counting sums + entropies in plain SQL."""
@@ -5845,6 +5966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocations": q_doc_collocations,
         "corpus_source_overlap": q_source_overlap,
         "similarity_sq_topk": q_sq_topk,
+        "dedup_normalized_groups": q_dedup_normalized,
+        "corpus_cap_per_source": q_cap_per_source,
+        "events_rolling_zscore": q_events_zscore,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6482,6 +6606,9 @@ FROM wide w ORDER BY xb
     out["doc_collocations"] = _collocations_sql()
     out["corpus_source_overlap"] = _source_overlap_sql()
     out["similarity_sq_topk"] = _sq_topk_sql()
+    out["dedup_normalized_groups"] = _dedup_normalized_sql()
+    out["corpus_cap_per_source"] = _cap_per_source_sql()
+    out["events_rolling_zscore"] = _events_zscore_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

@@ -28,6 +28,8 @@ __all__ = [
     "language_scores",
     "language_id",
     "language_id_from_scores",
+    "normalize_text",
+    "normalized_fingerprint",
     "min_shingle_fingerprint",
     "char_gram_hashes",
     "winnow_from_grams",
@@ -83,6 +85,28 @@ def quality_score(text: Column) -> Column:
     digit density. Deliberately simple, monotone, and SQL-portable."""
     length_term = F.least(F.length(text) * 1.0 / 500.0, F.lit(1.0))
     return length_term * (1.0 - punct_ratio(text)) * (1.0 - digit_ratio(text))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for normalization-invariant dedup: lowercase,
+    strip everything but letters/digits/whitespace, collapse whitespace
+    runs to one space, trim. Catches the trivial variants exact
+    fingerprints miss (case flips, punctuation-only edits, reflowed
+    whitespace) while staying a pure expression. The character classes
+    are Unicode (``\\p{L}``/``\\p{N}``) and mean the same thing in
+    Java regex (Spark) and RE2 (DuckDB), so normalized fingerprints
+    stay engine-portable."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^\p{L}\p{N}\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """md5 of :func:`normalize_text` — the dedup key for
+    normalization-invariant exact dedup (pair with
+    ``operators.dedup.exact_dup_groups`` on a pre-normalized column,
+    or ``operators.incremental`` stores)."""
+    return F.md5(normalize_text(text).cast("binary"))
 
 
 def doc_fingerprint(text: Column) -> Column:

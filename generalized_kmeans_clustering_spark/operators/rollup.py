@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["tumbling_rollup", "sessionize", "session_rollup",
-           "top_k_by_count", "json_prop"]
+           "top_k_by_count", "json_prop", "rolling_zscore"]
 
 
 def tumbling_rollup(
@@ -134,4 +134,70 @@ def session_rollup(
             F.col("_w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    partition_col: str = "event_type",
+    id_col: str = "event_id",
+    lookback: int = 50,
+    min_history: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-row anomaly score against the partition's OWN recent
+    history: z = (x − mean)/std over the ``lookback`` PRECEDING rows
+    (the current row is excluded — an outlier must not launder its own
+    baseline), ordered by (ts, id) within each partition. Adds
+    ``n_history``, ``zscore`` (NULL until ``min_history`` rows and
+    whenever the trailing std is 0) and ``is_anomaly``
+    (|z| > threshold; false while z is NULL).
+
+    Mean/std are computed from explicit Σx and Σx² frame sums with the
+    sample-variance formula — the same left-to-right arithmetic in any
+    engine, so the oracle matches bitwise (built-in stddev aggregates
+    differ across engines in summation order). One shuffle on the
+    partition key; frames are O(lookback) per row. At 100 TB the
+    partition key should be (entity, day)-grained so no single entity
+    serializes onto one reducer forever — the rolling frame only needs
+    lookback rows of warm-up per key to re-establish the baseline.
+    """
+    if lookback <= 0:
+        raise ValueError("lookback must be positive")
+    if min_history < 2:
+        # n = 1 makes the sample-variance denominator zero; Spark's
+        # NaN-is-largest comparison semantics would let the NaN std
+        # through the std > 0 guard
+        raise ValueError("min_history must be >= 2")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    x = F.col(value_col)
+    n = F.count(x).over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    staged = df.withColumns({
+        "_n": n, "_s1": s1, "_s2": s2,
+    })
+    mean = F.col("_s1") / F.col("_n")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(
+        (F.col("_n") >= min_history) & (std > 0),
+        (x - mean) / std,
+    )
+    return (
+        staged.withColumn("n_history", F.col("_n"))
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(z) > threshold, F.lit(False)),
+        )
+        .drop("_n", "_s1", "_s2")
     )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_key",
+    "cap_per_group",
     "sample_hash",
     "stratified_sample_hash",
     "token_budget_sample",
@@ -280,3 +281,45 @@ def curriculum_shards(
     w = Window.partitionBy(shard_col).orderBy(order, F.asc(id_col))
     return staged.withColumn(
         pos_col, F.row_number().over(w).cast("long"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+    order_cols=None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the RefinedWeb/CC
+    per-domain cap that stops one mega-site from dominating the mix.
+
+    Default order is ``(hash(id, seed), id)``: a uniform,
+    reproducible, partitioning-independent subset (same contract as
+    :func:`sample_hash`, and caps with the same seed nest — cap 100 ⊆
+    cap 1000). Pass ``order_cols`` (e.g. ``[F.desc("quality"),
+    F.asc("doc_id")]``) to keep the BEST rows instead of a random
+    subset; make the order total (id tiebreak) or survivors depend on
+    partitioning.
+
+    One shuffle on the group key; the ``row_number ≤ cap`` filter is
+    recognized by Spark 4's WindowGroupLimit, so each input partition
+    forwards at most ``cap`` rows per group into the exchange — a
+    skewed mega-group never materializes on one reducer beyond the
+    cap.
+    """
+    from pyspark.sql.window import Window
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    order = order_cols or [
+        hash_key(F.col(id_col), seed, hash_fn).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
