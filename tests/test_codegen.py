@@ -108,3 +108,55 @@ def test_semantic_split_and_decontaminate_compile_strict(strict_codegen,
     semantic_decontaminate(
         emb.where(F.col("vec_id") >= 10),
         emb.where(F.col("vec_id") < 10), 0.9).count()
+
+
+def test_session_new_operators_compile_strict(strict_codegen, docs, spark):
+    """This round's second-wave operators under fallback-disabled
+    codegen: normalization fingerprints, drift gauges, collocations,
+    SQ encode/top-k, agreement contingency, rolling z-score."""
+    import datetime
+
+    from generalized_kmeans_clustering_spark.agreement import (
+        agreement_metrics,
+    )
+    from generalized_kmeans_clustering_spark.functions.text import (
+        normalized_fingerprint,
+    )
+    from generalized_kmeans_clustering_spark.operators.drift import (
+        corpus_drift,
+    )
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        sq_encode, sq_topk, train_sq,
+    )
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        rolling_zscore,
+    )
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        cap_per_group,
+    )
+    from generalized_kmeans_clustering_spark.operators.text_features import (
+        top_collocations,
+    )
+
+    assert docs.select(normalized_fingerprint(F.col("text"))).count() == 40
+    assert corpus_drift(docs.where("doc_id % 2 = 0"),
+                        docs.where("doc_id % 2 = 1")).count() == 1
+    assert top_collocations(docs, k=5, min_count=2).count() == 5
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(40 - i)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    m = train_sq(emb)
+    assert sq_topk(sq_encode(emb, m), m, emb.where("vec_id < 2"), k=3,
+                   max_broadcast_queries=None).count() == 6
+    pred = docs.select(
+        (F.col("doc_id") % 3).alias("label"),
+        (F.col("doc_id") % 2).alias("pred"))
+    assert agreement_metrics(pred, "label", "pred").count() == 1
+    base = datetime.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, base + datetime.timedelta(seconds=i), "t", float(i % 7))
+         for i in range(30)],
+        "event_id long, ts timestamp, event_type string, value double")
+    srcs = docs.withColumn("source", (F.col("doc_id") % 3).cast("string"))
+    assert cap_per_group(srcs, 5, group_col="source").count() == 15
+    assert rolling_zscore(ev, lookback=10, min_history=5).count() == 30
