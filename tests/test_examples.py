@@ -87,3 +87,14 @@ def test_curation_round7_example(spark, sf_dir):
     assert out["bpe_merges"] == 32
     assert out["total_bpe_tokens"] > 0 and out["packs"] > 0
     assert out["semantic_candidate_pairs"] >= 0
+
+
+def test_incremental_curation_example(spark, sf_dir):
+    import incremental_curation
+
+    out = incremental_curation.main(spark, sf_dir)
+    assert out["store_invariant_holds"] is True
+    assert len(out["deltas"]) == 2
+    for d in out["deltas"]:
+        assert d["accepted"] <= d["delta_rows"]
+        assert 0.0 <= d["js_vs_corpus"] <= 0.6932
