@@ -177,6 +177,24 @@ def main():
             gopher_repetition_signals(docs)
             .agg(F.sum("dup_5gram_char_frac")).collect())
 
+    # session additions: the drift audit's full-outer token join (the
+    # one new join whose width grows with vocabulary) and the
+    # incremental-dedup delta pass (store join + within-delta window)
+    from generalized_kmeans_clustering_spark.operators.drift import (
+        corpus_drift,
+    )
+    from generalized_kmeans_clustering_spark.operators.incremental import (
+        fingerprint_store, incremental_exact_dedup,
+    )
+    compare("corpus_drift", lambda li, docs: lambda: corpus_drift(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en")).collect())
+    compare("incremental_dedup", lambda li, docs: lambda:
+            incremental_exact_dedup(
+                docs.where(F.col("doc_id") % 2 == 1),
+                fingerprint_store(docs.where(F.col("doc_id") % 2 == 0)))
+            .groupBy("in_store", "is_canonical").count().collect())
+
     # IVF-PQ serving path: encode (map-only) + ADC probe top-k for 50
     # queries, models pinned (training scaling is fit_se_k8's row; the
     # serving cost is what grows with the corpus). Candidate work is

@@ -60,8 +60,11 @@ from .streaming.streaming_kmeans import (  # noqa: F401
     StreamingKMeans, StreamingKMeansModel, StreamingUpdater,
 )
 
+from .gmeans import GMeans  # noqa: F401
+
 # evaluation
 from .evaluation import ClusteringEvaluator, evaluate  # noqa: F401
+from .agreement import agreement_metrics, contingency_table  # noqa: F401
 from . import validation  # noqa: F401
 from .config import GKMConfig  # noqa: F401
 
