@@ -3612,6 +3612,47 @@ def _events_zscore_sql(lookback=50, min_history=10, threshold=2.5) -> str:
     )
 
 
+def q_streaming_drift(spark, sf_dir):
+    """Streaming drift monitor (streaming/drift.py): the non-English
+    docs replayed as a 2-file availableNow stream against a reference
+    distribution built from the English slice; the CUMULATIVE gauges
+    after the last batch must equal the batch corpus_drift however the
+    stream was micro-batched (token counts are additive) — the oracle
+    is the batch SQL twin."""
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.drift import (
+        StreamingDriftMonitor,
+    )
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_drift_")
+    docs = documents(spark, sf_dir)
+    ref = docs.where(F.col("lang") == "en")
+    arriving = docs.where(F.col("lang") != "en")
+    indir = f"{root}/in"
+    arriving.repartition(2, "doc_id").write.mode("overwrite").parquet(indir)
+    StreamingDriftMonitor.write_reference(ref, f"{root}/ref")
+    mon = StreamingDriftMonitor(
+        f"{root}/ref", f"{root}/state", f"{root}/gauges")
+    stream = (spark.readStream.schema(arriving.schema)
+              .option("maxFilesPerTrigger", 1).parquet(indir))
+    q = (stream.writeStream.foreachBatch(mon.process_batch)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = mon.cumulative_drift(spark).select(
+        "tokens_a", "tokens_b", "vocab_a", "vocab_b", "vocab_union",
+        _rcol(F.col("vocab_jaccard"), 6).alias("vocab_jaccard"),
+        _rcol(F.col("js"), 6).alias("js"),
+        _rcol(F.col("kl_ab"), 6).alias("kl_ab"),
+        _rcol(F.col("kl_ba"), 6).alias("kl_ba"),
+        _rcol(F.col("tv"), 6).alias("tv"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _agreement_sql() -> str:
     """Twin of agreement.agreement_from_cells over the same sign-quadrant
     contingency: pair-counting sums + entropies in plain SQL."""
@@ -5969,6 +6010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized_groups": q_dedup_normalized,
         "corpus_cap_per_source": q_cap_per_source,
         "events_rolling_zscore": q_events_zscore,
+        "streaming_drift_gauges": q_streaming_drift,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6609,6 +6651,9 @@ FROM wide w ORDER BY xb
     out["dedup_normalized_groups"] = _dedup_normalized_sql()
     out["corpus_cap_per_source"] = _cap_per_source_sql()
     out["events_rolling_zscore"] = _events_zscore_sql()
+    # cumulative streaming drift must reproduce the batch gauges
+    # exactly (token counts are additive across micro-batches)
+    out["streaming_drift_gauges"] = _corpus_drift_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["token_counts", "corpus_drift", "drift_top_terms"]
+__all__ = ["token_counts", "corpus_drift", "drift_from_counts",
+           "drift_top_terms"]
 
 
 def token_counts(
@@ -65,19 +66,12 @@ def token_counts(
     return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _joined_shares(
-    df_a: DataFrame,
-    df_b: DataFrame,
-    text_col: str,
-    n_buckets: int | None,
-    seed: int,
-) -> DataFrame:
-    ca = token_counts(df_a, text_col, n_buckets, seed).withColumnRenamed(
-        "n", "na"
-    )
-    cb = token_counts(df_b, text_col, n_buckets, seed).withColumnRenamed(
-        "n", "nb"
-    )
+def _join_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """Full-outer join of two ``(token, n)`` count frames with the
+    totals broadcast in — the shared back half of the batch operator
+    and the streaming monitor."""
+    ca = ca.withColumnRenamed("n", "na")
+    cb = cb.withColumnRenamed("n", "nb")
     j = ca.join(cb, on="token", how="full_outer").select(
         "token",
         F.coalesce("na", F.lit(0)).alias("na"),
@@ -103,9 +97,22 @@ def corpus_drift(
     corpora: ``(tokens_a, tokens_b, vocab_a, vocab_b, vocab_union,
     vocab_jaccard, js, kl_ab, kl_ba, tv)``. See module docstring for
     the smoothing and bucketing semantics."""
+    return drift_from_counts(
+        token_counts(df_a, text_col, n_buckets, seed),
+        token_counts(df_b, text_col, n_buckets, seed),
+        alpha=alpha,
+    )
+
+
+def drift_from_counts(
+    counts_a: DataFrame, counts_b: DataFrame, alpha: float = 0.5
+) -> DataFrame:
+    """:func:`corpus_drift` from precomputed ``(token, n)`` count
+    frames — the entry point for incremental/streaming monitors that
+    maintain count stores instead of re-tokenizing corpora."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    j = _joined_shares(df_a, df_b, text_col, n_buckets, seed)
+    j = _join_counts(counts_a, counts_b)
     p_raw = F.col("na") / F.col("ta")
     q_raw = F.col("nb") / F.col("tb")
     p = (F.col("na") + F.lit(alpha)) / (
@@ -153,7 +160,10 @@ def drift_top_terms(
     count frame (per-partition heads, no global sort)."""
     if k <= 0:
         raise ValueError("k must be positive")
-    j = _joined_shares(df_a, df_b, text_col, n_buckets, seed)
+    j = _join_counts(
+        token_counts(df_a, text_col, n_buckets, seed),
+        token_counts(df_b, text_col, n_buckets, seed),
+    )
     scored = j.select(
         "token",
         (F.col("na") / F.col("ta")).alias("share_a"),
