@@ -3653,6 +3653,96 @@ def q_streaming_drift(spark, sf_dir):
     return out
 
 
+def q_ivf_sq_topk(spark, sf_dir):
+    """Residual IVF-SQ ANN (operators/quantization.py): coarse lists
+    pinned to embeddings 100..107 (SE, expression strategy so the
+    DuckDB twin replays the exact fold order), residuals scalar-
+    quantized per dimension, nprobe-4 probe, asymmetric top-3 for 5
+    queries."""
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_sq_index, ivf_sq_topk,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    rows = emb.where(F.col("vec_id").between(100, 107)) \
+        .orderBy("vec_id").select("embedding").collect()
+    coarse = [[float(v) for v in r["embedding"]] for r in rows]
+    enc, cm, sm = ivf_sq_index(
+        emb, n_lists=8, seed=0, coarse_max_iter=0,
+        initial_coarse=coarse, coarse_assignment_strategy="expression")
+    out = ivf_sq_topk(enc, cm, sm, emb.where(F.col("vec_id") < 5),
+                      k=3, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id",
+        _rcol(F.col("approx_dist"), 6).alias("approx_dist"), "rank",
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_sq_topk_sql(n_lists=8, d=64, k=3, nprobe=4,
+                     cen_lo=100, cen_hi=107) -> str:
+    """Twin of ivf_sq_index + ivf_sq_topk with pinned coarse centers:
+    coarse assignment by the half-SE fold (argmin first-index-wins),
+    residual v − center[list], per-dim residual [min,max], SQ8
+    encode/decode with floor(x+0.5), probes by plain squared L2,
+    score |(q−c) − decode|² left-folded in dim order, top-k asc."""
+    idx = "CAST(i AS INTEGER)"
+    full_fold = (
+        f"list_reduce(list_transform(range(1, {d + 1}), t2 -> "
+        "({a} - {b}) * ({a} - {b})), (x, y) -> x + y)"
+    )
+    cd_corpus = full_fold.format(
+        a="t.v[CAST(t2 AS INTEGER)]", b="c.cv[CAST(t2 AS INTEGER)]")
+    cd_query = full_fold.format(
+        a="q.qv[CAST(t2 AS INTEGER)]", b="c.cv[CAST(t2 AS INTEGER)]")
+    score = full_fold.format(
+        a="dc.dv[CAST(t2 AS INTEGER)]", b="p.rv[CAST(t2 AS INTEGER)]")
+    return (
+        "WITH cen AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) "
+        "- 1 AS INTEGER) AS j, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings WHERE vec_id BETWEEN {cen_lo} AND {cen_hi}), "
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"casg AS (SELECT t.vec_id, t.v, c.j, {cd_corpus} / 2.0 AS cd "
+        "FROM corpus t CROSS JOIN cen c), "
+        "lists AS (SELECT vec_id, v, j AS lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cd ASC, j ASC) AS rn FROM casg) WHERE rn = 1), "
+        f"res AS (SELECT l.vec_id, l.lst, list_transform(range(1, {d + 1}), "
+        "i -> l.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv "
+        "FROM lists l JOIN cen c ON c.j = l.lst), "
+        "dims AS (SELECT CAST(t.i AS INTEGER) AS i, "
+        "min(rv[CAST(t.i AS INTEGER)]) AS mn, "
+        "max(rv[CAST(t.i AS INTEGER)]) AS mx "
+        f"FROM res, unnest(range(1, {d + 1})) AS t(i) GROUP BY 1), "
+        "p0 AS (SELECT list(mn ORDER BY i) AS mns, "
+        "list(CASE WHEN mx > mn THEN 255.0 / (mx - mn) ELSE 0.0 END "
+        "ORDER BY i) AS ss, "
+        "list((mx - mn) / 255.0 ORDER BY i) AS invs FROM dims), "
+        f"dec AS (SELECT r.vec_id, r.lst, list_transform(range(1, {d + 1}), "
+        f"i -> p0.mns[{idx}] + greatest(0, least(255, "
+        f"CAST(floor((r.rv[{idx}] - p0.mns[{idx}]) * p0.ss[{idx}] + 0.5) "
+        f"AS INTEGER))) * p0.invs[{idx}]) AS dv FROM res r, p0), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) "
+        "AS qv FROM embeddings WHERE vec_id < 5), "
+        f"qcd AS (SELECT q.query_id, q.qv, c.j, {cd_query} AS cd "
+        "FROM q CROSS JOIN cen c), "
+        "probes AS (SELECT query_id, qv, j AS lst FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cd ASC, j ASC) AS pr FROM qcd) WHERE pr <= {nprobe}), "
+        f"qr AS (SELECT p.query_id, p.lst, list_transform(range(1, {d + 1}), "
+        "i -> p.qv[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS rv "
+        "FROM probes p JOIN cen c ON c.j = p.lst), "
+        f"sc AS (SELECT p.query_id, dc.vec_id AS neighbor_id, {score} AS ad "
+        "FROM dec dc JOIN qr p ON p.lst = dc.lst "
+        "WHERE dc.vec_id <> p.query_id), "
+        "r AS (SELECT query_id, neighbor_id, ad, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY ad ASC, neighbor_id ASC) AS INTEGER) AS rank FROM sc) "
+        f"SELECT query_id, neighbor_id, {_r('ad', 6)} AS approx_dist, "
+        f"rank FROM r WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
 def _agreement_sql() -> str:
     """Twin of agreement.agreement_from_cells over the same sign-quadrant
     contingency: pair-counting sums + entropies in plain SQL."""
@@ -6011,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cap_per_source": q_cap_per_source,
         "events_rolling_zscore": q_events_zscore,
         "streaming_drift_gauges": q_streaming_drift,
+        "similarity_ivfsq_topk": q_ivf_sq_topk,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6654,6 +6745,7 @@ FROM wide w ORDER BY xb
     # cumulative streaming drift must reproduce the batch gauges
     # exactly (token counts are additive across micro-batches)
     out["streaming_drift_gauges"] = _corpus_drift_sql()
+    out["similarity_ivfsq_topk"] = _ivf_sq_topk_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

@@ -53,6 +53,7 @@ __all__ = [
     "write_pq_model", "read_pq_model",
     "SQModel", "train_sq", "sq_encode", "sq_decode", "sq_topk",
     "write_sq_model", "read_sq_model",
+    "ivf_sq_index", "ivf_sq_topk",
 ]
 
 
@@ -596,3 +597,111 @@ def read_sq_model(spark, path: str) -> SQModel:
 
     payload = read_model_sidecar(spark, path, "sq")
     return SQModel(mins=payload["mins"], maxs=payload["maxs"])
+
+
+def ivf_sq_index(
+    corpus: DataFrame,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    coarse_max_iter: int = 10,
+    initial_coarse=None,
+    coarse_assignment_strategy: str = "auto",
+):
+    """IVF-SQ index: coarse SE k-means buckets the corpus into
+    ``n_lists`` inverted lists, then the RESIDUALS ``v − centroid``
+    are scalar-quantized (:func:`train_sq` on the residual frame —
+    residual ranges are much tighter than raw ranges, so the 8-bit
+    step shrinks exactly where the coarse step has already explained
+    the bucket mean). The middle rung of the quantization matrix:
+    more accurate than raw SQ8 at the same 4× compression, no
+    codebook training beyond the coarse fit.
+
+    Returns ``(encoded, coarse_model, sq_model)`` with ``encoded`` =
+    ``(id, _list, codes)``. Persist partitioned by ``_list`` for
+    partition-pruned probes.
+    """
+    from ..kmeans import GeneralizedKMeans
+
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    coarse = GeneralizedKMeans(
+        k=n_lists, divergence="se", seed=seed, max_iter=coarse_max_iter,
+        features_col="_v", prediction_col="_list",
+        initial_centers=initial_coarse,
+        assignment_strategy=coarse_assignment_strategy,
+    ).fit(base)
+    indexed = coarse.transform(base)
+    centers_lit = F.array(*[array_lit(c) for c in coarse.centers.tolist()])
+    resid = F.zip_with(
+        F.col("_v"),
+        F.element_at(centers_lit, F.col("_list") + 1),
+        lambda a, b: a - b,
+    )
+    with_res = indexed.withColumn("_r", resid)
+    sq = train_sq(with_res, vec_col="_r")
+    encoded = sq_encode(with_res, sq, id_col=id_col, vec_col="_r") \
+        .join(indexed.select(id_col, "_list"), on=id_col) \
+        .select(id_col, "_list", "codes")
+    return encoded, coarse, sq
+
+
+def ivf_sq_topk(
+    encoded: DataFrame,
+    coarse_model,
+    sq_model: SQModel,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Asymmetric top-k through the inverted lists: probe the
+    ``nprobe`` nearest coarse centroids per query, decode candidate
+    residuals map-only, and score ``|(q − c) − decode(codes)|²`` —
+    the residual identity ``q − v = (q − c) − (v − c)`` with
+    ``v − c`` scalar-quantized. The probe side (nprobe rows × d
+    doubles per query) is broadcast into the ``_list`` equi-join
+    (partition-pruned when ``encoded`` is stored by ``_list``);
+    ``broadcast_queries=False`` shuffles both sides on ``_list`` for
+    large query tables."""
+    C = coarse_model.centers
+    centers_lit = F.array(*[array_lit(c) for c in C.tolist()])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"))
+    cd = F.transform(centers_lit, lambda c: _sqdist(F.col("_qv"), c))
+    exploded = q.withColumn("_cd", cd).select(
+        "query_id", "_qv", F.posexplode("_cd").alias("_list", "_cdist"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.asc("_cdist"), F.asc("_list"))
+    qres = F.zip_with(
+        F.col("_qv"),
+        F.element_at(centers_lit, F.col("_list") + 1),
+        lambda a, b: a - b,
+    )
+    probes = (
+        exploded.withColumn("_pr", F.row_number().over(wp))
+        .where(F.col("_pr") <= nprobe)
+        .withColumn("_qr", qres)
+        .select("query_id", "_list", "_qr")
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    p = sq_model._params_lit()
+    dec = F.zip_with(F.col("codes"), p, lambda c, q_: q_["mn"] + c * q_["inv"])
+    cand = encoded.withColumn("_dec", dec).join(probes, on="_list")
+    if exclude_self:
+        cand = cand.where(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc(id_col))
+    return (
+        cand.withColumn("approx_dist", _sqdist(F.col("_dec"), F.col("_qr")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "approx_dist", "rank")
+        .withColumnRenamed(id_col, "neighbor_id")
+    )

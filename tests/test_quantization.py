@@ -357,3 +357,69 @@ def test_train_sq_empty_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pt.raises(ValueError):
         train_sq(empty)
+
+
+def test_ivf_sq_recall_vs_brute(spark):
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_sq_index, ivf_sq_topk,
+    )
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ann_recall,
+    )
+
+    rng = np.random.default_rng(11)
+    # 4 well-separated gaussian blobs in 8d
+    centers = rng.normal(0, 10, (4, 8))
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in c + rng.normal(0, 0.5, 8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc, cm, sm = ivf_sq_index(emb, n_lists=4, seed=3, coarse_max_iter=5)
+    approx = ivf_sq_topk(enc, cm, sm, emb.where("vec_id < 10"),
+                         k=5, nprobe=2)
+    # exact brute-force L2 baseline
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    a = emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("_q")).where("query_id < 10")
+    b = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("_v"))
+    d = F.aggregate(F.zip_with("_q", "_v", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v)
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                               F.asc("neighbor_id"))
+    exact = (b.crossJoin(F.broadcast(a))
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("dist", d)
+             .withColumn("rank", F.row_number().over(w))
+             .where("rank <= 5")
+             .select("query_id", "neighbor_id", "rank"))
+    rec = ann_recall(approx, exact, k=5).agg(
+        F.avg("recall").alias("r")).collect()[0]["r"]
+    # tight blobs + residual SQ: near-exact at nprobe=2 of 4
+    assert rec >= 0.9
+
+
+def test_ivf_sq_residual_tighter_than_raw(spark):
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_sq_index, train_sq,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 20, (4, 6))
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in c + rng.normal(0, 0.3, 6)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, _, sq_res = ivf_sq_index(emb, n_lists=4, seed=1, coarse_max_iter=5)
+    sq_raw = train_sq(emb)
+    step_res = sum(mx - mn for mn, mx in zip(sq_res.mins, sq_res.maxs))
+    step_raw = sum(mx - mn for mn, mx in zip(sq_raw.mins, sq_raw.maxs))
+    # residual ranges (hence quantization steps) are much tighter
+    assert step_res < step_raw / 3
