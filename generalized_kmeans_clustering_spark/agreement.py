@@ -40,7 +40,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["contingency_table", "agreement_metrics", "agreement_from_cells"]
+__all__ = ["contingency_table", "agreement_metrics",
+           "agreement_from_cells", "clustering_stability"]
 
 
 def contingency_table(
@@ -158,4 +159,60 @@ def agreement_metrics(
         "n bigint, ari double, rand double, fowlkes_mallows double, "
         "nmi double, homogeneity double, completeness double, "
         "v_measure double, purity double",
+    )
+
+
+def clustering_stability(
+    df,
+    estimator_factory,
+    seeds,
+    id_col: str,
+) -> "DataFrame":
+    """Run-to-run stability of a clustering configuration: refit with
+    each seed, compare every pair of runs with :func:`agreement_metrics`,
+    return ``(seed_a, seed_b, ari, nmi, v_measure)`` per pair.
+
+    The stability criterion for model selection (Ben-Hur, Elisseeff &
+    Guyon 2002): a k whose refits agree (high pairwise ARI) reflects
+    real structure; a k whose refits scatter is over- or under-split.
+    Mean pairwise ARI across seeds is the usual scalar gauge::
+
+        stab = clustering_stability(df, lambda s: GeneralizedKMeans(
+            k=k, divergence="se", max_iter=10, seed=s), seeds=range(5),
+            id_col="id")
+        stab.agg(F.avg("ari")).show()
+
+    Cost: ``len(seeds)`` fits plus C(len(seeds), 2) contingency aggs —
+    each agg is one groupBy over two int columns (k² cells). The
+    prediction frames are cached between comparisons; rows must carry
+    a stable ``id_col`` so runs join row-for-row.
+    """
+    from pyspark.sql import functions as F
+
+    if len(seeds) < 2:
+        raise ValueError("clustering_stability needs >= 2 seeds")
+    preds = []
+    for s in seeds:
+        model = estimator_factory(s)
+        p = model.fit(df).transform(df).select(
+            F.col(id_col),
+            F.col(model.prediction_col).alias(f"_p{s}"),
+        ).cache()
+        p.count()
+        preds.append((s, p))
+    rows = []
+    try:
+        for i, (sa, pa) in enumerate(preds):
+            for sb, pb in preds[i + 1:]:
+                joined = pa.join(pb, on=id_col)
+                m = agreement_metrics(joined, f"_p{sa}", f"_p{sb}") \
+                    .collect()[0]
+                rows.append((sa, sb, m["ari"], m["nmi"], m["v_measure"]))
+    finally:
+        for _, p in preds:
+            p.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "seed_a int, seed_b int, ari double, nmi double, v_measure double",
     )

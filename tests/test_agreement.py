@@ -117,3 +117,42 @@ def test_null_is_its_own_category(spark):
     )
     out = agreement_metrics(df, "label", "pred").collect()[0]
     assert out["n"] == 3  # NULL labels counted, not dropped
+
+
+def test_clustering_stability_separated_blobs(spark):
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark.agreement import (
+        clustering_stability,
+    )
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans
+
+    rng = np.random.default_rng(2)
+    centers = [[0.0, 0.0], [50.0, 0.0], [0.0, 50.0]]
+    rows = [
+        (i, [float(x) for x in centers[i % 3] + rng.normal(0, 0.5, 2)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    stab = clustering_stability(
+        df,
+        lambda s: GeneralizedKMeans(k=3, divergence="se", max_iter=10,
+                                    seed=s, init_mode="random"),
+        seeds=[0, 1, 2],
+        id_col="id",
+    ).collect()
+    assert len(stab) == 3  # C(3,2) pairs
+    # well-separated blobs: every refit recovers the same partition
+    from pyspark.sql import functions as F  # noqa: F401
+    assert all(r["ari"] > 0.95 for r in stab)
+    assert all(r["seed_a"] < r["seed_b"] for r in stab)
+
+
+def test_clustering_stability_needs_two_seeds(spark):
+    from generalized_kmeans_clustering_spark.agreement import (
+        clustering_stability,
+    )
+
+    df = spark.createDataFrame([(0, [1.0])], "id long, features array<double>")
+    with pytest.raises(ValueError):
+        clustering_stability(df, lambda s: None, seeds=[0], id_col="id")
