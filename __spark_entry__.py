@@ -3743,6 +3743,43 @@ def _ivf_sq_topk_sql(n_lists=8, d=64, k=3, nprobe=4,
     )
 
 
+def q_corpus_histogram(spark, sf_dir):
+    """Token-count histogram + per-language value summary
+    (operators/stats.py): the look-before-you-threshold audit. One
+    query returns the 16-bin n_chars histogram; the grouped summary
+    has its own pytest coverage (same agg shape)."""
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        fixed_width_histogram,
+    )
+
+    docs = documents(spark, sf_dir)
+    out = fixed_width_histogram(docs, "n_chars", lo=0.0, hi=1600.0,
+                                n_bins=16)
+    return out.select(
+        "bin",
+        _rcol(F.col("lo"), 4).alias("lo"),
+        _rcol(F.col("hi"), 4).alias("hi"),
+        "n",
+    ).orderBy("bin")
+
+
+def _corpus_histogram_sql(lo=0.0, hi=1600.0, n_bins=16) -> str:
+    width = (hi - lo) / n_bins
+    return (
+        f"WITH bins AS (SELECT CAST(i AS INTEGER) AS bin FROM "
+        f"unnest(range(0, {n_bins})) AS t(i)), "
+        "c AS (SELECT greatest(0, least(" + str(n_bins - 1) + ", "
+        f"CAST(floor((CAST(n_chars AS DOUBLE) - {lo}) / {width}) "
+        "AS INTEGER))) AS bin, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents WHERE n_chars IS NOT NULL GROUP BY 1) "
+        "SELECT b.bin, "
+        + _r(f"{lo} + b.bin * {width}", 4) + " AS lo, "
+        + _r(f"{lo} + (b.bin + 1) * {width}", 4) + " AS hi, "
+        "coalesce(c.n, 0) AS n "
+        "FROM bins b LEFT JOIN c ON b.bin = c.bin ORDER BY b.bin"
+    )
+
+
 def _agreement_sql() -> str:
     """Twin of agreement.agreement_from_cells over the same sign-quadrant
     contingency: pair-counting sums + entropies in plain SQL."""
@@ -6102,6 +6139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_zscore": q_events_zscore,
         "streaming_drift_gauges": q_streaming_drift,
         "similarity_ivfsq_topk": q_ivf_sq_topk,
+        "corpus_histogram": q_corpus_histogram,
         "doc_top_ngrams": q_doc_top_ngrams,
         "emb_simhash_srp": q_emb_simhash,
         "corpus_pack_spans": q_corpus_pack_spans,
@@ -6746,6 +6784,7 @@ FROM wide w ORDER BY xb
     # exactly (token counts are additive across micro-batches)
     out["streaming_drift_gauges"] = _corpus_drift_sql()
     out["similarity_ivfsq_topk"] = _ivf_sq_topk_sql()
+    out["corpus_histogram"] = _corpus_histogram_sql()
     out["doc_line_dedup"] = _line_dedup_sql()
     out["dedup_repeated_spans"] = _repeated_spans_sql()
     out["doc_gopher_repetition"] = _gopher_repetition_sql()

@@ -118,3 +118,62 @@ def test_rolling_zscore_validation(spark):
         rolling_zscore(df, lookback=0)
     with pytest.raises(ValueError):
         rolling_zscore(df, min_history=1)
+
+
+# --------------------------------------------------------------------------
+# stats.py: histograms and grouped summaries
+# --------------------------------------------------------------------------
+
+def test_histogram_bins_and_clamping(spark):
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        fixed_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 1.0, 5.0, 9.9, 10.0, 25.0, None]],
+        "x double",
+    )
+    out = {r["bin"]: r for r in
+           fixed_width_histogram(df, "x", 0.0, 10.0, 5).collect()}
+    assert len(out) == 5                       # empty bins materialized
+    assert out[0]["n"] == 3                    # -5 clamps in, 0.0, 1.0
+    assert out[4]["n"] == 3                    # 9.9 + clamped 10.0, 25.0
+    assert out[1]["n"] == 0 and out[3]["n"] == 0
+    assert out[2]["n"] == 1                    # 5.0
+    assert out[0]["lo"] == 0.0 and out[0]["hi"] == 2.0
+    assert sum(r["n"] for r in out.values()) == 7  # NULL dropped
+
+
+def test_histogram_validation(spark):
+    import pytest as _pt
+
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        fixed_width_histogram,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pt.raises(ValueError):
+        fixed_width_histogram(df, "x", 0, 10, 0)
+    with _pt.raises(ValueError):
+        fixed_width_histogram(df, "x", 10, 10, 4)
+
+
+def test_grouped_summary(spark):
+    import math
+
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        grouped_summary,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 7.0), ("c", 2.0),
+         ("c", 2.0)],
+        "g string, x double",
+    )
+    out = {r["group"]: r for r in grouped_summary(df, "x", "g").collect()}
+    assert out["a"]["n"] == 3 and out["a"]["mean"] == 3.0
+    assert out["a"]["std"] == pytest.approx(2.0)
+    assert out["b"]["std"] is None          # n < 2
+    assert out["c"]["std"] is None          # constant group
+    assert out["a"]["min"] == 1.0 and out["a"]["max"] == 5.0
+    assert math.isclose(out["a"]["sum_x2"], 35.0)
