@@ -45,8 +45,13 @@ def _assigned_frame(model, df: DataFrame) -> tuple[DataFrame, str, str]:
 
 
 def evaluate(model, df: DataFrame, silhouette_sample: float = 0.1,
-             seed: int = 42) -> dict:
-    """All §2.9 metrics in one pass. Returns a plain dict."""
+             seed: int = 42, label_col: str | None = None) -> dict:
+    """All §2.9 metrics in one pass. Returns a plain dict.
+
+    ``label_col`` (optional) adds the EXTERNAL agreement metrics
+    (:mod:`.agreement`: ari / nmi / homogeneity / completeness /
+    v_measure / purity vs the ground-truth column) from one extra
+    contingency aggregation over the same assigned frame."""
     kernel: Kernel = model._kernel()
     C = model.centers
     k = len(C)
@@ -116,7 +121,7 @@ def evaluate(model, df: DataFrame, silhouette_sample: float = 0.1,
         sample=silhouette_sample, seed=seed,
     ) if k_eff > 1 else float("nan")
 
-    return {
+    out = {
         "wcss": wcss,
         "bcss": bcss,
         "calinski_harabasz": ch,
@@ -127,6 +132,19 @@ def evaluate(model, df: DataFrame, silhouette_sample: float = 0.1,
         "n": n_total,
         "k_effective": k_eff,
     }
+    if label_col is not None:
+        from .agreement import agreement_from_cells, contingency_table
+
+        cells = [
+            (r["label"], r["pred"], float(r["n"]))
+            for r in contingency_table(
+                assigned, label_col, pred_col).collect()
+        ]
+        ext = agreement_from_cells(cells)
+        for key in ("ari", "nmi", "homogeneity", "completeness",
+                    "v_measure", "purity"):
+            out[key] = ext[key]
+    return out
 
 
 def silhouette_proxy(assigned: DataFrame, kernel: Kernel, centers,

@@ -93,3 +93,28 @@ def test_single_cluster_degenerate(spark, blobs):
     assert np.isnan(res["calinski_harabasz"])
     assert np.isnan(res["silhouette"])
     assert res["wcss"] > 0
+
+
+def test_evaluate_with_label_col(spark):
+    import numpy as np
+
+    from generalized_kmeans_clustering_spark import GeneralizedKMeans
+    from generalized_kmeans_clustering_spark.evaluation import evaluate
+
+    rng = np.random.default_rng(4)
+    centers = [[0.0, 0.0], [40.0, 0.0]]
+    rows = [
+        (i, i % 2, [float(x) for x in centers[i % 2] + rng.normal(0, 0.5, 2)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, truth int, features array<double>")
+    model = GeneralizedKMeans(k=2, divergence="se", max_iter=10,
+                              seed=1).fit(df)
+    res = evaluate(model, df, label_col="truth")
+    # separated blobs: external metrics agree perfectly with the truth
+    assert res["ari"] == 1.0
+    assert res["purity"] == 1.0
+    assert res["v_measure"] == 1.0
+    # internal metrics still present
+    assert res["wcss"] > 0 and res["k_effective"] == 2
