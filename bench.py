@@ -218,6 +218,21 @@ def main():
                     .alias("n_tokens")),
         512, num_shards=64,
     ).groupBy("shard").count().collect())
+    # corpus drift audit: two token aggs -> full-outer join -> one agg
+    from generalized_kmeans_clustering_spark.operators.drift import (
+        corpus_drift,
+    )
+    timed("corpus_drift", lambda: corpus_drift(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en")).collect())
+    # incremental dedup delta pass: store join + within-delta window
+    from generalized_kmeans_clustering_spark.operators.incremental import (
+        fingerprint_store, incremental_exact_dedup,
+    )
+    timed("incremental_dedup", lambda: incremental_exact_dedup(
+        docs.where(F.col("doc_id") % 2 == 1),
+        fingerprint_store(docs.where(F.col("doc_id") % 2 == 0)),
+    ).groupBy("in_store", "is_canonical").count().collect())
     # trained-tokenizer pipeline: learn 64 BPE merges from the corpus
     # (one word-count agg + driver merge learning), then pack under
     # REAL token counts (Arrow-batched application with per-word memo)
