@@ -133,3 +133,61 @@ def test_bpe_learning_deterministic(word_counts, k):
     a = learn_merges_from_counts(word_counts, k)
     b = learn_merges_from_counts(list(reversed(word_counts)), k)
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# agreement.py driver math — bounds, symmetry, invariances
+# --------------------------------------------------------------------------
+
+from generalized_kmeans_clustering_spark.agreement import (  # noqa: E402
+    agreement_from_cells,
+)
+
+_cells_strategy = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 4),
+              st.integers(min_value=1, max_value=50)),
+    min_size=1, max_size=20, unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_cells_strategy)
+def test_agreement_bounds(cells):
+    m = agreement_from_cells([(a, b, float(n)) for a, b, n in cells])
+    assert -1.0 - 1e-9 <= m["ari"] <= 1.0 + 1e-9
+    assert 0.0 <= m["rand"] <= 1.0 + 1e-9
+    assert 0.0 <= m["fowlkes_mallows"] <= 1.0 + 1e-9
+    assert -1e-9 <= m["nmi"] <= 1.0 + 1e-9
+    assert 0.0 - 1e-9 <= m["homogeneity"] <= 1.0 + 1e-9
+    assert 0.0 - 1e-9 <= m["completeness"] <= 1.0 + 1e-9
+    assert 0.0 <= m["purity"] <= 1.0 + 1e-9
+
+
+@settings(max_examples=150, deadline=None)
+@given(_cells_strategy)
+def test_agreement_transpose_symmetry(cells):
+    """Swapping label/prediction roles transposes the contingency:
+    symmetric metrics are invariant, homogeneity <-> completeness."""
+    fwd = agreement_from_cells([(a, b, float(n)) for a, b, n in cells])
+    rev = agreement_from_cells([(b, a, float(n)) for a, b, n in cells])
+    for k in ("ari", "rand", "fowlkes_mallows", "nmi", "v_measure"):
+        assert math.isclose(fwd[k], rev[k], abs_tol=1e-9), k
+    assert math.isclose(fwd["homogeneity"], rev["completeness"],
+                        abs_tol=1e-9)
+    assert math.isclose(fwd["completeness"], rev["homogeneity"],
+                        abs_tol=1e-9)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_cells_strategy, st.integers(min_value=2, max_value=7))
+def test_agreement_count_scaling_invariance(cells, factor):
+    """Multiplying every cell count by a constant leaves the
+    information-theoretic and purity metrics unchanged (they are
+    share-based); pair-counting metrics converge but are n-dependent,
+    so only the share-based family is asserted."""
+    base = agreement_from_cells([(a, b, float(n)) for a, b, n in cells])
+    scaled = agreement_from_cells(
+        [(a, b, float(n * factor)) for a, b, n in cells])
+    for k in ("nmi", "homogeneity", "completeness", "v_measure",
+              "purity"):
+        assert math.isclose(base[k], scaled[k], abs_tol=1e-9), k
