@@ -33,7 +33,7 @@ __all__ = ["prepare_corpus", "corpus_stats", "source_rollup",
 
 #: verdict precedence: the FIRST failing rule names the reason
 _REASONS = ("too_short", "too_long", "language", "low_quality",
-            "repetitive", "duplicate")
+            "repetitive", "duplicate", "source_cap")
 
 
 def prepare_corpus(
@@ -57,6 +57,10 @@ def prepare_corpus(
     dedup_lines_max_occurrences: int | None = None,
     line_sep: str = "\n",
     extra_rules=None,
+    max_per_source: int | None = None,
+    source_col: str = "source",
+    cap_seed: int = 0,
+    cap_hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Annotate every document with signals + a keep/reject verdict.
 
@@ -229,6 +233,33 @@ def prepare_corpus(
                    & F.col("_dup_id").isNotNull(), F.lit("duplicate"))
             .otherwise(F.col("reject_reason")),
         ).drop("_dup_id")
+    if max_per_source is not None:
+        # per-source cap (RefinedWeb per-domain rule) applied LAST so
+        # docs rejected by content rules or dedup don't consume cap
+        # slots. One window keyed on the source: passing rows sort
+        # first (by the deterministic (hash, id) order of
+        # sampling.cap_per_group), so a passing row's row_number
+        # counts only passing rows ahead of it — no filter needed,
+        # every row keeps its verdict.
+        from pyspark.sql.window import Window
+
+        from .sampling import hash_key
+
+        if max_per_source <= 0:
+            raise ValueError("max_per_source must be positive")
+        wcap = Window.partitionBy(source_col).orderBy(
+            F.col("reject_reason").isNull().desc(),
+            hash_key(F.col(id_col), cap_seed, cap_hash_fn).asc(),
+            F.col(id_col).asc(),
+        )
+        out = out.withColumn("_cap_rn", F.row_number().over(wcap)) \
+            .withColumn(
+                "reject_reason",
+                F.when(F.col("reject_reason").isNull()
+                       & (F.col("_cap_rn") > max_per_source),
+                       F.lit("source_cap"))
+                .otherwise(F.col("reject_reason")),
+        ).drop("_cap_rn")
     out = out.withColumn("keep", F.col("reject_reason").isNull())
     if redact_pii:
         # redact AFTER dedup so fingerprints reflect original content

@@ -228,3 +228,46 @@ def test_source_rollup_signals(spark):
     assert out["web"]["avg_quality"] > out["spam"]["avg_quality"]
     assert out["spam"]["n_docs"] == 2  # NULL text still counts as a doc
     assert out["spam"]["exact_dup_rate"] == 0.0
+
+
+def test_prepare_corpus_max_per_source(spark):
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    rows = []
+    for i in range(12):
+        rows.append((i, "the quick brown fox jumps over the lazy dog "
+                     "and then keeps on running through the field " * 3,
+                     "big" if i < 10 else "small"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = prepare_corpus(df, min_tokens=5, dedup=None, max_per_source=4)
+    by = {r["doc_id"]: r for r in out.collect()}
+    kept_big = [i for i in range(10) if by[i]["keep"]]
+    assert len(kept_big) == 4
+    capped = [i for i in range(10) if by[i]["reject_reason"] == "source_cap"]
+    assert len(capped) == 6
+    # the small source is under its cap: everything kept
+    assert by[10]["keep"] and by[11]["keep"]
+    # determinism across partitionings
+    out2 = prepare_corpus(df.repartition(5), min_tokens=5, dedup=None,
+                          max_per_source=4)
+    kept2 = {r["doc_id"] for r in out2.collect() if r["keep"]}
+    assert kept2 == {r for r in by if by[r]["keep"]}
+
+
+def test_prepare_corpus_cap_ignores_rejected_rows(spark):
+    from generalized_kmeans_clustering_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    long_text = ("a perfectly reasonable document with plenty of words "
+                 "to pass the minimum token rule easily " * 2)
+    rows = [(i, long_text if i >= 8 else "short", "s") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = prepare_corpus(df, min_tokens=10, dedup=None, max_per_source=4)
+    by = {r["doc_id"]: r for r in out.collect()}
+    # 8 short docs rejected by the content rule, not the cap
+    assert all(by[i]["reject_reason"] == "too_short" for i in range(8))
+    # all 4 passing docs fit the cap: rejected rows consumed no slots
+    assert all(by[i]["keep"] for i in range(8, 12))
