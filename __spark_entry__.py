@@ -6043,6 +6043,159 @@ def q_persist_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# temporal operators: as-of join, bucketed range join, rollup cascade,
+# document chunking (operators/temporal.py, text_features.chunk_documents)
+
+def q_events_asof(spark, sf_dir):
+    """Each click joins the most recent error at-or-before it for the
+    same user (backward as-of, inclusive) — union + carry-forward
+    window, ONE shuffle on user_id, no inequality join. The error side
+    is pre-deduped per (user, ts) so the match is deterministic."""
+    from generalized_kmeans_clustering_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev = events(spark, sf_dir)
+    clicks = ev.where(
+        (F.col("event_type") == "click") & (F.col("user_id") < 50)
+    ).select("event_id", "user_id", "ts")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(clicks, errors, "user_id", "ts", "ts",
+                    ["err_value"], matched_ts_col="err_ts")
+    return out.select(
+        "event_id", "user_id", "ts",
+        _rcol(F.col("err_value"), 6).alias("err_value"), "err_ts",
+    ).orderBy("event_id")
+
+
+def _events_asof_sql() -> str:
+    return (
+        "WITH l AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click' AND user_id < 50), "
+        "r AS (SELECT user_id, ts, max(value) AS err_value FROM events "
+        "WHERE event_type = 'error' GROUP BY 1, 2) "
+        "SELECT l.event_id, l.user_id, l.ts, "
+        + _r("r.err_value", 6) + " AS err_value, r.ts AS err_ts "
+        "FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"
+    )
+
+
+def q_events_range_join(spark, sf_dir):
+    """Clicks attributed to the 30-minute window after each error
+    (same user): point-in-interval join via time buckets — equi-join
+    on (user, bucket) + exact filter; each pair meets exactly once."""
+    from generalized_kmeans_clustering_spark.operators.temporal import (
+        range_interval_join,
+    )
+
+    ev = events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    errors = ev.where(
+        (F.col("event_type") == "error") & (F.col("user_id") < 80)
+    ).select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("iuser"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("w_end"),
+    )
+    pairs = range_interval_join(
+        clicks, errors, "user_id", "iuser", "ts", "w_start", "w_end",
+        bucket_seconds=1800.0)
+    return (
+        pairs.groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"),
+             _rcol(F.sum("value"), 4).alias("click_value"))
+        .orderBy("err_id")
+    )
+
+
+def _events_range_join_sql() -> str:
+    return (
+        "WITH p AS (SELECT user_id, ts, value FROM events "
+        "WHERE event_type = 'click'), "
+        "i AS (SELECT event_id AS err_id, user_id AS iuser, ts AS s, "
+        "ts + INTERVAL 30 MINUTE AS e FROM events "
+        "WHERE event_type = 'error' AND user_id < 80) "
+        "SELECT i.err_id, count(*) AS n_clicks, "
+        + _r("sum(p.value)", 4) + " AS click_value "
+        "FROM p JOIN i ON p.user_id = i.iuser "
+        "AND p.ts >= i.s AND p.ts < i.e GROUP BY 1 ORDER BY 1"
+    )
+
+
+def q_events_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour buckets from raw,
+    day buckets re-aggregated from the hour partials (raw scanned
+    once)."""
+    from generalized_kmeans_clustering_spark.operators.temporal import (
+        rollup_cascade,
+    )
+
+    ev = events(spark, sf_dir)
+    out = rollup_cascade(ev, "ts", "value", ("hour", "day"))
+    # avg is derived from the ROUNDED sum so both engines divide
+    # bit-identical numerators (the unrounded sums differ ~1e-10:
+    # the cascade sums hour partials, the oracle sums raw rows).
+    rsum = _rcol(F.col("sum_value"), 4)
+    return out.select(
+        "grain", "bucket_ts", "n_events",
+        rsum.alias("sum_value"),
+        _rcol(rsum / F.col("n_events"), 4).alias("avg_value"),
+    ).orderBy("grain", "bucket_ts")
+
+
+def _events_rollup_cascade_sql() -> str:
+    one = (
+        "SELECT '{g}' AS grain, date_trunc('{g}', ts) AS bucket_ts, "
+        "count(*) AS n_events, "
+        + _r("sum(value)", 4) + " AS sum_value, "
+        + _r(_r("sum(value)", 4) + " / count(*)", 4) + " AS avg_value "
+        "FROM events GROUP BY 2"
+    )
+    return (one.format(g="hour") + " UNION ALL " + one.format(g="day")
+            + " ORDER BY grain, bucket_ts")
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping character chunks (size 120, overlap 24)
+    — map-only sequence/posexplode/substring, no shuffle."""
+    from generalized_kmeans_clustering_spark.operators.text_features import (
+        chunk_documents,
+    )
+
+    docs = documents(spark, sf_dir).where(F.col("doc_id") < 250)
+    out = chunk_documents(docs, size=120, overlap=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        "chunk",
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _doc_chunks_sql(size=120, overlap=24) -> str:
+    step = size - overlap
+    return (
+        "WITH s AS (SELECT doc_id, text, unnest(range(1, "
+        f"greatest(length(text) - {overlap}, 1) + 1, {step})) AS st "
+        "FROM documents WHERE doc_id < 250 AND text IS NOT NULL "
+        "AND length(text) > 0) "
+        f"SELECT doc_id, (st - 1) // {step} AS chunk_id, "
+        f"st AS start, substring(text, CAST(st AS INTEGER), {size}) "
+        "AS chunk, "
+        f"length(substring(text, CAST(st AS INTEGER), {size})) "
+        "AS chunk_len FROM s ORDER BY doc_id, chunk_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cluster sf0.001 lineitem features with the full engine
@@ -6158,6 +6311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redact": q_doc_pii_redact,
         "doc_repetition": q_doc_repetition,
         "events_session_rollup": q_events_session_rollup,
+        "events_asof_join": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "events_rollup_cascade": q_events_rollup_cascade,
+        "doc_chunks": q_doc_chunks,
         "assign_se_chunked": q_assign_se_chunked,
         "assign_se_pruned": q_assign_se_pruned,
         "assign_se_crossjoin": q_assign_se_crossjoin,
@@ -6794,6 +6951,10 @@ FROM wide w ORDER BY xb
     out["doc_pii_redact"] = _pii_redact_sql()
     out["doc_repetition"] = _repetition_sql()
     out["events_session_rollup"] = _session_rollup_sql()
+    out["events_asof_join"] = _events_asof_sql()
+    out["events_range_join"] = _events_range_join_sql()
+    out["events_rollup_cascade"] = _events_rollup_cascade_sql()
+    out["doc_chunks"] = _doc_chunks_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),

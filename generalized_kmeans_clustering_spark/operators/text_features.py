@@ -20,7 +20,51 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["term_counts", "tfidf", "top_terms_per_doc", "top_ngrams",
-           "top_collocations", "gopher_repetition_signals"]
+           "top_collocations", "gopher_repetition_signals",
+           "chunk_documents"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size overlapping character
+    chunks — the standard retrieval/context-window shaping step.
+    Output: ``(id, chunk_id, start, chunk, chunk_len)`` with 1-based
+    ``start`` advancing by ``size - overlap``; the final chunk may be
+    shorter. NULL or empty text yields no chunks (documented:
+    filter-before-chunk is the pipeline contract).
+
+    Scale: map-only — ``sequence`` + ``posexplode`` + ``substring``,
+    all codegen expressions; output rows ≈ chars/(size-overlap) per
+    doc with no shuffle, so the operator streams at scan speed and
+    parallelism follows the input partitioning.
+    """
+    if overlap < 0 or size <= 0 or overlap >= size:
+        raise ValueError("chunk_documents: need 0 <= overlap < size")
+    step = size - overlap
+    txt = F.col(text_col)
+    # Start values 1, 1+step, ... <= len - overlap: every chunk adds at
+    # least one char beyond the overlap (no fully-redundant tail chunk)
+    # and the last chunk still reaches the end (s_last > len - size).
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(txt) - F.lit(overlap), F.lit(1)),
+        F.lit(step))
+    out = (
+        df.where(txt.isNotNull() & (F.length(txt) > 0))
+        .select(F.col(id_col), txt.alias("_txt"),
+                F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            id_col, "chunk_id", "start",
+            F.substring(F.col("_txt"), F.col("start"), size).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+    return out
 
 
 def term_counts(df: DataFrame, text_col: str = "text",
