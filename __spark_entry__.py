@@ -6162,6 +6162,122 @@ def _events_rollup_cascade_sql() -> str:
             + " ORDER BY grain, bucket_ts")
 
 
+def q_corpus_quantiles(spark, sf_dir):
+    """Exact per-source doc-length quantiles (quantile_disc rank rule
+    ceil(q*n)) — distinct-value pre-collapse + one window; values are
+    actual data points so the result is engine-invariant."""
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        quantiles_by_key,
+    )
+
+    docs = documents(spark, sf_dir)
+    return quantiles_by_key(
+        docs, "source", "n_chars", qs=(0.25, 0.5, 0.9, 0.99),
+    ).orderBy("key")
+
+
+def _corpus_quantiles_sql() -> str:
+    return (
+        "SELECT source AS key, count(n_chars) AS n, "
+        "quantile_disc(n_chars, 0.25) AS q_25, "
+        "quantile_disc(n_chars, 0.5) AS q_5, "
+        "quantile_disc(n_chars, 0.9) AS q_9, "
+        "quantile_disc(n_chars, 0.99) AS q_99 "
+        "FROM documents GROUP BY source ORDER BY key"
+    )
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered first-touch funnel view -> click -> purchase; all stage
+    times resolve in one window pass over the user partition."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_rollup,
+    )
+
+    ev = events(spark, sf_dir)
+    out = funnel_rollup(ev, ["view", "click", "purchase"])
+    return out.select(
+        "stage_idx", "stage", "n_entities",
+        _rcol(F.col("conversion"), 6).alias("conversion"),
+    ).orderBy("stage_idx")
+
+
+def _events_funnel_sql() -> str:
+    return (
+        "WITH x AS (SELECT user_id, ts, event_type, "
+        "min(CASE WHEN event_type = 'view' THEN ts END) "
+        "OVER (PARTITION BY user_id) AS t0 FROM events), "
+        "y AS (SELECT *, min(CASE WHEN event_type = 'click' "
+        "AND ts > t0 THEN ts END) OVER (PARTITION BY user_id) AS t1 "
+        "FROM x), "
+        "z AS (SELECT *, min(CASE WHEN event_type = 'purchase' "
+        "AND ts > t1 THEN ts END) OVER (PARTITION BY user_id) AS t2 "
+        "FROM y), "
+        "p AS (SELECT user_id, any_value(t0) AS t0, any_value(t1) AS t1, "
+        "any_value(t2) AS t2 FROM z GROUP BY 1), "
+        "c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 "
+        "FROM p) "
+        "SELECT 0 AS stage_idx, 'view' AS stage, n0 AS n_entities, "
+        + _r("CASE WHEN n0 > 0 THEN CAST(n0 AS DOUBLE) / n0 END", 6)
+        + " AS conversion FROM c UNION ALL "
+        "SELECT 1, 'click', n1, "
+        + _r("CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / n0 END", 6)
+        + " FROM c UNION ALL "
+        "SELECT 2, 'purchase', n2, "
+        + _r("CASE WHEN n0 > 0 THEN CAST(n2 AS DOUBLE) / n0 END", 6)
+        + " FROM c ORDER BY stage_idx"
+    )
+
+
+def q_dedup_flag_propagation(spark, sf_dir):
+    """Contamination-style flag spread: seeds (doc_id < 15) propagate
+    2 hops across the shared-min-shingle-fingerprint graph — bounded
+    BFS, one frontier equi-join per round, no collect."""
+    from generalized_kmeans_clustering_spark.operators.graph import (
+        propagate_flags,
+    )
+
+    docs = documents(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", T.min_shingle_fingerprint(F.col("text"), 3).alias("minfp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    edges = a.join(b, (F.col("a.minfp") == F.col("b.minfp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+        F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    seeds = docs.where(F.col("doc_id") < 15)
+    out = propagate_flags(edges, seeds, rounds=2, id_col="doc_id")
+    return out.orderBy("round", "id")
+
+
+def _flag_propagation_sql() -> str:
+    fp = (
+        "SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+        "list_min(list_transform(range(1, len(toks)-1), "
+        "i -> md5(array_to_string(toks[i:i+2], ' ')))) "
+        "ELSE md5(array_to_string(toks, ' ')) END AS minfp FROM "
+        "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents)"
+    )
+    return (
+        f"WITH t AS ({fp}), "
+        "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM t a JOIN t b "
+        "ON a.minfp = b.minfp AND a.doc_id < b.doc_id), "
+        "sym AS (SELECT src AS a, dst AS b FROM e "
+        "UNION ALL SELECT dst, src FROM e), "
+        "f0 AS (SELECT DISTINCT doc_id AS id FROM documents "
+        "WHERE doc_id < 15), "
+        "r1 AS (SELECT DISTINCT sym.b AS id FROM sym "
+        "JOIN f0 ON sym.a = f0.id "
+        "WHERE sym.b NOT IN (SELECT id FROM f0)), "
+        "r2 AS (SELECT DISTINCT sym.b AS id FROM sym "
+        "JOIN r1 ON sym.a = r1.id "
+        "WHERE sym.b NOT IN (SELECT id FROM f0) "
+        "AND sym.b NOT IN (SELECT id FROM r1)) "
+        "SELECT id, 0 AS round FROM f0 "
+        "UNION ALL SELECT id, 1 FROM r1 "
+        "UNION ALL SELECT id, 2 FROM r2 ORDER BY round, id"
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Fixed-size overlapping character chunks (size 120, overlap 24)
     — map-only sequence/posexplode/substring, no shuffle."""
@@ -6315,6 +6431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_rollup_cascade": q_events_rollup_cascade,
         "doc_chunks": q_doc_chunks,
+        "corpus_quantiles": q_corpus_quantiles,
+        "events_funnel": q_events_funnel,
+        "dedup_flag_propagation": q_dedup_flag_propagation,
         "assign_se_chunked": q_assign_se_chunked,
         "assign_se_pruned": q_assign_se_pruned,
         "assign_se_crossjoin": q_assign_se_crossjoin,
@@ -6955,6 +7074,9 @@ FROM wide w ORDER BY xb
     out["events_range_join"] = _events_range_join_sql()
     out["events_rollup_cascade"] = _events_rollup_cascade_sql()
     out["doc_chunks"] = _doc_chunks_sql()
+    out["corpus_quantiles"] = _corpus_quantiles_sql()
+    out["events_funnel"] = _events_funnel_sql()
+    out["dedup_flag_propagation"] = _flag_propagation_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),

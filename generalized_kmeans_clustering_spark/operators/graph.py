@@ -26,7 +26,65 @@ from itertools import product
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["epsilon_affinity_edges"]
+__all__ = ["epsilon_affinity_edges", "propagate_flags"]
+
+
+def propagate_flags(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounded flag propagation over an undirected edge list: starting
+    from the ``seeds`` ids (round 0), each round flags every neighbor
+    of an already-flagged node. Returns ``(id, round)`` with ``round``
+    the FIRST round at which the id was flagged — the curation use is
+    spreading a contamination / spam / takedown verdict across the
+    near-duplicate graph ("this doc is flagged, so are its near-dups
+    and their near-dups").
+
+    Bounded BFS, not closure: ``rounds`` hops from the seed set. For
+    the full transitive closure use
+    :func:`~.dedup.duplicate_components` — this operator exists for
+    the common case where the graph IS near-clique-shaped (LSH pair
+    lists) and one or two hops capture the component at a fraction of
+    the cost.
+
+    Distributed shape: per round, one equi-join of the (symmetrized)
+    edge list against the CURRENT frontier — only newly-flagged ids
+    join the next round, so work per round is O(edges touching the
+    frontier), and a fixed ``rounds`` bound keeps the lineage/shuffle
+    count constant. min(round) dedups multi-path discoveries. No
+    collect; the frontier never materializes on the driver.
+    """
+    if rounds < 1:
+        raise ValueError("propagate_flags: rounds must be >= 1")
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionByName(edges.select(
+        F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    flagged = seeds.select(F.col(id_col).alias("id")).distinct() \
+        .withColumn("round", F.lit(0))
+    frontier = flagged
+    for r in range(1, rounds + 1):
+        nbrs = (
+            sym.join(frontier.select(F.col("id").alias("a")), "a")
+            .select(F.col("b").alias("id")).distinct()
+            .withColumn("round", F.lit(r))
+        )
+        # ids already flagged keep their earlier round
+        frontier = nbrs.join(flagged.select("id"), "id", "left_anti")
+        if rounds > 2:
+            # deep walks: pin each frontier or the lineage re-derives
+            # every earlier round per reference (frontiers are small —
+            # newly-flagged ids only)
+            frontier = frontier.persist()
+        flagged = flagged.unionByName(frontier)
+        # a drained frontier ends the walk early at the plan level too:
+        # joins against it produce nothing; no driver-side check needed
+    return flagged
 
 
 def epsilon_affinity_edges(

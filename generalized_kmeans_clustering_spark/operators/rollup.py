@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["tumbling_rollup", "sessionize", "session_rollup",
-           "top_k_by_count", "json_prop", "rolling_zscore"]
+           "top_k_by_count", "json_prop", "rolling_zscore",
+           "funnel_rollup"]
 
 
 def tumbling_rollup(
@@ -201,3 +202,69 @@ def rolling_zscore(
         )
         .drop("_n", "_s1", "_s2")
     )
+
+
+def funnel_rollup(
+    df: DataFrame,
+    stages,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered first-touch funnel: for each entity, stage i counts as
+    reached iff an event of type ``stages[i]`` occurs STRICTLY after
+    the time stage i-1 was reached (first qualifying event wins).
+    Returns one row per stage: ``(stage_idx, stage, n_entities,
+    conversion)`` where conversion = n_entities / stage-0 entities
+    (NULL when nobody enters the funnel).
+
+    ``max_span_seconds`` additionally requires every stage to land
+    within that many seconds of the STAGE-0 time (a common funnel
+    window rule).
+
+    Distributed shape: all k stage times resolve in ONE window pass
+    over the entity partition — stage i's reach time is
+    ``min(ts WHERE type = stages[i] AND ts > t_{i-1})`` expressed as a
+    chain of window minimums, so the plan is one shuffle on the entity
+    key + one tiny per-stage aggregation; no joins, no per-stage
+    passes over the raw table, no collect. Entities are hash-spread;
+    a single entity's history lands on one reducer (inherent to
+    per-entity ordering).
+    """
+    stages = list(stages)
+    if len(stages) < 2:
+        raise ValueError("funnel_rollup: need at least 2 stages")
+    w = Window.partitionBy(entity_col)
+    t = F.min(F.when(F.col(type_col) == stages[0], F.col(ts_col))).over(w)
+    stage_ts = [t]
+    for s in stages[1:]:
+        prev = stage_ts[-1]
+        cond = (F.col(type_col) == s) & (F.col(ts_col) > prev)
+        if max_span_seconds is not None:
+            cond = cond & (
+                (F.unix_micros(F.col(ts_col).cast("timestamp"))
+                 - F.unix_micros(stage_ts[0].cast("timestamp")))
+                <= int(max_span_seconds * 1_000_000))
+        stage_ts.append(F.min(F.when(cond, F.col(ts_col))).over(w))
+    per_entity = df.select(
+        F.col(entity_col).alias("entity"),
+        *[ts.alias(f"_t{i}") for i, ts in enumerate(stage_ts)],
+    ).groupBy("entity").agg(
+        *[F.first(f"_t{i}").alias(f"_t{i}") for i in range(len(stages))]
+    )
+    counts = per_entity.agg(*[
+        F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(stages))
+    ])
+    # one k-element struct array exploded from the single counts row —
+    # a per-stage union would recompute the whole pipeline per branch
+    stage_rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"),
+            F.col(f"_n{i}").alias("n_entities"),
+            F.when(F.col("_n0") > 0,
+                   F.col(f"_n{i}") / F.col("_n0")).alias("conversion"),
+        )
+        for i, s in enumerate(stages)
+    ])
+    return counts.select(F.explode(stage_rows).alias("_r")).select("_r.*")

@@ -20,10 +20,10 @@ Both are single-aggregation plans; output is bins- or groups-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["fixed_width_histogram", "grouped_summary"]
+__all__ = ["fixed_width_histogram", "grouped_summary", "quantiles_by_key"]
 
 
 def fixed_width_histogram(
@@ -93,3 +93,67 @@ def grouped_summary(
         "min", "max", "sum_x", "sum_x2",
         F.when((F.col("n") >= 2) & (var > 0), F.sqrt(var)).alias("std"),
     )
+
+
+def quantiles_by_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT discrete per-key quantiles — the value at 1-based rank
+    ``ceil(q * n)`` in each key's sorted values (``quantile_disc``
+    semantics: an actual data value, never an interpolation, so the
+    result is engine- and float-order-invariant). NULL values — and
+    NaN, for float columns: Spark sorts NaN above every number, so one
+    NaN would otherwise capture the top quantiles — are dropped; a key
+    whose values are all missing does not appear.
+
+    Output: ``(key, n, q_<label>...)`` with one column per requested
+    quantile (label = q without the leading ``0.``).
+
+    Distributed shape: groupBy (key, value) collapses duplicates
+    FIRST — the window that ranks values then runs over the distinct
+    values per key, not the rows, so hot keys with few distinct values
+    (the common skew: a spam string, an empty doc) cost one row per
+    distinct value. Two key-shuffles total (pre-agg + window; the
+    final per-key agg reuses the window's partitioning). No sort of
+    the raw table, no collect.
+    """
+    if not qs:
+        raise ValueError("quantiles_by_key: need at least one q")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles_by_key: q={q} outside (0, 1]")
+    # 0.25 -> "25", 0.5 -> "5", 1.0 -> "1"
+    labels = [("%g" % q).replace("0.", "", 1).replace(".", "_")
+              for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError("quantiles_by_key: duplicate q labels")
+    x = F.col(value_col)
+    present = x.isNotNull()
+    if dict(df.dtypes)[value_col] in ("float", "double"):
+        present = present & ~F.isnan(x)
+    counts = (
+        df.where(present)
+        .groupBy(F.col(key_col).alias("key"), x.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wk = Window.partitionBy("key")
+    wcum = wk.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow)
+    ranked = counts.select(
+        "key", "v", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wk).alias("n"),
+    )
+    # rank target r = ceil(q*n); the row CONTAINING rank r satisfies
+    # cum - c < r <= cum — min() just collapses the one hit per (key,q)
+    sel = []
+    for q, lab in zip(qs, labels):
+        r = F.ceil(F.lit(float(q)) * F.col("n"))
+        hit = (F.col("cum") >= r) & ((F.col("cum") - F.col("c")) < r)
+        sel.append(F.min(F.when(hit, F.col("v"))).alias(f"q_{lab}"))
+    out = ranked.groupBy("key").agg(
+        F.max("n").alias("n"), *sel)
+    return out

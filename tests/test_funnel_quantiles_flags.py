@@ -1,0 +1,143 @@
+"""quantiles_by_key (operators/stats.py), funnel_rollup
+(operators/rollup.py), propagate_flags (operators/graph.py)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.graph import (
+    propagate_flags,
+)
+from generalized_kmeans_clustering_spark.operators.rollup import (
+    funnel_rollup,
+)
+from generalized_kmeans_clustering_spark.operators.stats import (
+    quantiles_by_key,
+)
+
+
+def _disc_quantile(vals, q):
+    s = sorted(vals)
+    return s[int(np.ceil(q * len(s))) - 1]
+
+
+def test_quantiles_by_key_exact(spark):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 500),
+        "v": rng.integers(0, 40, 500).astype(float),
+    })
+    # NULLs are dropped; a key with one value works
+    df.loc[df.index[:25], "v"] = None
+    df = pd.concat(
+        [df, pd.DataFrame({"k": ["solo"], "v": [7.0]})], ignore_index=True)
+    got = quantiles_by_key(
+        spark.createDataFrame(df), "k", "v", qs=(0.25, 0.5, 0.9, 1.0),
+    ).toPandas().set_index("key").sort_index()
+    for k, grp in df.dropna().groupby("k"):
+        vals = grp.v.tolist()
+        assert got.loc[k, "n"] == len(vals)
+        for q, lab in [(0.25, "q_25"), (0.5, "q_5"), (0.9, "q_9"),
+                       (1.0, "q_1")]:
+            assert got.loc[k, lab] == _disc_quantile(vals, q), (k, q)
+    assert got.loc["solo", "q_5"] == 7.0
+
+
+def test_quantiles_by_key_duplicates_collapse_and_validation(spark):
+    # heavy duplicate mass (the skew case the pre-collapse handles)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"] * 100, "v": [5.0] * 99 + [9.0]}))
+    row = quantiles_by_key(df, "k", "v", qs=(0.5, 0.99, 1.0)).collect()[0]
+    assert (row.n, row.q_5, row.q_99, row.q_1) == (100, 5.0, 5.0, 9.0)
+    with pytest.raises(ValueError, match="outside"):
+        quantiles_by_key(df, "k", "v", qs=(0.0,))
+    with pytest.raises(ValueError, match="at least one"):
+        quantiles_by_key(df, "k", "v", qs=())
+
+
+def _ev(uid, sec, typ):
+    return (uid, dt.datetime(2024, 1, 1, 0, 0, sec), typ)
+
+
+def test_funnel_strict_order_and_first_touch(spark):
+    rows = [
+        # u1 completes in order
+        _ev(1, 10, "view"), _ev(1, 20, "click"), _ev(1, 30, "purchase"),
+        # u2 clicks BEFORE viewing — click must not count
+        _ev(2, 10, "click"), _ev(2, 20, "view"),
+        # u3 view+click at the same second — strict > rejects the click
+        _ev(3, 10, "view"), _ev(3, 10, "click"),
+        # u4 never enters the funnel
+        _ev(4, 5, "purchase"),
+        # u5 view -> click, purchase earlier than click
+        _ev(5, 1, "view"), _ev(5, 9, "purchase"), _ev(5, 10, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {r.stage: (r.n_entities, r.conversion)
+           for r in funnel_rollup(
+               df, ["view", "click", "purchase"]).collect()}
+    assert got["view"] == (4, 1.0)
+    assert got["click"][0] == 2        # u1 and u5
+    assert got["purchase"][0] == 1     # only u1
+    assert abs(got["click"][1] - 0.5) < 1e-12
+    assert abs(got["purchase"][1] - 0.25) < 1e-12
+
+
+def test_funnel_max_span_and_validation(spark):
+    rows = [
+        _ev(1, 0, "view"), _ev(1, 5, "click"),
+        _ev(2, 0, "view"), _ev(2, 50, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {r.stage: r.n_entities
+           for r in funnel_rollup(df, ["view", "click"],
+                                  max_span_seconds=10).collect()}
+    assert got == {"view": 2, "click": 1}
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_rollup(df, ["view"])
+
+
+def test_funnel_empty_entry_stage(spark):
+    df = spark.createDataFrame(
+        [_ev(1, 0, "click")], "user_id long, ts timestamp, event_type string")
+    rows = funnel_rollup(df, ["view", "click"]).collect()
+    assert [r.n_entities for r in rows] == [0, 0]
+    assert all(r.conversion is None for r in rows)
+
+
+def _graph(spark, edges, seeds):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "id long")
+    return e, s
+
+
+def test_propagate_flags_path_graph_rounds(spark):
+    # path 0-1-2-3-4, seed {0}: round r reaches node r
+    e, s = _graph(spark, [(i, i + 1) for i in range(4)], [0])
+    got = {r.id: r.round
+           for r in propagate_flags(e, s, rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # node 4 is beyond 3 hops
+
+
+def test_propagate_flags_undirected_min_round_and_drain(spark):
+    # triangle 1-2-3 plus isolated 9; seeds {2, 9}
+    e, s = _graph(spark, [(1, 2), (2, 3), (3, 1)], [2, 9])
+    got = {r.id: r.round
+           for r in propagate_flags(e, s, rounds=4).collect()}
+    # 1 and 3 are both 1 hop from 2 (via either direction);
+    # the clique drains after round 1 — no phantom later rounds
+    assert got == {2: 0, 9: 0, 1: 1, 3: 1}
+    with pytest.raises(ValueError, match="rounds"):
+        propagate_flags(e, s, rounds=0)
+
+
+def test_propagate_flags_seed_round_wins(spark):
+    # both endpoints seeded: neither gets re-flagged at round 1
+    e, s = _graph(spark, [(1, 2)], [1, 2])
+    got = {r.id: r.round for r in propagate_flags(e, s, rounds=2).collect()}
+    assert got == {1: 0, 2: 0}
