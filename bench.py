@@ -233,6 +233,28 @@ def main():
         docs.where(F.col("doc_id") % 2 == 1),
         fingerprint_store(docs.where(F.col("doc_id") % 2 == 0)),
     ).groupBy("in_store", "is_canonical").count().collect())
+    # temporal pipeline: backward as-of join (clicks <- latest error)
+    # then the 3-stage first-touch funnel — both one-shuffle window
+    # plans over the user key
+    from generalized_kmeans_clustering_spark.operators.temporal import (
+        asof_join,
+    )
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_rollup,
+    )
+    ev = em.events(spark, sf_dir)
+
+    def _asof_funnel():
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts")
+        errors = (ev.where(F.col("event_type") == "error")
+                  .groupBy("user_id", "ts")
+                  .agg(F.max("value").alias("err_value")))
+        asof_join(clicks, errors, "user_id", "ts", "ts", ["err_value"]) \
+            .where(F.col("err_value").isNotNull()).groupBy().count().collect()
+        funnel_rollup(ev, ["view", "click", "purchase"]).collect()
+
+    timed("events_asof_funnel", _asof_funnel)
     # trained-tokenizer pipeline: learn 64 BPE merges from the corpus
     # (one word-count agg + driver merge learning), then pack under
     # REAL token counts (Arrow-batched application with per-word memo)

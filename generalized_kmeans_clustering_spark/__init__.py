@@ -70,7 +70,16 @@ from .config import GKMConfig  # noqa: F401
 
 # event-table rollups (batch/streaming-parity plans)
 from .operators.rollup import (  # noqa: F401
-    json_prop, session_rollup, sessionize, top_k_by_count, tumbling_rollup,
+    funnel_rollup, json_prop, session_rollup, sessionize, top_k_by_count,
+    tumbling_rollup,
 )
+
+# temporal joins / cascades and audit primitives
+from .operators.temporal import (  # noqa: F401
+    asof_join, range_interval_join, rollup_cascade,
+)
+from .operators.stats import quantiles_by_key  # noqa: F401
+from .operators.graph import propagate_flags  # noqa: F401
+from .operators.text_features import chunk_documents  # noqa: F401
 
 __version__ = "0.3.0"
