@@ -160,3 +160,57 @@ def test_session_new_operators_compile_strict(strict_codegen, docs, spark):
     srcs = docs.withColumn("source", (F.col("doc_id") % 3).cast("string"))
     assert cap_per_group(srcs, 5, group_col="source").count() == 15
     assert rolling_zscore(ev, lookback=10, min_history=5).count() == 30
+
+
+def test_temporal_audit_operators_compile_strict(strict_codegen, docs,
+                                                 spark):
+    """Third-wave round-7 operators under fallback-disabled codegen:
+    as-of join, range join, rollup cascade, chunking, quantiles,
+    funnel, flag propagation."""
+    import datetime
+
+    from generalized_kmeans_clustering_spark.operators.graph import (
+        propagate_flags,
+    )
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_rollup,
+    )
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        quantiles_by_key,
+    )
+    from generalized_kmeans_clustering_spark.operators.temporal import (
+        asof_join, range_interval_join, rollup_cascade,
+    )
+    from generalized_kmeans_clustering_spark.operators.text_features import (
+        chunk_documents,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, base + datetime.timedelta(seconds=37 * i),
+          ["view", "click", "purchase", "error"][i % 4], float(i % 9))
+         for i in range(60)],
+        "event_id long, ts timestamp, event_type string, value double")
+    right = (ev.where("event_type = 'error'")
+             .select("event_id", F.col("ts").alias("rts"),
+                     F.col("value").alias("rv")))
+    assert asof_join(ev.select("event_id", "ts"), right, "event_id",
+                     "ts", "rts", ["rv"]).count() == 60
+    iv = ev.select(
+        F.col("event_id").alias("ik"), F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("e"))
+    assert range_interval_join(
+        ev.select(F.col("event_id").alias("k"), "ts"), iv,
+        "k", "ik", "ts", "s", "e", bucket_seconds=60.0).count() == 60
+    assert rollup_cascade(ev, "ts", "value", ("minute", "hour")).count() > 0
+    assert chunk_documents(docs, size=40, overlap=8).count() > 40
+    assert quantiles_by_key(
+        docs.withColumn("src", (F.col("doc_id") % 3).cast("string")),
+        "src", "doc_id", qs=(0.5, 0.9)).count() == 3
+    assert funnel_rollup(
+        ev.withColumnRenamed("event_id", "user_id"),
+        ["view", "click"]).count() == 2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    assert propagate_flags(edges, seeds, rounds=2).count() == 3
