@@ -4569,6 +4569,52 @@ def q_revenue_by_nation(spark, sf_dir):
     return rev.orderBy("n_name")
 
 
+def q_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9-shaped profit rollup: lineitem ⋈ orders ⋈ part(filtered)
+    ⋈ supplier ⋈ nation, grouped by supplier nation × order year. The
+    p_type filter is pushed into the part SCAN before its broadcast,
+    all three dimensions broadcast (no fact-side shuffle for them),
+    and the only big shuffle is lineitem ⋈ orders on the order key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_type") == "PROMO")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _rcol(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))),
+                2,
+            ).alias("profit"),
+        )
+    )
+    return out.orderBy("nation", "o_year")
+
+
+def _profit_by_nation_year_sql() -> str:
+    return (
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) "
+        "AS o_year, count(*) AS n_items, "
+        + _r("sum(l_extendedprice * (1.0 - l_discount))", 2) + " AS profit "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_type = 'PROMO' "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def q_bucketed_join_rollup(spark, sf_dir):
     """orders⋈lineitem with BOTH sides bucketed on the order key
     (sources/bucketing.py): the join plans with zero hash-partitioning
@@ -6481,6 +6527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_assign_fixed": q_balanced_assign_fixed,
         "eval_fixed_metrics": q_eval_fixed_metrics,
         "revenue_by_nation": q_revenue_by_nation,
+        "profit_by_nation_year": q_profit_by_nation_year,
         "bucketed_join_rollup": q_bucketed_join_rollup,
         "order_priority_stats": q_order_priority_stats,
         "doc_stats": q_doc_stats,
@@ -7077,6 +7124,7 @@ FROM wide w ORDER BY xb
     out["corpus_quantiles"] = _corpus_quantiles_sql()
     out["events_funnel"] = _events_funnel_sql()
     out["dedup_flag_propagation"] = _flag_propagation_sql()
+    out["profit_by_nation_year"] = _profit_by_nation_year_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),
