@@ -6324,6 +6324,69 @@ def _flag_propagation_sql() -> str:
     )
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention: cohort = week of first event, offset =
+    whole weeks later, retention = active/cohort-size."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        retention_cohorts,
+    )
+
+    ev = events(spark, sf_dir)
+    out = retention_cohorts(ev, "user_id", "ts", period="week")
+    return out.select(
+        "cohort", "offset", "n_active",
+        _rcol(F.col("retention"), 6).alias("retention"),
+    ).orderBy("cohort", "offset")
+
+
+def _events_retention_sql() -> str:
+    return (
+        "WITH s AS (SELECT DISTINCT user_id AS entity, "
+        "date_trunc('week', ts) AS bucket, "
+        "date_trunc('week', min(ts) OVER (PARTITION BY user_id)) "
+        "AS cohort FROM events), "
+        "c AS (SELECT cohort, "
+        'CAST(date_diff(\'day\', cohort, bucket) // 7 AS INTEGER) '
+        'AS "offset", '
+        "entity FROM s), "
+        'a AS (SELECT cohort, "offset", count(DISTINCT entity) AS n_active '
+        "FROM c GROUP BY 1, 2), "
+        'r AS (SELECT *, max(CASE WHEN "offset" = 0 THEN n_active END) '
+        "OVER (PARTITION BY cohort) AS base FROM a) "
+        'SELECT CAST(cohort AS TIMESTAMP) AS cohort, "offset", n_active, '
+        + _r("CASE WHEN base > 0 THEN CAST(n_active AS DOUBLE) / base END",
+             6)
+        + ' AS retention FROM r ORDER BY cohort, "offset"'
+    )
+
+
+def q_events_throttle(spark, sf_dir):
+    """Rate-limit to one event per (user, type) per hour — earliest
+    wins, event_id tiebreak; one shuffle on (keys, window bucket)."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        throttle_events,
+    )
+
+    ev = events(spark, sf_dir).where(F.col("user_id") < 30).select(
+        "event_id", "user_id", "event_type", "ts")
+    out = throttle_events(ev, ("user_id", "event_type"), "ts",
+                          window_seconds=3600.0, tiebreak_col="event_id")
+    return out.orderBy("event_id")
+
+
+def _events_throttle_sql() -> str:
+    return (
+        "WITH b AS (SELECT event_id, user_id, event_type, ts, "
+        "CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bkt "
+        "FROM events WHERE user_id < 30), "
+        "r AS (SELECT event_id, user_id, event_type, ts, row_number() "
+        "OVER (PARTITION BY user_id, event_type, bkt "
+        "ORDER BY ts, event_id) AS rn FROM b) "
+        "SELECT event_id, user_id, event_type, ts FROM r "
+        "WHERE rn = 1 ORDER BY event_id"
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Fixed-size overlapping character chunks (size 120, overlap 24)
     — map-only sequence/posexplode/substring, no shuffle."""
@@ -6479,6 +6542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "corpus_quantiles": q_corpus_quantiles,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_throttle": q_events_throttle,
         "dedup_flag_propagation": q_dedup_flag_propagation,
         "assign_se_chunked": q_assign_se_chunked,
         "assign_se_pruned": q_assign_se_pruned,
@@ -7125,6 +7190,8 @@ FROM wide w ORDER BY xb
     out["events_funnel"] = _events_funnel_sql()
     out["dedup_flag_propagation"] = _flag_propagation_sql()
     out["profit_by_nation_year"] = _profit_by_nation_year_sql()
+    out["events_retention"] = _events_retention_sql()
+    out["events_throttle"] = _events_throttle_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
                         ("poly", "poly"), ("sigmoid", "sigmoid"),

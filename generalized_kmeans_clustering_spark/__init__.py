@@ -70,8 +70,8 @@ from .config import GKMConfig  # noqa: F401
 
 # event-table rollups (batch/streaming-parity plans)
 from .operators.rollup import (  # noqa: F401
-    funnel_rollup, json_prop, session_rollup, sessionize, top_k_by_count,
-    tumbling_rollup,
+    funnel_rollup, json_prop, retention_cohorts, session_rollup, sessionize,
+    throttle_events, top_k_by_count, tumbling_rollup,
 )
 
 # temporal joins / cascades and audit primitives

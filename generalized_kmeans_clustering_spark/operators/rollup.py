@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["tumbling_rollup", "sessionize", "session_rollup",
            "top_k_by_count", "json_prop", "rolling_zscore",
-           "funnel_rollup"]
+           "funnel_rollup", "retention_cohorts", "throttle_events"]
 
 
 def tumbling_rollup(
@@ -268,3 +268,95 @@ def funnel_rollup(
         for i, s in enumerate(stages)
     ])
     return counts.select(F.explode(stage_rows).alias("_r")).select("_r.*")
+
+
+def retention_cohorts(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention: entities grouped by the period of their FIRST
+    event (the cohort); for each later period, how many of them were
+    active. Output ``(cohort, offset, n_active, retention)`` with
+    ``offset`` the whole number of periods after the cohort period and
+    ``retention = n_active / cohort size`` (cohort size = n_active at
+    offset 0 — every entity is active in its own first period by
+    construction).
+
+    ``period`` ∈ day|week|month. ``max_offset`` trims the long tail.
+
+    Distributed shape: the cohort timestamp attaches via one window
+    min over the entity partition (shuffle #1); activity collapses to
+    distinct (entity, period) pairs and aggregates to cohort × offset
+    cells (shuffle #2); the retention denominator is a window max over
+    the tiny cell frame. No joins against the raw table, no collect.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError("retention_cohorts: period must be day|week|month")
+    w = Window.partitionBy(entity_col)
+    ts = F.col(ts_col).cast("timestamp")
+    staged = df.select(
+        F.col(entity_col).alias("entity"),
+        F.date_trunc(period, ts).alias("bucket"),
+        F.date_trunc(period, F.min(ts).over(w)).alias("cohort"),
+    ).distinct()
+    if period == "month":
+        off = (
+            (F.year("bucket") - F.year("cohort")) * 12
+            + (F.month("bucket") - F.month("cohort"))
+        )
+    elif period == "week":
+        off = F.floor(F.datediff("bucket", "cohort") / 7)
+    else:
+        off = F.datediff("bucket", "cohort")
+    cells = staged.select(
+        "cohort", off.cast("int").alias("offset"), "entity")
+    if max_offset is not None:
+        cells = cells.where(F.col("offset") <= max_offset)
+    agg = cells.groupBy("cohort", "offset").agg(
+        F.count_distinct("entity").alias("n_active"))
+    wc = Window.partitionBy("cohort")
+    base = F.max(F.when(F.col("offset") == 0, F.col("n_active"))).over(wc)
+    return agg.select(
+        "cohort", "offset", "n_active",
+        F.when(base > 0, F.col("n_active") / base).alias("retention"),
+    )
+
+
+def throttle_events(
+    df: DataFrame,
+    entity_cols=("user_id", "event_type"),
+    ts_col: str = "ts",
+    window_seconds: float = 60.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Rate-limit to at most ONE event per entity per fixed
+    ``window_seconds`` window — the earliest in each window wins
+    (telemetry duplicate-burst cleanup). Fixed windows, not
+    last-kept-relative debounce: the fixed grid is expressible as a
+    pure groupBy (one shuffle, streaming-compatible semantics) while
+    true debounce is an inherently sequential per-entity scan.
+
+    Ties on the minimum timestamp inside a window resolve by
+    ``tiebreak_col`` (least wins) when given — otherwise ties keep one
+    plan-order-dependent row. Returns the kept rows with original
+    columns.
+    """
+    if window_seconds <= 0:
+        raise ValueError("throttle_events: window_seconds must be > 0")
+    keys = list(entity_cols)
+    w_us = int(window_seconds * 1_000_000)
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(w_us))
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    win = Window.partitionBy(*(keys + ["_bucket"])).orderBy(*order)
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .drop("_bucket", "_rn")
+    )

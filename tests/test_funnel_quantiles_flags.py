@@ -141,3 +141,73 @@ def test_propagate_flags_seed_round_wins(spark):
     e, s = _graph(spark, [(1, 2)], [1, 2])
     got = {r.id: r.round for r in propagate_flags(e, s, rounds=2).collect()}
     assert got == {1: 0, 2: 0}
+
+
+def test_retention_cohorts_weekly(spark):
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        retention_cohorts,
+    )
+    # week of 2024-01-01 (Mon) and week of 2024-01-08
+    rows = [
+        # cohort W0: u1 active W0, W1, W2; u2 active W0, W2
+        _ev(1, 0, "a"),
+        (1, dt.datetime(2024, 1, 9), "a"), (1, dt.datetime(2024, 1, 16), "a"),
+        (2, dt.datetime(2024, 1, 3), "a"), (2, dt.datetime(2024, 1, 17), "a"),
+        # cohort W1: u3 active W1 only
+        (3, dt.datetime(2024, 1, 10), "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {(r.cohort.date().isoformat(), r.offset): (r.n_active, r.retention)
+           for r in retention_cohorts(df, "user_id", "ts", "week").collect()}
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-01", 2)] == (2, 1.0)
+    assert got[("2024-01-08", 0)] == (1, 1.0)
+    assert len(got) == 4
+    with pytest.raises(ValueError, match="period"):
+        retention_cohorts(df, "user_id", "ts", "fortnight")
+
+
+def test_retention_cohorts_monthly_offset_and_cap(spark):
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        retention_cohorts,
+    )
+    rows = [
+        (1, dt.datetime(2024, 1, 15), "a"),
+        (1, dt.datetime(2024, 3, 2), "a"),     # offset 2 months
+        (1, dt.datetime(2024, 12, 30), "a"),   # offset 11
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    offs = sorted(r.offset for r in retention_cohorts(
+        df, "user_id", "ts", "month").collect())
+    assert offs == [0, 2, 11]
+    capped = retention_cohorts(df, "user_id", "ts", "month", max_offset=3)
+    assert sorted(r.offset for r in capped.collect()) == [0, 2]
+
+
+def test_throttle_events(spark):
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        throttle_events,
+    )
+    rows = [
+        # same (user, type), same 60s window: earliest wins
+        (10, 1, dt.datetime(2024, 1, 1, 0, 0, 5), "x"),
+        (11, 1, dt.datetime(2024, 1, 1, 0, 0, 30), "x"),
+        # next window boundary (minute 1): kept
+        (12, 1, dt.datetime(2024, 1, 1, 0, 1, 0), "x"),
+        # different type: own budget
+        (13, 1, dt.datetime(2024, 1, 1, 0, 0, 10), "y"),
+        # tie on ts: event_id tiebreak keeps the lower id
+        (15, 2, dt.datetime(2024, 1, 1, 0, 0, 0), "x"),
+        (14, 2, dt.datetime(2024, 1, 1, 0, 0, 0), "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    kept = sorted(r.event_id for r in throttle_events(
+        df, ("user_id", "event_type"), "ts", window_seconds=60.0,
+        tiebreak_col="event_id").collect())
+    assert kept == [10, 12, 13, 14]
+    with pytest.raises(ValueError, match="window_seconds"):
+        throttle_events(df, ("user_id",), "ts", window_seconds=0)
