@@ -98,3 +98,15 @@ def test_incremental_curation_example(spark, sf_dir):
     for d in out["deltas"]:
         assert d["accepted"] <= d["delta_rows"]
         assert 0.0 <= d["js_vs_corpus"] <= 0.6932
+
+
+def test_event_analytics_example(spark, sf_dir):
+    import event_analytics
+
+    out = event_analytics.main(spark, sf_dir)
+    assert 0 < out["events_kept"] <= out["events_in"]
+    assert out["funnel"]["view"] >= out["funnel"]["click"] >= \
+        out["funnel"]["purchase"]
+    assert out["cohort_cells"] >= 1
+    assert set(out["grain_buckets"]) == {"hour", "day"}
+    assert out["grain_buckets"]["hour"] >= out["grain_buckets"]["day"]
