@@ -272,3 +272,54 @@ def test_chunk_documents_validation(spark):
     for size, ov in [(0, 0), (10, 10), (10, -1)]:
         with pytest.raises(ValueError):
             chunk_documents(df, size=size, overlap=ov)
+
+
+# --- property: asof_join ≡ pandas merge_asof on arbitrary frames ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_HSET = dict(max_examples=8, deadline=None, derandomize=True)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 80),
+    m=st.integers(0, 40),
+    keys=st.integers(1, 5),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(**_HSET)
+def test_asof_property_matches_pandas(spark_global, seed, n, m, keys,
+                                      direction):
+    spark = spark_global
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-06-01")
+    lp = pd.DataFrame({
+        "k": rng.integers(0, keys, n),
+        "ts": base + pd.to_timedelta(rng.integers(0, 5000, n), "s"),
+        "lv": np.arange(n),  # unique row tag
+    })
+    rp = pd.DataFrame({
+        "k": rng.integers(0, keys, max(m, 1))[:m],
+        "rts": base + pd.to_timedelta(rng.integers(0, 5000, max(m, 1)), "s")[:m],
+        "price": rng.normal(size=max(m, 1)).round(3)[:m],
+    }).drop_duplicates(["k", "rts"])
+    if len(rp) == 0:
+        rp = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                           "rts": pd.Series([], dtype="datetime64[ns]"),
+                           "price": pd.Series([], dtype="float64")})
+    L = spark.createDataFrame(lp)
+    R = (spark.createDataFrame(rp) if len(rp) else
+         spark.createDataFrame([], "k long, rts timestamp, price double"))
+    got = asof_join(L, R, "k", "ts", "rts", ["price"],
+                    direction=direction).toPandas()
+    exp = pd.merge_asof(
+        lp.sort_values(["ts", "lv"]),
+        rp.rename(columns={"rts": "mts"}).sort_values("mts"),
+        left_on="ts", right_on="mts", by="k", direction=direction,
+    )
+    g = got.sort_values("lv").reset_index(drop=True)
+    e = exp.sort_values("lv").reset_index(drop=True)
+    assert len(g) == n  # left-join row-count invariant
+    pd.testing.assert_series_equal(g["price"], e["price"],
+                                   check_dtype=False)
