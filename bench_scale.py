@@ -236,6 +236,53 @@ def main():
     print(f"[scale] ivf_pq_encode_topk: 1x {out['t1']}s  10x {out['t10']}s"
           f"  ratio {out['ratio']}", file=sys.stderr, flush=True)
 
+    # temporal layer: as-of join + funnel over events scaled by USER
+    # copies (more users, not deeper per-user histories — per-key depth
+    # is the documented as-of serialization caveat, user count is the
+    # dimension a real corpus grows along). Window partitions scale
+    # linearly; per-partition work stays constant.
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_rollup,
+    )
+    from generalized_kmeans_clustering_spark.operators.temporal import (
+        asof_join,
+    )
+
+    def temporal_pair(scale):
+        base = em.events(spark, sf_dir)
+        ev = None
+        for i in range(scale):
+            c = base.select(
+                (F.col("event_id") + F.lit(i * 10_000_000_000))
+                .alias("event_id"),
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type", "ts", "value")
+            ev = c if ev is None else ev.unionAll(c)
+        ev = ev.repartition(int(cpus)).cache()
+        ev.count()
+
+        def run():
+            clicks = ev.where(F.col("event_type") == "click").select(
+                "event_id", "user_id", "ts")
+            errors = (ev.where(F.col("event_type") == "error")
+                      .groupBy("user_id", "ts")
+                      .agg(F.max("value").alias("err_value")))
+            asof_join(clicks, errors, "user_id", "ts", "ts",
+                      ["err_value"]).where(
+                F.col("err_value").isNotNull()).groupBy().count().collect()
+            funnel_rollup(ev, ["view", "click", "purchase"]).collect()
+
+        run()  # warm
+        t = timed(run)
+        ev.unpersist()
+        return t
+
+    out = {"t1": temporal_pair(1), "t10": temporal_pair(10)}
+    out["ratio"] = round(out["t10"] / out["t1"], 2)
+    results["asof_funnel"] = out
+    print(f"[scale] asof_funnel: 1x {out['t1']}s  10x {out['t10']}s"
+          f"  ratio {out['ratio']}", file=sys.stderr, flush=True)
+
     print(json.dumps({"metric": "scale_ratio_10x", "pairs": results,
                       "sf_base": sf_dir, "protocol": "v3-scale-spot"}))
     spark.stop()
