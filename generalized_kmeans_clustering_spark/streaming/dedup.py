@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from ..functions.text import doc_fingerprint
 
 __all__ = ["streaming_exact_dedup", "streaming_minhash_signatures",
-           "streaming_lsh_pairs", "StreamingNearDup"]
+           "streaming_lsh_pairs", "StreamingNearDup",
+           "streaming_throttle"]
 
 
 def streaming_exact_dedup(
@@ -292,3 +293,41 @@ class StreamingNearDup:
         except Exception:
             return spark.createDataFrame(
                 [], "i long, j long, est_jaccard double, batch_id int")
+
+
+def streaming_throttle(
+    stream: DataFrame,
+    entity_cols=("user_id", "event_type"),
+    ts_col: str = "ts",
+    window_seconds: float = 60.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`...operators.rollup.throttle_events`:
+    at most one event per entity per fixed ``window_seconds`` window,
+    enforced with ``dropDuplicatesWithinWatermark`` state on
+    (entity, window bucket) — state evicts once the watermark passes
+    the bucket, so memory is rate x horizon, not history.
+
+    Semantics note: streaming keeps the first ARRIVAL per window
+    (state sees events in arrival order); the batch operator keeps the
+    earliest EVENT TIME with a deterministic tiebreak. The two agree
+    when arrival order matches event-time order (in-order replay —
+    test-asserted); under out-of-order arrival the streaming result is
+    the standard at-most-one-per-window rate limit, not a minimum.
+    """
+    if window_seconds <= 0:
+        raise ValueError("streaming_throttle: window_seconds must be > 0")
+    from pyspark.sql import types as T
+
+    # NTZ parquet: cast in place — a watermark needs TimestampType and
+    # must stay attached to the SAME column the state key derives from
+    if not isinstance(stream.schema[ts_col].dataType, T.TimestampType):
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w_us = int(window_seconds * 1_000_000)
+    bucket = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(w_us))
+    return (
+        stream.withColumn("_bucket", bucket)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(entity_cols) + ["_bucket"])
+        .drop("_bucket")
+    )

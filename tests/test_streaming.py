@@ -359,3 +359,50 @@ def test_streaming_lsh_pairs_watermarked_join(spark, tmp_path):
     assert got == [(1, 2)]  # cross-batch, in-horizon, emitted once
     est = spark.read.parquet(out).first()["est_jaccard"]
     assert 0.5 <= est <= 1.0
+
+
+def test_streaming_throttle_batch_parity_in_order(spark, tmp_path):
+    """streaming_throttle (dropDuplicatesWithinWatermark on the fixed
+    window bucket) equals the batch throttle on an in-order replay —
+    one parquet file sorted by ts, so arrival order = event-time
+    order and first-arrival = earliest-event semantics coincide."""
+    import datetime as dt
+
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        throttle_events,
+    )
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        streaming_throttle,
+    )
+
+    src = str(tmp_path / "ev_src")
+    ckpt = str(tmp_path / "ev_ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(3):
+        for s in (0, 5, 30, 61, 65, 200):  # bursts inside 60s windows
+            rows.append((eid, u, "x", t0 + dt.timedelta(seconds=s)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    df.orderBy("ts", "event_id").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    out = streaming_throttle(stream, ("user_id", "event_type"), "ts",
+                             window_seconds=60.0, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("throttle_sink")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in
+                 spark.sql("SELECT event_id FROM throttle_sink").collect())
+    exp = sorted(r["event_id"] for r in throttle_events(
+        df, ("user_id", "event_type"), "ts", window_seconds=60.0,
+        tiebreak_col="event_id").collect())
+    assert got == exp
+    # 6 events per user -> windows 0s,61s,200s survive => 3 per user
+    assert len(got) == 9
