@@ -163,6 +163,7 @@ def range_interval_join(
     end_ts: str,
     bucket_seconds: float = 86400.0,
     how: str = "inner",
+    max_buckets_per_interval: int | None = 100_000,
 ) -> DataFrame:
     """Join each point to every interval (same key) containing it —
     half-open containment ``start <= t < end`` — without an
@@ -181,6 +182,13 @@ def range_interval_join(
 
     ``how="left"`` keeps points with no covering interval, with NULL
     interval columns.
+
+    ``max_buckets_per_interval`` guards the explode: an interval whose
+    length/width ratio exceeds it fails the job with a clear error
+    (expression-level ``raise_error`` — no extra pass) instead of
+    silently materializing millions of bucket rows; raise the cap or
+    widen ``bucket_seconds`` for genuinely long intervals, or ``None``
+    to disable.
     """
     if how not in ("inner", "left"):
         raise ValueError("range_interval_join: how must be inner|left")
@@ -198,14 +206,21 @@ def range_interval_join(
         return F.floor(F.unix_micros(ts_col.cast("timestamp")) / F.lit(w_us))
 
     p = points.withColumn("_b", _bucket(F.col(point_ts)))
+    b_lo = _bucket(F.col(start_ts))
+    # end is exclusive: a point at exactly end never matches, but the
+    # bucket containing (end - 1us) must be covered.
+    b_hi = _bucket(F.col(end_ts) - F.expr("INTERVAL 1 MICROSECOND"))
+    if max_buckets_per_interval is not None:
+        b_hi = F.when(
+            b_hi - b_lo >= F.lit(int(max_buckets_per_interval)),
+            F.raise_error(F.lit(
+                "range_interval_join: an interval spans more than "
+                f"{int(max_buckets_per_interval)} buckets of "
+                f"{bucket_seconds}s — widen bucket_seconds or raise "
+                "max_buckets_per_interval")).cast("long"),
+        ).otherwise(b_hi)
     iv = intervals.where(F.col(end_ts) > F.col(start_ts)).withColumn(
-        "_b",
-        F.explode(F.sequence(
-            _bucket(F.col(start_ts)),
-            # end is exclusive: a point at exactly end never matches,
-            # but the bucket containing (end - 1us) must be covered.
-            _bucket(F.col(end_ts) - F.expr("INTERVAL 1 MICROSECOND")),
-        )),
+        "_b", F.explode(F.sequence(b_lo, b_hi)),
     )
     cond = [
         p[point_key] == iv[interval_key],

@@ -323,3 +323,21 @@ def test_asof_property_matches_pandas(spark_global, seed, n, m, keys,
     assert len(g) == n  # left-join row-count invariant
     pd.testing.assert_series_equal(g["price"], e["price"],
                                    check_dtype=False)
+
+
+def test_range_join_bucket_explosion_guard(spark):
+    t0 = pd.Timestamp("2024-01-01").to_pydatetime()
+    t1 = pd.Timestamp("2024-03-01").to_pydatetime()  # ~60 days
+    pts = spark.createDataFrame([(1, t0)], "k long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(1, t0, t1, 0)], "ik long, s timestamp, e timestamp, iid long")
+    # 1s buckets x 60 days >> cap: the job fails loudly, not silently
+    with pytest.raises(Exception, match="spans more than"):
+        range_interval_join(pts, iv, "k", "ik", "ts", "s", "e",
+                            bucket_seconds=1.0,
+                            max_buckets_per_interval=1000).collect()
+    # cap disabled or satisfied: works
+    got = range_interval_join(pts, iv, "k", "ik", "ts", "s", "e",
+                              bucket_seconds=86400.0,
+                              max_buckets_per_interval=1000).collect()
+    assert len(got) == 1
