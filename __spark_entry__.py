@@ -6226,8 +6226,8 @@ def _corpus_quantiles_sql() -> str:
     return (
         "SELECT source AS key, count(n_chars) AS n, "
         "quantile_disc(n_chars, 0.25) AS q_25, "
-        "quantile_disc(n_chars, 0.5) AS q_5, "
-        "quantile_disc(n_chars, 0.9) AS q_9, "
+        "quantile_disc(n_chars, 0.5) AS q_50, "
+        "quantile_disc(n_chars, 0.9) AS q_90, "
         "quantile_disc(n_chars, 0.99) AS q_99 "
         "FROM documents GROUP BY source ORDER BY key"
     )

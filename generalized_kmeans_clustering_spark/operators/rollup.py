@@ -315,8 +315,12 @@ def retention_cohorts(
         "cohort", off.cast("int").alias("offset"), "entity")
     if max_offset is not None:
         cells = cells.where(F.col("offset") <= max_offset)
+    # (cohort, offset, entity) is already unique — staged is distinct
+    # over (entity, bucket, cohort) and bucket -> offset is injective
+    # per cohort — so a plain count avoids the two-phase
+    # distinct-aggregate on the dominant shuffle
     agg = cells.groupBy("cohort", "offset").agg(
-        F.count_distinct("entity").alias("n_active"))
+        F.count(F.lit(1)).alias("n_active"))
     wc = Window.partitionBy("cohort")
     base = F.max(F.when(F.col("offset") == 0, F.col("n_active"))).over(wc)
     return agg.select(
@@ -346,6 +350,11 @@ def throttle_events(
     """
     if window_seconds <= 0:
         raise ValueError("throttle_events: window_seconds must be > 0")
+    reserved = {"_bucket", "_rn"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"throttle_events: reserved working columns "
+            f"{sorted(reserved)} present on the input; rename them")
     keys = list(entity_cols)
     w_us = int(window_seconds * 1_000_000)
     bucket = F.floor(

@@ -110,7 +110,8 @@ def quantiles_by_key(
     whose values are all missing does not appear.
 
     Output: ``(key, n, q_<label>...)`` with one column per requested
-    quantile (label = q without the leading ``0.``).
+    quantile (label = q as a percent: ``q_25``, ``q_50``, ``q_99``,
+    ``q_100``; fractional percents use ``_`` for the point).
 
     Distributed shape: groupBy (key, value) collapses duplicates
     FIRST — the window that ranks values then runs over the distinct
@@ -125,9 +126,10 @@ def quantiles_by_key(
     for q in qs:
         if not 0.0 < q <= 1.0:
             raise ValueError(f"quantiles_by_key: q={q} outside (0, 1]")
-    # 0.25 -> "25", 0.5 -> "5", 1.0 -> "1"
-    labels = [("%g" % q).replace("0.", "", 1).replace(".", "_")
-              for q in qs]
+    # percent-based labels — unambiguous where fraction-digit labels
+    # collide (0.1 and 1.0 both gave "1"): 0.25 -> "25", 0.5 -> "50",
+    # 1.0 -> "100", 0.05 -> "5", 0.125 -> "12_5"
+    labels = [("%g" % (q * 100)).replace(".", "_") for q in qs]
     if len(set(labels)) != len(labels):
         raise ValueError("quantiles_by_key: duplicate q labels")
     x = F.col(value_col)

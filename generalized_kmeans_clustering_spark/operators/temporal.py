@@ -90,6 +90,12 @@ def asof_join(
         raise ValueError(
             f"asof_join: output columns {sorted(clash)} already exist on "
             "the left side; rename or pass right_cols explicitly")
+    if matched_ts_col in right_cols:
+        # the payload struct would carry two fields named matched_ts
+        # (AMBIGUOUS_REFERENCE_TO_FIELDS at expansion time)
+        raise ValueError(
+            f"asof_join: right column {matched_ts_col!r} collides with "
+            "matched_ts_col; pass a different matched_ts_col")
 
     payload = list(right_cols)
     reserved = {"_t", "_side", "_asof_tb", "_asof_p"} & (
@@ -200,6 +206,11 @@ def range_interval_join(
         raise ValueError(
             f"range_interval_join: ambiguous columns {sorted(overlap)}; "
             "rename before joining")
+    reserved = {"_b"} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError(
+            "range_interval_join: reserved working column '_b' present "
+            "on an input; rename it")
     w_us = int(bucket_seconds * 1_000_000)
 
     def _bucket(ts_col: Column) -> Column:
@@ -254,16 +265,19 @@ def rollup_cascade(
 
     ``grains`` must go finest → coarsest and each must be a
     ``date_trunc`` unit that nests in the next (minute ⊂ hour ⊂ day ⊂
-    week|month ⊂ year — week and month both nest in year but not in
-    each other; mixing them in one cascade raises).
+    week|month; week ⊂ NOTHING coarser — an ISO week straddles month
+    and year boundaries, so ``week`` is only valid as the LAST grain;
+    requesting anything after it raises rather than silently putting
+    New-Year's-week events in the wrong year).
 
     ``persist=True`` (default) caches the finest-grain partials —
     WITHOUT it Spark recomputes the shared aggregate subtree per union
     branch and the raw table is scanned once per grain (verified: no
     ReusedExchange fires across the branches). The cache is
     O(finest buckets × groups) rows — trivial next to the raw scan it
-    saves. The caller may ``unpersist()`` any returned level via the
-    usual Spark APIs when done.
+    saves. The persisted partial frame is exposed as
+    ``out._cascade_partials`` so long-lived sessions can
+    ``unpersist()`` it when done; one-shot jobs can ignore it.
     """
     gs = list(grains)
     if not gs:
@@ -276,8 +290,11 @@ def rollup_cascade(
     if idx != sorted(idx) or len(set(idx)) != len(idx):
         raise ValueError("rollup_cascade: grains must be strictly "
                          "finest -> coarsest")
-    if "week" in gs and "month" in gs:
-        raise ValueError("rollup_cascade: week does not nest in month")
+    if "week" in gs and gs[-1] != "week":
+        # an ISO week straddles month/year boundaries: re-truncating
+        # week buckets to any coarser unit misfiles boundary weeks
+        raise ValueError("rollup_cascade: week does not nest in any "
+                         "coarser grain; it must be the last grain")
     groups = list(group_cols)
 
     finest = gs[0]
@@ -287,8 +304,9 @@ def rollup_cascade(
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum(value_col).alias("sum_value"))
     )
+    partials = None
     if persist and len(gs) > 1:
-        level = level.persist()
+        level = partials = level.persist()
     levels = [level.withColumn("grain", F.lit(finest))]
     for g in gs[1:]:
         level = (
@@ -302,7 +320,12 @@ def rollup_cascade(
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return out.select(
+    out = out.select(
         "grain", "bucket_ts", *groups, "n_events", "sum_value",
         (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
     )
+    # hand the persisted partial frame to the caller for unpersist()
+    # in long-lived sessions (the union is a different DataFrame, so
+    # unpersisting the RESULT would not release this cache)
+    out._cascade_partials = partials
+    return out

@@ -40,10 +40,10 @@ def test_quantiles_by_key_exact(spark):
     for k, grp in df.dropna().groupby("k"):
         vals = grp.v.tolist()
         assert got.loc[k, "n"] == len(vals)
-        for q, lab in [(0.25, "q_25"), (0.5, "q_5"), (0.9, "q_9"),
-                       (1.0, "q_1")]:
+        for q, lab in [(0.25, "q_25"), (0.5, "q_50"), (0.9, "q_90"),
+                       (1.0, "q_100")]:
             assert got.loc[k, lab] == _disc_quantile(vals, q), (k, q)
-    assert got.loc["solo", "q_5"] == 7.0
+    assert got.loc["solo", "q_50"] == 7.0
 
 
 def test_quantiles_by_key_duplicates_collapse_and_validation(spark):
@@ -51,11 +51,14 @@ def test_quantiles_by_key_duplicates_collapse_and_validation(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"k": ["x"] * 100, "v": [5.0] * 99 + [9.0]}))
     row = quantiles_by_key(df, "k", "v", qs=(0.5, 0.99, 1.0)).collect()[0]
-    assert (row.n, row.q_5, row.q_99, row.q_1) == (100, 5.0, 5.0, 9.0)
+    assert (row.n, row.q_50, row.q_99, row.q_100) == (100, 5.0, 5.0, 9.0)
     with pytest.raises(ValueError, match="outside"):
         quantiles_by_key(df, "k", "v", qs=(0.0,))
     with pytest.raises(ValueError, match="at least one"):
         quantiles_by_key(df, "k", "v", qs=())
+    # 0.1 and 1.0 must NOT collide (the old fraction-digit labels did)
+    row = quantiles_by_key(df, "k", "v", qs=(0.1, 1.0)).collect()[0]
+    assert (row.q_10, row.q_100) == (5.0, 9.0)
 
 
 def _ev(uid, sec, typ):
@@ -211,3 +214,15 @@ def test_throttle_events(spark):
     assert kept == [10, 12, 13, 14]
     with pytest.raises(ValueError, match="window_seconds"):
         throttle_events(df, ("user_id",), "ts", window_seconds=0)
+
+
+def test_throttle_reserved_columns_raise(spark):
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        throttle_events,
+    )
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "x", 42)],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " _bucket long")
+    with pytest.raises(ValueError, match="_bucket"):
+        throttle_events(df, ("user_id",), "ts", 60.0)

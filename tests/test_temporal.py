@@ -341,3 +341,52 @@ def test_range_join_bucket_explosion_guard(spark):
                               bucket_seconds=86400.0,
                               max_buckets_per_interval=1000).collect()
     assert len(got) == 1
+
+
+def test_rollup_cascade_week_must_be_last(spark):
+    # regression: ('week','year') used to misfile New-Year's-week
+    # events into the previous year (date_trunc('year', week_bucket))
+    df = spark.createDataFrame(
+        [(pd.Timestamp("2023-01-01").to_pydatetime(), 1.0)],
+        "ts timestamp, v double")
+    with pytest.raises(ValueError, match="week"):
+        rollup_cascade(df, "ts", "v", ("week", "year"))
+    with pytest.raises(ValueError, match="week"):
+        rollup_cascade(df, "ts", "v", ("day", "week", "month"))
+    # week as the LAST grain is fine
+    out = rollup_cascade(df, "ts", "v", ("day", "week")).collect()
+    assert len(out) == 2
+
+
+def test_asof_matched_ts_name_collision_raises(spark):
+    lp, rp = _frames()
+    R = spark.createDataFrame(rp).withColumnRenamed("price", "matched_ts")
+    with pytest.raises(ValueError, match="matched_ts_col"):
+        asof_join(spark.createDataFrame(lp), R, "k", "ts", "rts")
+
+
+def test_range_join_reserved_column_raises(spark):
+    lp, rp = _frames()
+    iv = spark.createDataFrame(rp).select(
+        F.col("k").alias("ik"), F.col("rts").alias("s"),
+        (F.col("rts") + F.expr("INTERVAL 1 HOUR")).alias("e"))
+    P = spark.createDataFrame(lp).withColumn("_b", F.lit(42))
+    with pytest.raises(ValueError, match="_b"):
+        range_interval_join(P, iv, "k", "ik", "ts", "s", "e",
+                            bucket_seconds=60.0)
+
+
+def test_rollup_cascade_partials_handle(spark):
+    df = spark.createDataFrame(
+        [(pd.Timestamp("2024-01-01 05:30").to_pydatetime(), 2.0)],
+        "ts timestamp, v double")
+    out = rollup_cascade(df, "ts", "v", ("hour", "day"))
+    assert out._cascade_partials is not None
+    out.count()
+    assert out._cascade_partials.is_cached
+    out._cascade_partials.unpersist()
+    assert not out._cascade_partials.is_cached
+    # persist=False and single-grain: no handle
+    assert rollup_cascade(df, "ts", "v", ("hour", "day"),
+                          persist=False)._cascade_partials is None
+    assert rollup_cascade(df, "ts", "v", ("hour",))._cascade_partials is None
