@@ -97,7 +97,10 @@ def safe_add(v1, v2, context: str) -> np.ndarray:
         raise InvalidFeatures(
             f"{context}: Vector dimensions must match: "
             f"{a1.shape} vs {a2.shape}")
-    out = a1 + a2
+    # overflow is the condition being GUARDED, not an anomaly — silence
+    # numpy's RuntimeWarning and report through InvalidFeatures instead
+    with np.errstate(over="ignore", invalid="ignore"):
+        out = a1 + a2
     bad = np.flatnonzero(~np.isfinite(out))
     if bad.size:
         i = int(bad[0])
@@ -111,7 +114,8 @@ def safe_scale(v, scalar: float, context: str) -> np.ndarray:
     """v · scalar with overflow detection (``NumericGuards.scala:244-270``)."""
     check_finite_scalar(scalar, f"{context}: scalar multiplier")
     arr = np.asarray(v, dtype=np.float64)
-    out = arr * scalar
+    with np.errstate(over="ignore", invalid="ignore"):
+        out = arr * scalar
     bad = np.flatnonzero(~np.isfinite(out))
     if bad.size:
         i = int(bad[0])

@@ -68,19 +68,25 @@ def token_counts(
 
 def _join_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
     """Full-outer join of two ``(token, n)`` count frames with the
-    totals broadcast in — the shared back half of the batch operator
-    and the streaming monitor."""
+    token totals broadcast in — the shared back half of the batch
+    operator and the streaming monitor.
+
+    The totals ``ta``/``tb`` are aggregated from the two INPUT frames,
+    not from the joined frame — so the full-outer join subtree appears
+    exactly once in the consumer's lineage (aggregating the join and
+    then cross-joining the result back onto it evaluated the join
+    twice per action). The union-vocabulary size is NOT attached here:
+    the only consumer that needs it (:func:`drift_from_counts`) counts
+    it inside its single final aggregation."""
+    ta = ca.agg(F.sum("n").alias("ta"))
+    tb = cb.agg(F.sum("n").alias("tb"))
+    totals = ta.crossJoin(tb)
     ca = ca.withColumnRenamed("n", "na")
     cb = cb.withColumnRenamed("n", "nb")
     j = ca.join(cb, on="token", how="full_outer").select(
         "token",
         F.coalesce("na", F.lit(0)).alias("na"),
         F.coalesce("nb", F.lit(0)).alias("nb"),
-    )
-    totals = j.agg(
-        F.sum("na").alias("ta"),
-        F.sum("nb").alias("tb"),
-        F.count(F.lit(1)).alias("v"),
     )
     return j.crossJoin(F.broadcast(totals))
 
@@ -115,34 +121,49 @@ def drift_from_counts(
     j = _join_counts(counts_a, counts_b)
     p_raw = F.col("na") / F.col("ta")
     q_raw = F.col("nb") / F.col("tb")
-    p = (F.col("na") + F.lit(alpha)) / (
-        F.col("ta") + F.lit(alpha) * F.col("v")
-    )
-    q = (F.col("nb") + F.lit(alpha)) / (
-        F.col("tb") + F.lit(alpha) * F.col("v")
-    )
     m = (p_raw + q_raw) / 2
     # raw-share JS: 0-count terms contribute 0 from their absent side
     js_terms = (
         F.when(F.col("na") > 0, 0.5 * p_raw * F.log(p_raw / m)).otherwise(0.0)
         + F.when(F.col("nb") > 0, 0.5 * q_raw * F.log(q_raw / m)).otherwise(0.0)
     )
-    kl_ab = F.when(p > 0, p * F.log(p / q)).otherwise(0.0)
-    kl_ba = F.when(q > 0, q * F.log(q / p)).otherwise(0.0)
-    return j.agg(
-        F.max("ta").alias("tokens_a"),
-        F.max("tb").alias("tokens_b"),
+    # Smoothed KL, decomposed so the union-vocab size v never has to
+    # ride along per row (one aggregation pass, no totals pre-pass):
+    # with p_t = (na_t+α)/D_a, q_t = (nb_t+α)/D_b, D_a = ta+αv,
+    # D_b = tb+αv and Σ_t p_t = 1,
+    #   KL(p‖q) = [Σ_t (na_t+α)·log((na_t+α)/(nb_t+α))]/D_a
+    #             + log(D_b/D_a).
+    # At α=0 a zero count makes its log term NULL (Spark log/÷0), which
+    # sum() skips — identical to the old when(p>0, …).otherwise(0)
+    # convention (docstring: α=0 KL only valid when supports match).
+    na_s = F.col("na") + F.lit(alpha)
+    nb_s = F.col("nb") + F.lit(alpha)
+    agg = j.agg(
+        F.max("ta").alias("ta"),
+        F.max("tb").alias("tb"),
         F.sum((F.col("na") > 0).cast("long")).alias("vocab_a"),
         F.sum((F.col("nb") > 0).cast("long")).alias("vocab_b"),
-        F.max("v").alias("vocab_union"),
-        (
-            F.sum(((F.col("na") > 0) & (F.col("nb") > 0)).cast("long"))
-            / F.max("v")
-        ).alias("vocab_jaccard"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(((F.col("na") > 0) & (F.col("nb") > 0)).cast("long"))
+        .alias("vocab_both"),
         F.sum(js_terms).alias("js"),
-        F.sum(kl_ab).alias("kl_ab"),
-        F.sum(kl_ba).alias("kl_ba"),
+        F.sum(na_s * F.log(na_s / nb_s)).alias("s_ab"),
+        F.sum(nb_s * F.log(nb_s / na_s)).alias("s_ba"),
         (0.5 * F.sum(F.abs(p_raw - q_raw))).alias("tv"),
+    )
+    d_a = F.col("ta") + F.lit(alpha) * F.col("v")
+    d_b = F.col("tb") + F.lit(alpha) * F.col("v")
+    return agg.select(
+        F.col("ta").alias("tokens_a"),
+        F.col("tb").alias("tokens_b"),
+        "vocab_a",
+        "vocab_b",
+        F.col("v").alias("vocab_union"),
+        (F.col("vocab_both") / F.col("v")).alias("vocab_jaccard"),
+        "js",
+        (F.col("s_ab") / d_a + F.log(d_b / d_a)).alias("kl_ab"),
+        (F.col("s_ba") / d_b + F.log(d_a / d_b)).alias("kl_ba"),
+        "tv",
     )
 
 

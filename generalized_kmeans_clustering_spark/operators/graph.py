@@ -68,6 +68,7 @@ def propagate_flags(
     flagged = seeds.select(F.col(id_col).alias("id")).distinct() \
         .withColumn("round", F.lit(0))
     frontier = flagged
+    pinned = []
     for r in range(1, rounds + 1):
         nbrs = (
             sym.join(frontier.select(F.col("id").alias("a")), "a")
@@ -81,9 +82,16 @@ def propagate_flags(
             # every earlier round per reference (frontiers are small —
             # newly-flagged ids only)
             frontier = frontier.persist()
+            pinned.append(frontier)
         flagged = flagged.unionByName(frontier)
         # a drained frontier ends the walk early at the plan level too:
         # joins against it produce nothing; no driver-side check needed
+    # every persisted frontier is a live branch of the result's union —
+    # unpersisting any of them here would force re-derivation at action
+    # time. Long-lived sessions release the pins when done via
+    # out._pinned_frontiers (the rollup_cascade._cascade_partials
+    # convention); one-shot jobs can ignore it.
+    flagged._pinned_frontiers = pinned
     return flagged
 
 

@@ -177,6 +177,37 @@ def pq_decode(
     return df.withColumn(out_col, F.concat(*parts))
 
 
+def _guard_brute_queries(
+    queries: DataFrame,
+    max_broadcast_queries: int | None,
+    n_queries: int | None,
+    fn_name: str,
+    advice: str,
+) -> None:
+    """Warn when the query side of a brute top-k is too big to
+    broadcast-and-score. With ``n_queries`` (a caller-supplied size
+    hint) the check is free; otherwise it runs ONE ``limit(n+1)``
+    count job on the query side — which also re-evaluates the query
+    frame's lineage if it is an expensive unpersisted subquery. Pass
+    ``n_queries`` or ``max_broadcast_queries=None`` to avoid that."""
+    if max_broadcast_queries is None:
+        return
+    if n_queries is not None:
+        probe = int(n_queries)
+    else:
+        probe = queries.limit(max_broadcast_queries + 1).count()
+    if probe > max_broadcast_queries:
+        import warnings
+
+        warnings.warn(
+            f"{fn_name}: query side exceeds {max_broadcast_queries} "
+            f"rows — the brute path scores |corpus| x |queries| "
+            f"candidates with no pruning. {advice}, or raise "
+            "max_broadcast_queries to acknowledge the cost.",
+            stacklevel=3,
+        )
+
+
 def pq_topk(
     encoded: DataFrame,
     model: PQModel,
@@ -187,6 +218,7 @@ def pq_topk(
     code_col: str = "codes",
     exclude_self: bool = True,
     max_broadcast_queries: int | None = 4096,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """ADC top-k: ``(query_id, neighbor_id, approx_dist, rank)`` by
     ascending approximate squared L2.
@@ -202,22 +234,14 @@ def pq_topk(
     query (|corpus| × |queries| work, no pruning) — intended for
     broadcast-small query sets. A query table larger than
     ``max_broadcast_queries`` raises a warning pointing to
-    :func:`ivf_pq_topk` (the nprobe-pruned scale path); pass ``None``
-    to skip the size probe (one ``limit(n+1)`` count on the query
-    side) when the caller already knows the query set is small."""
-    if max_broadcast_queries is not None:
-        probe = queries.limit(max_broadcast_queries + 1).count()
-        if probe > max_broadcast_queries:
-            import warnings
-
-            warnings.warn(
-                f"pq_topk: query side exceeds {max_broadcast_queries} "
-                "rows — the brute ADC path scores |corpus| x |queries| "
-                "candidates with no pruning. Use ivf_pq_topk (nprobe-"
-                "pruned lists) for large query tables, or raise "
-                "max_broadcast_queries to acknowledge the cost.",
-                stacklevel=2,
-            )
+    :func:`ivf_pq_topk` (the nprobe-pruned scale path). The probe
+    costs one extra ``limit(n+1)`` count JOB per call (and recomputes
+    the query frame's lineage if it is unpersisted) — pass the
+    ``n_queries`` size hint when the caller already knows the count,
+    or ``max_broadcast_queries=None`` to skip the guard entirely."""
+    _guard_brute_queries(
+        queries, max_broadcast_queries, n_queries, "pq_topk",
+        "Use ivf_pq_topk (nprobe-pruned lists) for large query tables")
     qv = F.col(vec_col).cast("array<double>")
     luts = F.array(*[
         _codeword_dists(
@@ -534,6 +558,7 @@ def sq_topk(
     code_col: str = "codes",
     exclude_self: bool = True,
     max_broadcast_queries: int | None = 4096,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Asymmetric top-k over SQ codes: ``(query_id, neighbor_id,
     approx_dist, rank)`` by ascending approximate squared L2 (decoded
@@ -546,20 +571,11 @@ def sq_topk(
     (PQ pays m lookups; SQ pays d FLOPs but zero training and exact
     per-dim resolution). Brute path: |corpus| × |queries| with no
     pruning — the same ``max_broadcast_queries`` guard as
-    :func:`pq_topk` warns on large query tables."""
-    if max_broadcast_queries is not None:
-        probe = queries.limit(max_broadcast_queries + 1).count()
-        if probe > max_broadcast_queries:
-            import warnings
-
-            warnings.warn(
-                f"sq_topk: query side exceeds {max_broadcast_queries} "
-                "rows — the brute path scores |corpus| x |queries| "
-                "candidates with no pruning. Prune with an IVF list "
-                "join first, or raise max_broadcast_queries to "
-                "acknowledge the cost.",
-                stacklevel=2,
-            )
+    :func:`pq_topk` warns on large query tables (one extra count job
+    unless the ``n_queries`` size hint is passed)."""
+    _guard_brute_queries(
+        queries, max_broadcast_queries, n_queries, "sq_topk",
+        "Prune with an IVF list join first (ivf_sq_topk)")
     staged = sq_decode(
         encoded, model, id_col=id_col, code_col=code_col,
         vec_col="_dec",

@@ -36,9 +36,11 @@ def fixed_width_histogram(
     """``(bin, lo, hi, n)`` over ``n_bins`` equal-width bins spanning
     [lo, hi). Values below ``lo`` clamp into bin 0, at or above ``hi``
     into the last bin (standard edge-clamping — out-of-range mass is
-    visible at the edges instead of silently dropped); NULLs are
-    dropped. Bin id is ``floor((x − lo) / width)`` computed in doubles
-    then clamped — identical arithmetic in any engine."""
+    visible at the edges instead of silently dropped); NULLs and NaN
+    are dropped (NaN would otherwise floor-cast to 0 and silently pad
+    bin 0 — same convention as :func:`quantiles_by_key`). Bin id is
+    ``floor((x − lo) / width)`` computed in doubles then clamped —
+    identical arithmetic in any engine."""
     if n_bins <= 0:
         raise ValueError("n_bins must be positive")
     if not hi > lo:
@@ -48,7 +50,7 @@ def fixed_width_histogram(
     raw = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int")
     bin_id = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw))
     counts = (
-        df.where(x.isNotNull())
+        df.where(x.isNotNull() & ~F.isnan(x))
         .select(bin_id.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -100,6 +102,9 @@ def quantiles_by_key(
     key_col: str,
     value_col: str,
     qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+    method: str = "exact",
+    auto_distinct_threshold: int = 1_000_000,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """EXACT discrete per-key quantiles — the value at 1-based rank
     ``ceil(q * n)`` in each key's sorted values (``quantile_disc``
@@ -113,19 +118,39 @@ def quantiles_by_key(
     quantile (label = q as a percent: ``q_25``, ``q_50``, ``q_99``,
     ``q_100``; fractional percents use ``_`` for the point).
 
-    Distributed shape: groupBy (key, value) collapses duplicates
-    FIRST — the window that ranks values then runs over the distinct
-    values per key, not the rows, so hot keys with few distinct values
-    (the common skew: a spam string, an empty doc) cost one row per
-    distinct value. Two key-shuffles total (pre-agg + window; the
-    final per-key agg reuses the window's partitioning). No sort of
-    the raw table, no collect.
+    Distributed shape (exact path): groupBy (key, value) collapses
+    duplicates FIRST — the window that ranks values then runs over the
+    distinct values per key, not the rows, so hot keys with few
+    distinct values (the common skew: a spam string, an empty doc)
+    cost one row per distinct value. Two key-shuffles total (pre-agg +
+    window; the final per-key agg reuses the window's partitioning).
+    No sort of the raw table, no collect.
+
+    Cost ceiling and routing (``method``): the exact path's unit of
+    work is DISTINCT VALUES per key — a continuous double column with
+    hundreds of millions of distinct values per key makes the per-key
+    window sort the bottleneck. Routing mirrors the assignment layer's
+    k·d decision tree:
+
+    - ``"exact"`` (default) — always the window path above.
+    - ``"approx"`` — one ``percentile_approx`` aggregation (Greenwald–
+      Khanna sketch, map-side combined, NO per-key sort; error bound
+      ``1/approx_accuracy`` of rank). Still returns actual data
+      values, but the rank is approximate — not oracle-comparable.
+    - ``"auto"`` — one cheap probe aggregation (max distinct values
+      per key, a count-distinct agg over (key, value) — one extra
+      Spark job, documented) routes to exact below
+      ``auto_distinct_threshold`` distinct values per key, approx at
+      or above it.
     """
     if not qs:
         raise ValueError("quantiles_by_key: need at least one q")
     for q in qs:
         if not 0.0 < q <= 1.0:
             raise ValueError(f"quantiles_by_key: q={q} outside (0, 1]")
+    if method not in ("exact", "approx", "auto"):
+        raise ValueError(
+            f"quantiles_by_key: method={method!r} not in exact/approx/auto")
     # percent-based labels — unambiguous where fraction-digit labels
     # collide (0.1 and 1.0 both gave "1"): 0.25 -> "25", 0.5 -> "50",
     # 1.0 -> "100", 0.05 -> "5", 0.125 -> "12_5"
@@ -136,6 +161,29 @@ def quantiles_by_key(
     present = x.isNotNull()
     if dict(df.dtypes)[value_col] in ("float", "double"):
         present = present & ~F.isnan(x)
+    if method == "auto":
+        probe = (
+            df.where(present)
+            .groupBy(F.col(key_col).alias("key"))
+            .agg(F.count_distinct(x).alias("nd"))
+            .agg(F.max("nd").alias("max_nd"))
+            .first()
+        )
+        max_nd = 0 if probe is None or probe["max_nd"] is None else int(
+            probe["max_nd"])
+        method = "exact" if max_nd < auto_distinct_threshold else "approx"
+    if method == "approx":
+        agg_exprs = [F.count(F.lit(1)).alias("n")]
+        for q, lab in zip(qs, labels):
+            agg_exprs.append(
+                F.percentile_approx(x, F.lit(float(q)),
+                                    F.lit(int(approx_accuracy)))
+                .alias(f"q_{lab}"))
+        return (
+            df.where(present)
+            .groupBy(F.col(key_col).alias("key"))
+            .agg(*agg_exprs)
+        )
     counts = (
         df.where(present)
         .groupBy(F.col(key_col).alias("key"), x.alias("v"))
@@ -150,10 +198,14 @@ def quantiles_by_key(
         F.sum("c").over(wk).alias("n"),
     )
     # rank target r = ceil(q*n); the row CONTAINING rank r satisfies
-    # cum - c < r <= cum — min() just collapses the one hit per (key,q)
+    # cum - c < r <= cum — min() just collapses the one hit per (key,q).
+    # Snap the product to 9dp BEFORE ceil: q*n in binary floats can land
+    # just above the exact integer (0.07*100 = 7.000000000000001 ->
+    # ceil 8, one rank too high), and a rank shifted by one returns the
+    # wrong quantile VALUE with no error.
     sel = []
     for q, lab in zip(qs, labels):
-        r = F.ceil(F.lit(float(q)) * F.col("n"))
+        r = F.ceil(F.round(F.lit(float(q)) * F.col("n"), 9))
         hit = (F.col("cum") >= r) & ((F.col("cum") - F.col("c")) < r)
         sel.append(F.min(F.when(hit, F.col("v"))).alias(f"q_{lab}"))
     out = ranked.groupBy("key").agg(

@@ -39,7 +39,7 @@ class StreamingDriftMonitor:
 
     Usage::
 
-        StreamingDriftMonitor.write_reference(spark, ref_docs, ref_dir)
+        StreamingDriftMonitor.write_reference(ref_docs, ref_dir)
         mon = StreamingDriftMonitor(ref_dir, state_dir, gauges_dir)
         q = (stream.writeStream.foreachBatch(mon.process_batch)
              .option("checkpointLocation", ckpt).start())

@@ -226,3 +226,46 @@ def test_throttle_reserved_columns_raise(spark):
         " _bucket long")
     with pytest.raises(ValueError, match="_bucket"):
         throttle_events(df, ("user_id",), "ts", 60.0)
+
+
+def test_quantiles_rank_rounding_grid(spark):
+    # q*n in binary floats can land just above the exact integer
+    # (0.07*100 = 7.000000000000001 -> ceil 8): the rank must snap to
+    # the decimal value. value == rank makes the expectation direct.
+    import math
+    from fractions import Fraction
+
+    for n in (7, 13, 31, 100):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"] * n,
+                          "v": [float(i) for i in range(1, n + 1)]}))
+        qs = tuple(round(i / 100, 2) for i in range(1, 100, 3)) + (1.0,)
+        got = quantiles_by_key(df, "k", "v", qs=qs).collect()[0].asDict()
+        for q in qs:
+            lab = ("%g" % (q * 100)).replace(".", "_")
+            exp = math.ceil(Fraction(str(q)) * n)
+            assert got[f"q_{lab}"] == float(exp), (n, q)
+
+
+def test_quantiles_by_key_approx_and_auto(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 100,
+                      "v": [float(i) for i in range(100)]}))
+    exact = quantiles_by_key(df, "k", "v", qs=(0.5, 0.9)).collect()[0]
+    approx = quantiles_by_key(
+        df, "k", "v", qs=(0.5, 0.9), method="approx").collect()[0]
+    assert approx.n == 100
+    assert abs(approx.q_50 - exact.q_50) <= 1.0
+    assert abs(approx.q_90 - exact.q_90) <= 1.0
+    # auto: below the distinct-per-key threshold -> exact window path
+    lo = quantiles_by_key(
+        df, "k", "v", qs=(0.5,), method="auto",
+        auto_distinct_threshold=1000).collect()[0]
+    assert lo.q_50 == exact.q_50
+    # at/above the threshold (100 distinct >= 100) -> approx path
+    hi = quantiles_by_key(
+        df, "k", "v", qs=(0.5,), method="auto",
+        auto_distinct_threshold=100).collect()[0]
+    assert abs(hi.q_50 - exact.q_50) <= 1.0
+    with pytest.raises(ValueError, match="method"):
+        quantiles_by_key(df, "k", "v", method="nope")

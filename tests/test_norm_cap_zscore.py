@@ -177,3 +177,18 @@ def test_grouped_summary(spark):
     assert out["c"]["std"] is None          # constant group
     assert out["a"]["min"] == 1.0 and out["a"]["max"] == 5.0
     assert math.isclose(out["a"]["sum_x2"], 35.0)
+
+
+def test_histogram_drops_nan(spark):
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        fixed_width_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [1.0, float("nan"), float("nan"), 9.0, None]],
+        "x double",
+    )
+    out = {r["bin"]: r["n"] for r in
+           fixed_width_histogram(df, "x", 0.0, 10.0, 5).collect()}
+    # NaN must NOT be counted in bin 0 (floor(NaN) casts to 0 there)
+    assert out == {0: 1, 1: 0, 2: 0, 3: 0, 4: 1}

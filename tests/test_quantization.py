@@ -261,6 +261,40 @@ def test_pq_topk_warns_on_large_query_table(spark):
     assert not [r for r in rec if "pq_topk" in str(r.message)]
 
 
+def test_topk_n_queries_hint_skips_probe_job(spark):
+    """With the n_queries size hint the guard must not run its count
+    job — proven by handing it a query frame that RAISES on any
+    evaluation: building the (lazy) top-k plan must succeed."""
+    import warnings as w
+
+    import pandas as pd_
+
+    df = _df(spark)
+    enc = pq_encode(df, MODEL)
+
+    def boom(it):
+        raise RuntimeError("query side must not be evaluated")
+        yield pd_.DataFrame()
+
+    landmine = df.mapInPandas(boom, schema=df.schema)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pq_topk(enc, MODEL, landmine, k=1, n_queries=2)          # no job
+        sq = __import__(
+            "generalized_kmeans_clustering_spark.operators.quantization",
+            fromlist=["sq_topk", "train_sq", "sq_encode"])
+        m = sq.train_sq(df)
+        sq.sq_topk(sq.sq_encode(df, m), m, landmine, k=1, n_queries=2)
+    ours = [str(r.message) for r in rec
+            if "pq_topk" in str(r.message) or "sq_topk" in str(r.message)]
+    assert not ours, ours
+    # the hint still drives the warning when it exceeds the cap
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pq_topk(enc, MODEL, landmine, k=1, n_queries=5000)
+    assert any("ivf_pq_topk" in str(r.message) for r in rec)
+
+
 # --------------------------------------------------------------------------
 # Scalar quantization (SQ8)
 # --------------------------------------------------------------------------

@@ -1,5 +1,7 @@
 """Composable validators (reference ml/df/Validator.scala)."""
 
+import warnings
+
 import pytest
 
 from generalized_kmeans_clustering_spark import validation as V
@@ -128,11 +130,16 @@ def test_numeric_guards():
     with pytest.raises(InvalidFeatures, match="dimensions must match"):
         G.safe_add([1.0], [1.0, 2.0], "ctx")
     big = 1e308
-    with pytest.raises(InvalidFeatures, match="Overflow in vector addition"):
-        G.safe_add([big], [big], "ctx")
-    assert list(G.safe_scale([2.0, 3.0], 2.0, "ctx")) == [4.0, 6.0]
-    with pytest.raises(InvalidFeatures, match="Overflow in scalar"):
-        G.safe_scale([big], 10.0, "ctx")
+    # the guard layer must not itself emit numpy RuntimeWarnings while
+    # detecting the overflow it exists to report
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        with pytest.raises(InvalidFeatures,
+                           match="Overflow in vector addition"):
+            G.safe_add([big], [big], "ctx")
+        assert list(G.safe_scale([2.0, 3.0], 2.0, "ctx")) == [4.0, 6.0]
+        with pytest.raises(InvalidFeatures, match="Overflow in scalar"):
+            G.safe_scale([big], 10.0, "ctx")
     # preview truncates long vectors
     try:
         G.check_finite([float("nan")] + [0.0] * 20, "ctx")
