@@ -4570,11 +4570,14 @@ def q_revenue_by_nation(spark, sf_dir):
 
 
 def q_profit_by_nation_year(spark, sf_dir):
-    """TPC-H Q9-shaped profit rollup: lineitem ⋈ orders ⋈ part(filtered)
-    ⋈ supplier ⋈ nation, grouped by supplier nation × order year. The
-    p_type filter is pushed into the part SCAN before its broadcast,
-    all three dimensions broadcast (no fact-side shuffle for them),
-    and the only big shuffle is lineitem ⋈ orders on the order key."""
+    """TPC-H Q9-shaped profit rollup: lineitem ⋈ part(filtered) ⋈
+    supplier ⋈ nation ⋈ orders, grouped by supplier nation × order
+    year. Join ORDER is the plan order (CBO join reordering is off by
+    default), so the selective broadcast joins come FIRST: the p_type
+    filter is pushed into the part SCAN, its broadcast join prunes
+    lineitem down to PROMO rows, and only the surviving fraction pays
+    the one big shuffle (lineitem ⋈ orders on the order key). Joining
+    orders first would shuffle ALL of lineitem and filter after."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
@@ -4582,10 +4585,10 @@ def q_profit_by_nation_year(spark, sf_dir):
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     out = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),

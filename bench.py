@@ -187,6 +187,14 @@ def main():
     from generalized_kmeans_clustering_spark.operators.dedup import (
         duplicate_components, jaccard_verify,
     )
+    # r7→r8 note: the 3.76s→4.89s driver drift was chased with an
+    # interleaved same-JVM A/B of HEAD vs the pre-refactor
+    # lsh_candidate_pairs commit (9b93dfd~1), 5 trials after warmup at
+    # sf0.1/local[32]: mins 2.44s (HEAD) vs 2.38s (old), medians 2.92
+    # vs 2.73, identical component counts — the _band_explode_meta
+    # refactor is a no-op on this path (num_hashes passed explicitly
+    # short-circuits the resolver). Environment variance, not a
+    # regression; nothing to revert.
     timed("dedup_components", lambda: duplicate_components(
         jaccard_verify(
             docs,
