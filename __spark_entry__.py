@@ -3060,13 +3060,16 @@ def q_ivf_recall(spark, sf_dir):
     ).orderBy("query_id")
 
 
-def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107) -> str:
+def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107,
+                  cand_where="") -> str:
     """Twin of q_ivf_topk: fixed coarse centroids (corpus vectors
     cen_lo..cen_hi), spherical assignment with the engine's exact
     epsilons (centroid/feature normalize +1e-10, query normalize
     +1e-12, pairwise denominator +1e-10), first-index-wins argmin,
     probe rank by (csim DESC, list ASC) <= nprobe, in-list cosine
-    top-k by (sim DESC, neighbor_id ASC)."""
+    top-k by (sim DESC, neighbor_id ASC). ``cand_where`` (e.g.
+    " AND l.vec_id % 2 = 0") models ivf_topk's candidate PRE-filter:
+    applied before the top-k rank so k survives filtering."""
     return (
         "WITH cen AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, "
         "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
@@ -3087,7 +3090,7 @@ def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107) -> str:
         "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, lst ASC) AS pr FROM csims) "
         f"WHERE pr <= {nprobe}), "
         "cand AS (SELECT p.query_id, p.qv, l.vec_id, l.v FROM probes p JOIN lists l ON p.lst = l.lst "
-        "WHERE l.vec_id <> p.query_id), "
+        f"WHERE l.vec_id <> p.query_id{cand_where}), "
         "scored AS (SELECT query_id, vec_id AS neighbor_id, "
         "list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim FROM cand), "
         "r AS (SELECT query_id, neighbor_id, sim, CAST(row_number() OVER "
@@ -5162,6 +5165,36 @@ def q_ivf_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_ivf_topk_filtered(spark, sf_dir):
+    """Predicate-filtered ANN: the q_ivf_topk probe path with a 50%-
+    selective candidate predicate (even vec_id) PRE-applied — before
+    the probe join and the top-k window — so every query still gets k
+    rows (post-filtering the ranked output would under-fill k). The
+    serving shape for metadata-constrained search (language, source,
+    license): the predicate lands on the candidate scan and prunes
+    files before any join work."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index, ivf_topk,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    cen_rows = (
+        emb.where(F.col("vec_id").between(100, 107))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    init = [[float(v) for v in r["embedding"]] for r in cen_rows]
+    indexed, model = ivf_index(
+        emb, n_lists=8, seed=42, max_iter=0, initial_centers=init
+    )
+    out = ivf_topk(
+        indexed, model, emb.where(F.col("vec_id") < 5), k=3, nprobe=4,
+        where="vec_id % 2 = 0",
+    )
+    return out.select(
+        "query_id", "neighbor_id", _rcol(F.col("sim"), 6).alias("sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 def q_robust_fit(spark, sf_dir):
     from generalized_kmeans_clustering_spark.robust import RobustKMeans
 
@@ -6578,6 +6611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_update": q_streaming_update,
         "bisecting_fit": q_bisecting_fit,
         "similarity_ivf_topk": q_ivf_topk,
+        "similarity_ivf_topk_filtered": q_ivf_topk_filtered,
         "gkm_fit_full": q_fit_full,
         "kernel_se_distance": _kernel_query("se", MU4, ["f1", "f2", "f3", "f4"]),
         "kernel_l1_distance": _kernel_query("l1", MU4, ["f1", "f2", "f3", "f4"]),
@@ -7205,5 +7239,7 @@ FROM wide w ORDER BY xb
     out["sparse_kl_assign"] = _sparse_kl_assign_sql()
 
     out["similarity_ivf_topk"] = _ivf_topk_sql()
+    out["similarity_ivf_topk_filtered"] = _ivf_topk_sql(
+        cand_where=" AND l.vec_id % 2 = 0")
     out["knn_cosine_top3"] = _knn_cosine_sql()
     return out

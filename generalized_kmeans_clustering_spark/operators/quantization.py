@@ -219,9 +219,12 @@ def pq_topk(
     exclude_self: bool = True,
     max_broadcast_queries: int | None = 4096,
     n_queries: int | None = None,
+    where=None,
 ) -> DataFrame:
     """ADC top-k: ``(query_id, neighbor_id, approx_dist, rank)`` by
-    ascending approximate squared L2.
+    ascending approximate squared L2. ``where`` pre-filters candidates
+    (Column or SQL string over ``encoded``'s columns) so k survives
+    metadata filtering.
 
     The per-query ``m × k_sub`` lookup tables are staged as ONE
     query-side projection (computed once per query, not per
@@ -242,6 +245,9 @@ def pq_topk(
     _guard_brute_queries(
         queries, max_broadcast_queries, n_queries, "pq_topk",
         "Use ivf_pq_topk (nprobe-pruned lists) for large query tables")
+    from .similarity import _candidate_filter
+
+    encoded = _candidate_filter(encoded, where)
     qv = F.col(vec_col).cast("array<double>")
     luts = F.array(*[
         _codeword_dists(
@@ -378,6 +384,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     broadcast_queries: bool = True,
+    where=None,
 ) -> DataFrame:
     """ADC top-k through the inverted lists: probe the ``nprobe``
     nearest coarse centroids per query (squared L2), build the lookup
@@ -391,7 +398,15 @@ def ivf_pq_topk(
     probed partitions when ``encoded`` is stored partitioned by
     ``_list``. Set ``broadcast_queries=False`` for a large query table
     — the join then shuffles both sides on ``_list``.
+
+    ``where`` (Column or SQL string over the columns of ``encoded``)
+    PRE-filters candidates before the probe join and the top-k window
+    so k survives metadata filtering (see
+    :func:`~.similarity.ivf_topk`).
     """
+    from .similarity import _candidate_filter
+
+    encoded = _candidate_filter(encoded, where)
     C = coarse_model.centers
     centers_lit = F.array(*[array_lit(c) for c in C.tolist()])
     q = queries.select(
@@ -559,6 +574,7 @@ def sq_topk(
     exclude_self: bool = True,
     max_broadcast_queries: int | None = 4096,
     n_queries: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Asymmetric top-k over SQ codes: ``(query_id, neighbor_id,
     approx_dist, rank)`` by ascending approximate squared L2 (decoded
@@ -572,10 +588,14 @@ def sq_topk(
     per-dim resolution). Brute path: |corpus| × |queries| with no
     pruning — the same ``max_broadcast_queries`` guard as
     :func:`pq_topk` warns on large query tables (one extra count job
-    unless the ``n_queries`` size hint is passed)."""
+    unless the ``n_queries`` size hint is passed). ``where``
+    pre-filters candidates so k survives metadata filtering."""
     _guard_brute_queries(
         queries, max_broadcast_queries, n_queries, "sq_topk",
         "Prune with an IVF list join first (ivf_sq_topk)")
+    from .similarity import _candidate_filter
+
+    encoded = _candidate_filter(encoded, where)
     staged = sq_decode(
         encoded, model, id_col=id_col, code_col=code_col,
         vec_col="_dec",
@@ -674,6 +694,7 @@ def ivf_sq_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     broadcast_queries: bool = True,
+    where=None,
 ) -> DataFrame:
     """Asymmetric top-k through the inverted lists: probe the
     ``nprobe`` nearest coarse centroids per query, decode candidate
@@ -683,7 +704,12 @@ def ivf_sq_topk(
     doubles per query) is broadcast into the ``_list`` equi-join
     (partition-pruned when ``encoded`` is stored by ``_list``);
     ``broadcast_queries=False`` shuffles both sides on ``_list`` for
-    large query tables."""
+    large query tables. ``where`` pre-filters candidates (Column or
+    SQL string over ``encoded``'s columns) so k survives metadata
+    filtering (see :func:`~.similarity.ivf_topk`)."""
+    from .similarity import _candidate_filter
+
+    encoded = _candidate_filter(encoded, where)
     C = coarse_model.centers
     centers_lit = F.array(*[array_lit(c) for c in C.tolist()])
     q = queries.select(

@@ -38,6 +38,17 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _candidate_filter(df: DataFrame, where) -> DataFrame:
+    """PRE-filter the candidate side of a top-k search so ``k``
+    survives predicate filtering (post-filtering the ranked output
+    silently under-fills k). ``where`` is a Column or SQL string over
+    the candidate frame's columns; applied before the probe join /
+    WindowGroupLimit, so it pushes down to the candidate scan."""
+    if where is None:
+        return df
+    return df.where(F.expr(where) if isinstance(where, str) else where)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,12 +56,16 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    where=None,
 ) -> DataFrame:
-    """(query_id, neighbor_id, sim, rank) for top-k cosine neighbors."""
+    """(query_id, neighbor_id, sim, rank) for top-k cosine neighbors.
+    ``where`` (Column or SQL string over CORPUS columns) pre-filters
+    candidates so each query still gets k results."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(F.col(vec_col)).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(F.col(vec_col)).alias("_cv"))
+    c = _candidate_filter(corpus, where).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("_cv"))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
@@ -158,9 +173,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    where=None,
 ) -> DataFrame:
     """Probe the nprobe nearest centroid lists per query, exact cosine
     within probed lists only.
+
+    ``where`` (Column or SQL string over the columns of ``indexed``)
+    PRE-filters candidates before the probe join and the top-k window,
+    so a metadata-constrained search (language, source, license…)
+    still returns k rows per query — post-filtering the ranked output
+    would silently under-fill k. The predicate sits directly on the
+    candidate scan, so it prunes files/row-groups too. Keep the
+    metadata columns on ``indexed`` (join them on after
+    :func:`ivf_index`, or build the index from a frame that carries
+    them).
 
     Fully distributed: the n_lists×d centroid matrix rides as an
     expression literal (it is model state, k·d doubles — never data),
@@ -194,7 +220,7 @@ def ivf_topk(
     )
     if broadcast_queries:
         probes = F.broadcast(probes)
-    cand = indexed.join(probes, on="_list")
+    cand = _candidate_filter(indexed, where).join(probes, on="_list")
     cand = cand.where(F.col(id_col) != F.col("query_id"))
     scored = cand.withColumn("sim", cosine_sim(F.col("_qv"), F.col("_v")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))

@@ -122,6 +122,78 @@ def test_ivf_recall(spark):
     assert recall >= 0.8, recall
 
 
+def test_topk_where_prefilter_keeps_k(spark):
+    """A 50%-selective predicate must still yield k rows per query
+    (pre-filter before the rank window), and every neighbor must
+    satisfy it — post-filtering the unfiltered top-k would under-fill."""
+    rng = np.random.RandomState(7)
+    V = rng.randn(200, 16)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 3)
+    k = 5
+    # brute baseline
+    out = cosine_topk(df, queries, k=k, where="vec_id % 2 = 0").collect()
+    per_q = {}
+    for r in out:
+        assert r["neighbor_id"] % 2 == 0
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == k for v in per_q.values()) and len(per_q) == 3
+    # equals brute top-k over the pre-filtered corpus
+    ref = cosine_topk(df.where(F.col("vec_id") % 2 == 0), queries,
+                      k=k).collect()
+    assert {(r["query_id"], r["rank"], r["neighbor_id"]) for r in out} == \
+           {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ref}
+    # IVF path: same guarantees within probed lists
+    indexed, model = ivf_index(df, n_lists=4, max_iter=5)
+    ivf = ivf_topk(indexed, model, queries, k=k, nprobe=4,
+                   where=F.col("vec_id") % 2 == 0).collect()
+    per_q = {}
+    for r in ivf:
+        assert r["neighbor_id"] % 2 == 0
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # nprobe=4 of 4 lists probes everything -> must match the brute ref
+    assert all(len(v) == k for v in per_q.values())
+    assert {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf} == \
+           {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ref}
+
+
+def test_quantized_topk_where_prefilter(spark):
+    """pq/sq/ivf_pq/ivf_sq top-k: the where pre-filter restricts
+    candidates and k survives a 50% filter."""
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_pq_index, ivf_pq_topk, ivf_sq_index, ivf_sq_topk, pq_encode,
+        pq_topk, sq_encode, sq_topk, train_pq, train_sq,
+    )
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(120, 8)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 2)
+    k = 4
+
+    pq = train_pq(df, m=2, k_sub=8, seed=3)
+    out = pq_topk(pq_encode(df, pq), pq, queries, k=k, n_queries=2,
+                  where="vec_id % 2 = 0").collect()
+    assert len(out) == 2 * k and all(r["neighbor_id"] % 2 == 0 for r in out)
+
+    sq = train_sq(df)
+    out = sq_topk(sq_encode(df, sq), sq, queries, k=k, n_queries=2,
+                  where="vec_id % 2 = 0").collect()
+    assert len(out) == 2 * k and all(r["neighbor_id"] % 2 == 0 for r in out)
+
+    enc, coarse, pqm = ivf_pq_index(df, n_lists=2, m=2, k_sub=8, seed=5)
+    out = ivf_pq_topk(enc, coarse, pqm, queries, k=k, nprobe=2,
+                      where="vec_id % 2 = 0").collect()
+    assert len(out) == 2 * k and all(r["neighbor_id"] % 2 == 0 for r in out)
+
+    enc, coarse, sqm = ivf_sq_index(df, n_lists=2, seed=5)
+    out = ivf_sq_topk(enc, coarse, sqm, queries, k=k, nprobe=2,
+                      where="vec_id % 2 = 0").collect()
+    assert len(out) == 2 * k and all(r["neighbor_id"] % 2 == 0 for r in out)
+
+
 def test_ann_recall_counts_overlap_per_query(spark):
     from generalized_kmeans_clustering_spark.operators.similarity import (
         ann_recall,
