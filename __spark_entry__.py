@@ -4214,6 +4214,80 @@ def q_streaming_semantic_pairs(spark, sf_dir):
     return out
 
 
+def q_streaming_asof_join(spark, sf_dir):
+    """Watermarked STREAMING as-of join (streaming/asof.py): the
+    events_asof_join workload — clicks (user_id < 50) enriched with
+    the most recent same-user error — replayed as a 2-file
+    time-split availableNow stream through applyInPandasWithState.
+    Emission is watermark-gated (delay=0s; the final no-data batch
+    flushes via event-time timeouts), so the result must equal the
+    batch asof_join — the oracle is the SAME DuckDB ASOF JOIN SQL as
+    events_asof_join. The files are time-split (file 0 = earlier
+    half) because delay=0 leaves no late-arrival allowance across
+    micro-batches; production picks a real delay instead."""
+    import os
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.asof import (
+        streaming_asof_join,
+    )
+
+    ev = events(spark, sf_dir)
+    clicks = ev.where(
+        (F.col("event_type") == "click") & (F.col("user_id") < 50)
+    ).select("user_id", "ts", F.col("event_id"),
+             F.lit(None).cast("double").alias("value"),
+             F.lit(1).alias("is_left"))
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select("user_id", "ts",
+                F.lit(None).cast("long").alias("event_id"),
+                "value", F.lit(0).alias("is_left"))
+    )
+    u = clicks.unionByName(errors)
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    med = u.select(tus.alias("_tus")) \
+        .approxQuantile("_tus", [0.5], 0.0)[0]  # exact median split
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_asof_")
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((
+            u.where(tus <= F.lit(int(med))),
+            u.where(tus > F.lit(int(med))))):
+        tmp = f"{root}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+    schema = ("user_id long, ts timestamp, event_id long, "
+              "value double, is_left int")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_asof_join(
+        stream.where(F.col("is_left") == 1),
+        stream.where(F.col("is_left") == 0),
+        "user_id", "ts", "event_id", "value")
+    q = (out.writeStream.format("memory").queryName("gkm_asof_mem")
+         .outputMode("append")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = (
+        spark.sql("SELECT * FROM gkm_asof_mem")
+        .select("event_id", "user_id", "ts",
+                _rcol(F.col("matched_value"), 6).alias("err_value"),
+                F.col("matched_ts").alias("err_ts"))
+        .orderBy("event_id")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    spark.catalog.dropTempView("gkm_asof_mem")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 _GMEANS_C1 = [10.0, 1.0, 0.1, 0.1]
 _GMEANS_C2 = [45.0, 8.0, 0.9, 0.6]
 
@@ -6562,6 +6636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
+        "streaming_asof_join": q_streaming_asof_join,
         "streaming_semantic_pairs": q_streaming_semantic_pairs,
         "doc_line_dedup": q_doc_line_dedup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -7192,6 +7267,7 @@ FROM wide w ORDER BY xb
     # the true stream-stream join must reproduce the same batch answer
     # as its foreachBatch sibling (every event time fits the horizon)
     out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
+    out["streaming_asof_join"] = _events_asof_sql()
     out["streaming_semantic_pairs"] = _semantic_pairs_sql()
     out["corpus_source_rollup"] = _source_rollup_sql()
     out["similarity_knn_graph"] = _knn_graph_sql()
