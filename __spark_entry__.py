@@ -4288,6 +4288,79 @@ def q_streaming_asof_join(spark, sf_dir):
     return res
 
 
+def q_streaming_funnel(spark, sf_dir):
+    """Watermarked STREAMING funnel (streaming/funnel.py): the
+    view→click→purchase conversion stream over events (user_id < 50),
+    replayed as a 2-file time-split availableNow stream. One appended
+    row per entity at the moment its final stage matures — the
+    completed-entity set (with all three first-touch stage times)
+    must equal the batch funnel chain's, which the DuckDB min-chain
+    CTE twin replays."""
+    import os
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.funnel import (
+        streaming_funnel,
+    )
+
+    stages = ["view", "click", "purchase"]
+    ev = events(spark, sf_dir).where(
+        (F.col("user_id") < 50) & F.col("event_type").isin(stages)
+    ).select("user_id", "ts", "event_type")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    med = ev.select(tus.alias("_tus")).approxQuantile("_tus", [0.5], 0.0)[0]
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_funnel_")
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((ev.where(tus <= F.lit(int(med))),
+                              ev.where(tus > F.lit(int(med))))):
+        tmp = f"{root}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_funnel(stream, stages)
+    q = (out.writeStream.format("memory").queryName("gkm_funnel_mem")
+         .outputMode("append")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = (
+        spark.sql("SELECT * FROM gkm_funnel_mem")
+        .select("user_id", "t_0", "t_1", "t_2")
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    spark.catalog.dropTempView("gkm_funnel_mem")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+def _streaming_funnel_sql() -> str:
+    """Min-chain CTE replay of the first-touch funnel over events
+    (user_id < 50): stage i = min ts strictly after stage i-1; only
+    fully-converted entities appear (the completion-stream contract)."""
+    return (
+        "WITH f AS (SELECT user_id, ts, event_type FROM events "
+        "WHERE user_id < 50), "
+        "s0 AS (SELECT user_id, min(ts) AS t_0 FROM f "
+        "WHERE event_type = 'view' GROUP BY 1), "
+        "s1 AS (SELECT f.user_id, min(f.ts) AS t_1 FROM f "
+        "JOIN s0 ON f.user_id = s0.user_id "
+        "WHERE f.event_type = 'click' AND f.ts > s0.t_0 GROUP BY 1), "
+        "s2 AS (SELECT f.user_id, min(f.ts) AS t_2 FROM f "
+        "JOIN s1 ON f.user_id = s1.user_id "
+        "WHERE f.event_type = 'purchase' AND f.ts > s1.t_1 GROUP BY 1) "
+        "SELECT s0.user_id, t_0, t_1, t_2 FROM s0 "
+        "JOIN s1 ON s0.user_id = s1.user_id "
+        "JOIN s2 ON s1.user_id = s2.user_id ORDER BY 1"
+    )
+
+
 _GMEANS_C1 = [10.0, 1.0, 0.1, 0.1]
 _GMEANS_C2 = [45.0, 8.0, 0.9, 0.6]
 
@@ -6637,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dup_pairs": q_streaming_near_dup,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
         "streaming_asof_join": q_streaming_asof_join,
+        "streaming_funnel": q_streaming_funnel,
         "streaming_semantic_pairs": q_streaming_semantic_pairs,
         "doc_line_dedup": q_doc_line_dedup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -7268,6 +7342,7 @@ FROM wide w ORDER BY xb
     # as its foreachBatch sibling (every event time fits the horizon)
     out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
     out["streaming_asof_join"] = _events_asof_sql()
+    out["streaming_funnel"] = _streaming_funnel_sql()
     out["streaming_semantic_pairs"] = _semantic_pairs_sql()
     out["corpus_source_rollup"] = _source_rollup_sql()
     out["similarity_knn_graph"] = _knn_graph_sql()

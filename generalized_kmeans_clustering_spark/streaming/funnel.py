@@ -1,0 +1,163 @@
+"""Watermarked streaming funnel: real-time conversion completions.
+
+Streaming twin of :func:`..operators.rollup.funnel_rollup`'s
+per-entity stage chain. The batch operator reports per-stage counts
+over a finished table; the streaming shape event pipelines want is
+the CONVERSION STREAM — one appended row per entity the moment it
+completes the ordered funnel, watermark-correct under out-of-order
+arrival.
+
+Semantics (identical to the batch chain, test- and oracle-asserted):
+stage 0's time is the entity's first stage-0 event; stage i counts
+only STRICTLY after stage i-1's time (first qualifying event wins);
+``max_span_seconds`` additionally requires every stage to land within
+that span of the stage-0 time. An entity emits AT MOST ONCE — when
+its final stage time resolves — carrying all k stage timestamps.
+Entities that never complete emit nothing (their partial progress is
+queryable from the batch operator on the at-rest table).
+
+State per entity: the k stage timestamps (+ done flag) and the
+in-watermark-horizon buffer of this entity's funnel-typed events —
+events buffer only until the watermark matures them, then fold into
+the O(k) chain state and are EVICTED, so state is k + horizon × rate,
+never history (the streaming_asof_join bound; completed/partial
+entities leave a k-array tail bounded by entity cardinality).
+Event-time timeouts flush keys when the watermark advances without
+new input — availableNow replay therefore emits exactly the batch
+operator's completed-entity set (the batch-parity oracle recipe).
+Late events (older than the watermark on arrival) are dropped;
+emitted completions are never retracted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["streaming_funnel"]
+
+
+def _funnel_step(buf, times, done, wm_ms, span_us):
+    """Pure core: fold the buffer's mature slice ((ts_us, stage_idx)
+    with ts//1000 <= wm_ms, walked in (ts, stage) order) into the
+    first-touch chain ``times`` (list of k Optional[ts_us]). Returns
+    (completed_now, keep, times, done) — ``keep`` is the immature
+    remainder (mature rows are evicted), ``completed_now`` is True
+    exactly when this fold set the final stage time on a previously
+    incomplete chain."""
+    completed_now = False
+    keep = []
+    for t, j in sorted(buf):
+        if t // 1000 > wm_ms:
+            keep.append((t, j))
+            continue
+        if done:
+            continue
+        if j == 0:
+            if times[0] is None:
+                times[0] = t
+        elif times[j] is None and times[j - 1] is not None \
+                and t > times[j - 1]:
+            if span_us is not None and t - times[0] > span_us:
+                continue
+            times[j] = t
+            if j == len(times) - 1:
+                done = True
+                completed_now = True
+    return completed_now, keep, times, done
+
+
+def _funnel_fn(k: int, span_us: int | None):
+    def fn(key, pdf_iter: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (entity,) = key
+        if state.exists:
+            st = state.get
+            times = [None if t < 0 else int(t) for t in st[0]]
+            done = bool(st[1])
+            buf = list(zip(st[2], st[3]))
+        else:
+            times, done, buf = [None] * k, False, []
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                ts_us = [int(t.value // 1000)
+                         for t in pd.to_datetime(pdf["_t"])]
+                buf.extend(zip(ts_us, (int(j) for j in pdf["_stage"])))
+        wm_ms = state.getCurrentWatermarkMs()
+        completed_now, keep, times, done = _funnel_step(
+            buf, times, done, wm_ms, span_us)
+        if done:
+            keep = []  # a completed entity never needs its buffer again
+        state.update((
+            [-1 if t is None else t for t in times], done,
+            [r[0] for r in keep], [r[1] for r in keep],
+        ))
+        if keep and not done:
+            state.setTimeoutTimestamp(
+                max(min(r[0] for r in keep) // 1000 - 1, wm_ms + 1))
+        if completed_now:
+            row = {"entity": [entity]}
+            for i in range(k):
+                row[f"t_{i}"] = [pd.Timestamp(times[i], unit="us")]
+            yield pd.DataFrame(row)
+
+    return fn
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    stages,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: float | None = None,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Append-mode stream of funnel COMPLETIONS (see module doc):
+    one row ``(entity, t_0 … t_{k-1})`` per entity, emitted when its
+    final stage time becomes watermark-final. Column ``entity`` is
+    renamed to ``entity_col``; ``t_i`` is stage i's first-touch
+    timestamp."""
+    from pyspark.sql import types as T
+
+    stages = list(stages)
+    if len(stages) < 2:
+        raise ValueError("streaming_funnel: need at least 2 stages")
+    if len(set(stages)) != len(stages):
+        raise ValueError("streaming_funnel: duplicate stage types")
+    for c in (entity_col, ts_col, type_col):
+        if c not in stream.columns:
+            raise ValueError(f"streaming_funnel: column {c!r} missing")
+    if not isinstance(stream.schema[ts_col].dataType, T.TimestampType):
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    k = len(stages)
+    ent_t = stream.schema[entity_col].dataType.simpleString()
+    stage_idx = F.array_position(
+        F.array(*[F.lit(s) for s in stages]), F.col(type_col)) - 1
+    src = (
+        stream.where(F.col(type_col).isin(stages))  # shrink state input
+        .select(
+            F.col(entity_col).alias("_e"),
+            F.col(ts_col).alias("_t"),
+            stage_idx.cast("int").alias("_stage"),
+        )
+        .withWatermark("_t", delay)
+    )
+    span_us = (None if max_span_seconds is None
+               else int(max_span_seconds * 1_000_000))
+    out_schema = f"entity {ent_t}, " + ", ".join(
+        f"t_{i} timestamp" for i in range(k))
+    state_schema = ("times array<long>, done boolean, "
+                    "bts array<long>, bstage array<int>")
+    out = src.groupBy("_e").applyInPandasWithState(
+        _funnel_fn(k, span_us),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return out.withColumnRenamed("entity", entity_col)
