@@ -214,3 +214,35 @@ def test_temporal_audit_operators_compile_strict(strict_codegen, docs,
         [(i, i + 1) for i in range(20)], "src long, dst long")
     seeds = spark.createDataFrame([(0,)], "id long")
     assert propagate_flags(edges, seeds, rounds=2).count() == 3
+
+
+def test_q9_broadcast_joins_below_the_shuffle_join(spark, tmp_path):
+    """Plan-shape regression for the r7-verdict Q9 finding: the
+    selective broadcast dimension joins must prune the fact table
+    BEFORE the one big shuffle join (written order is plan order with
+    CBO off) — joining orders first would shuffle ALL of lineitem and
+    filter after."""
+    import __spark_entry__ as em
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = em.queries()["profit_by_nation_year"](
+            spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString() \
+            .split("== Initial Plan ==")[0]
+        lines = plan.splitlines()
+        bj = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l]
+        smj = [i for i, l in enumerate(lines)
+               if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+        assert len(bj) == 3 and len(smj) == 1, plan
+        assert all(i > smj[0] for i in bj), \
+            "broadcast joins must sit below the shuffle join"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
