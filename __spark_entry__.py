@@ -4340,6 +4340,62 @@ def q_streaming_funnel(spark, sf_dir):
     return res
 
 
+def q_streaming_retention(spark, sf_dir):
+    """Watermarked STREAMING cohort retention (streaming/retention.py):
+    events replayed as a 2-file time-split availableNow stream emit
+    exactly-once (entity, cohort, offset) first-activity rows; the
+    weekly retention matrix is the additive count over that stream
+    plus the offset-0 window denominator — and must equal the batch
+    retention_cohorts matrix (the SAME oracle SQL as
+    events_retention)."""
+    import os
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.retention import (
+        streaming_retention,
+    )
+
+    ev = events(spark, sf_dir).select("user_id", "ts")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    med = ev.select(tus.alias("_tus")).approxQuantile("_tus", [0.5], 0.0)[0]
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_ret_")
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((ev.where(tus <= F.lit(int(med))),
+                              ev.where(tus > F.lit(int(med))))):
+        tmp = f"{root}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_retention(stream, period="week")
+    q = (out.writeStream.format("memory").queryName("gkm_ret_mem")
+         .outputMode("append")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    from pyspark.sql import Window as W
+    agg = (spark.sql("SELECT * FROM gkm_ret_mem")
+           .groupBy("cohort", "offset")
+           .agg(F.count(F.lit(1)).alias("n_active")))
+    base = F.max(F.when(F.col("offset") == 0, F.col("n_active"))) \
+        .over(W.partitionBy("cohort"))
+    res = (
+        agg.select(
+            "cohort", "offset", "n_active",
+            _rcol(F.when(base > 0, F.col("n_active") / base), 6)
+            .alias("retention"))
+        .orderBy("cohort", "offset")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    spark.catalog.dropTempView("gkm_ret_mem")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 def _streaming_funnel_sql() -> str:
     """Min-chain CTE replay of the first-touch funnel over events
     (user_id < 50): stage i = min ts strictly after stage i-1; only
@@ -6711,6 +6767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
         "streaming_asof_join": q_streaming_asof_join,
         "streaming_funnel": q_streaming_funnel,
+        "streaming_retention": q_streaming_retention,
         "streaming_semantic_pairs": q_streaming_semantic_pairs,
         "doc_line_dedup": q_doc_line_dedup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -7343,6 +7400,7 @@ FROM wide w ORDER BY xb
     out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
     out["streaming_asof_join"] = _events_asof_sql()
     out["streaming_funnel"] = _streaming_funnel_sql()
+    out["streaming_retention"] = _events_retention_sql()
     out["streaming_semantic_pairs"] = _semantic_pairs_sql()
     out["corpus_source_rollup"] = _source_rollup_sql()
     out["similarity_knn_graph"] = _knn_graph_sql()

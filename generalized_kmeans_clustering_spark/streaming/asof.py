@@ -52,6 +52,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .maturity import schedule_flush
+
 __all__ = ["streaming_asof_join"]
 
 _STATE_SCHEMA = (
@@ -76,23 +78,23 @@ def _asof_step(buf, fts, fv, wm_ms):
     backward semantics, as in the batch operator); right ties resolve
     by greatest value.
     """
-    emits, keep = [], []
-    for t, s, i, v in sorted(
-        buf,
+    from .maturity import split_mature
+
+    mature, keep = split_mature(
+        buf, wm_ms,
         key=lambda r: (
             r[0], r[1],
             r[3] if r[1] == 0 and r[3] is not None else 0.0,
             r[2] if r[2] is not None else 0,
         ),
-    ):
-        if t // 1000 <= wm_ms:
-            if s == 0:
-                if fts is None or t >= fts:
-                    fts, fv = t, v
-            else:
-                emits.append((i, t, fv, fts))
+    )
+    emits = []
+    for t, s, i, v in mature:
+        if s == 0:
+            if fts is None or t >= fts:
+                fts, fv = t, v
         else:
-            keep.append((t, s, i, v))
+            emits.append((i, t, fv, fts))
     return emits, keep, fts, fv
 
 
@@ -123,11 +125,7 @@ def _asof_fn(tol_us: int | None):
             [r[0] for r in keep], [r[1] for r in keep],
             [r[2] for r in keep], [r[3] for r in keep],
         ))
-        if keep:
-            # fire as soon as the watermark can mature the earliest
-            # buffered row (must register strictly above current wm)
-            state.setTimeoutTimestamp(
-                max(min(r[0] for r in keep) // 1000 - 1, wm_ms + 1))
+        schedule_flush(state, keep, wm_ms)
         if emits:
             mv, mt = [], []
             for _, t, v, ft in emits:

@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .maturity import schedule_flush
+
 __all__ = ["streaming_funnel"]
 
 
@@ -49,12 +51,11 @@ def _funnel_step(buf, times, done, wm_ms, span_us):
     remainder (mature rows are evicted), ``completed_now`` is True
     exactly when this fold set the final stage time on a previously
     incomplete chain."""
+    from .maturity import split_mature
+
+    mature, keep = split_mature(buf, wm_ms)
     completed_now = False
-    keep = []
-    for t, j in sorted(buf):
-        if t // 1000 > wm_ms:
-            keep.append((t, j))
-            continue
+    for t, j in mature:
         if done:
             continue
         if j == 0:
@@ -96,9 +97,8 @@ def _funnel_fn(k: int, span_us: int | None):
             [-1 if t is None else t for t in times], done,
             [r[0] for r in keep], [r[1] for r in keep],
         ))
-        if keep and not done:
-            state.setTimeoutTimestamp(
-                max(min(r[0] for r in keep) // 1000 - 1, wm_ms + 1))
+        if not done:
+            schedule_flush(state, keep, wm_ms)
         if completed_now:
             row = {"entity": [entity]}
             for i in range(k):

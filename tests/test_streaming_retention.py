@@ -1,0 +1,125 @@
+"""Watermarked streaming retention (streaming/retention.py): pure
+core, availableNow parity with batch retention_cohorts, max_offset."""
+
+import datetime
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.rollup import (
+    retention_cohorts,
+)
+from generalized_kmeans_clustering_spark.streaming.retention import (
+    _retention_step, streaming_retention,
+)
+
+T0 = datetime.datetime(2024, 5, 6, 0, 0, 0)  # a Monday
+
+
+def _us(days):
+    return int((T0 + datetime.timedelta(days=days)).timestamp() * 1e6)
+
+
+def test_retention_step_first_touch_and_eviction():
+    # weekly mixes: week index = Monday's days-since-epoch // 7
+    def row(d):
+        dt = (T0 + datetime.timedelta(days=d)).date()
+        monday = dt - datetime.timedelta(days=dt.weekday())
+        bucket_us = int(datetime.datetime.combine(
+            monday, datetime.time()).timestamp() * 1e6)
+        days = (monday - datetime.date(1970, 1, 1)).days
+        return (_us(d), bucket_us, days // 7)
+
+    buf = [row(8), row(0), row(9), row(21)]  # wk1, wk0, wk1 dup, wk3
+    wm = _us(10) // 1000
+    emits, keep, cohort, cmix, seen = _retention_step(
+        buf, None, None, set(), wm, None)
+    # cohort fixed by the EARLIEST mature event; wk1 emitted once
+    assert [o for _, o in emits] == [0, 1]
+    assert all(c == cohort for c, _ in emits)
+    assert keep == [row(21)]                 # immature survives, rest evicted
+    emits2, keep2, *_ = _retention_step(
+        keep, cohort, cmix, seen, _us(30) // 1000, None)
+    assert [o for _, o in emits2] == [3] and keep2 == []
+    # max_offset trims without polluting seen
+    emits3, _, _, _, seen3 = _retention_step(
+        [row(70)], cohort, cmix, seen, _us(99) // 1000, max_offset=5)
+    assert emits3 == [] and 10 not in seen3
+
+
+def _replay(spark, tmp_path, files, name, **kw):
+    src = str(tmp_path / f"src_{name}")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, ts timestamp"
+    for i, rows in enumerate(files):
+        tmp = str(tmp_path / f"tmp_{name}_{i}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part),
+                    os.path.join(src, f"{i:02d}.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_retention(stream, **kw)
+    q = (out.writeStream.format("memory").queryName(f"ret_{name}")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM ret_{name}").collect()
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    for u in range(30):
+        d = rng.randint(0, 6)
+        for _ in range(rng.randint(1, 12)):
+            rows.append((u, T0 + datetime.timedelta(
+                days=d, hours=rng.randint(0, 23))))
+            d += rng.randint(0, 20)
+    rows.sort(key=lambda r: r[1])
+    half = len(rows) // 2
+    got = _replay(spark, tmp_path, [rows[:half], rows[half:]], "parity",
+                  period="week")
+    # aggregate the first-activity stream into the retention matrix
+    pairs = spark.createDataFrame(
+        [(r["user_id"], r["cohort"], r["offset"]) for r in got],
+        "user_id long, cohort timestamp, offset int")
+    assert pairs.count() == pairs.distinct().count()  # exactly-once
+    agg = {(r["cohort"], r["offset"]): r["n"] for r in
+           pairs.groupBy("cohort", "offset")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    exp = {(r["cohort"], r["offset"]): r["n_active"] for r in
+           retention_cohorts(df, "user_id", "ts", period="week").collect()}
+    assert agg == exp
+
+
+def test_streaming_retention_month_and_max_offset(spark, tmp_path):
+    rows = [
+        (1, T0),
+        (1, T0 + datetime.timedelta(days=40)),    # month offset 1
+        (1, T0 + datetime.timedelta(days=400)),   # offset 13 > cap
+        (1, T0 + datetime.timedelta(days=430)),   # advances watermark
+    ]
+    got = _replay(spark, tmp_path, [rows], "cap", period="month",
+                  max_offset=12)
+    offs = sorted(r["offset"] for r in got)
+    assert offs == [0, 1]
+
+
+def test_streaming_retention_validation(spark, tmp_path):
+    src = str(tmp_path / "v")
+    spark.createDataFrame([], "user_id long, ts timestamp") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp") \
+        .parquet(src)
+    with pytest.raises(ValueError, match="period"):
+        streaming_retention(stream, period="year")
+    with pytest.raises(ValueError, match="missing"):
+        streaming_retention(stream, entity_col="nope")
