@@ -1,0 +1,123 @@
+"""Executable documentation: the WATERMARKED streaming temporal layer.
+
+The batch temporal operators (asof_join / funnel_rollup /
+retention_cohorts, see event_analytics.py) answer questions about a
+table at rest; their streaming twins answer the same questions LIVE,
+with one shared discipline (streaming/maturity.py): events buffer per
+key only until the event-time watermark passes them, then fold into
+O(1)-per-key state and evict — so state is horizon × rate, never
+history, and an availableNow replay reproduces the batch answer
+exactly.
+
+1. streaming_asof_join — every click enriched with the latest
+   preceding error for that user (state: one floor row per user).
+2. streaming_funnel — a conversion row the instant a user completes
+   view → click → purchase (state: k first-touch times per user).
+3. streaming_retention — exactly-once (user, cohort, offset)
+   first-activity rows; retention matrices are additive counts over
+   this stream (state: cohort + seen offsets per user).
+
+Run standalone or via ``tests/test_examples.py``.
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
+         workdir: str | None = None) -> dict:
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark import (
+        streaming_asof_join, streaming_funnel, streaming_retention,
+    )
+
+    import __spark_entry__ as entry
+
+    owns_workdir = workdir is None
+    if owns_workdir:
+        workdir = tempfile.mkdtemp(prefix="gkm_stream_temporal_")
+
+    # simulate a landing bucket: two time-split files (delay="0
+    # seconds" leaves no cross-batch late allowance, so the replay
+    # files are time-ordered; a live deployment sets a real delay)
+    ev = entry.events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    med = ev.select(tus.alias("_tus")).approxQuantile("_tus", [0.5], 0.0)[0]
+    src = f"{workdir}/incoming"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((ev.where(tus <= F.lit(int(med))),
+                              ev.where(tus > F.lit(int(med))))):
+        tmp = f"{workdir}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+
+    def stream():
+        return (spark.readStream
+                .schema("event_id long, user_id long, ts timestamp, "
+                        "event_type string, value double")
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def run(out_df, name):
+        q = (out_df.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", f"{workdir}/ck_{name}")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}")
+
+    # 1. live as-of enrichment: clicks gain the latest preceding error
+    s = stream()
+    enriched = run(
+        streaming_asof_join(
+            s.where("event_type = 'click'"),
+            s.where("event_type = 'error'"),
+            "user_id", "ts", "event_id", "value"),
+        "ex_asof")
+    n_clicks = enriched.count()
+    n_matched = enriched.where(F.col("matched_value").isNotNull()).count()
+
+    # 2. live conversions: one row per completed view→click→purchase
+    conversions = run(
+        streaming_funnel(stream(), ["view", "click", "purchase"]),
+        "ex_funnel")
+    n_converted = conversions.count()
+
+    # 3. live retention: additive first-activity stream → matrix
+    pairs = run(streaming_retention(stream(), period="week"), "ex_ret")
+    matrix = (pairs.groupBy("cohort", "offset")
+              .agg(F.count(F.lit(1)).alias("n_active"))
+              .orderBy("cohort", "offset").collect())
+
+    for name in ("ex_asof", "ex_funnel", "ex_ret"):
+        spark.catalog.dropTempView(name)
+    if owns_workdir:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "clicks": n_clicks,
+        "clicks_with_error_context": n_matched,
+        "conversions": n_converted,
+        "retention_cells": len(matrix),
+    }
+
+
+if __name__ == "__main__":
+    session = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("streaming-temporal-example").getOrCreate()
+    )
+    try:
+        print(main(session))
+    finally:
+        session.stop()

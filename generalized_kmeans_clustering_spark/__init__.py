@@ -78,6 +78,11 @@ from .operators.rollup import (  # noqa: F401
 from .operators.temporal import (  # noqa: F401
     asof_join, range_interval_join, rollup_cascade,
 )
+
+# watermarked streaming twins of the temporal layer
+from .streaming.asof import streaming_asof_join  # noqa: F401
+from .streaming.funnel import streaming_funnel  # noqa: F401
+from .streaming.retention import streaming_retention  # noqa: F401
 from .operators.stats import quantiles_by_key  # noqa: F401
 from .operators.graph import propagate_flags  # noqa: F401
 from .operators.text_features import chunk_documents  # noqa: F401

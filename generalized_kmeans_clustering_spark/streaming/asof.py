@@ -132,15 +132,20 @@ def _asof_fn(tol_us: int | None):
                 if ft is not None and tol_us is not None \
                         and t - ft > tol_us:
                     v, ft = None, None
-                mv.append(v)
-                mt.append(None if ft is None
+                mv.append(float("nan") if v is None else float(v))
+                mt.append(pd.NaT if ft is None
                           else pd.Timestamp(ft, unit="us"))
+            # explicit dtypes: an all-None object column would make
+            # pyspark's batch concat warn and the output dtype unstable
             yield pd.DataFrame({
                 "key": [k] * len(emits),
-                "left_id": [e[0] for e in emits],
-                "ts": [pd.Timestamp(e[1], unit="us") for e in emits],
-                "matched_value": mv,
-                "matched_ts": mt,
+                "left_id": pd.Series([e[0] for e in emits],
+                                     dtype="int64"),
+                "ts": pd.Series(
+                    [pd.Timestamp(e[1], unit="us") for e in emits],
+                    dtype="datetime64[ns]"),
+                "matched_value": pd.Series(mv, dtype="float64"),
+                "matched_ts": pd.Series(mt, dtype="datetime64[ns]"),
             })
 
     return fn

@@ -110,3 +110,13 @@ def test_event_analytics_example(spark, sf_dir):
     assert out["cohort_cells"] >= 1
     assert set(out["grain_buckets"]) == {"hour", "day"}
     assert out["grain_buckets"]["hour"] >= out["grain_buckets"]["day"]
+
+
+def test_streaming_temporal_example(spark, sf_dir, tmp_path):
+    import streaming_temporal
+
+    out = streaming_temporal.main(spark, sf_dir, workdir=str(tmp_path))
+    assert out["clicks"] > 0
+    assert 0 <= out["clicks_with_error_context"] <= out["clicks"]
+    assert out["conversions"] >= 0
+    assert out["retention_cells"] >= 1
