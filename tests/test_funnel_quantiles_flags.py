@@ -269,3 +269,23 @@ def test_quantiles_by_key_approx_and_auto(spark):
     assert abs(hi.q_50 - exact.q_50) <= 1.0
     with pytest.raises(ValueError, match="method"):
         quantiles_by_key(df, "k", "v", method="nope")
+
+
+def test_quantiles_routing_plan_shapes(spark):
+    """SCALE claim: the approx route is ONE aggregation (no per-key
+    sort window); the exact route ranks over a Window. Plan-asserted
+    so a refactor can't silently reintroduce the per-key sort on the
+    approx path."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b"] * 50,
+                      "v": [float(i) for i in range(100)]}))
+    exact_plan = quantiles_by_key(
+        df, "k", "v", qs=(0.5,))._jdf.queryExecution() \
+        .executedPlan().toString()
+    approx_plan = quantiles_by_key(
+        df, "k", "v", qs=(0.5,), method="approx")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" in exact_plan
+    assert "Window" not in approx_plan
+    assert "percentile_approx" in approx_plan.lower() \
+        or "approx" in approx_plan.lower()
