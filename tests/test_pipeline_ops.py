@@ -212,3 +212,24 @@ def test_ann_recall_counts_overlap_per_query(spark):
     assert out == {0: pytest.approx(2 / 3), 1: pytest.approx(1.0), 2: 0.0}
     with pytest.raises(ValueError):
         ann_recall(approx, exact, k=0)
+
+
+def test_topk_where_filter_reaches_candidate_scan(spark, tmp_path):
+    """The where predicate must land in the candidate FileScan's
+    DataFilters (pre-join pushdown) — at scale it prunes files/row
+    groups instead of discarding ranked rows after the window."""
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, model = ivf_index(df, n_lists=4, max_iter=2)
+    store = str(tmp_path / "ivfidx")
+    indexed.write.parquet(store)
+    out = ivf_topk(spark.read.parquet(store), model,
+                   df.where(F.col("vec_id") < 2), k=3, nprobe=4,
+                   where="vec_id % 2 = 0")
+    plan = out._jdf.queryExecution().toString()
+    # the written store is the plan's only FileScan; the predicate must
+    # appear in its DataFilters (long paths can truncate the line, so
+    # match the filter rather than the path)
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan and any("% 2" in l for l in scan), scan
