@@ -289,3 +289,23 @@ def test_quantiles_routing_plan_shapes(spark):
     assert "Window" not in approx_plan
     assert "percentile_approx" in approx_plan.lower() \
         or "approx" in approx_plan.lower()
+
+
+def test_propagate_flags_exposes_pinned_frontiers(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "id long")
+    out = propagate_flags(e, s, rounds=4, id_col="id",
+                          src_col="src", dst_col="dst")
+    assert out.count() == 5
+    # deep walks pin one frontier per round; the pins are exposed for
+    # release in long-lived sessions (rollup_cascade convention)
+    pins = out._pinned_frontiers
+    assert len(pins) == 4 and all(p.is_cached for p in pins)
+    for p in pins:
+        p.unpersist()
+    assert not any(p.is_cached for p in pins)
+    # shallow walks don't persist at all
+    out2 = propagate_flags(e, s, rounds=2, id_col="id",
+                           src_col="src", dst_col="dst")
+    assert out2._pinned_frontiers == []
