@@ -4278,7 +4278,7 @@ def q_streaming_asof_join(spark, sf_dir):
     res = (
         spark.sql("SELECT * FROM gkm_asof_mem")
         .select("event_id", "user_id", "ts",
-                _rcol(F.col("matched_value"), 6).alias("err_value"),
+                _rcol(F.col("value"), 6).alias("err_value"),
                 F.col("matched_ts").alias("err_ts"))
         .orderBy("event_id")
         .localCheckpoint(eager=True)  # materialize before tmp cleanup
@@ -4286,6 +4286,103 @@ def q_streaming_asof_join(spark, sf_dir):
     spark.catalog.dropTempView("gkm_asof_mem")
     shutil.rmtree(root, ignore_errors=True)
     return res
+
+
+def q_streaming_asof_join_multi(spark, sf_dir):
+    """Watermarked STREAMING as-of join at the r9 generalized batch
+    contract (streaming/asof.py): COMPOSITE key (user_id, lane) and
+    TWO typed payload columns (double + string) carried row-
+    atomically. Clicks (user_id < 40) on each (user, lane) timeline
+    gain the most recent same-key error's value AND props string,
+    replayed as a 2-file time-split availableNow stream through
+    applyInPandasWithState; the oracle is a composite-key DuckDB
+    ASOF LEFT JOIN. lane = floor(value) % 2 (a derived second key
+    dimension; value is filtered non-NULL on both sides so the
+    engines agree on NULL-key semantics)."""
+    import os
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.asof import (
+        streaming_asof_join,
+    )
+
+    ev = events(spark, sf_dir).where(F.col("value").isNotNull())
+    lane = (F.floor(F.col("value")).cast("long") % 2).alias("lane")
+    clicks = ev.where(
+        (F.col("event_type") == "click") & (F.col("user_id") < 40)
+    ).select("user_id", lane, "ts", F.col("event_id"),
+             F.lit(None).cast("double").alias("err_value"),
+             F.lit(None).cast("string").alias("err_prop"),
+             F.lit(1).alias("is_left"))
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", lane, "ts")
+        .agg(F.max("value").alias("err_value"),
+             F.max("props").alias("err_prop"))
+        .select("user_id", "lane", "ts",
+                F.lit(None).cast("long").alias("event_id"),
+                "err_value", "err_prop", F.lit(0).alias("is_left"))
+    )
+    u = clicks.unionByName(errors)
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    med = u.select(tus.alias("_tus")) \
+        .approxQuantile("_tus", [0.5], 0.0)[0]  # exact median split
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_asofm_")
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((
+            u.where(tus <= F.lit(int(med))),
+            u.where(tus > F.lit(int(med))))):
+        tmp = f"{root}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+    schema = ("user_id long, lane long, ts timestamp, event_id long, "
+              "err_value double, err_prop string, is_left int")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_asof_join(
+        stream.where(F.col("is_left") == 1),
+        stream.where(F.col("is_left") == 0),
+        ["user_id", "lane"], "ts", "event_id",
+        ["err_value", "err_prop"])
+    q = (out.writeStream.format("memory").queryName("gkm_asofm_mem")
+         .outputMode("append")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = (
+        spark.sql("SELECT * FROM gkm_asofm_mem")
+        .select("event_id", "user_id", "lane", "ts",
+                _rcol(F.col("err_value"), 6).alias("err_value"),
+                "err_prop",
+                F.col("matched_ts").alias("err_ts"))
+        .orderBy("event_id")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    spark.catalog.dropTempView("gkm_asofm_mem")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+def _streaming_asof_multi_sql() -> str:
+    return (
+        "WITH l AS (SELECT event_id, user_id, "
+        "CAST(FLOOR(value) AS BIGINT) % 2 AS lane, ts FROM events "
+        "WHERE event_type = 'click' AND user_id < 40 "
+        "AND value IS NOT NULL), "
+        "r AS (SELECT user_id, CAST(FLOOR(value) AS BIGINT) % 2 AS lane, "
+        "ts, max(value) AS err_value, max(props) AS err_prop FROM events "
+        "WHERE event_type = 'error' AND value IS NOT NULL "
+        "GROUP BY 1, 2, 3) "
+        "SELECT l.event_id, l.user_id, l.lane, l.ts, "
+        + _r("r.err_value", 6) + " AS err_value, r.err_prop, "
+        "r.ts AS err_ts FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.lane = r.lane AND l.ts >= r.ts "
+        "ORDER BY l.event_id"
+    )
 
 
 def q_streaming_funnel(spark, sf_dir):
@@ -6766,6 +6863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dup_pairs": q_streaming_near_dup,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
         "streaming_asof_join": q_streaming_asof_join,
+        "streaming_asof_join_multi": q_streaming_asof_join_multi,
         "streaming_funnel": q_streaming_funnel,
         "streaming_retention": q_streaming_retention,
         "streaming_semantic_pairs": q_streaming_semantic_pairs,
@@ -7399,6 +7497,7 @@ FROM wide w ORDER BY xb
     # as its foreachBatch sibling (every event time fits the horizon)
     out["streaming_lsh_pairs"] = _streaming_near_dup_sql()
     out["streaming_asof_join"] = _events_asof_sql()
+    out["streaming_asof_join_multi"] = _streaming_asof_multi_sql()
     out["streaming_funnel"] = _streaming_funnel_sql()
     out["streaming_retention"] = _events_retention_sql()
     out["streaming_semantic_pairs"] = _semantic_pairs_sql()

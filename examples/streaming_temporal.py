@@ -85,7 +85,7 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
             "user_id", "ts", "event_id", "value"),
         "ex_asof")
     n_clicks = enriched.count()
-    n_matched = enriched.where(F.col("matched_value").isNotNull()).count()
+    n_matched = enriched.where(F.col("value").isNotNull()).count()
 
     # 2. live conversions: one row per completed view→click→purchase
     conversions = run(

@@ -1,5 +1,7 @@
 """Watermarked streaming as-of join (streaming/asof.py): state-core
-eviction semantics, availableNow batch parity, late-data drop."""
+eviction semantics, availableNow batch parity (single and composite
+key, single and multi typed payload, backward and forward), late-data
+drop, tolerance expiry."""
 
 import datetime
 import os
@@ -10,7 +12,7 @@ from pyspark.sql import functions as F
 
 from generalized_kmeans_clustering_spark.operators.temporal import asof_join
 from generalized_kmeans_clustering_spark.streaming.asof import (
-    _asof_step, streaming_asof_join,
+    _asof_step_bwd, _asof_step_fwd, streaming_asof_join,
 )
 
 T0 = datetime.datetime(2024, 5, 1, 0, 0, 0)
@@ -20,62 +22,110 @@ def _us(sec):
     return int((T0 + datetime.timedelta(seconds=sec)).timestamp() * 1e6)
 
 
-def test_asof_step_emits_and_evicts():
+def _r(sec, v):
+    return (_us(sec), 0, None, None, (v,))
+
+
+def _l(sec, lid):
+    return (_us(sec), 1, lid, None, (None,))
+
+
+def test_asof_step_bwd_emits_and_evicts():
     # buffer: rights at 10s/20s, lefts at 15s/25s; watermark at 20s
-    buf = [
-        (_us(15), 1, 100, None),
-        (_us(10), 0, None, 1.0),
-        (_us(25), 1, 101, None),
-        (_us(20), 0, None, 2.0),
-    ]
+    buf = [_l(15, 100), _r(10, 1.0), _l(25, 101), _r(20, 2.0)]
     wm_ms = _us(20) // 1000
-    emits, keep, fts, fv = _asof_step(buf, None, None, wm_ms)
+    emits, keep, floor = _asof_step_bwd(buf, None, wm_ms, None)
     # left@15 matched right@10; left@25 immature
-    assert emits == [(100, _us(15), 1.0, _us(10))]
+    assert emits == [(100, _us(15), _us(10), (1.0,))]
     # EVICTION: matured rows are gone; only the immature left remains
-    assert keep == [(_us(25), 1, 101, None)]
+    assert keep == [_l(25, 101)]
     # floor = latest mature right (right@20), carried for future lefts
-    assert (fts, fv) == (_us(20), 2.0)
+    assert floor == (_us(20), None, (2.0,))
     # next round: watermark passes everything -> left@25 matches floor
-    emits, keep, fts, fv = _asof_step(keep, fts, fv, _us(30) // 1000)
-    assert emits == [(101, _us(25), 2.0, _us(20))]
-    assert keep == [] and (fts, fv) == (_us(20), 2.0)
+    emits, keep, floor = _asof_step_bwd(keep, floor, _us(30) // 1000, None)
+    assert emits == [(101, _us(25), _us(20), (2.0,))]
+    assert keep == [] and floor == (_us(20), None, (2.0,))
 
 
-def test_asof_step_equal_ts_inclusive_and_right_ties():
+def test_asof_step_bwd_equal_ts_inclusive_and_tiebreak():
     # right at the SAME instant as left matches (inclusive backward);
-    # right ties at one ts resolve to the greatest value
+    # right ties at one ts resolve by greatest tiebreak
     buf = [
-        (_us(5), 1, 7, None),
-        (_us(5), 0, None, 3.0),
-        (_us(5), 0, None, 9.0),
+        (_us(5), 1, 7, None, (None,)),
+        (_us(5), 0, None, 3, (3.0,)),
+        (_us(5), 0, None, 9, (9.0,)),
     ]
-    emits, keep, fts, fv = _asof_step(buf, None, None, _us(5) // 1000)
-    assert emits == [(7, _us(5), 9.0, _us(5))]
+    emits, keep, floor = _asof_step_bwd(buf, None, _us(5) // 1000, None)
+    assert emits == [(7, _us(5), _us(5), (9.0,))]
     assert keep == []
 
 
-def _run_stream(spark, tmp_path, files, name, delay="0 seconds",
-                tolerance_seconds=None):
-    """Replay time-split parquet files (in list order) through the
-    streaming as-of join into a memory sink; returns collected rows."""
+def test_asof_step_bwd_cross_batch_tie_first_arrival_wins():
+    # a same-(ts, tiebreak) right folded in a LATER batch must NOT
+    # displace the floor already folded (the r8 ADVICE divergence:
+    # `t >= fts` let arrival order override the tie rule)
+    e1, k1, floor = _asof_step_bwd(
+        [(_us(5), 0, None, 1, (10.0,))], None, _us(6) // 1000, None)
+    assert floor == (_us(5), 1, (10.0,))
+    e2, k2, floor = _asof_step_bwd(
+        [(_us(5), 0, None, 1, (99.0,))], floor, _us(8) // 1000, None)
+    assert floor == (_us(5), 1, (10.0,))      # first arrival kept
+    # but a strictly greater tiebreak DOES displace it
+    e3, k3, floor = _asof_step_bwd(
+        [(_us(5), 0, None, 2, (7.0,))], floor, _us(9) // 1000, None)
+    assert floor == (_us(5), 2, (7.0,))
+
+
+def test_asof_step_fwd_matches_and_boundary_retention():
+    # lefts at 10s/30s; rights at 20s/40s; watermark at 20s: left@10
+    # matches right@20 (least ts at-or-after), and the 20s right sits
+    # IN the watermark ms -> ALSO retained for same-ms late lefts
+    buf = [_l(10, 1), _r(20, 5.0), _l(30, 2), _r(40, 6.0)]
+    wm = _us(20) // 1000
+    emits, keep, pending = _asof_step_fwd(buf, [], wm, None)
+    assert emits == [(1, _us(10), _us(20), (5.0,))]
+    assert keep == [_l(30, 2), _r(40, 6.0), _r(20, 5.0)]
+    assert pending == []
+    # watermark passes everything: the retained right re-walks first
+    # (no pending left -> no-op, not retained again), left@30 ->
+    # right@40
+    emits, keep, pending = _asof_step_fwd(
+        keep, pending, _us(50) // 1000, None)
+    assert emits == [(2, _us(30), _us(40), (6.0,))]
+    assert keep == [] and pending == []
+
+
+def test_asof_step_fwd_tolerance_expiry():
+    # left@10 with tolerance 5s: nearest right@20 is beyond tolerance
+    # -> unmatched as soon as the right is walked; left@100 with no
+    # right at all expires once wm passes its deadline ms
+    tol = 5_000_000
+    buf = [_l(10, 1), _r(20, 5.0), _l(100, 2)]
+    emits, keep, pending = _asof_step_fwd(buf, [], _us(200) // 1000, tol)
+    assert sorted(emits) == [(1, _us(10), None, None),
+                             (2, _us(100), None, None)]
+    assert keep == [] and pending == []
+    # deadline NOT yet passed -> still pending, no emit
+    emits, keep, pending = _asof_step_fwd(
+        [_l(100, 3)], [], _us(101) // 1000, tol)
+    assert emits == [] and pending == [(_us(100), 3)]
+
+
+def _write_files(spark, tmp_path, files, name, schema):
     src = str(tmp_path / f"src_{name}")
     os.makedirs(src, exist_ok=True)
-    schema = ("user_id long, ts timestamp, event_id long, value double,"
-              " is_left int")
     for i, rows in enumerate(files):
         tmp = str(tmp_path / f"tmp_{name}_{i}")
         spark.createDataFrame(rows, schema).coalesce(1) \
             .write.mode("overwrite").parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        shutil.copy(os.path.join(tmp, part), os.path.join(src, f"{i:02d}.parquet"))
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    out = streaming_asof_join(
-        stream.where(F.col("is_left") == 1),
-        stream.where(F.col("is_left") == 0),
-        "user_id", "ts", "event_id", "value",
-        delay=delay, tolerance_seconds=tolerance_seconds)
+        shutil.copy(os.path.join(tmp, part),
+                    os.path.join(src, f"{i:02d}.parquet"))
+    return spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+
+
+def _collect_stream(spark, tmp_path, out, name):
     q = (out.writeStream.format("memory").queryName(f"asof_{name}")
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
@@ -83,6 +133,19 @@ def _run_stream(spark, tmp_path, files, name, delay="0 seconds",
     q.awaitTermination(180)
     return spark.sql(
         f"SELECT * FROM asof_{name} ORDER BY event_id").collect()
+
+
+SCHEMA1 = ("user_id long, ts timestamp, event_id long, value double,"
+           " is_left int")
+
+
+def _run_stream(spark, tmp_path, files, name, **kw):
+    stream = _write_files(spark, tmp_path, files, name, SCHEMA1)
+    out = streaming_asof_join(
+        stream.where(F.col("is_left") == 1),
+        stream.where(F.col("is_left") == 0),
+        "user_id", "ts", "event_id", "value", **kw)
+    return _collect_stream(spark, tmp_path, out, name)
 
 
 def test_streaming_asof_matches_batch(spark, tmp_path):
@@ -102,19 +165,82 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     half = len(rows) // 2
     got = _run_stream(spark, tmp_path, [rows[:half], rows[half:]], "parity")
 
-    schema = ("user_id long, ts timestamp, event_id long, value double,"
-              " is_left int")
-    df = spark.createDataFrame(rows, schema)
+    df = spark.createDataFrame(rows, SCHEMA1)
     exp = asof_join(
         df.where("is_left = 1").select("user_id", "ts", "event_id"),
         df.where("is_left = 0").select("user_id", "ts", "value"),
         "user_id", "ts", "ts", ["value"],
     ).collect()
     exp_m = {r["event_id"]: (r["value"], r["matched_ts"]) for r in exp}
-    got_m = {r["event_id"]: (r["matched_value"], r["matched_ts"])
-             for r in got}
+    got_m = {r["event_id"]: (r["value"], r["matched_ts"]) for r in got}
     assert got_m == exp_m
     assert len(got_m) == eid  # every left row emitted exactly once
+
+
+SCHEMA2 = ("user_id long, lane int, ts timestamp, event_id long, "
+           "value double, tag string, seen boolean, is_left int")
+
+
+def test_streaming_asof_composite_key_multi_payload(spark, tmp_path):
+    """Composite (user_id, lane) key with THREE typed payload columns
+    (double, string, boolean) carried row-atomically — batch parity
+    for a 2-file time split, both directions."""
+    rows, eid = [], 0
+    for u in (1, 2):
+        for lane in (0, 1):
+            for s in range(0, 500, 60):       # rights every 60s
+                rows.append((u, lane, T0 + datetime.timedelta(
+                    seconds=s + 3 * u + lane), None,
+                    float(u * 100 + lane * 10 + s),
+                    f"t{u}{lane}{s}", s % 120 == 0, 0))
+            for s in range(15, 500, 85):      # lefts every 85s
+                rows.append((u, lane, T0 + datetime.timedelta(
+                    seconds=s + u), eid, None, None, None, 1))
+                eid += 1
+    rows.sort(key=lambda r: r[2])
+    half = len(rows) // 2
+    df = spark.createDataFrame(rows, SCHEMA2)
+    for direction in ("backward", "forward"):
+        stream = _write_files(spark, tmp_path, [rows[:half], rows[half:]],
+                              f"multi_{direction}", SCHEMA2)
+        out = streaming_asof_join(
+            stream.where(F.col("is_left") == 1),
+            stream.where(F.col("is_left") == 0),
+            ["user_id", "lane"], "ts", "event_id",
+            ["value", "tag", "seen"], direction=direction,
+            tolerance_seconds=3600.0)
+        got = _collect_stream(spark, tmp_path, out, f"multi_{direction}")
+        exp = asof_join(
+            df.where("is_left = 1").select("user_id", "lane", "ts",
+                                           "event_id"),
+            df.where("is_left = 0").select("user_id", "lane", "ts",
+                                           "value", "tag", "seen"),
+            ["user_id", "lane"], "ts", "ts", ["value", "tag", "seen"],
+            direction=direction, tolerance_seconds=3600.0,
+        ).collect()
+        exp_m = {r["event_id"]: (r["value"], r["tag"], r["seen"],
+                                 r["matched_ts"]) for r in exp}
+        got_m = {r["event_id"]: (r["value"], r["tag"], r["seen"],
+                                 r["matched_ts"]) for r in got}
+        assert got_m == exp_m, direction
+        assert len(got_m) == eid, direction
+
+
+def test_streaming_asof_forward_without_tolerance_holds_trailing(
+        spark, tmp_path):
+    """Forward with NO tolerance: lefts match the next right exactly;
+    a trailing left with no later right is HELD (documented — the
+    stream cannot prove no right will come), not emitted unmatched."""
+    rows = [
+        (1, T0, 0, None, 1),
+        (1, T0 + datetime.timedelta(seconds=30), None, 7.0, 0),
+        (1, T0 + datetime.timedelta(seconds=40), 1, None, 1),  # trailing
+        (1, T0 + datetime.timedelta(seconds=600), 2, None, 1),  # trailing
+    ]
+    got = _run_stream(spark, tmp_path, [rows], "fwd_hold",
+                      direction="forward")
+    m = {r["event_id"]: (r["value"], r["matched_ts"]) for r in got}
+    assert m == {0: (7.0, T0 + datetime.timedelta(seconds=30))}
 
 
 def test_streaming_asof_tolerance_and_unmatched(spark, tmp_path):
@@ -127,7 +253,7 @@ def test_streaming_asof_tolerance_and_unmatched(spark, tmp_path):
     ]
     got = _run_stream(spark, tmp_path, [rows], "tol",
                       tolerance_seconds=60.0)
-    m = {r["event_id"]: (r["matched_value"], r["matched_ts"]) for r in got}
+    m = {r["event_id"]: (r["value"], r["matched_ts"]) for r in got}
     assert m[0] == (5.0, T0)
     assert m[1] == (None, None)      # match older than tolerance voided
     assert m[2] == (None, None)      # never any right for user 2
@@ -148,14 +274,15 @@ def test_streaming_asof_drops_late_right(spark, tmp_path):
         (1, T0 + datetime.timedelta(seconds=120), 1, None, 1),
     ]
     got = _run_stream(spark, tmp_path, [f1, f2], "late")
-    m = {r["event_id"]: r["matched_value"] for r in got}
+    m = {r["event_id"]: r["value"] for r in got}
     # both lefts match the legit right@100; the late 99.0 never lands
     assert m == {0: 7.0, 1: 7.0}
 
 
 def test_streaming_asof_validation(spark, tmp_path):
     src = str(tmp_path / "v")
-    schema = "user_id long, ts timestamp, event_id long, value double"
+    schema = ("user_id long, ts timestamp, event_id long, value double,"
+              " d date")
     spark.createDataFrame([], schema).write.parquet(src)
     stream = spark.readStream.schema(schema).parquet(src)
     with pytest.raises(ValueError, match="missing"):
@@ -165,3 +292,12 @@ def test_streaming_asof_validation(spark, tmp_path):
         streaming_asof_join(
             stream.withColumn("sid", F.lit("x")), stream,
             "user_id", "ts", "sid", "value")
+    with pytest.raises(ValueError, match="supported"):
+        streaming_asof_join(stream, stream, "user_id", "ts",
+                            "event_id", "d")
+    with pytest.raises(ValueError, match="collide"):
+        streaming_asof_join(stream, stream, "user_id", "ts",
+                            "event_id", ["value", "value"])
+    with pytest.raises(ValueError, match="direction"):
+        streaming_asof_join(stream, stream, "user_id", "ts",
+                            "event_id", "value", direction="nearest")

@@ -25,7 +25,9 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from generalized_kmeans_clustering_spark.streaming.asof import _asof_step
+from generalized_kmeans_clustering_spark.streaming.asof import (
+    _asof_step_bwd, _asof_step_fwd, _tbk,
+)
 from generalized_kmeans_clustering_spark.streaming.funnel import (
     _funnel_step,
 )
@@ -71,28 +73,33 @@ def _drive(step, batches, wms, top):
 # --------------------------------------------------------------- asof
 @st.composite
 def asof_case(draw):
+    """Rows in the generalized core shape ``(ts, side, lid, tb,
+    payload_tuple)`` with a STRUCT payload (float, str) and the float
+    doubling as the tiebreak (the pre-r9 'greatest value wins' rule,
+    now expressed through the explicit tiebreak contract)."""
     n = draw(st.integers(1, 24))
     rows = []
     for i in range(n):
         # even-ms event times (see module doc) + sub-ms component
         t = 2 * draw(st.integers(0, 20)) * MS + draw(st.integers(0, 999))
         if draw(st.booleans()):
-            rows.append((t, 1, 100 + i, None))            # left
+            rows.append((t, 1, 100 + i, None, (None, None)))   # left
         else:
-            rows.append((t, 0, None, float(draw(st.integers(0, 9)))))
+            v = float(draw(st.integers(0, 9)))
+            rows.append((t, 0, None, v, (v, f"s{v}")))
     sched = _schedule(draw, rows)
     return rows, sched
 
 
 @settings(max_examples=200, deadline=None)
 @given(asof_case())
-def test_asof_core_matches_reference_under_any_schedule(case):
+def test_asof_bwd_core_matches_reference_under_any_schedule(case):
     rows, (batches, wms, top) = case
-    state = {"fts": None, "fv": None}
+    state = {"floor": None}
 
     def step(buf, wm):
-        e, keep, state["fts"], state["fv"] = _asof_step(
-            buf, state["fts"], state["fv"], wm)
+        e, keep, state["floor"] = _asof_step_bwd(
+            buf, state["floor"], wm, None)
         return e, keep
 
     emits, survived = _drive(step, batches, wms, top)
@@ -100,17 +107,58 @@ def test_asof_core_matches_reference_under_any_schedule(case):
     rights = [r for r in survived if r[1] == 0]
     assert sorted(e[0] for e in emits) == sorted(r[2] for r in lefts)
     ref = {}
-    for _, _, lid, _ in lefts:
+    for _, _, lid, _, _ in lefts:
         lt = next(r[0] for r in lefts if r[2] == lid)
         cand = [r for r in rights if r[0] <= lt]
         if cand:
-            mt = max(r[0] for r in cand)
-            mv = max(r[3] for r in cand if r[0] == mt)
-            ref[lid] = (mv, mt)
+            mt, mtb = max((r[0], _tbk(r[3])) for r in cand)
+            mp = next(r[4] for r in cand
+                      if (r[0], _tbk(r[3])) == (mt, mtb))
+            ref[lid] = (mt, mp)
         else:
             ref[lid] = (None, None)
     got = {e[0]: (e[2], e[3]) for e in emits}
     assert got == ref
+
+
+@st.composite
+def asof_fwd_case(draw):
+    rows, sched = draw(asof_case())
+    tol_ms = draw(st.one_of(st.none(), st.integers(1, 15)))
+    return rows, (None if tol_ms is None else 2 * tol_ms * MS), sched
+
+
+@settings(max_examples=200, deadline=None)
+@given(asof_fwd_case())
+def test_asof_fwd_core_matches_reference_under_any_schedule(case):
+    rows, tol_us, (batches, wms, top) = case
+    state = {"pending": []}
+
+    def step(buf, wm):
+        e, keep, state["pending"] = _asof_step_fwd(
+            buf, state["pending"], wm, tol_us)
+        return e, keep
+
+    emits, survived = _drive(step, batches, wms, top)
+    lefts = [r for r in survived if r[1] == 1]
+    rights = [r for r in survived if r[1] == 0]
+    ref, held = {}, set()
+    for _, _, lid, _, _ in lefts:
+        lt = next(r[0] for r in lefts if r[2] == lid)
+        cand = [r for r in rights if r[0] >= lt
+                and (tol_us is None or r[0] - lt <= tol_us)]
+        if cand:
+            mt, mtb = min((r[0], _tbk(r[3])) for r in cand)
+            mp = next(r[4] for r in cand
+                      if (r[0], _tbk(r[3])) == (mt, mtb))
+            ref[lid] = (mt, mp)
+        elif tol_us is not None and (lt + tol_us) // MS < top:
+            ref[lid] = (None, None)     # expiry provable -> unmatched
+        else:
+            held.add(lid)               # documented: cannot prove
+    got = {e[0]: (e[2], e[3]) for e in emits}
+    assert got == ref
+    assert {p[1] for p in state["pending"]} == held
 
 
 # ------------------------------------------------------------- funnel
