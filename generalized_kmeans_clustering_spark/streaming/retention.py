@@ -42,7 +42,7 @@ from .maturity import schedule_flush, split_mature
 __all__ = ["streaming_retention"]
 
 _STATE_SCHEMA = (
-    "cohort long, cmix long, seen array<int>, "
+    "cset boolean, cohort long, cmix long, seen array<int>, "
     "bts array<long>, bb array<long>, bmix array<long>"
 )
 
@@ -73,10 +73,13 @@ def _retention_fn(max_offset: int | None):
         (entity,) = key
         if state.exists:
             st = state.get
-            cohort = None if st[0] < 0 else int(st[0])
-            cmix = None if st[0] < 0 else int(st[1])
-            seen = set(int(x) for x in st[2])
-            buf = list(zip(st[3], st[4], st[5]))
+            # explicit has-cohort flag: a sentinel value would conflate
+            # "no cohort yet" with a legitimate negative cohort (a
+            # pre-1970 unix_micros bucket)
+            cohort = int(st[1]) if st[0] else None
+            cmix = int(st[2]) if st[0] else None
+            seen = set(int(x) for x in st[3])
+            buf = list(zip(st[4], st[5], st[6]))
         else:
             cohort, cmix, seen, buf = None, None, set(), []
         if not state.hasTimedOut:
@@ -89,8 +92,8 @@ def _retention_fn(max_offset: int | None):
         emits, keep, cohort, cmix, seen = _retention_step(
             buf, cohort, cmix, seen, wm_ms, max_offset)
         state.update((
-            -1 if cohort is None else cohort,
-            -1 if cmix is None else cmix,
+            cohort is not None,
+            cohort, cmix,
             sorted(seen),
             [r[0] for r in keep], [r[1] for r in keep],
             [r[2] for r in keep],

@@ -113,6 +113,27 @@ def test_streaming_retention_month_and_max_offset(spark, tmp_path):
     assert offs == [0, 1]
 
 
+def test_streaming_retention_negative_cohort_bucket(spark, tmp_path):
+    """A NEGATIVE cohort bucket must persist across micro-batches.
+    Reachable with post-epoch events (pre-epoch event times never pass
+    Spark's initial watermark of 0): the ISO week of 1970-01-01..04
+    truncates to Monday 1969-12-29, a negative unix_micros bucket. The
+    state carries an explicit has-cohort flag, so that cohort is not
+    mistaken for 'no cohort yet' and silently re-fixed to the next
+    mature event (which would shift every later offset)."""
+    def d(day):
+        return datetime.datetime(1970, 1, day)
+
+    rows1 = [(1, d(2)), (1, d(3))]                 # cohort wk 1969-12-29
+    rows2 = [(1, d(10)), (1, d(20))]               # offsets 1 and 3
+    got = _replay(spark, tmp_path, [rows1, rows2], "negcohort",
+                  period="week")
+    offs = sorted(r["offset"] for r in got)
+    assert offs == [0, 1, 3]
+    assert all(r["cohort"] == datetime.datetime(1969, 12, 29)
+               for r in got)                       # cohort never re-fixed
+
+
 def test_streaming_retention_validation(spark, tmp_path):
     src = str(tmp_path / "v")
     spark.createDataFrame([], "user_id long, ts timestamp") \
