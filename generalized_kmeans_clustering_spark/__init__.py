@@ -85,6 +85,7 @@ from .streaming.funnel import streaming_funnel  # noqa: F401
 from .streaming.retention import streaming_retention  # noqa: F401
 from .operators.stats import quantiles_by_key  # noqa: F401
 from .operators.graph import propagate_flags  # noqa: F401
+from .operators.pins import Pins  # noqa: F401
 from .operators.text_features import chunk_documents  # noqa: F401
 
 __version__ = "0.3.0"

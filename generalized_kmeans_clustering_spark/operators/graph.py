@@ -36,6 +36,7 @@ def propagate_flags(
     src_col: str = "src",
     dst_col: str = "dst",
     id_col: str = "id",
+    pins=None,
 ) -> DataFrame:
     """Bounded flag propagation over an undirected edge list: starting
     from the ``seeds`` ids (round 0), each round flags every neighbor
@@ -58,6 +59,13 @@ def propagate_flags(
     frontier), and a fixed ``rounds`` bound keeps the lineage/shuffle
     count constant. min(round) dedups multi-path discoveries. No
     collect; the frontier never materializes on the driver.
+
+    Deep walks (rounds > 2) persist each frontier — every one is a
+    live branch of the result's union, so unpersisting here would
+    re-derive all earlier rounds at action time. Pass a
+    :class:`~.pins.Pins` as ``pins`` to release them when done in a
+    long-lived session (the handle survives composition, unlike an
+    attribute on the returned frame); one-shot jobs can omit it.
     """
     if rounds < 1:
         raise ValueError("propagate_flags: rounds must be >= 1")
@@ -68,7 +76,6 @@ def propagate_flags(
     flagged = seeds.select(F.col(id_col).alias("id")).distinct() \
         .withColumn("round", F.lit(0))
     frontier = flagged
-    pinned = []
     for r in range(1, rounds + 1):
         nbrs = (
             sym.join(frontier.select(F.col("id").alias("a")), "a")
@@ -80,18 +87,14 @@ def propagate_flags(
         if rounds > 2:
             # deep walks: pin each frontier or the lineage re-derives
             # every earlier round per reference (frontiers are small —
-            # newly-flagged ids only)
+            # newly-flagged ids only); tracked on the caller's Pins
+            # handle for explicit release (see docstring)
             frontier = frontier.persist()
-            pinned.append(frontier)
+            if pins is not None:
+                pins.add(frontier)
         flagged = flagged.unionByName(frontier)
         # a drained frontier ends the walk early at the plan level too:
         # joins against it produce nothing; no driver-side check needed
-    # every persisted frontier is a live branch of the result's union —
-    # unpersisting any of them here would force re-derivation at action
-    # time. Long-lived sessions release the pins when done via
-    # out._pinned_frontiers (the rollup_cascade._cascade_partials
-    # convention); one-shot jobs can ignore it.
-    flagged._pinned_frontiers = pinned
     return flagged
 
 

@@ -137,11 +137,14 @@ def quantiles_by_key(
       Khanna sketch, map-side combined, NO per-key sort; error bound
       ``1/approx_accuracy`` of rank). Still returns actual data
       values, but the rank is approximate — not oracle-comparable.
-    - ``"auto"`` — one cheap probe aggregation (max distinct values
-      per key, a count-distinct agg over (key, value) — one extra
+    - ``"auto"`` — one cheap probe aggregation (max APPROXIMATE
+      distinct values per key via ``approx_count_distinct`` — an HLL
+      sketch, map-side combined, so the probe never shuffles the
+      (key, value) pairs it exists to avoid shuffling; one extra
       Spark job, documented) routes to exact below
       ``auto_distinct_threshold`` distinct values per key, approx at
-      or above it.
+      or above it. The HLL's ~2% relative error is immaterial to an
+      order-of-magnitude routing threshold.
     """
     if not qs:
         raise ValueError("quantiles_by_key: need at least one q")
@@ -162,10 +165,14 @@ def quantiles_by_key(
     if dict(df.dtypes)[value_col] in ("float", "double"):
         present = present & ~F.isnan(x)
     if method == "auto":
+        # approx_count_distinct, NOT count_distinct: an exact count-
+        # distinct at the ~1e8-distinct scale the probe exists to
+        # detect is itself a full (key, value) shuffle — roughly the
+        # cost of the exact path it is trying to avoid
         probe = (
             df.where(present)
             .groupBy(F.col(key_col).alias("key"))
-            .agg(F.count_distinct(x).alias("nd"))
+            .agg(F.approx_count_distinct(x).alias("nd"))
             .agg(F.max("nd").alias("max_nd"))
             .first()
         )

@@ -254,6 +254,7 @@ def rollup_cascade(
     grains: Sequence[str] = ("minute", "hour", "day"),
     group_cols: Sequence[str] = (),
     persist: bool = True,
+    pins=None,
 ) -> DataFrame:
     """Multi-granularity time rollup where only the FINEST grain reads
     the raw table; every coarser grain re-aggregates the finer grain's
@@ -275,9 +276,11 @@ def rollup_cascade(
     branch and the raw table is scanned once per grain (verified: no
     ReusedExchange fires across the branches). The cache is
     O(finest buckets × groups) rows — trivial next to the raw scan it
-    saves. The persisted partial frame is exposed as
-    ``out._cascade_partials`` so long-lived sessions can
-    ``unpersist()`` it when done; one-shot jobs can ignore it.
+    saves. Pass a :class:`~.pins.Pins` as ``pins`` to release the
+    partial frame when done in a long-lived session (the handle
+    survives composition — unpersisting the RESULT would not release
+    this cache, and an attribute on the result would vanish on any
+    further transformation); one-shot jobs can omit it.
     """
     gs = list(grains)
     if not gs:
@@ -304,9 +307,10 @@ def rollup_cascade(
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum(value_col).alias("sum_value"))
     )
-    partials = None
     if persist and len(gs) > 1:
-        level = partials = level.persist()
+        level = level.persist()
+        if pins is not None:
+            pins.add(level)
     levels = [level.withColumn("grain", F.lit(finest))]
     for g in gs[1:]:
         level = (
@@ -324,8 +328,4 @@ def rollup_cascade(
         "grain", "bucket_ts", *groups, "n_events", "sum_value",
         (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
     )
-    # hand the persisted partial frame to the caller for unpersist()
-    # in long-lived sessions (the union is a different DataFrame, so
-    # unpersisting the RESULT would not release this cache)
-    out._cascade_partials = partials
     return out

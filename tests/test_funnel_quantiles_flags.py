@@ -2,6 +2,7 @@
 (operators/rollup.py), propagate_flags (operators/graph.py)."""
 
 import datetime as dt
+import math
 
 import numpy as np
 import pandas as pd
@@ -271,6 +272,46 @@ def test_quantiles_by_key_approx_and_auto(spark):
         quantiles_by_key(df, "k", "v", method="nope")
 
 
+def test_quantiles_approx_rank_error_bound(spark):
+    """The approx path's contract is the Greenwald–Khanna guarantee:
+    the returned value's rank is within n/approx_accuracy of the
+    target rank. Deliberately NOT oracle-attested (sketch ranks are
+    engine-specific), so this property check is the only regression
+    gate on a wrong-accuracy routing change — randomized distributions
+    (uniform dup-heavy, zipf-ish head, constant-heavy) at two
+    accuracies."""
+    import random
+
+    for seed, shape in [(1, "uniform"), (2, "zipf"), (3, "constant")]:
+        rng = random.Random(seed)
+        n = 4000
+        if shape == "uniform":
+            vals = [float(rng.randint(0, 500)) for _ in range(n)]
+        elif shape == "zipf":
+            vals = [float(int(1.0 / (rng.random() + 1e-4))) for _ in
+                    range(n)]
+        else:
+            vals = [0.0] * (n // 2) + [float(rng.randint(0, 50))
+                                       for _ in range(n - n // 2)]
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"] * n, "v": vals}))
+        svals = sorted(vals)
+        for acc in (100, 10_000):
+            got = quantiles_by_key(
+                df, "k", "v", qs=(0.1, 0.5, 0.9, 0.99),
+                method="approx", approx_accuracy=acc).collect()[0]
+            tol = n / acc + 1                     # +1: rank-rounding slack
+            for q, lab in [(0.1, "q_10"), (0.5, "q_50"),
+                           (0.9, "q_90"), (0.99, "q_99")]:
+                v = got[lab]
+                # rank interval the returned value occupies (1-based)
+                lo = svals.index(v) + 1
+                hi = n - svals[::-1].index(v)
+                target = math.ceil(q * n)
+                assert lo - tol <= target <= hi + tol, (
+                    shape, acc, q, v, lo, hi, target)
+
+
 def test_quantiles_routing_plan_shapes(spark):
     """SCALE claim: the approx route is ONE aggregation (no per-key
     sort window); the exact route ranks over a Window. Plan-asserted
@@ -291,21 +332,29 @@ def test_quantiles_routing_plan_shapes(spark):
         or "approx" in approx_plan.lower()
 
 
-def test_propagate_flags_exposes_pinned_frontiers(spark):
+def test_propagate_flags_pins_handle(spark):
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
+
     e = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
     s = spark.createDataFrame([(1,)], "id long")
+    pins = Pins()
     out = propagate_flags(e, s, rounds=4, id_col="id",
-                          src_col="src", dst_col="dst")
-    assert out.count() == 5
-    # deep walks pin one frontier per round; the pins are exposed for
-    # release in long-lived sessions (rollup_cascade convention)
-    pins = out._pinned_frontiers
-    assert len(pins) == 4 and all(p.is_cached for p in pins)
-    for p in pins:
-        p.unpersist()
-    assert not any(p.is_cached for p in pins)
+                          src_col="src", dst_col="dst", pins=pins)
+    # the handle survives composition — the old attr-on-DataFrame
+    # convention vanished on out.filter(...)
+    composed = out.where(F.col("round") >= 0)
+    assert composed.count() == 5
+    # deep walks pin one frontier per round, released explicitly in
+    # long-lived sessions
+    held = pins.frames
+    assert len(held) == 4 and all(p.is_cached for p in held)
+    pins.release()
+    assert not any(p.is_cached for p in held) and len(pins) == 0
+    # releasing after the action never invalidates the result
+    assert composed.count() == 5
     # shallow walks don't persist at all
-    out2 = propagate_flags(e, s, rounds=2, id_col="id",
-                           src_col="src", dst_col="dst")
-    assert out2._pinned_frontiers == []
+    p2 = Pins()
+    propagate_flags(e, s, rounds=2, id_col="id",
+                    src_col="src", dst_col="dst", pins=p2).count()
+    assert len(p2) == 0

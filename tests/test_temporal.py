@@ -376,17 +376,33 @@ def test_range_join_reserved_column_raises(spark):
                             bucket_seconds=60.0)
 
 
-def test_rollup_cascade_partials_handle(spark):
+def test_rollup_cascade_pins_handle(spark):
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
+
     df = spark.createDataFrame(
         [(pd.Timestamp("2024-01-01 05:30").to_pydatetime(), 2.0)],
         "ts timestamp, v double")
-    out = rollup_cascade(df, "ts", "v", ("hour", "day"))
-    assert out._cascade_partials is not None
-    out.count()
-    assert out._cascade_partials.is_cached
-    out._cascade_partials.unpersist()
-    assert not out._cascade_partials.is_cached
-    # persist=False and single-grain: no handle
-    assert rollup_cascade(df, "ts", "v", ("hour", "day"),
-                          persist=False)._cascade_partials is None
-    assert rollup_cascade(df, "ts", "v", ("hour",))._cascade_partials is None
+    pins = Pins()
+    out = rollup_cascade(df, "ts", "v", ("hour", "day"), pins=pins)
+    assert len(pins) == 1
+    # the handle survives composition — the old attr-on-DataFrame
+    # convention vanished on any further transformation
+    composed = out.where(F.col("grain") == "day")
+    n = composed.count()
+    assert pins.frames[0].is_cached
+    pins.release()
+    assert not any(f.is_cached for f in [*pins.frames] or []) \
+        and len(pins) == 0
+    # releasing after the action never invalidates the result
+    assert composed.count() == n
+    # persist=False and single-grain: nothing pinned
+    p2 = Pins()
+    rollup_cascade(df, "ts", "v", ("hour", "day"), persist=False, pins=p2)
+    rollup_cascade(df, "ts", "v", ("hour",), pins=p2)
+    assert len(p2) == 0
+    # context-manager form releases on exit
+    with Pins() as p3:
+        rollup_cascade(df, "ts", "v", ("hour", "day"), pins=p3).count()
+        held = p3.frames
+        assert held[0].is_cached
+    assert not held[0].is_cached
