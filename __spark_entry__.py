@@ -3101,12 +3101,16 @@ def _ivf_topk_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107,
 
 
 def _knn_graph_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107,
-                   mode="union", digits=6) -> str:
+                   mode="union", digits=6, pred=None) -> str:
     """Twin of operators/similarity.knn_graph: the IVF top-k twin with
     the WHOLE corpus as the query side, then undirected
     symmetrization — union keeps a pair found by either endpoint,
-    mutual requires both."""
+    mutual requires both. ``pred`` (SQL over embeddings' columns)
+    mirrors knn_graph's ``where=``: it restricts the corpus — both
+    query and candidate sides — but NOT the fixed centroids (per-row
+    assignment is unchanged by the filter)."""
     having = "HAVING count(*) = 2 " if mode == "mutual" else ""
+    wpred = f"WHERE {pred} " if pred else ""
     return (
         "WITH cen AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) "
         "- 1 AS INTEGER) AS j, CAST(embedding AS DOUBLE[]) AS cv "
@@ -3114,7 +3118,7 @@ def _knn_graph_sql(n_lists=8, nprobe=4, k=3, cen_lo=100, cen_hi=107,
         "cenn AS (SELECT j, list_transform(cv, x -> x / "
         "(sqrt(list_dot_product(cv, cv)) + 1e-10)) AS cn FROM cen), "
         "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings), "
+        f"FROM embeddings {wpred}), "
         "corpn AS (SELECT vec_id, v, list_transform(v, x -> x / "
         "(sqrt(list_dot_product(v, v)) + 1e-10)) AS xn FROM corpus), "
         "asg AS (SELECT vec_id, v, j, "
@@ -3154,7 +3158,12 @@ def q_knn_graph(spark, sf_dir):
     row's IVF-probed top-3 cosine neighbors with the query side NEVER
     broadcast (it IS the corpus), symmetrized as the union graph — the
     affinity input for graph clustering at embedding dimensions the
-    3^d grid cannot reach."""
+    3^d grid cannot reach. Widened in r9 with a ``where=`` candidate
+    predicate (label <> 2): the per-metadata-subset graph where every
+    surviving node still gets k surviving neighbors — post-filtering
+    the edge list would lose the degree guarantee. The predicate
+    reaches the candidate scan (plan-asserted in
+    tests/test_pipeline_ops.py)."""
     from generalized_kmeans_clustering_spark.operators.similarity import (
         knn_graph,
     )
@@ -3166,7 +3175,8 @@ def q_knn_graph(spark, sf_dir):
     )
     init = [[float(v) for v in r["embedding"]] for r in cen_rows]
     out = knn_graph(emb, k=3, n_lists=8, nprobe=4, seed=42, max_iter=0,
-                    initial_centers=init, mode="union")
+                    initial_centers=init, mode="union",
+                    where=(F.col("label") != 2))
     return out.select(
         "i", "j", _rcol(F.col("sim"), 6).alias("sim"),
     ).orderBy("i", "j")
@@ -7502,7 +7512,7 @@ FROM wide w ORDER BY xb
     out["streaming_retention"] = _events_retention_sql()
     out["streaming_semantic_pairs"] = _semantic_pairs_sql()
     out["corpus_source_rollup"] = _source_rollup_sql()
-    out["similarity_knn_graph"] = _knn_graph_sql()
+    out["similarity_knn_graph"] = _knn_graph_sql(pred="label <> 2")
     out["eval_agreement_metrics"] = _agreement_sql()
     out["dedup_incremental"] = _dedup_incremental_sql()
     out["corpus_drift_gauges"] = _corpus_drift_sql()

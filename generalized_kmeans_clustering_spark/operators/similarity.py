@@ -112,14 +112,22 @@ def embedding_near_dups_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    where=None,
 ) -> DataFrame:
     """Scale path: cluster with the engine's spherical k-means, then
     search pairs only within each centroid bucket (candidate work is
     ~1/n_lists of brute force; recall is bounded by bucket purity —
     raise n_lists' inverse or lower threshold margin for higher
-    recall)."""
+    recall).
+
+    ``where`` (Column or SQL string over ``df``'s columns) restricts
+    the search to rows satisfying the predicate — applied BEFORE
+    indexing and bucketing, so it prunes the scan and the clustering
+    never touches excluded rows (per-language / per-license dedup
+    without a second pipeline)."""
     indexed, _ = ivf_index(
-        df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+        _candidate_filter(df, where),
+        n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
     )
     a = indexed.select(
         F.col("_list"), F.col(id_col).alias("i"), F.col("_v").alias("_vi")
@@ -151,10 +159,16 @@ def ivf_index(
     ``initial_centers`` (with ``max_iter=0``) builds the index around
     caller-supplied coarse centroids — deterministic, and useful when
     the centroids come from a prior sample-based training job.
+
+    All OTHER columns of ``corpus`` ride through onto ``indexed``
+    (metadata stays next to the vector), so a ``where=`` predicate in
+    :func:`ivf_topk` / :func:`knn_graph` can filter candidates on
+    them at the scan.
     """
     from ..kmeans import GeneralizedKMeans
 
-    base = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    base = corpus.select(
+        "*", _as_double(F.col(vec_col)).alias("_v"))
     model = GeneralizedKMeans(
         k=n_lists, divergence="spherical", seed=seed, max_iter=max_iter,
         features_col="_v", prediction_col="_list",
@@ -428,6 +442,7 @@ def knn_graph(
     seed: int = 42,
     max_iter: int = 10,
     initial_centers=None,
+    where=None,
 ) -> DataFrame:
     """Corpus-scale k-NN graph: EVERY row's approximate top-k cosine
     neighbors via the IVF self-probe — the standard affinity input for
@@ -447,14 +462,25 @@ def knn_graph(
     ``"mutual"`` requires BOTH (sparser, robust to hubs); ``"directed"``
     returns the raw per-query ranking ``(query_id, neighbor_id, sim,
     rank)``. Undirected output is ``(i, j, sim)`` with i < j.
+
+    ``where`` (Column or SQL string over ``df``'s columns) builds the
+    graph over the rows satisfying the predicate: BOTH the query and
+    candidate sides are pre-filtered (each surviving node still gets
+    k surviving neighbors — post-filtering the edge list would lose
+    the degree guarantee), and the candidate filter reaches the scan,
+    pruning files. The coarse centroids are still trained on the full
+    frame (assignment is per-row, so the surviving rows' lists are
+    unchanged); pre-filter ``df`` yourself if the index should see
+    only the subset.
     """
     if mode not in ("union", "mutual", "directed"):
         raise ValueError("mode: union | mutual | directed")
     indexed, model = ivf_index(
         df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed,
         max_iter=max_iter, initial_centers=initial_centers)
-    nn = ivf_topk(indexed, model, df, k=k, nprobe=nprobe, id_col=id_col,
-                  vec_col=vec_col, broadcast_queries=False)
+    nn = ivf_topk(indexed, model, _candidate_filter(df, where),
+                  k=k, nprobe=nprobe, id_col=id_col,
+                  vec_col=vec_col, broadcast_queries=False, where=where)
     if mode == "directed":
         return nn
     und = nn.select(

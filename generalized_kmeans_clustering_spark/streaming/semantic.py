@@ -53,7 +53,7 @@ class StreamingSemanticDedup:
 
     def __init__(self, state_dir: str, pairs_dir: str, centers,
                  threshold: float = 0.95, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
+                 vec_col: str = "embedding", where=None):
         if not centers:
             raise ValueError("StreamingSemanticDedup: empty centers")
         self.state_dir = state_dir
@@ -62,6 +62,11 @@ class StreamingSemanticDedup:
         self.threshold = float(threshold)
         self.id_col = id_col
         self.vec_col = vec_col
+        # candidate predicate (Column or SQL string over the stream's
+        # columns), applied BEFORE assignment/bucketing — excluded rows
+        # never enter the state store or any pair join (the r9 layer
+        # convention shared with ivf_topk/knn_graph's ``where=``)
+        self.where = where
 
     def _assign(self, df: DataFrame) -> DataFrame:
         from ..kmeans import GeneralizedKMeansModel
@@ -77,10 +82,11 @@ class StreamingSemanticDedup:
         return model.transform(staged).select("_id", "_v", "_list")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.similarity import cosine_sim
+        from ..operators.similarity import _candidate_filter, cosine_sim
 
         spark = batch_df.sparkSession
-        new = self._assign(batch_df).localCheckpoint(eager=True)
+        new = self._assign(_candidate_filter(batch_df, self.where)) \
+            .localCheckpoint(eager=True)
         try:
             # exclude this batch's own partition: a checkpoint replay
             # must not pair the previous attempt against itself

@@ -194,6 +194,86 @@ def test_quantized_topk_where_prefilter(spark):
     assert len(out) == 2 * k and all(r["neighbor_id"] % 2 == 0 for r in out)
 
 
+def test_knn_graph_where_filters_both_sides(spark):
+    """knn_graph(where=...): the graph is built over the predicate's
+    rows — every edge endpoint satisfies it, directed mode still
+    yields k neighbors per surviving node (degree guarantee), and the
+    result equals the graph over the pre-filtered frame when the
+    index is probe-complete."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    rng = np.random.RandomState(5)
+    V = rng.randn(80, 8)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = [[float(x) for x in V[i]] for i in range(4)]
+    kw = dict(k=3, n_lists=4, nprobe=4, max_iter=0, initial_centers=init)
+    out = knn_graph(df, mode="directed",
+                    where=F.col("vec_id") % 2 == 0, **kw).collect()
+    per_q = {}
+    for r in out:
+        assert r["query_id"] % 2 == 0 and r["neighbor_id"] % 2 == 0
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert len(per_q) == 40 and all(len(v) == 3 for v in per_q.values())
+    # nprobe == n_lists -> equals the graph over the pre-filtered frame
+    ref = knn_graph(df.where(F.col("vec_id") % 2 == 0), mode="directed",
+                    **kw).collect()
+    assert {(r["query_id"], r["rank"], r["neighbor_id"]) for r in out} == \
+           {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ref}
+    # union mode composes the same filter
+    und = knn_graph(df, mode="union",
+                    where=F.col("vec_id") % 2 == 0, **kw).collect()
+    assert und and all(r["i"] % 2 == 0 and r["j"] % 2 == 0 for r in und)
+
+
+def test_near_dups_ivf_where_prefilters_before_bucketing(spark):
+    """embedding_near_dups_ivf(where=...): pairs only among predicate
+    rows, equal to running the operator on the pre-filtered frame
+    (the filter sits before indexing/bucketing)."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        embedding_near_dups_ivf,
+    )
+
+    rng = np.random.RandomState(8)
+    base = rng.randn(30, 8)
+    # near-dup pairs: each row i and its +60 twin (tiny perturbation)
+    V = np.vstack([base, base + rng.randn(30, 8) * 1e-3])
+    rows = [(i, [float(x) for x in V[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dups_ivf(df, threshold=0.99, n_lists=2, seed=1,
+                                  where="vec_id % 3 != 0").collect()
+    assert got and all(r["i"] % 3 != 0 and r["j"] % 3 != 0 for r in got)
+    ref = embedding_near_dups_ivf(df.where("vec_id % 3 != 0"),
+                                  threshold=0.99, n_lists=2,
+                                  seed=1).collect()
+    assert {(r["i"], r["j"]) for r in got} == \
+           {(r["i"], r["j"]) for r in ref}
+
+
+def test_knn_graph_where_reaches_candidate_scan(spark, tmp_path):
+    """The knn_graph predicate must land in the candidate FileScan's
+    DataFilters (the r8 ivf_topk assert, lifted to the graph layer)."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    rng = np.random.RandomState(4)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    store = str(tmp_path / "knnsrc")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(store)
+    df = spark.read.parquet(store)
+    init = [rows[i][1] for i in range(3)]
+    out = knn_graph(df, k=3, n_lists=3, nprobe=3, max_iter=0,
+                    initial_centers=init, mode="directed",
+                    where="vec_id % 2 = 0")
+    plan = out._jdf.queryExecution().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans and any("% 2" in l for l in scans), scans
+
+
 def test_ann_recall_counts_overlap_per_query(spark):
     from generalized_kmeans_clustering_spark.operators.similarity import (
         ann_recall,
