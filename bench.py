@@ -119,6 +119,13 @@ def main():
     timed("transform_count", lambda: model.transform(li).where(
         F.col("prediction") >= 0).count())
     # fixed-center assignment + aggregation (the per-iteration core op)
+    # r8→r9 note: the 2.38s→3.09s driver drift was chased with the
+    # interleaved same-JVM A/B of HEAD vs the r7 tree (2a0ea44), 5
+    # trials after per-tree warmup at sf0.1/local[32] on an idle box
+    # (load 0.5): mins 1.93s (HEAD) vs 1.87s (r7), medians 2.10 vs
+    # 2.11 — identical, and both well under BOTH driver readings.
+    # Environment variance (assignment.py had zero commits between the
+    # rounds); nothing to revert.
     timed("assign_agg", lambda: em.q_assign_se_fixed(spark, sf_dir).collect())
     # soft assignment full pass (operator only — the entry-query twin
     # adds an orderBy for the oracle gate that survives under agg as a
@@ -179,6 +186,10 @@ def main():
     # each): numpy's full-distance matmul is bandwidth-trivial, so the
     # masked-skip bookkeeping roughly cancels the skipped math; the
     # Lemma-1 payoff grows with k·d and cluster separation.
+    # r8→r9 note: the 1.87s→2.32s driver drift A/B'd in the same run as
+    # assign_agg above (same harness, same box): mins 1.65s (HEAD) vs
+    # 1.72s (r7), medians 1.78 vs 1.74 — identical; variance, not a
+    # regression.
     timed("fit_se_k32_exact_arrow", lambda: GeneralizedKMeans(
         k=32, divergence="se", max_iter=3, seed=9, init_mode="random",
         assignment_strategy="pandas").fit(li))

@@ -101,3 +101,15 @@ def test_alpha_validation(pair):
         corpus_drift(a, b, alpha=-1.0)
     with pytest.raises(ValueError):
         drift_top_terms(a, b, k=0)
+
+
+def test_drift_full_outer_join_evaluated_once(pair):
+    """SCALE claim (r8 single-evaluation fix): the totals ride in from
+    the two INPUT count frames, so the full-outer token join subtree
+    appears exactly ONCE in the plan — aggregating the join and then
+    cross-joining the result back onto it evaluated the join (and both
+    tokenizations above it) twice per action."""
+    a, b = pair
+    for df in (corpus_drift(a, b), drift_top_terms(a, b, k=2)):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("FullOuter") == 1, plan

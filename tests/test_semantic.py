@@ -319,3 +319,39 @@ def test_streaming_semantic_dedup_batch_parity(spark, tmp_path):
     again = {(r["i"], r["j"], round(r["sim"], 9))
              for r in sd.pairs(spark).collect()}
     assert again == want
+
+
+def test_streaming_semantic_dedup_where_prefilters_state(spark, tmp_path):
+    """StreamingSemanticDedup(where=...): excluded rows never enter
+    the state store or any pair join — the result equals running the
+    unfiltered operator over the pre-filtered stream (the r9 graph/
+    pair-layer predicate convention)."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index,
+    )
+    from generalized_kmeans_clustering_spark.streaming.semantic import (
+        StreamingSemanticDedup,
+    )
+
+    df = _emb_df(spark)
+    pred = F.col("vec_id") % 2 == 0
+    indexed, _ = ivf_index(df.where(pred), n_lists=3, seed=0, max_iter=0,
+                           initial_centers=CENTERS)
+    want = {(r["i"], r["j"], round(r["sim"], 9))
+            for r in semantic_near_dup_pairs(
+                indexed, 0.9, list_size_cap=None).collect()}
+
+    sd = StreamingSemanticDedup(
+        str(tmp_path / "fstate"), str(tmp_path / "fpairs"),
+        centers=CENTERS, threshold=0.9, where=pred)
+    for b, lo, hi in ((0, 0, 3), (1, 3, 99)):
+        sd.process_batch(
+            df.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), b)
+    got = {(r["i"], r["j"], round(r["sim"], 9))
+           for r in sd.pairs(spark).collect()}
+    assert got == want and want          # non-empty parity
+    assert all(r["i"] % 2 == 0 and r["j"] % 2 == 0 for r in
+               sd.pairs(spark).collect())
+    # the state store itself holds only predicate rows
+    st = spark.read.parquet(str(tmp_path / "fstate"))
+    assert st.where(F.col("_id") % 2 == 1).count() == 0
