@@ -226,6 +226,49 @@ def test_streaming_asof_composite_key_multi_payload(spark, tmp_path):
         assert len(got_m) == eid, direction
 
 
+SCHEMA3 = ("user_id long, ts timestamp, event_id long, value double, "
+           "obs_ts timestamp, pri int, is_left int")
+
+
+def test_streaming_asof_timestamp_payload_and_tiebreak(spark, tmp_path):
+    """A TIMESTAMP payload column rides the state store as unix
+    micros and restores exactly; right (key, ts) ties resolve by the
+    explicit tiebreak column (greatest wins backward) — batch parity
+    on both."""
+    t = lambda s: T0 + datetime.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # two rights at the SAME (user, ts): pri decides the winner
+        (1, t(10), None, 1.0, t(1), 5, 0),
+        (1, t(10), None, 2.0, t(2), 9, 0),
+        (1, t(20), 0, None, None, None, 1),
+        (1, t(40), None, 3.0, t(3), 1, 0),
+        (1, t(50), 1, None, None, None, 1),
+        (1, t(300), 2, None, None, None, 1),
+    ]
+    stream = _write_files(spark, tmp_path, [rows[:3], rows[3:]],
+                          "tspay", SCHEMA3)
+    out = streaming_asof_join(
+        stream.where(F.col("is_left") == 1),
+        stream.where(F.col("is_left") == 0),
+        "user_id", "ts", "event_id", ["value", "obs_ts"],
+        tiebreak_col="pri")
+    got = _collect_stream(spark, tmp_path, out, "tspay")
+    df = spark.createDataFrame(rows, SCHEMA3)
+    exp = asof_join(
+        df.where("is_left = 1").select("user_id", "ts", "event_id"),
+        df.where("is_left = 0").select("user_id", "ts", "value",
+                                       "obs_ts", "pri"),
+        "user_id", "ts", "ts", ["value", "obs_ts"], tiebreak_col="pri",
+    ).collect()
+    exp_m = {r["event_id"]: (r["value"], r["obs_ts"], r["matched_ts"])
+             for r in exp}
+    got_m = {r["event_id"]: (r["value"], r["obs_ts"], r["matched_ts"])
+             for r in got}
+    assert got_m == exp_m
+    # the tie at t=10 resolved to pri=9's payload, obs_ts round-tripped
+    assert got_m[0] == (2.0, T0 + datetime.timedelta(seconds=2), t(10))
+
+
 def test_streaming_asof_forward_without_tolerance_holds_trailing(
         spark, tmp_path):
     """Forward with NO tolerance: lefts match the next right exactly;
