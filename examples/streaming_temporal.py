@@ -10,7 +10,9 @@ history, and an availableNow replay reproduces the batch answer
 exactly.
 
 1. streaming_asof_join — every click enriched with the latest
-   preceding error for that user (state: one floor row per user).
+   preceding error for that user (state: one floor row per user);
+   plus the r9 generalized contract: forward direction with a
+   tolerance ("next click within 6h after each error").
 2. streaming_funnel — a conversion row the instant a user completes
    view → click → purchase (state: k first-touch times per user).
 3. streaming_retention — exactly-once (user, cohort, offset)
@@ -87,6 +89,21 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
     n_clicks = enriched.count()
     n_matched = enriched.where(F.col("value").isNotNull()).count()
 
+    # 1b. the generalized contract (r9): FORWARD direction with a
+    # tolerance — each error annotated with the next click value
+    # within 6 hours (the "did the user recover?" question). Forward
+    # needs the tolerance to flush unmatched lefts: without it the
+    # stream can never prove no later right will arrive.
+    s = stream()
+    recovered = run(
+        streaming_asof_join(
+            s.where("event_type = 'error'"),
+            s.where("event_type = 'click'"),
+            "user_id", "ts", "event_id", "value",
+            direction="forward", tolerance_seconds=6 * 3600.0),
+        "ex_asof_fwd")
+    n_recovered = recovered.where(F.col("value").isNotNull()).count()
+
     # 2. live conversions: one row per completed view→click→purchase
     conversions = run(
         streaming_funnel(stream(), ["view", "click", "purchase"]),
@@ -99,13 +116,14 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
               .agg(F.count(F.lit(1)).alias("n_active"))
               .orderBy("cohort", "offset").collect())
 
-    for name in ("ex_asof", "ex_funnel", "ex_ret"):
+    for name in ("ex_asof", "ex_asof_fwd", "ex_funnel", "ex_ret"):
         spark.catalog.dropTempView(name)
     if owns_workdir:
         shutil.rmtree(workdir, ignore_errors=True)
     return {
         "clicks": n_clicks,
         "clicks_with_error_context": n_matched,
+        "errors_with_recovery_click": n_recovered,
         "conversions": n_converted,
         "retention_cells": len(matrix),
     }
