@@ -163,12 +163,24 @@ def ivf_index(
     All OTHER columns of ``corpus`` ride through onto ``indexed``
     (metadata stays next to the vector), so a ``where=`` predicate in
     :func:`ivf_topk` / :func:`knn_graph` can filter candidates on
-    them at the scan.
+    them at the scan. ``vec_col`` itself does NOT ride through — it
+    is fully redundant with the searched ``_v`` copy, and keeping
+    both would double the stored index's vector bytes
+    (:func:`write_ivf_index`) and every probe's scan.
     """
     from ..kmeans import GeneralizedKMeans
 
+    reserved = {"_v", "_list", "query_id"} & set(corpus.columns)
+    if reserved - {vec_col}:
+        # _v/_list collide with the index's working columns; query_id
+        # would make ivf_topk's self-exclusion filter ambiguous after
+        # the probe join (the asof_join reserved-name convention)
+        raise ValueError(
+            f"ivf_index: reserved columns {sorted(reserved - {vec_col})} "
+            "present on the corpus; rename them")
     base = corpus.select(
-        "*", _as_double(F.col(vec_col)).alias("_v"))
+        *[c for c in corpus.columns if c != vec_col],
+        _as_double(F.col(vec_col)).alias("_v"))
     model = GeneralizedKMeans(
         k=n_lists, divergence="spherical", seed=seed, max_iter=max_iter,
         features_col="_v", prediction_col="_list",

@@ -143,8 +143,9 @@ def quantiles_by_key(
       (key, value) pairs it exists to avoid shuffling; one extra
       Spark job, documented) routes to exact below
       ``auto_distinct_threshold`` distinct values per key, approx at
-      or above it. The HLL's ~2% relative error is immaterial to an
-      order-of-magnitude routing threshold.
+      or above it. The HLL's ~5% relative error (Spark's default
+      rsd=0.05) is immaterial to an order-of-magnitude routing
+      threshold.
     """
     if not qs:
         raise ValueError("quantiles_by_key: need at least one q")

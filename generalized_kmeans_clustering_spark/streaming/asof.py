@@ -26,13 +26,19 @@ batch operator uses — but here the "window" is the state store:
   least tiebreak — the batch forward winner) matches and emits it.
   A pending left whose ``tolerance`` horizon the watermark has passed
   emits unmatched (NULL payload, left-join semantics): no in-horizon
-  right can arrive anymore. WITHOUT a tolerance a trailing left that
-  never sees a later right stays pending forever — the stream cannot
-  prove a negative about the future — so pass ``tolerance_seconds``
-  when full batch left-join parity is required. Mature rights in the
-  current watermark millisecond are retained one batch (a new left
-  may still arrive inside that millisecond); state per key is
-  ``pending-lefts (tolerance-bounded) + rows-in-horizon``.
+  right can arrive anymore. The stream cannot prove a negative about
+  the FUTURE, so an unmatched left is only ever emitted once its
+  deadline is watermark-final: WITHOUT a tolerance an unmatched
+  trailing left stays pending forever, and even WITH one, unmatched
+  lefts inside the final ``tolerance`` window of an availableNow
+  replay (deadline at/after the terminal watermark) stay held — the
+  batch ``asof_join`` emits those with NULL payload. Forward batch
+  parity is therefore exact for matched lefts and for unmatched lefts
+  whose ``ts + tolerance`` precedes the terminal watermark; a live
+  deployment never ends, so every deadline eventually passes. Mature
+  rights in the current watermark millisecond are retained one batch
+  (a new left may still arrive inside that millisecond); state per
+  key is ``pending-lefts (tolerance-bounded) + rows-in-horizon``.
 - Keys with immature rows (or pending tolerance deadlines) register
   an event-time timeout, so the availableNow final no-data batch (and
   any idle period) flushes them without new input — this is what
@@ -328,8 +334,10 @@ def streaming_asof_join(
     the same composite key. Emission is append-mode and watermark-
     gated by ``delay`` — a left row is emitted once its match is
     final, so the result equals the batch ``asof_join`` for any
-    micro-batching of in-watermark data (forward needs
-    ``tolerance_seconds`` to flush unmatched lefts; see module doc).
+    micro-batching of in-watermark data. Forward caveat: unmatched
+    lefts flush only when ``tolerance_seconds`` is set AND their
+    deadline precedes the watermark, so a BOUNDED replay holds the
+    unmatched lefts of its final tolerance window (see module doc).
     Output columns: key columns, ``left_id_col``, ``ts_col``, the
     ``value_cols`` (original names and types), ``matched_ts``.
 

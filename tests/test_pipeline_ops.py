@@ -194,6 +194,20 @@ def test_quantized_topk_where_prefilter(spark):
     assert len(out) == 2 * k and all(r["neighbor_id"] % 2 == 0 for r in out)
 
 
+def test_ivf_index_metadata_passthrough_and_reserved_guard(spark):
+    """indexed carries corpus metadata (so where= predicates reach the
+    stored index's scan) but NOT the redundant original vector column;
+    reserved working names raise instead of colliding."""
+    rows = [(i, [float(i), 1.0], f"s{i % 2}") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, src string")
+    indexed, _ = ivf_index(df, n_lists=2, max_iter=1)
+    assert set(indexed.columns) == {"vec_id", "src", "_v", "_list"}
+    for bad in ("_v", "_list", "query_id"):
+        with pytest.raises(ValueError, match="reserved"):
+            ivf_index(df.withColumn(bad, F.lit(1)), n_lists=2)
+
+
 def test_knn_graph_where_filters_both_sides(spark):
     """knn_graph(where=...): the graph is built over the predicate's
     rows — every edge endpoint satisfies it, directed mode still

@@ -142,6 +142,10 @@ def test_asof_fwd_core_matches_reference_under_any_schedule(case):
     emits, survived = _drive(step, batches, wms, top)
     lefts = [r for r in survived if r[1] == 1]
     rights = [r for r in survived if r[1] == 0]
+    # the drawn per-batch watermarks may exceed the final-flush value
+    # (the generator doesn't cap them at `top`); expiry is judged
+    # against the highest watermark the core ever saw
+    wm_max = max([top, *wms])
     ref, held = {}, set()
     for _, _, lid, _, _ in lefts:
         lt = next(r[0] for r in lefts if r[2] == lid)
@@ -152,7 +156,7 @@ def test_asof_fwd_core_matches_reference_under_any_schedule(case):
             mp = next(r[4] for r in cand
                       if (r[0], _tbk(r[3])) == (mt, mtb))
             ref[lid] = (mt, mp)
-        elif tol_us is not None and (lt + tol_us) // MS < top:
+        elif tol_us is not None and (lt + tol_us) // MS < wm_max:
             ref[lid] = (None, None)     # expiry provable -> unmatched
         else:
             held.add(lid)               # documented: cannot prove
