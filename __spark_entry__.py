@@ -1108,6 +1108,91 @@ def q_corpus_sample_temperature(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens").orderBy("doc_id")
 
 
+def _group_split_sql(seed=13) -> str:
+    """Twin of operators/sampling.split_assign grouped on source: the
+    split label is a pure function of md5-bucket(source|seed), so every
+    document of a source domain lands in the same split (leakage-safe
+    splitting) and both engines agree bit-for-bit. Thresholds are the
+    engine's cumulative floor(frac·1e6) bounds with the last split
+    taking the remainder."""
+    md5i = _MD5INT.format(s=f"concat(source, '|', '{seed}')")
+    return (
+        "SELECT doc_id, source, CASE "
+        f"WHEN ({md5i}) % 1000000 < 800000 THEN 'train' "
+        f"WHEN ({md5i}) % 1000000 < 900000 THEN 'val' "
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
+    )
+
+
+def q_corpus_group_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.py
+    split_assign): the split is hashed on the GROUP key — here the
+    source domain — so correlated documents can never straddle train
+    and test. The same operator takes a duplicate-components frame so
+    near-dup copies co-travel (components path covered by pytest; the
+    oracle replays the engine-portable md5 interval assignment)."""
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        split_assign,
+    )
+
+    docs = documents(spark, sf_dir).select("doc_id", "source")
+    out = split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="source", seed=13, hash_fn="md5",
+    )
+    return out.select("doc_id", "source", "split").orderBy("doc_id")
+
+
+def _soft_weights_sql(num_hashes=16, shingle_n=3, num_bands=4,
+                      threshold=0.2, alpha=1.0) -> str:
+    """Twin of operators/dedup.repetition_weights over the engine's own
+    LSH near-dup components: component = min reachable id (recursive
+    CTE over the verified pair list, the dedup_components oracle's
+    construction), weight = |component| ** -alpha with every document
+    not in any pair a singleton of weight 1."""
+    inner = _jaccard_verify_sql(num_hashes=num_hashes, shingle_n=shingle_n,
+                                num_bands=num_bands, threshold=threshold)
+    inner = inner[: inner.rindex(" ORDER BY ")]
+    return (
+        f"WITH RECURSIVE pairsq AS ({inner}), "
+        "edges2 AS (SELECT i AS a, j AS b FROM pairsq "
+        "UNION ALL SELECT j, i FROM pairsq), "
+        "reach(id, r) AS ("
+        "SELECT a, a FROM (SELECT DISTINCT a FROM edges2) "
+        "UNION "
+        "SELECT e.b, rr.r FROM reach rr JOIN edges2 e ON e.a = rr.id), "
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id), "
+        "allrows AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) "
+        "AS component FROM documents d LEFT JOIN comp c ON c.id = d.doc_id) "
+        "SELECT doc_id, component, "
+        f"pow(CAST(count(*) OVER (PARTITION BY component) AS DOUBLE), "
+        f"-{alpha}) AS rep_weight FROM allrows ORDER BY doc_id"
+    )
+
+
+def q_dedup_soft_weights(spark, sf_dir):
+    """SOFT dedup (operators/dedup.repetition_weights): instead of
+    dropping duplicates, every document keeps a weight |component|^-α —
+    at α=1 each duplicate group contributes unit total mass, which is
+    hard-dedup in expectation but robust to the canonical pick.
+    Components come from the engine's own minhash → LSH → exact-Jaccard
+    pipeline (same construction the dedup_components oracle replays)."""
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        duplicate_components, jaccard_verify, lsh_candidate_pairs,
+        minhash_signatures, repetition_weights,
+    )
+
+    docs = documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3,
+                              hash_fn="md5")
+    pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
+                                bucket_mode="raw")
+    verified = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2)
+    comp = duplicate_components(verified, method="label")
+    out = repetition_weights(docs, comp, alpha=1.0)
+    return out.select("doc_id", "component", "rep_weight").orderBy("doc_id")
+
+
 def _dsir_weights_sql(n_buckets=512, seed=0, digits=6) -> str:
     """Twin of operators/dsir.dsir_weights (md5 buckets, target = the
     English documents, raw = all documents): unigram+bigram features of
@@ -6840,6 +6925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "corpus_sample_budget": q_corpus_sample_budget,
         "corpus_sample_temperature": q_corpus_sample_temperature,
+        "corpus_group_split": q_corpus_group_split,
+        "dedup_soft_weights": q_dedup_soft_weights,
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "corpus_quality_lr": q_corpus_quality_lr,
         "corpus_perplexity": q_corpus_perplexity,
@@ -7485,6 +7572,8 @@ FROM wide w ORDER BY xb
     out["corpus_stats"] = _corpus_stats_sql()
     out["corpus_sample_budget"] = _sample_budget_sql()
     out["corpus_sample_temperature"] = _sample_temperature_sql()
+    out["corpus_group_split"] = _group_split_sql()
+    out["dedup_soft_weights"] = _soft_weights_sql()
     out["corpus_dsir_weights"] = _dsir_weights_sql()
     out["corpus_quality_lr"] = _quality_lr_sql()
     out["corpus_perplexity"] = _perplexity_sql()

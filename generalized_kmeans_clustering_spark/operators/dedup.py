@@ -38,6 +38,7 @@ __all__ = [
     "duplicate_components",
     "canonical_duplicates",
     "deduplicate",
+    "repetition_weights",
 ]
 
 # Mersenne prime 2^31-1 for universal hashing: (h mod p)·a + b stays
@@ -828,3 +829,53 @@ def deduplicate(df: DataFrame, components: DataFrame,
     ties → smallest id, per component)."""
     out = canonical_duplicates(df, components, id_col, text_col)
     return out.where("is_canonical").drop("is_canonical", "component")
+
+
+def repetition_weights(df: DataFrame, components: DataFrame,
+                       id_col: str = "doc_id",
+                       component_col: str = "component",
+                       weight_col: str = "rep_weight",
+                       alpha: float = 1.0) -> DataFrame:
+    """SOFT dedup: keep every duplicate but down-weight it — adds
+    ``component`` and ``weight_col = |component| ** -alpha``.
+
+    Hard deduplication (:func:`deduplicate`) throws away the signal
+    that a document was repeated at all; repetition-aware weighting
+    keeps the corpus intact and hands the trainer (or a downstream
+    sampler) a per-row weight instead:
+
+    - ``alpha=1`` (default): each duplicate GROUP contributes unit
+      total weight — distribution-equivalent to hard dedup in
+      expectation, but robust to the canonical pick and to borderline
+      near-dup edges.
+    - ``alpha=0``: weight 1 everywhere (no deduplication).
+    - ``0 < alpha < 1``: partial discount — frequently-duplicated text
+      keeps SOME extra mass (duplication correlates with utility in
+      web corpora; cf. the keep-probability relaxations in SemDeDup
+      (arXiv:2303.09540) and GPT-3's Pareto keep rule, the same shape
+      this engine uses in ``classifier.pareto_keep``).
+
+    ``components`` is the ``(id, component)`` output of
+    :func:`duplicate_components`; ids absent from it are singletons
+    (weight 1). Realize the weights as a reproducible keep/drop with
+    :func:`~.sampling.bernoulli_keep`, or feed them to a weighted loss.
+
+    At 100 TB: one left join against the (≪ corpus-sized) components
+    frame + one window count keyed on the component — a single shuffle
+    whose reducer load is bounded by the largest duplicate group.
+    """
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    joined = df.join(
+        components.select(F.col("id").alias(id_col),
+                          F.col(component_col).alias("_comp")),
+        id_col, "left",
+    ).withColumn(component_col,
+                 F.coalesce(F.col("_comp"), F.col(id_col))).drop("_comp")
+    w = Window.partitionBy(component_col)
+    return joined.withColumn(
+        weight_col,
+        F.pow(F.count(F.lit(1)).over(w).cast("double"), F.lit(-alpha)),
+    )

@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_key",
+    "bernoulli_keep",
     "cap_per_group",
     "sample_hash",
+    "split_assign",
     "stratified_sample_hash",
     "token_budget_sample",
     "temperature_budgets",
@@ -322,4 +324,111 @@ def cap_per_group(
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)
         .drop("_rn")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    splits: dict,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    components: DataFrame | None = None,
+    split_col: str = "split",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: adds ``split_col`` with the
+    name of the split each row belongs to.
+
+    ``splits`` maps split name → fraction (insertion order matters;
+    fractions must sum to 1 within 1e-6). The assignment is a pure
+    function of ``hash(group_key, seed)``, where the group key is, in
+    precedence order:
+
+    - the ``components`` frame's ``(id, component)`` mapping (the
+      output of :func:`~.dedup.duplicate_components`): every member of
+      a duplicate component shares the component's key, so NEAR-DUP
+      COPIES OF A DOCUMENT CAN NEVER STRADDLE TRAIN AND TEST — the
+      split-contamination failure exact row-level splitting cannot
+      prevent. Ids absent from ``components`` are their own singleton
+      group (same coalesce rule as
+      :func:`~.dedup.canonical_duplicates`).
+    - ``group_col`` — split by an existing grouping (source domain,
+      url host, repository, …) so correlated documents co-travel.
+    - ``id_col`` — plain row-level hash split.
+
+    Properties (all inherited from the hash-interval construction):
+    splits are disjoint and exhaustive (the last split absorbs the
+    rounding remainder); re-runs, repartitions and engines agree
+    (``hash_fn="md5"`` is bit-identical in DuckDB); and growing one
+    split's fraction at the same seed only MOVES BOUNDARY BUCKETS —
+    e.g. train 0.8 at the same seed contains train 0.6's members, so
+    scaling up a training set never silently reshuffles what the old
+    split saw.
+
+    At 100 TB: with ``group_col``/``id_col`` this is an expression-only
+    map-side tag (no shuffle, no job); the ``components`` path adds one
+    left join against a frame that is ≪ corpus-sized (only ids touched
+    by a duplicate pair).
+    """
+    if not splits:
+        raise ValueError("splits must name at least one split")
+    fracs = list(splits.values())
+    if any(f < 0 for f in fracs):
+        raise ValueError("every split fraction must be >= 0")
+    if abs(sum(fracs) - 1.0) > 1e-6:
+        raise ValueError(
+            f"split fractions must sum to 1, got {sum(fracs)}")
+    if group_col is not None and components is not None:
+        raise ValueError("pass group_col or components, not both")
+
+    if components is not None:
+        key = F.coalesce(F.col("_split_comp"), F.col(id_col))
+        df = df.join(
+            components.select(
+                F.col("id").alias(id_col),
+                F.col("component").alias("_split_comp")),
+            id_col, "left")
+    else:
+        key = F.col(group_col if group_col is not None else id_col)
+
+    bucket = _bucket(key, seed, hash_fn)
+    names = list(splits)
+    # cumulative upper bounds; the LAST split takes everything left so
+    # integer truncation can never leave a row unlabeled. CASE chain in
+    # order (first matching bound wins).
+    cum = 0.0
+    arms = []
+    for name, frac in list(splits.items())[:-1]:
+        cum += frac
+        arms.append((int(cum * _SCALE), name))
+    label = F.lit(names[-1])
+    for bound, name in reversed(arms):
+        label = F.when(bucket < bound, F.lit(name)).otherwise(label)
+    out = df.withColumn(split_col, label)
+    return out.drop("_split_comp") if components is not None else out
+
+
+def bernoulli_keep(
+    df: DataFrame,
+    prob_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep each row with its OWN probability ``prob_col`` ∈ [0, 1] —
+    the realization step for per-row sampling weights (e.g.
+    :func:`~.dedup.repetition_weights`' soft-dedup weights, a quality
+    score turned keep-probability, DSIR importance weights rescaled to
+    [0, 1]) when the trainer cannot consume example weights directly.
+
+    Same contract as :func:`sample_hash` with a per-row fraction: the
+    draw is ``hash(id, seed)`` so it is reproducible across runs,
+    partitionings and engines, and keeps at the same seed NEST as a
+    row's probability grows. Expression-only map-side filter; rows
+    with NULL probability are dropped (NULL < nothing).
+    """
+    return df.where(
+        _bucket(F.col(id_col), seed, hash_fn)
+        < (F.col(prob_col).cast("double") * _SCALE).cast("long")
     )

@@ -230,3 +230,154 @@ def test_curriculum_shards_orders_by_score_within_shard(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         curriculum_shards(df, "quality", num_shards=0)
+
+
+# --- split_assign / bernoulli_keep / repetition_weights ----------------------
+
+def test_split_assign_disjoint_exhaustive(spark, docs):
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        split_assign,
+    )
+
+    out = split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()  # exhaustive
+    assert counts["train"] > counts.get("val", 0)
+    # reproducible across partitionings
+    again = split_assign(
+        docs.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=5)
+    a = {(r["doc_id"], r["split"]) for r in out.select(
+        "doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in again.select(
+        "doc_id", "split").collect()}
+    assert a == b
+
+
+def test_split_assign_monotone_growth(spark, docs):
+    """Growing train's fraction at the same seed only ADDS members."""
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        split_assign,
+    )
+
+    small = {r["doc_id"] for r in split_assign(
+        docs, {"train": 0.6, "rest": 0.4}, seed=2)
+        .where("split = 'train'").collect()}
+    big = {r["doc_id"] for r in split_assign(
+        docs, {"train": 0.8, "rest": 0.2}, seed=2)
+        .where("split = 'train'").collect()}
+    assert small <= big
+
+
+def test_split_assign_group_cotravel(spark, docs):
+    """All rows of a group land in one split (leakage-safety)."""
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        split_assign,
+    )
+
+    grouped = docs.withColumn("grp", (F.col("doc_id") % 20).cast("string"))
+    out = split_assign(
+        grouped, {"train": 0.5, "test": 0.5}, group_col="grp", seed=9)
+    per_grp = (out.groupBy("grp")
+               .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in per_grp)
+    # and the groups themselves are split roughly in half
+    labels = {r["grp"]: r["s"] for r in
+              out.groupBy("grp").agg(F.first("split").alias("s")).collect()}
+    assert 0 < sum(v == "train" for v in labels.values()) < 20
+
+
+def test_split_assign_components_path(spark):
+    """Duplicate-component members can never straddle the split."""
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        split_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string")
+    comp = spark.createDataFrame(
+        [(1, 0), (0, 0), (7, 5), (5, 5), (9, 5)], "id long, component long")
+    out = split_assign(df, {"train": 0.5, "test": 0.5},
+                       components=comp, seed=11)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 40  # left join keeps every row exactly once
+    assert got[0] == got[1]
+    assert got[5] == got[7] == got[9]
+    # singleton (not in components) hashes on its own id: same label as
+    # an identical corpus split with no components frame at all
+    solo = {r["doc_id"]: r["split"] for r in split_assign(
+        df, {"train": 0.5, "test": 0.5}, seed=11).collect()}
+    for i in range(40):
+        if i not in (0, 1, 5, 7, 9):
+            assert got[i] == solo[i]
+
+
+def test_split_assign_validation(spark, docs):
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        split_assign,
+    )
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs, {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError, match=">= 0"):
+        split_assign(docs, {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="not both"):
+        split_assign(docs, {"a": 1.0}, group_col="lang",
+                     components=docs.select(
+                         F.col("doc_id").alias("id"),
+                         F.col("doc_id").alias("component")))
+    with pytest.raises(ValueError, match="at least one"):
+        split_assign(docs, {})
+
+
+def test_bernoulli_keep(spark, docs):
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        bernoulli_keep, sample_hash,
+    )
+
+    n = docs.count()
+    zero = bernoulli_keep(docs.withColumn("p", F.lit(0.0)), "p")
+    assert zero.count() == 0
+    one = bernoulli_keep(docs.withColumn("p", F.lit(1.0)), "p")
+    assert one.count() == n
+    null = bernoulli_keep(docs.withColumn("p", F.lit(None).cast("double")),
+                          "p")
+    assert null.count() == 0
+    # constant p coincides with sample_hash at the same seed
+    half = bernoulli_keep(docs.withColumn("p", F.lit(0.4)), "p", seed=3)
+    ref = sample_hash(docs, 0.4, seed=3)
+    assert ({r["doc_id"] for r in half.collect()}
+            == {r["doc_id"] for r in ref.collect()})
+
+
+def test_repetition_weights(spark):
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        repetition_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string")
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 0), (5, 4), (4, 4)],
+        "id long, component long")
+    out = {r["doc_id"]: (r["component"], r["rep_weight"])
+           for r in repetition_weights(df, comp).collect()}
+    assert len(out) == 10
+    for i in (0, 1, 2, 3):
+        assert out[i] == (0, 0.25)
+    for i in (4, 5):
+        assert out[i] == (4, 0.5)
+    for i in (6, 7, 8, 9):
+        assert out[i] == (i, 1.0)  # singleton
+    # alpha=0 -> no discount; alpha=0.5 -> sqrt discount
+    flat = repetition_weights(df, comp, alpha=0.0).collect()
+    assert all(r["rep_weight"] == 1.0 for r in flat)
+    soft = {r["doc_id"]: r["rep_weight"]
+            for r in repetition_weights(df, comp, alpha=0.5).collect()}
+    assert abs(soft[0] - 0.5) < 1e-12
+    with pytest.raises(ValueError):
+        repetition_weights(df, comp, alpha=-1)
