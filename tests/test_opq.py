@@ -1,0 +1,132 @@
+"""Optimized Product Quantization (operators/opq.py): learned
+orthogonal rotation in front of PQ (Ge et al., CVPR 2013,
+non-parametric alternation)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.opq import (
+    OPQModel, opq_decode, opq_encode, opq_topk, read_opq_model,
+    rotate_vectors, train_opq, write_opq_model,
+)
+from generalized_kmeans_clustering_spark.operators.quantization import (
+    pq_decode, pq_encode, train_pq,
+)
+
+D, M, KSUB, N = 8, 4, 8, 512
+
+
+def _correlated(seed=0, n=N, d=D):
+    """Anisotropic Gaussian rotated by a fixed orthogonal matrix so the
+    variance is smeared ACROSS the m subspace cuts — the regime where
+    plain PQ wastes codewords and the learned rotation recovers."""
+    rng = np.random.default_rng(seed)
+    scales = np.linspace(3.0, 0.05, d)
+    z = rng.standard_normal((n, d)) * scales
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    return z @ q
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    X = _correlated()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4).cache()
+    df.count()
+    return df
+
+
+def _mse(df, vec_col, rec_col):
+    return df.select(F.avg(F.aggregate(
+        F.zip_with(vec_col, rec_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)).alias("e")).first()["e"]
+
+
+def test_rotation_is_orthogonal(spark, vecs):
+    model = train_opq(vecs, m=M, k_sub=KSUB, n_iter=3, pq_iter=3, seed=1)
+    R = np.asarray(model.rotation)
+    assert R.shape == (D, D)
+    assert np.allclose(R.T @ R, np.eye(D), atol=1e-9)
+    # rotation preserves norms end-to-end through the UDF
+    out = rotate_vectors(vecs, model.rotation, "embedding", "y")
+    mism = out.select(
+        (F.abs(F.aggregate("embedding", F.lit(0.0),
+                           lambda a, v: a + v * v)
+               - F.aggregate("y", F.lit(0.0), lambda a, v: a + v * v))
+         > 1e-6).alias("bad")).where("bad").count()
+    assert mism == 0
+
+
+def test_opq_distortion_beats_plain_pq(spark, vecs):
+    """On cross-subspace-correlated data the learned rotation must cut
+    reconstruction MSE vs identity-rotation PQ (same m, k_sub, seed,
+    same number of final-fit Lloyd iterations)."""
+    pq = train_pq(vecs, m=M, k_sub=KSUB, max_iter=3, seed=1)
+    pq_err = _mse(
+        pq_decode(pq_encode(vecs, pq), pq), "embedding", "reconstruction")
+    opq = train_opq(vecs, m=M, k_sub=KSUB, n_iter=4, pq_iter=3, seed=1)
+    opq_err = _mse(
+        opq_decode(opq_encode(vecs, opq), opq), "embedding",
+        "reconstruction")
+    assert opq_err < pq_err * 0.95, (opq_err, pq_err)
+
+
+def test_n_iter_1_is_plain_pq(spark, vecs):
+    """One round = identity rotation + a plain PQ fit: codes match
+    train_pq exactly at the same seed/iterations."""
+    opq = train_opq(vecs, m=M, k_sub=KSUB, n_iter=1, pq_iter=3, seed=7)
+    assert np.allclose(np.asarray(opq.rotation), np.eye(D))
+    pq = train_pq(vecs, m=M, k_sub=KSUB, max_iter=3, seed=7)
+    a = {r["vec_id"]: r["codes"] for r in opq_encode(vecs, opq).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(vecs, pq).collect()}
+    assert a == b
+
+
+def test_opq_topk_contract(spark, vecs):
+    model = train_opq(vecs, m=M, k_sub=KSUB, n_iter=2, pq_iter=3, seed=3)
+    enc = opq_encode(vecs, model).cache()
+    q = vecs.where("vec_id < 5")
+    out = opq_topk(enc, model, q, k=4, n_queries=5).collect()
+    assert len(out) == 20
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4]
+        assert all(r["neighbor_id"] != qid for r in rows)  # exclude_self
+        dists = [r["approx_dist"] for r in sorted(rows,
+                                                  key=lambda r: r["rank"])]
+        assert dists == sorted(dists)
+    # where= pre-filters candidates before the top-k
+    flt = opq_topk(enc, model, q, k=4, n_queries=5,
+                   where="vec_id >= 100").collect()
+    assert all(r["neighbor_id"] >= 100 for r in flt)
+    enc.unpersist()
+
+
+def test_opq_persistence_roundtrip(spark, vecs, tmp_path):
+    model = train_opq(vecs, m=M, k_sub=KSUB, n_iter=2, pq_iter=2, seed=5)
+    path = str(tmp_path / "opq_model")
+    write_opq_model(spark, model, path)
+    back = read_opq_model(spark, path)
+    assert back.rotation == model.rotation
+    assert back.pq.codebooks == model.pq.codebooks
+    assert (back.d, back.m, back.k_sub) == (model.d, model.m, model.k_sub)
+    a = {r["vec_id"]: r["codes"] for r in opq_encode(vecs, model).collect()}
+    b = {r["vec_id"]: r["codes"] for r in opq_encode(vecs, back).collect()}
+    assert a == b
+
+
+def test_train_opq_validation(spark, vecs):
+    with pytest.raises(ValueError, match="n_iter"):
+        train_opq(vecs, n_iter=0)
+    with pytest.raises(ValueError, match="divide"):
+        train_opq(vecs, m=3)
+    with pytest.raises(ValueError, match="empty"):
+        train_opq(vecs.where("vec_id < 0"))
+    with pytest.raises(ValueError, match="square"):
+        rotate_vectors(vecs, [[1.0, 0.0]], "embedding")
