@@ -6664,6 +6664,33 @@ def _corpus_quantiles_sql() -> str:
     )
 
 
+def q_corpus_adaptive_filter(spark, sf_dir):
+    """Per-group adaptive threshold filter (operators/stats.py
+    filter_by_group_quantile): each source keeps only its docs at or
+    above the source's OWN median length — the cutoff adapts per
+    domain instead of one global threshold deleting whole domains.
+    Thresholds are one row per source riding a broadcast join; the
+    quantile rule is the engine's exact quantile_disc rank
+    (ceil(q*n))."""
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        filter_by_group_quantile,
+    )
+
+    docs = documents(spark, sf_dir).select("doc_id", "source", "n_chars")
+    out = filter_by_group_quantile(docs, "source", "n_chars", q=0.5,
+                                   keep="above")
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+def _adaptive_filter_sql() -> str:
+    return (
+        "SELECT doc_id, source, n_chars FROM documents d "
+        "JOIN (SELECT source, quantile_disc(n_chars, 0.5) AS t "
+        "FROM documents GROUP BY source) q USING (source) "
+        "WHERE n_chars >= q.t ORDER BY doc_id"
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered first-touch funnel view -> click -> purchase; all stage
     times resolve in one window pass over the user partition."""
@@ -6978,6 +7005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_cascade": q_events_rollup_cascade,
         "doc_chunks": q_doc_chunks,
         "corpus_quantiles": q_corpus_quantiles,
+        "corpus_adaptive_filter": q_corpus_adaptive_filter,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_throttle": q_events_throttle,
@@ -7631,6 +7659,7 @@ FROM wide w ORDER BY xb
     out["events_rollup_cascade"] = _events_rollup_cascade_sql()
     out["doc_chunks"] = _doc_chunks_sql()
     out["corpus_quantiles"] = _corpus_quantiles_sql()
+    out["corpus_adaptive_filter"] = _adaptive_filter_sql()
     out["events_funnel"] = _events_funnel_sql()
     out["dedup_flag_propagation"] = _flag_propagation_sql()
     out["profit_by_nation_year"] = _profit_by_nation_year_sql()

@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["fixed_width_histogram", "grouped_summary", "quantiles_by_key"]
+__all__ = ["filter_by_group_quantile", "fixed_width_histogram",
+           "grouped_summary", "quantiles_by_key"]
 
 
 def fixed_width_histogram(
@@ -219,3 +220,61 @@ def quantiles_by_key(
     out = ranked.groupBy("key").agg(
         F.max("n").alias("n"), *sel)
     return out
+
+
+def filter_by_group_quantile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    q: float = 0.5,
+    keep: str = "above",
+    method: str = "exact",
+    auto_distinct_threshold: int = 1_000_000,
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
+    """Adaptive PER-GROUP threshold filter: keep each group's rows at
+    or ``keep``-side of the group's own q-quantile of ``value_col``.
+
+    The curation use: one GLOBAL quality cutoff deletes entire domains
+    whose score distribution sits low (non-English sources under an
+    English-trained scorer, code under a prose scorer); "keep each
+    source's best (1−q) share" adapts the cutoff per group instead.
+    ``keep="above"`` keeps ``value >= quantile`` (quality scores);
+    ``keep="below"`` keeps ``value <= quantile`` (perplexity — lower
+    is better). The comparison is inclusive of the quantile value
+    itself on both sides, so with ``quantile_disc`` semantics (an
+    actual data value) every group keeps at least one row. Rows whose
+    value is NULL/NaN are dropped, matching
+    :func:`quantiles_by_key`'s population.
+
+    At 100 TB: the thresholds frame is ONE ROW PER GROUP — it rides a
+    broadcast hash join back onto the corpus, so the filter itself
+    adds no shuffle; total cost is :func:`quantiles_by_key`'s
+    (``method`` routes exact / approx / auto exactly as there —
+    ``"approx"`` is one map-side-combined sketch aggregation and the
+    right default when groups have ~10⁸ distinct values).
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep: 'above' | 'below', got {keep!r}")
+    thresholds = quantiles_by_key(
+        df, key_col, value_col, qs=(q,), method=method,
+        auto_distinct_threshold=auto_distinct_threshold,
+        approx_accuracy=approx_accuracy,
+    )
+    lab = ("%g" % (q * 100)).replace(".", "_")
+    thr = thresholds.select(
+        F.col("key").alias(key_col), F.col(f"q_{lab}").alias("_thr"))
+    x = F.col(value_col)
+    # explicit missing-value drop: a NULL comparison filters itself,
+    # but Spark orders NaN ABOVE every number, so NaN would pass
+    # keep="above" — exclude it to match quantiles_by_key's population
+    present = x.isNotNull()
+    if dict(df.dtypes)[value_col] in ("float", "double"):
+        present = present & ~F.isnan(x)
+    cond = x >= F.col("_thr") if keep == "above" else x <= F.col("_thr")
+    return (
+        df.where(present)
+        .join(F.broadcast(thr), key_col, "inner")
+        .where(cond)
+        .drop("_thr")
+    )

@@ -358,3 +358,49 @@ def test_propagate_flags_pins_handle(spark):
     propagate_flags(e, s, rounds=2, id_col="id",
                     src_col="src", dst_col="dst", pins=p2).count()
     assert len(p2) == 0
+
+
+def test_filter_by_group_quantile(spark):
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        filter_by_group_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 11)]      # a: 1..10
+        + [("b", 100 + i, float(i) / 10) for i in range(1, 5)],  # b: .1..4
+        "k string, id long, v double")
+    # median of a = 5.0 (ceil(0.5*10)=rank 5); of b = 0.2 (rank 2)
+    kept = filter_by_group_quantile(df, "k", "v", q=0.5, keep="above")
+    got = {(r["k"], r["id"]) for r in kept.collect()}
+    assert got == ({("a", i) for i in range(5, 11)}
+                   | {("b", 100 + i) for i in range(2, 5)})
+    below = filter_by_group_quantile(df, "k", "v", q=0.5, keep="below")
+    gb = {(r["k"], r["id"]) for r in below.collect()}
+    assert gb == ({("a", i) for i in range(1, 6)}
+                  | {("b", 100 + i) for i in range(1, 3)})
+    # NULL/NaN values never survive (same population rule as
+    # quantiles_by_key)
+    withnan = df.union(spark.createDataFrame(
+        [("a", 999, float("nan")), ("b", 998, None)],
+        "k string, id long, v double"))
+    kept2 = {(r["k"], r["id"])
+             for r in filter_by_group_quantile(
+                 withnan, "k", "v", q=0.5).collect()}
+    assert kept2 == got
+    with pytest.raises(ValueError, match="keep"):
+        filter_by_group_quantile(df, "k", "v", keep="sideways")
+
+
+def test_filter_by_group_quantile_broadcasts_thresholds(spark):
+    """The thresholds frame (one row per group) must ride a broadcast
+    hash join — the filter itself adds no shuffle of the corpus."""
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        filter_by_group_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 30)],
+        "k string, id long, v double")
+    plan = (filter_by_group_quantile(df, "k", "v", q=0.9)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
