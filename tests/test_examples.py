@@ -120,3 +120,14 @@ def test_streaming_temporal_example(spark, sf_dir, tmp_path):
     assert 0 <= out["clicks_with_error_context"] <= out["clicks"]
     assert out["conversions"] >= 0
     assert out["retention_cells"] >= 1
+
+
+def test_curation_round9_example(spark, sf_dir):
+    import curation_round9
+
+    out = curation_round9.main(spark, sf_dir)
+    assert 0 < out["realized_docs"] <= out["input_docs"]
+    assert 0 < out["filtered_docs"] <= out["realized_docs"]
+    assert sum(out["split_counts"].values()) == out["filtered_docs"]
+    assert out["component_straddlers"] == 0
+    assert out["opq_topk_rows"] == 15
