@@ -158,16 +158,23 @@ def train_opq(
     codebooks = None
     pq = None
     for it in range(n_iter):
-        rot = rotate_vectors(base, R, "_x", "_y")
-        pq = train_pq(rot, m=m, k_sub=k_sub, vec_col="_y", seed=seed,
-                      max_iter=pq_iter, initial_codebooks=codebooks)
-        codebooks = pq.codebooks
-        if it == n_iter - 1:
-            break
-        dec = pq_decode(
-            pq_encode(rot, pq, vec_col="_y", code_col="_c"),
-            pq, code_col="_c", out_col="_h")
-        R = _procrustes_rotation(dec, "_x", "_h", d)
+        # persist the round's rotated frame: every subspace fit's
+        # Lloyd iterations (and the Procrustes pass) would otherwise
+        # re-run the rotation UDF through lineage — m × pq_iter + 1
+        # redundant Arrow passes per round
+        rot = rotate_vectors(base, R, "_x", "_y").persist()
+        try:
+            pq = train_pq(rot, m=m, k_sub=k_sub, vec_col="_y", seed=seed,
+                          max_iter=pq_iter, initial_codebooks=codebooks)
+            codebooks = pq.codebooks
+            if it == n_iter - 1:
+                break
+            dec = pq_decode(
+                pq_encode(rot, pq, vec_col="_y", code_col="_c"),
+                pq, code_col="_c", out_col="_h")
+            R = _procrustes_rotation(dec, "_x", "_h", d)
+        finally:
+            rot.unpersist()
     return OPQModel(
         rotation=[[float(x) for x in row] for row in R], pq=pq)
 
