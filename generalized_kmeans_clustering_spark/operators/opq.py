@@ -55,6 +55,7 @@ from .quantization import (
 
 __all__ = [
     "OPQModel", "train_opq", "opq_encode", "opq_decode", "opq_topk",
+    "ivf_opq_index", "ivf_opq_topk",
     "rotate_vectors", "write_opq_model", "read_opq_model",
 ]
 
@@ -233,6 +234,62 @@ def opq_topk(
         code_col=code_col, exclude_self=exclude_self,
         max_broadcast_queries=max_broadcast_queries,
         n_queries=n_queries, where=where)
+
+
+def ivf_opq_index(
+    corpus: DataFrame,
+    rotation,
+    n_lists: int = 64,
+    m: int = 8,
+    k_sub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    coarse_max_iter: int = 10,
+    pq_max_iter: int = 10,
+    **kwargs,
+):
+    """OPQ pre-transform + residual IVF-PQ (the Faiss
+    ``OPQ<m>,IVF<n>,PQ<m>`` pipeline): rotate the corpus once, then
+    build the coarse lists and residual PQ codebooks entirely in
+    ROTATED space. ``rotation`` is a learned d×d orthogonal matrix —
+    train it with :func:`train_opq` on a hash sample (the flat-PQ
+    codebooks it returns are the training proxy; the index trains its
+    own residual codebooks here). Returns ``(encoded, coarse_model,
+    pq_model)`` exactly as :func:`~.quantization.ivf_pq_index` —
+    persist ``encoded`` partitioned by ``_list`` as there."""
+    from .quantization import ivf_pq_index
+
+    rot = rotate_vectors(corpus, rotation, vec_col, "_opq_y")
+    return ivf_pq_index(
+        rot, n_lists=n_lists, m=m, k_sub=k_sub, id_col=id_col,
+        vec_col="_opq_y", seed=seed, coarse_max_iter=coarse_max_iter,
+        pq_max_iter=pq_max_iter, **kwargs)
+
+
+def ivf_opq_topk(
+    encoded: DataFrame,
+    coarse_model,
+    pq_model: PQModel,
+    rotation,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Probe an :func:`ivf_opq_index`: rotate the (broadcast-small)
+    query side into the index's space, then exactly
+    :func:`~.quantization.ivf_pq_topk` — coarse probe selection,
+    residual lookup tables and ADC scores all live in rotated space,
+    where squared L2 equals the original distance."""
+    from .quantization import ivf_pq_topk
+
+    q = rotate_vectors(queries, rotation, vec_col, "_opq_q")
+    return ivf_pq_topk(
+        encoded, coarse_model, pq_model, q, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col="_opq_q", **kwargs)
 
 
 def write_opq_model(spark, model: OPQModel, path: str,

@@ -130,3 +130,52 @@ def test_train_opq_validation(spark, vecs):
         train_opq(vecs.where("vec_id < 0"))
     with pytest.raises(ValueError, match="square"):
         rotate_vectors(vecs, [[1.0, 0.0]], "embedding")
+
+
+def test_ivf_opq_identity_matches_ivf_pq(spark, vecs):
+    """Identity rotation must reproduce plain residual IVF-PQ exactly
+    (same seeds, iterations, probes)."""
+    from generalized_kmeans_clustering_spark.operators.opq import (
+        ivf_opq_index, ivf_opq_topk,
+    )
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_pq_index, ivf_pq_topk,
+    )
+
+    eye = np.eye(D).tolist()
+    kw = dict(n_lists=4, m=M, k_sub=KSUB, seed=2,
+              coarse_max_iter=3, pq_max_iter=3)
+    enc_o, co_o, pq_o = ivf_opq_index(vecs, eye, **kw)
+    enc_p, co_p, pq_p = ivf_pq_index(vecs, **kw)
+    assert pq_o.codebooks == pq_p.codebooks
+    q = vecs.where("vec_id < 4")
+    a = [tuple(r) for r in ivf_opq_topk(
+        enc_o, co_o, pq_o, eye, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank").collect()]
+    b = [tuple(r) for r in ivf_pq_topk(
+        enc_p, co_p, pq_p, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank").collect()]
+    assert a == b
+
+
+def test_ivf_opq_learned_rotation_contract(spark, vecs):
+    from generalized_kmeans_clustering_spark.operators.opq import (
+        ivf_opq_index, ivf_opq_topk, train_opq,
+    )
+
+    model = train_opq(vecs, m=M, k_sub=KSUB, n_iter=2, pq_iter=2, seed=4)
+    enc, coarse, pq = ivf_opq_index(
+        vecs, model.rotation, n_lists=4, m=M, k_sub=KSUB, seed=4,
+        coarse_max_iter=2, pq_max_iter=2)
+    assert enc.columns == ["vec_id", "_list", "codes"]
+    q = vecs.where("vec_id < 3")
+    out = ivf_opq_topk(enc, coarse, pq, model.rotation, q, k=4, nprobe=4)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        mine = sorted((r for r in rows if r["query_id"] == qid),
+                      key=lambda r: r["rank"])
+        assert [r["rank"] for r in mine] == [1, 2, 3, 4]
+        ds = [r["approx_dist"] for r in mine]
+        assert ds == sorted(ds)
+        assert all(r["neighbor_id"] != qid for r in mine)
