@@ -211,7 +211,8 @@ class StreamingNearDup:
                  text_col: str = "text", id_col: str = "doc_id",
                  num_hashes: int = 32, num_bands: int = 8,
                  shingle_n: int = 3, threshold: float = 0.8,
-                 seed: int = 42, hash_fn: str = "xxhash64"):
+                 seed: int = 42, hash_fn: str = "xxhash64",
+                 where=None):
         self.state_dir = state_dir
         self.pairs_dir = pairs_dir
         self.text_col = text_col
@@ -224,6 +225,11 @@ class StreamingNearDup:
         # 'md5' makes signatures (hence pairs) cross-engine
         # reproducible for oracle checks; xxhash64 is production.
         self.hash_fn = hash_fn
+        # candidate predicate (Column or SQL string over the stream's
+        # columns), applied BEFORE signatures — excluded rows never
+        # enter the signature store or any pair join (the r9 layer
+        # convention shared with ivf_topk/knn_graph's ``where=``)
+        self.where = where
 
     def _bands(self, sigs: DataFrame) -> DataFrame:
         return _band_explode(sigs, self.id_col, self.num_hashes,
@@ -231,8 +237,10 @@ class StreamingNearDup:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import minhash_signatures
+        from ..operators.similarity import _candidate_filter
 
         spark = batch_df.sparkSession
+        batch_df = _candidate_filter(batch_df, self.where)
         sigs = minhash_signatures(
             batch_df, text_col=self.text_col, id_col=self.id_col,
             num_hashes=self.num_hashes, shingle_n=self.shingle_n,

@@ -406,3 +406,35 @@ def test_streaming_throttle_batch_parity_in_order(spark, tmp_path):
     assert got == exp
     # 6 events per user -> windows 0s,61s,200s survive => 3 per user
     assert len(got) == 9
+
+
+def test_streaming_near_dup_where_filter(spark, tmp_path):
+    """The where= candidate predicate excludes rows BEFORE signatures:
+    filtered docs never enter the signature store or any pair."""
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        StreamingNearDup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field all afternoon long") * 2
+    nd = StreamingNearDup(
+        state_dir=str(tmp_path / "state"),
+        pairs_dir=str(tmp_path / "pairs"),
+        num_hashes=16, num_bands=4, threshold=0.5,
+        where="lang = 'en'",
+    )
+    b0 = spark.createDataFrame(
+        [(1, base, "en"), (2, base + " tail", "de")],
+        "doc_id long, text string, lang string")
+    nd.process_batch(b0, 0)
+    # doc 2 is near-identical but filtered out — no pair
+    assert nd.pairs(spark).count() == 0
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert {r["doc_id"] for r in state.collect()} == {1}
+
+    b1 = spark.createDataFrame(
+        [(3, base + " with a small edit", "en")],
+        "doc_id long, text string, lang string")
+    nd.process_batch(b1, 1)
+    got = {(r["i"], r["j"]) for r in nd.pairs(spark).collect()}
+    assert got and all({i, j} == {1, 3} for i, j in got)
