@@ -36,6 +36,7 @@ __all__ = [
     "drop_repeated_lines",
     "drop_repeated_spans",
     "duplicate_components",
+    "with_components",
     "canonical_duplicates",
     "deduplicate",
     "repetition_weights",
@@ -792,6 +793,24 @@ def drop_repeated_spans(
     )
 
 
+def with_components(df: DataFrame, components: DataFrame,
+                    id_col: str = "doc_id",
+                    component_col: str = "component") -> DataFrame:
+    """Attach each row's duplicate-component label as
+    ``component_col``: left join the ``(id, component)`` frame of
+    :func:`duplicate_components` and coalesce missing labels to the
+    row's own id — ids untouched by any duplicate pair are their own
+    singleton component. The ONE shared singleton rule behind
+    :func:`canonical_duplicates`, :func:`repetition_weights` and
+    :func:`~.sampling.split_assign`'s components path."""
+    return df.join(
+        components.select(F.col("id").alias(id_col),
+                          F.col("component").alias("_comp")),
+        id_col, "left",
+    ).withColumn(component_col,
+                 F.coalesce(F.col("_comp"), F.col(id_col))).drop("_comp")
+
+
 def canonical_duplicates(df: DataFrame, components: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
                          component_col: str = "component",
@@ -809,12 +828,7 @@ def canonical_duplicates(df: DataFrame, components: DataFrame,
     """
     from pyspark.sql import Window
 
-    joined = df.join(
-        components.select(F.col("id").alias(id_col),
-                          F.col(component_col).alias("_comp")),
-        id_col, "left",
-    ).withColumn(component_col,
-                 F.coalesce(F.col("_comp"), F.col(id_col))).drop("_comp")
+    joined = with_components(df, components, id_col, component_col)
     head = (F.col(prefer_col).desc() if prefer_col
             else F.length(text_col).desc())
     w = Window.partitionBy(component_col).orderBy(
@@ -868,12 +882,7 @@ def repetition_weights(df: DataFrame, components: DataFrame,
 
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    joined = df.join(
-        components.select(F.col("id").alias(id_col),
-                          F.col(component_col).alias("_comp")),
-        id_col, "left",
-    ).withColumn(component_col,
-                 F.coalesce(F.col("_comp"), F.col(id_col))).drop("_comp")
+    joined = with_components(df, components, id_col, component_col)
     w = Window.partitionBy(component_col)
     return joined.withColumn(
         weight_col,

@@ -97,8 +97,15 @@ def rotate_vectors(
 
     @pandas_udf("array<double>")
     def _rot(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy())
-        return pd.Series(list(X @ R))
+        # NULL vectors rotate to NULL (parity with pq_encode's
+        # NULL-tolerant Catalyst path) instead of crashing np.stack
+        mask = v.notna().to_numpy()
+        res = np.empty(len(v), dtype=object)
+        if mask.any():
+            Y = np.stack(v.to_numpy()[mask]) @ R
+            for i, j in enumerate(np.flatnonzero(mask)):
+                res[j] = Y[i]
+        return pd.Series(res, index=v.index)
 
     return df.withColumn(out_col, _rot(F.col(vec_col).cast("array<double>")))
 
@@ -114,6 +121,7 @@ def _procrustes_rotation(df: DataFrame, x_col: str, xhat_col: str,
         acc = np.zeros((d, d))
         seen = False
         for pdf in batches:
+            pdf = pdf.dropna()  # NULL vectors contribute nothing
             if len(pdf):
                 X = np.stack(pdf[x_col].to_numpy())
                 H = np.stack(pdf[xhat_col].to_numpy())
@@ -148,13 +156,17 @@ def train_opq(
     :func:`~.quantization.train_pq`."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    first = df.select(F.size(vec_col).alias("n")).first()
+    first = (df.where(F.col(vec_col).isNotNull())
+             .select(F.size(vec_col).alias("n")).first())
     if first is None:
         raise ValueError("train_opq: empty input")
     d = int(first["n"])
     if d % m != 0:
         raise ValueError(f"m={m} must divide vector dim {d}")
-    base = df.select(F.col(vec_col).cast("array<double>").alias("_x"))
+    # train on present vectors only (the Procrustes pass also skips
+    # NULLs); encode stays NULL-preserving
+    base = (df.where(F.col(vec_col).isNotNull())
+            .select(F.col(vec_col).cast("array<double>").alias("_x")))
     R = np.eye(d)
     codebooks = None
     pq = None

@@ -119,14 +119,17 @@ def train_pq(
     """
     from ..kmeans import GeneralizedKMeans
 
-    first = df.select(F.size(vec_col).alias("n")).first()
+    first = (df.where(F.col(vec_col).isNotNull())
+             .select(F.size(vec_col).alias("n")).first())
     if first is None:
         raise ValueError("train_pq: empty input")
     d = first["n"]
     if d % m != 0:
         raise ValueError(f"m={m} must divide vector dim {d}")
     dsub = d // m
-    base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    # train on present vectors only; encode stays NULL-preserving
+    base = (df.where(F.col(vec_col).isNotNull())
+            .select(F.col(vec_col).cast("array<double>").alias("_v")))
     codebooks = []
     for j in range(m):
         init = None if initial_codebooks is None else initial_codebooks[j]

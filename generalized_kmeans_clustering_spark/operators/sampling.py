@@ -383,12 +383,12 @@ def split_assign(
         raise ValueError("pass group_col or components, not both")
 
     if components is not None:
-        key = F.coalesce(F.col("_split_comp"), F.col(id_col))
-        df = df.join(
-            components.select(
-                F.col("id").alias(id_col),
-                F.col("component").alias("_split_comp")),
-            id_col, "left")
+        # the dedup layer's shared singleton rule (left join +
+        # coalesce-to-own-id); the label column is temporary
+        from .dedup import with_components
+
+        df = with_components(df, components, id_col, "_split_comp")
+        key = F.col("_split_comp")
     else:
         key = F.col(group_col if group_col is not None else id_col)
 

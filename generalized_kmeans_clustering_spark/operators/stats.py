@@ -98,6 +98,19 @@ def grouped_summary(
     )
 
 
+def _present_mask(df: DataFrame, value_col: str):
+    """NULL (and, for float columns, NaN — Spark sorts NaN above every
+    number) exclusion predicate: the ONE population rule shared by
+    :func:`quantiles_by_key` and :func:`filter_by_group_quantile`, so
+    a threshold and the rows filtered against it always come from the
+    same value population."""
+    x = F.col(value_col)
+    present = x.isNotNull()
+    if dict(df.dtypes)[value_col] in ("float", "double"):
+        present = present & ~F.isnan(x)
+    return present
+
+
 def quantiles_by_key(
     df: DataFrame,
     key_col: str,
@@ -163,9 +176,7 @@ def quantiles_by_key(
     if len(set(labels)) != len(labels):
         raise ValueError("quantiles_by_key: duplicate q labels")
     x = F.col(value_col)
-    present = x.isNotNull()
-    if dict(df.dtypes)[value_col] in ("float", "double"):
-        present = present & ~F.isnan(x)
+    present = _present_mask(df, value_col)
     if method == "auto":
         # approx_count_distinct, NOT count_distinct: an exact count-
         # distinct at the ~1e8-distinct scale the probe exists to
@@ -263,18 +274,16 @@ def filter_by_group_quantile(
     )
     lab = ("%g" % (q * 100)).replace(".", "_")
     thr = thresholds.select(
-        F.col("key").alias(key_col), F.col(f"q_{lab}").alias("_thr"))
+        F.col("key").alias("_thr_key"), F.col(f"q_{lab}").alias("_thr"))
     x = F.col(value_col)
-    # explicit missing-value drop: a NULL comparison filters itself,
-    # but Spark orders NaN ABOVE every number, so NaN would pass
-    # keep="above" — exclude it to match quantiles_by_key's population
-    present = x.isNotNull()
-    if dict(df.dtypes)[value_col] in ("float", "double"):
-        present = present & ~F.isnan(x)
     cond = x >= F.col("_thr") if keep == "above" else x <= F.col("_thr")
+    # eqNullSafe, not equi-join on the name: quantiles_by_key keeps a
+    # NULL group key as its own group, and a plain inner join would
+    # silently delete that whole group (NULL never equals NULL)
     return (
-        df.where(present)
-        .join(F.broadcast(thr), key_col, "inner")
+        df.where(_present_mask(df, value_col))
+        .join(F.broadcast(thr),
+              F.col(key_col).eqNullSafe(F.col("_thr_key")), "inner")
         .where(cond)
-        .drop("_thr")
+        .drop("_thr_key", "_thr")
     )

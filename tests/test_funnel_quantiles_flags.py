@@ -404,3 +404,25 @@ def test_filter_by_group_quantile_broadcasts_thresholds(spark):
     plan = (filter_by_group_quantile(df, "k", "v", q=0.9)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_filter_by_group_quantile_null_group_key_survives(spark):
+    """quantiles_by_key keeps a NULL group key as its own group; the
+    filter's join must be null-safe or the whole group vanishes."""
+    from generalized_kmeans_clustering_spark.operators.stats import (
+        filter_by_group_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0),
+         (None, 3, 5.0), (None, 4, 9.0)],
+        "k string, id long, v double")
+    kept = {r["id"] for r in filter_by_group_quantile(
+        df, "k", "v", q=0.5, keep="above").collect()}
+    # medians (rank ceil(0.5*2)=1, the smaller value): a -> 1.0,
+    # NULL-key group -> 5.0; everything is at-or-above its own
+    # group's median, so ALL rows survive — including the NULL group
+    assert kept == {1, 2, 3, 4}
+    top = {r["id"] for r in filter_by_group_quantile(
+        df, "k", "v", q=1.0, keep="above").collect()}
+    assert top == {2, 4}  # group maxima only, NULL group included

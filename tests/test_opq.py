@@ -179,3 +179,26 @@ def test_ivf_opq_learned_rotation_contract(spark, vecs):
         ds = [r["approx_dist"] for r in mine]
         assert ds == sorted(ds)
         assert all(r["neighbor_id"] != qid for r in mine)
+
+
+def test_rotate_vectors_null_tolerant(spark, vecs):
+    """NULL embeddings rotate to NULL (pq_encode parity) and are
+    ignored by the Procrustes cross matrix instead of crashing."""
+    from generalized_kmeans_clustering_spark.operators.opq import (
+        _procrustes_rotation,
+    )
+
+    withnull = vecs.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0,
+               F.lit(None).cast("array<double>"))
+        .otherwise(F.col("embedding")))
+    out = rotate_vectors(withnull, np.eye(D).tolist(), "embedding", "y")
+    rows = {r["vec_id"]: r["y"] for r in out.collect()}
+    assert rows[0] is None
+    assert rows[1] is not None and len(rows[1]) == D
+    # Procrustes over (x, x) with a NULL row: still the identity
+    both = out.select(F.col("embedding").alias("x"),
+                      F.col("y").alias("h"))
+    R = _procrustes_rotation(both, "x", "h", D)
+    assert np.allclose(R.T @ R, np.eye(D), atol=1e-9)
