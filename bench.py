@@ -336,6 +336,34 @@ def main():
                     k=10, nprobe=4).count()
 
     timed("ivfpq_encode_topk", _ivfpq)
+
+    # OPQ serving path (r9, diagnostics — NOT in the headline total so
+    # the 23-query suite stays comparable across rounds): same pinned
+    # 8-list/m=4 shape as ivfpq_encode_topk plus a fixed identity-like
+    # rotation, measuring the added Arrow matmul on encode + the
+    # rotated-query probe. Rotation is pinned (training cost is a
+    # sample-scale concern, not a serving metric).
+    from generalized_kmeans_clustering_spark.operators.opq import (
+        OPQModel, opq_encode, opq_topk,
+    )
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        PQModel,
+    )
+
+    def _opq():
+        rows = emb.where(F.col("vec_id").between(200, 207)) \
+            .orderBy("vec_id").select("embedding").collect()
+        vecs = [[float(v) for v in r["embedding"]] for r in rows]
+        cb = [[vec[j * 16:(j + 1) * 16] for vec in vecs] for j in range(4)]
+        d = len(vecs[0])
+        eye = [[1.0 if i == j else 0.0 for j in range(d)]
+               for i in range(d)]
+        model = OPQModel(rotation=eye, pq=PQModel(codebooks=cb, d=d))
+        enc = opq_encode(emb, model)
+        opq_topk(enc, model, emb.where(F.col("vec_id") < 50),
+                 k=10, n_queries=50).count()
+
+    timed("opq_encode_topk", _opq, sink=diagnostics)
     # soft-kmeans fit (fuzzy variant: one-agg-per-iteration path)
     from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeans
     timed("fit_soft_k4", lambda: SoftKMeans(
