@@ -195,6 +195,37 @@ def main():
                 fingerprint_store(docs.where(F.col("doc_id") % 2 == 0)))
             .groupBy("in_store", "is_canonical").count().collect())
 
+    # r9 additions downstream of components: soft-dedup weights (one
+    # components join + one window count keyed on the component) and
+    # the component-keyed leakage-safe split (join + map-side CASE).
+    # Components are computed and pinned OUTSIDE the timed region —
+    # their scaling is dedup_components' row; this isolates the new
+    # ops' own join/window work. (The pin lives until the script's JVM
+    # exits, like the other per-pair caches.)
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        repetition_weights,
+    )
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        split_assign,
+    )
+
+    def _soft_weights_split(li, docs):
+        comp = duplicate_components(jaccard_verify(
+            docs,
+            lsh_candidate_pairs(minhash_signatures(docs, num_hashes=32),
+                                num_hashes=32),
+            threshold=0.5)).cache()
+        comp.count()
+
+        def run():
+            w = repetition_weights(docs, comp)
+            s = split_assign(w, {"train": 0.9, "test": 0.1},
+                             components=comp)
+            s.groupBy("split").agg(F.sum("rep_weight")).collect()
+        return run
+
+    compare("soft_weights_split", _soft_weights_split)
+
     # IVF-PQ serving path: encode (map-only) + ADC probe top-k for 50
     # queries, models pinned (training scaling is fit_se_k8's row; the
     # serving cost is what grows with the corpus). Candidate work is
