@@ -6733,6 +6733,56 @@ def _events_funnel_sql() -> str:
     )
 
 
+def q_events_funnel_pred(spark, sf_dir):
+    """Predicate-stage funnel (r9 widened contract): stages are
+    (label, predicate) pairs over the whole event row, not just type
+    names — here view → high-value click (value > 50) → purchase. The
+    chain rule is unchanged (strictly-after first touch per stage);
+    streaming_funnel takes the identical spec with exact batch
+    parity."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_rollup,
+    )
+
+    ev = events(spark, sf_dir)
+    out = funnel_rollup(ev, [
+        ("view", "event_type = 'view'"),
+        ("hot_click", "event_type = 'click' AND value > 50"),
+        ("purchase", "event_type = 'purchase'"),
+    ])
+    return out.select(
+        "stage_idx", "stage", "n_entities",
+        _rcol(F.col("conversion"), 6).alias("conversion"),
+    ).orderBy("stage_idx")
+
+
+def _events_funnel_pred_sql() -> str:
+    return (
+        "WITH x AS (SELECT user_id, ts, event_type, value, "
+        "min(CASE WHEN event_type = 'view' THEN ts END) "
+        "OVER (PARTITION BY user_id) AS t0 FROM events), "
+        "y AS (SELECT *, min(CASE WHEN event_type = 'click' "
+        "AND value > 50 AND ts > t0 THEN ts END) "
+        "OVER (PARTITION BY user_id) AS t1 FROM x), "
+        "z AS (SELECT *, min(CASE WHEN event_type = 'purchase' "
+        "AND ts > t1 THEN ts END) OVER (PARTITION BY user_id) AS t2 "
+        "FROM y), "
+        "p AS (SELECT user_id, any_value(t0) AS t0, any_value(t1) AS t1, "
+        "any_value(t2) AS t2 FROM z GROUP BY 1), "
+        "c AS (SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2 "
+        "FROM p) "
+        "SELECT 0 AS stage_idx, 'view' AS stage, n0 AS n_entities, "
+        + _r("CASE WHEN n0 > 0 THEN CAST(n0 AS DOUBLE) / n0 END", 6)
+        + " AS conversion FROM c UNION ALL "
+        "SELECT 1, 'hot_click', n1, "
+        + _r("CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE) / n0 END", 6)
+        + " FROM c UNION ALL "
+        "SELECT 2, 'purchase', n2, "
+        + _r("CASE WHEN n0 > 0 THEN CAST(n2 AS DOUBLE) / n0 END", 6)
+        + " FROM c ORDER BY stage_idx"
+    )
+
+
 def q_dedup_flag_propagation(spark, sf_dir):
     """Contamination-style flag spread: seeds (doc_id < 15) propagate
     2 hops across the shared-min-shingle-fingerprint graph — bounded
@@ -7007,6 +7057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": q_corpus_quantiles,
         "corpus_adaptive_filter": q_corpus_adaptive_filter,
         "events_funnel": q_events_funnel,
+        "events_funnel_pred": q_events_funnel_pred,
         "events_retention": q_events_retention,
         "events_throttle": q_events_throttle,
         "dedup_flag_propagation": q_dedup_flag_propagation,
@@ -7661,6 +7712,7 @@ FROM wide w ORDER BY xb
     out["corpus_quantiles"] = _corpus_quantiles_sql()
     out["corpus_adaptive_filter"] = _adaptive_filter_sql()
     out["events_funnel"] = _events_funnel_sql()
+    out["events_funnel_pred"] = _events_funnel_pred_sql()
     out["dedup_flag_propagation"] = _flag_propagation_sql()
     out["profit_by_nation_year"] = _profit_by_nation_year_sql()
     out["events_retention"] = _events_retention_sql()

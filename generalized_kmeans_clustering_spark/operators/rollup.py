@@ -204,6 +204,33 @@ def rolling_zscore(
     )
 
 
+def funnel_stage_predicates(stages, type_col: str):
+    """Normalize a funnel ``stages`` spec into ``(labels, predicates)``.
+
+    Each entry is either a STRING ``s`` — matched as
+    ``type_col == s`` (the classic event-name funnel) — or a
+    ``(label, predicate)`` pair where the predicate is a Column or SQL
+    string over the event row (``"event_type = 'click' AND value >
+    50"``), so stages can be arbitrary event shapes, not just type
+    names. Labels must be unique; predicates MAY overlap (an event can
+    qualify for several stages — each stage's chain rule evaluates it
+    independently, exactly as the batch window chain always has).
+    Shared by :func:`funnel_rollup` and the streaming twin so both
+    sides resolve one stages spec identically."""
+    labels, preds = [], []
+    for s in stages:
+        if isinstance(s, str):
+            labels.append(s)
+            preds.append(F.col(type_col) == s)
+        else:
+            label, p = s
+            labels.append(str(label))
+            preds.append(F.expr(p) if isinstance(p, str) else p)
+    if len(set(labels)) != len(labels):
+        raise ValueError("funnel stages: duplicate stage labels")
+    return labels, preds
+
+
 def funnel_rollup(
     df: DataFrame,
     stages,
@@ -213,11 +240,14 @@ def funnel_rollup(
     max_span_seconds: float | None = None,
 ) -> DataFrame:
     """Ordered first-touch funnel: for each entity, stage i counts as
-    reached iff an event of type ``stages[i]`` occurs STRICTLY after
-    the time stage i-1 was reached (first qualifying event wins).
-    Returns one row per stage: ``(stage_idx, stage, n_entities,
-    conversion)`` where conversion = n_entities / stage-0 entities
-    (NULL when nobody enters the funnel).
+    reached iff an event matching stage i's predicate occurs STRICTLY
+    after the time stage i-1 was reached (first qualifying event
+    wins). ``stages`` entries are event-type strings or
+    ``(label, predicate)`` pairs — see
+    :func:`funnel_stage_predicates`. Returns one row per stage:
+    ``(stage_idx, stage, n_entities, conversion)`` where conversion =
+    n_entities / stage-0 entities (NULL when nobody enters the
+    funnel).
 
     ``max_span_seconds`` additionally requires every stage to land
     within that many seconds of the STAGE-0 time (a common funnel
@@ -225,7 +255,7 @@ def funnel_rollup(
 
     Distributed shape: all k stage times resolve in ONE window pass
     over the entity partition — stage i's reach time is
-    ``min(ts WHERE type = stages[i] AND ts > t_{i-1})`` expressed as a
+    ``min(ts WHERE pred_i AND ts > t_{i-1})`` expressed as a
     chain of window minimums, so the plan is one shuffle on the entity
     key + one tiny per-stage aggregation; no joins, no per-stage
     passes over the raw table, no collect. Entities are hash-spread;
@@ -235,12 +265,14 @@ def funnel_rollup(
     stages = list(stages)
     if len(stages) < 2:
         raise ValueError("funnel_rollup: need at least 2 stages")
+    labels, preds = funnel_stage_predicates(stages, type_col)
+    stages = labels
     w = Window.partitionBy(entity_col)
-    t = F.min(F.when(F.col(type_col) == stages[0], F.col(ts_col))).over(w)
+    t = F.min(F.when(preds[0], F.col(ts_col))).over(w)
     stage_ts = [t]
-    for s in stages[1:]:
+    for p in preds[1:]:
         prev = stage_ts[-1]
-        cond = (F.col(type_col) == s) & (F.col(ts_col) > prev)
+        cond = p & (F.col(ts_col) > prev)
         if max_span_seconds is not None:
             cond = cond & (
                 (F.unix_micros(F.col(ts_col).cast("timestamp"))

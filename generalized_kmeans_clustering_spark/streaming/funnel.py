@@ -121,29 +121,43 @@ def streaming_funnel(
     one row ``(entity, t_0 … t_{k-1})`` per entity, emitted when its
     final stage time becomes watermark-final. Column ``entity`` is
     renamed to ``entity_col``; ``t_i`` is stage i's first-touch
-    timestamp."""
+    timestamp. ``stages`` takes the batch contract — event-type
+    strings or ``(label, predicate)`` pairs
+    (:func:`~..operators.rollup.funnel_stage_predicates`); an event
+    matching several stage predicates buffers once per matching stage,
+    preserving exact batch parity."""
     from pyspark.sql import types as T
+
+    from ..operators.rollup import funnel_stage_predicates
 
     stages = list(stages)
     if len(stages) < 2:
         raise ValueError("streaming_funnel: need at least 2 stages")
-    if len(set(stages)) != len(stages):
-        raise ValueError("streaming_funnel: duplicate stage types")
-    for c in (entity_col, ts_col, type_col):
+    labels, preds = funnel_stage_predicates(stages, type_col)
+    for c in (entity_col, ts_col):
         if c not in stream.columns:
             raise ValueError(f"streaming_funnel: column {c!r} missing")
+    if all(isinstance(s, str) for s in stages) \
+            and type_col not in stream.columns:
+        raise ValueError(f"streaming_funnel: column {type_col!r} missing")
     if not isinstance(stream.schema[ts_col].dataType, T.TimestampType):
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    k = len(stages)
+    k = len(labels)
     ent_t = stream.schema[entity_col].dataType.simpleString()
-    stage_idx = F.array_position(
-        F.array(*[F.lit(s) for s in stages]), F.col(type_col)) - 1
+    # one buffered row per MATCHING stage (predicates may overlap —
+    # the batch chain evaluates each stage's predicate independently,
+    # so an event qualifying for two stages must reach the state op
+    # under both indices); non-matching events drop at the explode,
+    # which is also the state-input shrink the isin filter used to do
+    stage_matches = F.filter(
+        F.array(*[F.when(p, F.lit(i).cast("int"))
+                  for i, p in enumerate(preds)]),
+        lambda x: x.isNotNull())
     src = (
-        stream.where(F.col(type_col).isin(stages))  # shrink state input
-        .select(
+        stream.select(
             F.col(entity_col).alias("_e"),
             F.col(ts_col).alias("_t"),
-            stage_idx.cast("int").alias("_stage"),
+            F.explode(stage_matches).alias("_stage"),
         )
         .withWatermark("_t", delay)
     )

@@ -143,3 +143,99 @@ def test_streaming_funnel_validation(spark, tmp_path):
         streaming_funnel(stream, ["view", "view"])
     with pytest.raises(ValueError, match="missing"):
         streaming_funnel(stream, ["a", "b"], entity_col="nope")
+
+
+def test_streaming_funnel_predicate_stages_match_batch(spark, tmp_path):
+    """r9 widened contract: (label, predicate) stages — including an
+    OVERLAPPING predicate (an event may qualify for two stages) —
+    replay to exactly the batch chain's completion set."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for u in range(30):
+        t = rng.randint(0, 50)
+        for _ in range(rng.randint(2, 10)):
+            rows.append((u, T0 + datetime.timedelta(seconds=t),
+                         rng.choice(["view", "click", "buy"]),
+                         float(rng.randint(0, 100))))
+            t += rng.randint(1, 30)
+    rows.sort(key=lambda r: r[1])
+    stages = [
+        ("any_view", "event_type = 'view'"),
+        # overlaps stage 3: a big buy qualifies for both
+        ("engaged", "event_type = 'click' OR "
+                    "(event_type = 'buy' AND value >= 50)"),
+        ("big_buy", "event_type = 'buy' AND value >= 50"),
+    ]
+
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = str(tmp_path / "src_pred")
+    os.makedirs(src, exist_ok=True)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        tmp = str(tmp_path / f"tmp_pred_{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part),
+                    os.path.join(src, f"{i:02d}.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_funnel(stream, stages)
+    q = (out.writeStream.format("memory").queryName("fun_pred")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_pred"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM fun_pred").collect()
+
+    # batch reference through the SAME widened chain
+    df = spark.createDataFrame(rows, schema)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id")
+    p0 = F.expr(stages[0][1])
+    p1 = F.expr(stages[1][1])
+    p2 = F.expr(stages[2][1])
+    t0 = F.min(F.when(p0, F.col("ts"))).over(w)
+    t1 = F.min(F.when(p1 & (F.col("ts") > t0), F.col("ts"))).over(w)
+    t2 = F.min(F.when(p2 & (F.col("ts") > t1), F.col("ts"))).over(w)
+    exp = (df.select("user_id", t0.alias("t0"), t1.alias("t1"),
+                     t2.alias("t2"))
+           .groupBy("user_id").agg(F.first("t0").alias("t0"),
+                                   F.first("t1").alias("t1"),
+                                   F.first("t2").alias("t2"))
+           .where(F.col("t2").isNotNull()).collect())
+    exp_m = {r["user_id"]: (r["t0"], r["t1"], r["t2"]) for r in exp}
+    got_m = {r["user_id"]: (r["t_0"], r["t_1"], r["t_2"]) for r in got}
+    assert got_m == exp_m
+    # and funnel_rollup's per-stage count agrees on the final stage
+    n_final = {r["stage"]: r["n_entities"]
+               for r in funnel_rollup(df, stages).collect()}["big_buy"]
+    assert n_final == len(exp_m)
+
+
+def test_funnel_rollup_predicate_stages(spark):
+    """Batch widened contract: predicate stages + label validation."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_stage_predicates,
+    )
+
+    rows = [
+        (1, T0, "view", 1.0),
+        (1, T0 + datetime.timedelta(seconds=1), "buy", 80.0),
+        (2, T0, "view", 1.0),
+        (2, T0 + datetime.timedelta(seconds=1), "buy", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {r["stage"]: r["n_entities"] for r in funnel_rollup(
+        df, ["view", ("big_buy", "event_type = 'buy' AND value >= 50")],
+    ).collect()}
+    assert out == {"view": 2, "big_buy": 1}
+    # mixed string/predicate stages share one resolution path
+    labels, preds = funnel_stage_predicates(
+        ["view", ("big", F.col("value") >= 50)], "event_type")
+    assert labels == ["view", "big"]
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_stage_predicates(["a", ("a", "value > 0")], "event_type")
