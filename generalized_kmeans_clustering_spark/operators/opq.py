@@ -56,6 +56,7 @@ from .quantization import (
 __all__ = [
     "OPQModel", "train_opq", "opq_encode", "opq_decode", "opq_topk",
     "ivf_opq_index", "ivf_opq_topk",
+    "write_ivf_opq_index", "read_ivf_opq_index",
     "rotate_vectors", "write_opq_model", "read_opq_model",
 ]
 
@@ -302,6 +303,39 @@ def ivf_opq_topk(
     return ivf_pq_topk(
         encoded, coarse_model, pq_model, q, k=k, nprobe=nprobe,
         id_col=id_col, vec_col="_opq_q", **kwargs)
+
+
+def write_ivf_opq_index(encoded: DataFrame, coarse_model, pq_model,
+                        rotation, path: str,
+                        mode: str = "overwrite") -> None:
+    """Persist an :func:`ivf_opq_index` for serving: the IVF-PQ layout
+    (codes partitioned by ``_list``, coarse + PQ sidecars — see
+    :func:`~.quantization.write_ivf_pq_index`) plus the rotation as
+    its own checksummed sidecar. Serve via
+    :func:`read_ivf_opq_index` → :func:`ivf_opq_topk`."""
+    from ..sources.sidecar import write_model_sidecar
+    from .quantization import write_ivf_pq_index
+
+    write_ivf_pq_index(encoded, coarse_model, pq_model, path, mode=mode)
+    R = np.asarray(rotation, dtype=np.float64)
+    write_model_sidecar(
+        encoded.sparkSession, f"{path}/rotation", "opq_rotation", {
+            "d": int(R.shape[0]),
+            "rotation": [[float(x) for x in row] for row in R],
+        }, mode=mode)
+
+
+def read_ivf_opq_index(spark, path: str):
+    """Load a :func:`write_ivf_opq_index` layout. Returns ``(encoded,
+    coarse_model, pq_model, rotation)`` — the exact
+    :func:`ivf_opq_topk` argument order."""
+    from ..sources.sidecar import read_model_sidecar
+    from .quantization import read_ivf_pq_index
+
+    encoded, coarse, pq = read_ivf_pq_index(spark, path)
+    p = read_model_sidecar(spark, f"{path}/rotation", "opq_rotation")
+    rotation = [[float(x) for x in row] for row in p["rotation"]]
+    return encoded, coarse, pq, rotation
 
 
 def write_opq_model(spark, model: OPQModel, path: str,

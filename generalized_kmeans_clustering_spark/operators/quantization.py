@@ -51,6 +51,7 @@ __all__ = [
     "PQModel", "train_pq", "pq_encode", "pq_decode", "pq_topk",
     "ivf_pq_index", "ivf_pq_topk",
     "write_pq_model", "read_pq_model",
+    "write_ivf_pq_index", "read_ivf_pq_index",
     "SQModel", "train_sq", "sq_encode", "sq_decode", "sq_topk",
     "write_sq_model", "read_sq_model",
     "ivf_sq_index", "ivf_sq_topk",
@@ -464,6 +465,44 @@ def ivf_pq_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"),
                 "approx_dist", "rank")
     )
+
+
+def write_ivf_pq_index(encoded: DataFrame, coarse_model, pq_model: PQModel,
+                       path: str, mode: str = "overwrite") -> None:
+    """Persist an :func:`ivf_pq_index` for serving: the ``(id, _list,
+    codes)`` frame as parquet PARTITIONED BY ``_list`` (probe joins
+    prune to the probed partitions — nprobe/n_lists of the files, m
+    bytes per candidate) plus the coarse centroids and PQ codebooks as
+    checksummed sidecars. Train once on a sample job; encode + write
+    once; serve from any later job via :func:`read_ivf_pq_index`."""
+    from ..sources.sidecar import write_model_sidecar
+
+    encoded.write.mode(mode).partitionBy("_list").parquet(f"{path}/codes")
+    write_model_sidecar(
+        encoded.sparkSession, f"{path}/coarse", "ivf_centroids", {
+            "n_lists": int(len(coarse_model.centers)),
+            "dim": int(coarse_model.centers.shape[1]),
+            "kernel": coarse_model.kernel_name,
+            "centers": [[float(v) for v in c]
+                        for c in coarse_model.centers],
+        }, mode=mode)
+    write_pq_model(encoded.sparkSession, pq_model, f"{path}/pq", mode=mode)
+
+
+def read_ivf_pq_index(spark, path: str):
+    """Load a :func:`write_ivf_pq_index` layout. Returns ``(encoded,
+    coarse_model, pq_model)`` ready for :func:`ivf_pq_topk`; probes on
+    the partitioned ``_list`` column prune at the parquet scan."""
+    from ..kmeans import GeneralizedKMeansModel
+    from ..sources.sidecar import read_model_sidecar
+
+    p = read_model_sidecar(spark, f"{path}/coarse", "ivf_centroids")
+    coarse = GeneralizedKMeansModel(
+        centers=[list(c) for c in p["centers"]], kernel_name=p["kernel"],
+        features_col="_v", prediction_col="_list",
+    )
+    pq = read_pq_model(spark, f"{path}/pq")
+    return spark.read.parquet(f"{path}/codes"), coarse, pq
 
 
 # --------------------------------------------------------------------------

@@ -457,3 +457,70 @@ def test_ivf_sq_residual_tighter_than_raw(spark):
     step_raw = sum(mx - mn for mn, mx in zip(sq_raw.mins, sq_raw.maxs))
     # residual ranges (hence quantization steps) are much tighter
     assert step_res < step_raw / 3
+
+
+def test_ivf_pq_index_persistence_roundtrip(spark, tmp_path):
+    """write/read the IVF-PQ serving layout: identical top-k after the
+    round-trip and partition-pruned probes on the _list column."""
+    import numpy as np
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_pq_index, ivf_pq_topk, read_ivf_pq_index, write_ivf_pq_index,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((300, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<double>")
+    enc, coarse, pq = ivf_pq_index(
+        df, n_lists=4, m=2, k_sub=4, seed=1,
+        coarse_max_iter=2, pq_max_iter=2)
+    q = df.where("vec_id < 4")
+    before = [tuple(r) for r in ivf_pq_topk(
+        enc, coarse, pq, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank").collect()]
+
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(enc, coarse, pq, path)
+    enc2, coarse2, pq2 = read_ivf_pq_index(spark, path)
+    assert pq2.codebooks == pq.codebooks
+    assert [list(c) for c in coarse2.centers] == \
+        [list(c) for c in coarse.centers]
+    out = ivf_pq_topk(enc2, coarse2, pq2, q, k=3, nprobe=2)
+    after = [tuple(r) for r in out.orderBy("query_id", "rank").collect()]
+    assert after == before
+    # the probe equi-join on _list prunes the partitioned scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in \
+        plan.split("PartitionFilters")[1][:160]
+
+
+def test_ivf_opq_index_persistence_roundtrip(spark, tmp_path):
+    import numpy as np
+    from generalized_kmeans_clustering_spark.operators.opq import (
+        ivf_opq_index, ivf_opq_topk, read_ivf_opq_index, train_opq,
+        write_ivf_opq_index,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((300, 8)) * np.linspace(3, 0.1, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<double>")
+    model = train_opq(df, m=2, k_sub=4, n_iter=2, pq_iter=2, seed=2)
+    enc, coarse, pq = ivf_opq_index(
+        df, model.rotation, n_lists=4, m=2, k_sub=4, seed=2,
+        coarse_max_iter=2, pq_max_iter=2)
+    q = df.where("vec_id < 4")
+    before = [tuple(r) for r in ivf_opq_topk(
+        enc, coarse, pq, model.rotation, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank").collect()]
+
+    path = str(tmp_path / "ivfopq")
+    write_ivf_opq_index(enc, coarse, pq, model.rotation, path)
+    enc2, coarse2, pq2, rot2 = read_ivf_opq_index(spark, path)
+    assert rot2 == model.rotation
+    after = [tuple(r) for r in ivf_opq_topk(
+        enc2, coarse2, pq2, rot2, q, k=3, nprobe=2)
+        .orderBy("query_id", "rank").collect()]
+    assert after == before
