@@ -344,3 +344,36 @@ def test_streaming_asof_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="direction"):
         streaming_asof_join(stream, stream, "user_id", "ts",
                             "event_id", "value", direction="nearest")
+
+
+def test_terminal_millisecond_boundary_documented_drop(spark, tmp_path):
+    """Pin the documented terminal 1-ms boundary (maturity.py module
+    doc): a buffered row whose maturity millisecond is exactly wm+1
+    gets its timeout clamped onto its own millisecond; when the stream
+    ends with the terminal watermark exactly there (the row sits in
+    the stream's final watermark ms, delay=0), Spark's strict
+    ``timeout < watermark`` rule never fires it and the row is
+    DROPPED — the one ms where availableNow parity does not hold. Any
+    later event moves the watermark past it and the flush happens.
+    If a maturity change closes the boundary, flip these asserts and
+    update the docstrings."""
+    ms = datetime.timedelta(milliseconds=1)
+    base = [
+        (1, T0 + datetime.timedelta(seconds=5), None, 7.0, 0),
+        (1, T0 + datetime.timedelta(seconds=10), 100, None, 1),
+    ]
+    # boundary row: exactly 1 ms above the wm that file 0 establishes,
+    # and the global max event time (it becomes the terminal wm)
+    edge = [(2, T0 + datetime.timedelta(seconds=10) + ms, 200, None, 1)]
+    got = _run_stream(spark, tmp_path, [base, edge], "edge")
+    ids = {r["event_id"] for r in got}
+    assert 100 in ids          # ordinary key flushes via its timeout
+    assert 200 not in ids      # the documented boundary drop
+
+    # recovery: one later event anywhere moves the terminal watermark
+    # past the boundary ms and the row flushes (unmatched: NULL match)
+    later = [(1, T0 + datetime.timedelta(seconds=20), None, 9.0, 0)]
+    got2 = _run_stream(spark, tmp_path, [base, edge, later], "edge2")
+    m = {r["event_id"]: r["matched_ts"] for r in got2}
+    assert 100 in m and 200 in m
+    assert m[200] is None      # user 2 never had a right
