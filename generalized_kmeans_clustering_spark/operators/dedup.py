@@ -802,10 +802,19 @@ def with_components(df: DataFrame, components: DataFrame,
     row's own id — ids untouched by any duplicate pair are their own
     singleton component. The ONE shared singleton rule behind
     :func:`canonical_duplicates`, :func:`repetition_weights` and
-    :func:`~.sampling.split_assign`'s components path."""
+    :func:`~.sampling.split_assign`'s components path.
+
+    The components frame's label column is ``component`` (the
+    :func:`duplicate_components` schema); a frame using a custom name
+    is read through ``component_col`` when that column exists there —
+    the pre-refactor :func:`canonical_duplicates` contract, kept so a
+    caller pairing a custom-named frame with a matching
+    ``component_col`` still resolves."""
+    src = (component_col if component_col in components.columns
+           else "component")
     return df.join(
         components.select(F.col("id").alias(id_col),
-                          F.col("component").alias("_comp")),
+                          F.col(src).alias("_comp")),
         id_col, "left",
     ).withColumn(component_col,
                  F.coalesce(F.col("_comp"), F.col(id_col))).drop("_comp")

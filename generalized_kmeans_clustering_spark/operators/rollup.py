@@ -212,22 +212,45 @@ def funnel_stage_predicates(stages, type_col: str):
     ``(label, predicate)`` pair where the predicate is a Column or SQL
     string over the event row (``"event_type = 'click' AND value >
     50"``), so stages can be arbitrary event shapes, not just type
-    names. Labels must be unique; predicates MAY overlap (an event can
-    qualify for several stages — each stage's chain rule evaluates it
-    independently, exactly as the batch window chain always has).
+    names. Predicates MAY overlap (an event can qualify for several
+    stages — each stage's chain rule evaluates it independently,
+    exactly as the batch window chain always has).
+
+    Duplicate labels: a repeated STRING stage is a legitimate revisit
+    funnel (``['view', 'click', 'view']``) — its predicate is derived
+    from the string, so the repeat is auto-uniquified in the returned
+    labels (``view``, ``view#2``, …; ``stage_idx`` disambiguates
+    regardless). A duplicate among EXPLICIT ``(label, predicate)``
+    labels still raises — two different predicates under one name is
+    a spec bug, and the pair form can always pick distinct labels.
     Shared by :func:`funnel_rollup` and the streaming twin so both
     sides resolve one stages spec identically."""
-    labels, preds = [], []
+    labels, preds, explicit = [], [], []
     for s in stages:
         if isinstance(s, str):
             labels.append(s)
             preds.append(F.col(type_col) == s)
+            explicit.append(False)
         else:
             label, p = s
             labels.append(str(label))
             preds.append(F.expr(p) if isinstance(p, str) else p)
-    if len(set(labels)) != len(labels):
-        raise ValueError("funnel stages: duplicate stage labels")
+            explicit.append(True)
+    seen: dict[str, int] = {}
+    taken = set()
+    for i, lab in enumerate(labels):
+        n = seen.get(lab, 0)
+        seen[lab] = n + 1
+        if n or lab in taken:
+            if explicit[i]:
+                raise ValueError(
+                    f"funnel stages: duplicate stage label {lab!r} — "
+                    "explicit (label, predicate) labels must be unique")
+            k = n + 1
+            while f"{lab}#{k}" in taken:
+                k += 1
+            labels[i] = f"{lab}#{k}"
+        taken.add(labels[i])
     return labels, preds
 
 
@@ -244,7 +267,10 @@ def funnel_rollup(
     after the time stage i-1 was reached (first qualifying event
     wins). ``stages`` entries are event-type strings or
     ``(label, predicate)`` pairs — see
-    :func:`funnel_stage_predicates`. Returns one row per stage:
+    :func:`funnel_stage_predicates`; a repeated string stage (a
+    revisit funnel, ``['view', 'click', 'view']``) is accepted, with
+    the repeat's output label uniquified to ``view#2``. Returns one
+    row per stage:
     ``(stage_idx, stage, n_entities, conversion)`` where conversion =
     n_entities / stage-0 entities (NULL when nobody enters the
     funnel).

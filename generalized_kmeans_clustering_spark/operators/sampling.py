@@ -427,6 +427,18 @@ def bernoulli_keep(
     partitionings and engines, and keeps at the same seed NEST as a
     row's probability grows. Expression-only map-side filter; rows
     with NULL probability are dropped (NULL < nothing).
+
+    **Use distinct seeds across stages.** Every hash-draw operator in
+    this module (:func:`sample_hash`, :func:`bernoulli_keep`,
+    :func:`split_assign`) derives its draw from the SAME
+    ``hash(id, seed)``, so two stages sharing a seed make perfectly
+    correlated decisions: ``bernoulli_keep(seed=0)`` followed by
+    ``sample_hash(fraction=f, seed=0)`` keeps exactly the rows whose
+    probability exceeds their hash AND whose hash is below ``f`` —
+    the sample is the nesting-prefix of the survivors, NOT an
+    independent thinning. Within ONE operator that nesting is the
+    documented reproducibility feature; across pipeline stages pass a
+    different seed per stage to get independent draws.
     """
     return df.where(
         _bucket(F.col(id_col), seed, hash_fn)

@@ -98,6 +98,17 @@ def grouped_summary(
     )
 
 
+def _q_label(q: float) -> str:
+    """Quantile → output-column label (``q_<label>``), percent-based:
+    0.25 → ``25``, 0.5 → ``50``, 1.0 → ``100``, 0.125 → ``12_5``.
+    The ONE label formula shared by :func:`quantiles_by_key` (which
+    writes ``q_<label>`` columns) and
+    :func:`filter_by_group_quantile` (which reads one back) — a
+    single source of truth so the reader can never drift from the
+    writer."""
+    return ("%g" % (q * 100)).replace(".", "_")
+
+
 def _present_mask(df: DataFrame, value_col: str):
     """NULL (and, for float columns, NaN — Spark sorts NaN above every
     number) exclusion predicate: the ONE population rule shared by
@@ -170,9 +181,9 @@ def quantiles_by_key(
         raise ValueError(
             f"quantiles_by_key: method={method!r} not in exact/approx/auto")
     # percent-based labels — unambiguous where fraction-digit labels
-    # collide (0.1 and 1.0 both gave "1"): 0.25 -> "25", 0.5 -> "50",
-    # 1.0 -> "100", 0.05 -> "5", 0.125 -> "12_5"
-    labels = [("%g" % (q * 100)).replace(".", "_") for q in qs]
+    # collide (0.1 and 1.0 both gave "1"); formula shared with the
+    # reader in filter_by_group_quantile via _q_label
+    labels = [_q_label(q) for q in qs]
     if len(set(labels)) != len(labels):
         raise ValueError("quantiles_by_key: duplicate q labels")
     x = F.col(value_col)
@@ -272,9 +283,9 @@ def filter_by_group_quantile(
         auto_distinct_threshold=auto_distinct_threshold,
         approx_accuracy=approx_accuracy,
     )
-    lab = ("%g" % (q * 100)).replace(".", "_")
     thr = thresholds.select(
-        F.col("key").alias("_thr_key"), F.col(f"q_{lab}").alias("_thr"))
+        F.col("key").alias("_thr_key"),
+        F.col(f"q_{_q_label(q)}").alias("_thr"))
     x = F.col(value_col)
     cond = x >= F.col("_thr") if keep == "above" else x <= F.col("_thr")
     # eqNullSafe, not equi-join on the name: quantiles_by_key keeps a

@@ -137,7 +137,10 @@ def streaming_funnel(
     for c in (entity_col, ts_col):
         if c not in stream.columns:
             raise ValueError(f"streaming_funnel: column {c!r} missing")
-    if all(isinstance(s, str) for s in stages) \
+    # ANY string stage references type_col (a mixed string+predicate
+    # spec too, not just all-string — all() here skipped the friendly
+    # error and let F.col(type_col) fail later as an AnalysisException)
+    if any(isinstance(s, str) for s in stages) \
             and type_col not in stream.columns:
         raise ValueError(f"streaming_funnel: column {type_col!r} missing")
     if not isinstance(stream.schema[ts_col].dataType, T.TimestampType):

@@ -106,6 +106,39 @@ def test_funnel_max_span_and_validation(spark):
         funnel_rollup(df, ["view"])
 
 
+def test_funnel_revisit_duplicate_string_stages(spark):
+    """A repeated string stage is a revisit funnel: the second 'view'
+    counts a view STRICTLY after the first click, and its output
+    label is auto-uniquified to 'view#2'. Explicit (label, predicate)
+    duplicates still raise."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_stage_predicates,
+    )
+
+    rows = [
+        # u1: view -> click -> view (completes the revisit funnel)
+        _ev(1, 0, "view"), _ev(1, 5, "click"), _ev(1, 9, "view"),
+        # u2: view -> click, never returns
+        _ev(2, 0, "view"), _ev(2, 5, "click"),
+        # u3: two views but no click between them
+        _ev(3, 0, "view"), _ev(3, 9, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {r.stage: r.n_entities
+           for r in funnel_rollup(df, ["view", "click", "view"]).collect()}
+    assert got == {"view": 3, "click": 2, "view#2": 1}
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_stage_predicates(
+            [("a", "event_type = 'x'"), ("a", "event_type = 'y'")],
+            "event_type")
+    # a later stage colliding with an auto-uniquified label still
+    # resolves to a fresh name
+    labels, _ = funnel_stage_predicates(
+        ["view", "view", "view#2"], "event_type")
+    assert len(set(labels)) == 3 and labels[0] == "view"
+
+
 def test_funnel_empty_entry_stage(spark):
     df = spark.createDataFrame(
         [_ev(1, 0, "click")], "user_id long, ts timestamp, event_type string")

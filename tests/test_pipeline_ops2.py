@@ -266,6 +266,19 @@ def test_canonical_selection_and_dedup(spark):
     assert out[7] == (7, True)          # singleton: own component, kept
     kept = {r["doc_id"] for r in deduplicate(docs, comp).collect()}
     assert kept == {2, 7}
+    # a custom-named components frame paired with a matching
+    # component_col resolves through that column (the pre-refactor
+    # canonical_duplicates contract, kept by with_components)
+    comp_custom = comp.withColumnRenamed("component", "grp")
+    out2 = {r["doc_id"]: (r["grp"], r["is_canonical"])
+            for r in canonical_duplicates(
+                docs, comp_custom, component_col="grp").collect()}
+    assert out2 == out
+    # default-named frame + custom OUTPUT name (the r9 contract)
+    out3 = {r["doc_id"]: (r["grp"], r["is_canonical"])
+            for r in canonical_duplicates(
+                docs, comp, component_col="grp").collect()}
+    assert out3 == out
 
 
 def test_ivf_index_persist_and_partition_pruning(spark, tmp_path):

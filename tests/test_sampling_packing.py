@@ -354,6 +354,31 @@ def test_bernoulli_keep(spark, docs):
             == {r["doc_id"] for r in ref.collect()})
 
 
+def test_hash_draw_seed_correlation(spark, docs):
+    """The hash-draw operators share hash(id, seed): at the SAME seed
+    a downstream sample_hash is perfectly nested in bernoulli_keep's
+    survivors (correlated by design); DISTINCT seeds give an
+    independent thinning whose joint rate is ~ the product."""
+    from generalized_kmeans_clustering_spark.operators.sampling import (
+        bernoulli_keep,
+    )
+
+    n = docs.count()
+    kept = bernoulli_keep(docs.withColumn("p", F.lit(0.6)), "p", seed=5)
+    k = kept.count()
+    # same seed: sample_hash(0.3) after bernoulli_keep(0.6) keeps
+    # EXACTLY the rows sample_hash(0.3) keeps alone — the hash-prefix
+    # nesting, not an independent 0.18 thinning
+    same = {r["doc_id"] for r in sample_hash(kept, 0.3, seed=5).collect()}
+    alone = {r["doc_id"] for r in sample_hash(docs, 0.3, seed=5).collect()}
+    assert same == alone
+    # distinct seeds: joint keep rate ~ 0.6 * 0.3 (binomial tolerance)
+    indep = sample_hash(kept, 0.3, seed=6).count()
+    expected = k * 0.3
+    assert abs(indep - expected) < 4 * (expected * 0.7) ** 0.5 + 4
+    assert k > 0.5 * n  # sanity: the first stage kept ~60%
+
+
 def test_repetition_weights(spark):
     from generalized_kmeans_clustering_spark.operators.dedup import (
         repetition_weights,

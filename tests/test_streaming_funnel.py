@@ -139,10 +139,22 @@ def test_streaming_funnel_validation(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(src)
     with pytest.raises(ValueError, match="2 stages"):
         streaming_funnel(stream, ["view"])
+    # repeated STRING stages are a revisit funnel (auto-uniquified
+    # labels) — accepted; duplicate EXPLICIT pair labels still raise
+    streaming_funnel(stream, ["view", "view"])
     with pytest.raises(ValueError, match="duplicate"):
-        streaming_funnel(stream, ["view", "view"])
+        streaming_funnel(stream, [("s", "event_type = 'view'"),
+                                  ("s", "event_type = 'click'")])
     with pytest.raises(ValueError, match="missing"):
         streaming_funnel(stream, ["a", "b"], entity_col="nope")
+    # a MIXED spec (string + predicate pair) still references type_col:
+    # the friendly error must fire when it is absent (any(), not all())
+    schema2 = "user_id long, ts timestamp, value double"
+    src2 = str(tmp_path / "v2")
+    spark.createDataFrame([], schema2).write.parquet(src2)
+    stream2 = spark.readStream.schema(schema2).parquet(src2)
+    with pytest.raises(ValueError, match="event_type"):
+        streaming_funnel(stream2, ["view", ("big", "value > 50")])
 
 
 def test_streaming_funnel_predicate_stages_match_batch(spark, tmp_path):
