@@ -337,12 +337,14 @@ def main():
 
     timed("ivfpq_encode_topk", _ivfpq)
 
-    # OPQ serving path (r9, diagnostics — NOT in the headline total so
-    # the 23-query suite stays comparable across rounds): same pinned
-    # 8-list/m=4 shape as ivfpq_encode_topk plus a fixed identity-like
-    # rotation, measuring the added Arrow matmul on encode + the
-    # rotated-query probe. Rotation is pinned (training cost is a
-    # sample-scale concern, not a serving metric).
+    # OPQ serving path (headline since r10 — protocol v4; it sat in
+    # diagnostics for r9 only because it had no oracle row yet): same
+    # pinned 8-list/m=4 shape as ivfpq_encode_topk plus a pinned
+    # reversal-permutation rotation (the oracle twins' rotation — a
+    # dense 64x64 Arrow matmul either way, so the timing generalizes
+    # to learned rotations), measuring rotate+encode over the corpus
+    # plus the rotated-query ADC probe. Rotation is pinned (training
+    # cost is a sample-scale concern, not a serving metric).
     from generalized_kmeans_clustering_spark.operators.opq import (
         OPQModel, opq_encode, opq_topk,
     )
@@ -353,17 +355,17 @@ def main():
     def _opq():
         rows = emb.where(F.col("vec_id").between(200, 207)) \
             .orderBy("vec_id").select("embedding").collect()
-        vecs = [[float(v) for v in r["embedding"]] for r in rows]
+        vecs = [[float(v) for v in r["embedding"]][::-1] for r in rows]
         cb = [[vec[j * 16:(j + 1) * 16] for vec in vecs] for j in range(4)]
         d = len(vecs[0])
-        eye = [[1.0 if i == j else 0.0 for j in range(d)]
+        rot = [[1.0 if j == d - 1 - i else 0.0 for j in range(d)]
                for i in range(d)]
-        model = OPQModel(rotation=eye, pq=PQModel(codebooks=cb, d=d))
+        model = OPQModel(rotation=rot, pq=PQModel(codebooks=cb, d=d))
         enc = opq_encode(emb, model)
         opq_topk(enc, model, emb.where(F.col("vec_id") < 50),
                  k=10, n_queries=50).count()
 
-    timed("opq_encode_topk", _opq, sink=diagnostics)
+    timed("opq_encode_topk", _opq)
     # soft-kmeans fit (fuzzy variant: one-agg-per-iteration path)
     from generalized_kmeans_clustering_spark.soft_kmeans import SoftKMeans
     timed("fit_soft_k4", lambda: SoftKMeans(
@@ -390,7 +392,10 @@ def main():
         # out-of-suite diagnostics at 1 iter — r5's 41.1s headline
         # included a 17.4s slow-JVM draw of it; totals across protocol
         # versions are NOT comparable.
-        "protocol": "v3-min-of-n-warm-diag",
+        # v4 (round 10+): opq_encode_topk promoted from diagnostics to
+        # the headline suite (24 queries; r9's 23-query total is
+        # comparable after subtracting this row).
+        "protocol": "v4-min-of-n-warm-diag",
     }))
     spark.stop()
 

@@ -1,0 +1,65 @@
+"""The driver-window rotation contract (__spark_entry__._attestation_order).
+
+The correctness driver records official rows for the first 50
+``queries()`` entries only; these tests pin the property that makes
+that window a fair rotation: the returned order is least-recently-
+GREEN-attested first, so the window always holds the most-stale
+queries the registry has (optimal for any window size — the capacity
+arithmetic in the _attestation_order docstring is then the only
+residual staleness source)."""
+
+import glob
+import json
+import os
+import re
+
+import __spark_entry__ as em
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _last_green():
+    last = {}
+    for p in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p))
+                  .group(1))
+        with open(p) as f:
+            data = json.load(f)
+        for k, v in data.items():
+            if (isinstance(v, dict) and v.get("rows_match")
+                    and v.get("schema_match") and v.get("hash_match")):
+                last[k] = max(last.get(k, -1), rnd)
+    return last
+
+
+def test_order_is_most_stale_first():
+    names = list(em.queries().keys())
+    last = _last_green()
+    rounds = [last.get(n, -1) for n in names]
+    assert rounds == sorted(rounds), (
+        "queries() must be ordered least-recently-attested first")
+    # never-attested queries (no official row at all) lead everything
+    first_attested = next(
+        (i for i, r in enumerate(rounds) if r >= 0), len(rounds))
+    assert all(r == -1 for r in rounds[:first_attested])
+
+
+def test_window_holds_the_global_most_stale_set():
+    """The first 50 entries are exactly a most-stale 50-subset: no
+    query outside the window is staler than any query inside it."""
+    names = list(em.queries().keys())
+    last = _last_green()
+    if len(names) <= 50:
+        return
+    max_in = max(last.get(n, -1) for n in names[:50])
+    min_out = min(last.get(n, -1) for n in names[50:])
+    assert max_in <= min_out
+
+
+def test_every_query_has_an_oracle_or_documented_exemption():
+    """queries() and oracle_sql() stay 1:1 — every official row the
+    rotation schedules is a full value-hash row, not a weaker
+    rows-only check."""
+    q = set(em.queries().keys())
+    o = set(em.oracle_sql().keys())
+    assert q == o, (sorted(q - o), sorted(o - q))
