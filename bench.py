@@ -148,6 +148,14 @@ def main():
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .repartition(int(cpus)).cache()
     docs.count()
+    # r9→r10 note: the 1.15→1.42s driver drift was chased with the
+    # interleaved same-JVM A/B of HEAD vs the r8 tree (20b73ec), 5
+    # trials after per-tree warmup at sf0.1/local[32] on an idle box
+    # (load 0.4): mins 1.20s (HEAD) vs 1.03s (r8), medians 1.27 vs
+    # 1.15, per-trial ranges fully overlapping (1.20-1.52 vs
+    # 1.03-1.27). lsh_candidate_pairs itself had zero r9 commits (the
+    # only dedup.py change was the additive with_components refactor,
+    # not on this path) — variance, nothing to revert.
     timed("minhash_lsh", lambda: lsh_candidate_pairs(
         minhash_signatures(docs, num_hashes=32), num_hashes=32).count())
     # embeddings: brute-force cosine top-10 for 50 queries
@@ -314,6 +322,15 @@ def main():
         score_hashed_lr(labeled, model).agg(
             F.avg("quality_score")).collect()
 
+    # r9→r10 note: the 6.70→8.64s driver drift (r9's suite max) was
+    # chased with the interleaved same-JVM A/B of HEAD vs the r8 tree
+    # (20b73ec), 5 trials after per-tree warmup at sf0.1/local[32] on
+    # an idle box (load 0.4): classifier.py and functions/text.py are
+    # byte-identical between the trees (git diff empty), mins 6.56s
+    # (HEAD) vs 6.22s (r8), medians 7.03 vs 6.68 with fully
+    # overlapping trial bands (r8 drew one 11.3s outlier trial —
+    # exactly the variance class the driver reading sampled).
+    # Recovered; nothing to revert.
     timed("quality_lr_train_score", _quality_lr)
     # residual IVF-PQ serving path: encode corpus + ADC top-10 for 50
     # queries (models pinned — training cost is the fit_* rows)
