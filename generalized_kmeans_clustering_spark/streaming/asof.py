@@ -35,7 +35,10 @@ batch operator uses — but here the "window" is the state store:
   batch ``asof_join`` emits those with NULL payload. Forward batch
   parity is therefore exact for matched lefts and for unmatched lefts
   whose ``ts + tolerance`` precedes the terminal watermark; a live
-  deployment never ends, so every deadline eventually passes. Mature
+  deployment never ends, so every deadline eventually passes — and a
+  bounded replay recovers the held rows with
+  :func:`asof_replay_flush` (streamed ∪ flush == batch, exactly).
+  Mature
   rights in the current watermark millisecond are retained one batch
   (a new left may still arrive inside that millisecond); state per
   key is ``pending-lefts (tolerance-bounded) + rows-in-horizon``.
@@ -80,7 +83,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .maturity import schedule_flush, split_mature
 
-__all__ = ["streaming_asof_join"]
+__all__ = ["streaming_asof_join", "asof_replay_flush"]
 
 
 def _tbk(tb):
@@ -312,6 +315,74 @@ def _carry_spec(df: DataFrame, col: str, what: str):
     return state_t, in_expr, restore
 
 
+def asof_replay_flush(
+    left: DataFrame,
+    right: DataFrame,
+    streamed: DataFrame,
+    key: str | Sequence[str],
+    ts_col: str,
+    left_id_col: str,
+    value_cols: str | Sequence[str],
+    direction: str = "forward",
+    tolerance_seconds: float | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Terminal flush for a BOUNDED (availableNow) replay of
+    :func:`streaming_asof_join`: the rows the stream held back, in
+    the streaming output schema, so that ``streamed UNION
+    asof_replay_flush(...)`` equals the batch
+    :func:`~..operators.temporal.asof_join` of the replayed window —
+    exact batch parity with no caveats.
+
+    Why a post-replay helper: inside ``applyInPandasWithState`` Spark
+    exposes no "this was the final batch" signal — the terminal
+    no-data batch fires event-time timeouts, but the terminal
+    watermark never passes the stream's own maximum event time, so a
+    state function can never distinguish "stream ended" from "quiet
+    period" (a live stream must NOT flush: the awaited right may
+    still come). The held rows are therefore recoverable only
+    OUTSIDE the query, where boundedness is known. This helper
+    recomputes the batch as-of over the same bounded frames the
+    replay consumed and anti-joins the streamed output on
+    ``(key..., left_id)`` — the difference is exactly what the
+    stream held:
+
+    - **forward, with tolerance**: unmatched lefts whose
+      ``ts + tolerance`` deadline lies at/after the terminal
+      watermark (the module-doc caveat) — emitted here with NULL
+      payload, as batch does;
+    - **forward, no tolerance**: every trailing unmatched left;
+    - **either direction**: lefts in the terminal watermark
+      millisecond (the :mod:`.maturity` boundary) — emitted here
+      with their true batch match, closing that documented caveat
+      for replays as well.
+
+    Pass the SAME bounded left/right data the replay consumed (e.g.
+    re-read the replayed files as batch frames) and the streamed
+    output collected from the sink. ``left_id_col`` must identify
+    left rows uniquely within a key (already required for the
+    streaming emit contract). Cost: one batch as-of window pass over
+    the replayed window plus one anti-join on (key, left_id) — both
+    bounded by the replay's size, not the stream's history; for a
+    checkpointed long-lived stream, flush with the window since the
+    last checkpointed flush ONLY if no pending left can be older than
+    that window (otherwise replay the full horizon).
+    """
+    from ..operators.temporal import asof_join
+
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = ([value_cols] if isinstance(value_cols, str)
+               else list(value_cols))
+    batch = asof_join(
+        left, right, key, ts_col, ts_col, payload,
+        direction=direction, tolerance_seconds=tolerance_seconds,
+        tiebreak_col=tiebreak_col)
+    out = batch.select(*keys, left_id_col, ts_col, *payload, "matched_ts")
+    return out.join(
+        streamed.select(*keys, left_id_col),
+        on=keys + [left_id_col], how="left_anti")
+
+
 def streaming_asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -337,7 +408,8 @@ def streaming_asof_join(
     micro-batching of in-watermark data. Forward caveat: unmatched
     lefts flush only when ``tolerance_seconds`` is set AND their
     deadline precedes the watermark, so a BOUNDED replay holds the
-    unmatched lefts of its final tolerance window (see module doc).
+    unmatched lefts of its final tolerance window (see module doc;
+    recover them with :func:`asof_replay_flush`).
     Output columns: key columns, ``left_id_col``, ``ts_col``, the
     ``value_cols`` (original names and types), ``matched_ts``.
 

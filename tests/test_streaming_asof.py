@@ -377,3 +377,87 @@ def test_terminal_millisecond_boundary_documented_drop(spark, tmp_path):
     m = {r["event_id"]: r["matched_ts"] for r in got2}
     assert 100 in m and 200 in m
     assert m[200] is None      # user 2 never had a right
+
+
+# --- terminal flush (asof_replay_flush) --------------------------------------
+
+def _flush_parity(spark, tmp_path, files, name, **kw):
+    """Run the availableNow replay, then asof_replay_flush over the
+    same bounded data; return (streamed, flushed, batch) row dicts and
+    assert the contract: streamed ∪ flushed == batch, disjointly."""
+    from generalized_kmeans_clustering_spark.streaming.asof import (
+        asof_replay_flush,
+    )
+
+    _run_stream(spark, tmp_path, files, name, **kw)
+    streamed = spark.sql(f"SELECT * FROM asof_{name}")
+    all_rows = [r for f in files for r in f]
+    df = spark.createDataFrame(all_rows, SCHEMA1)
+    left = df.where(F.col("is_left") == 1).select("user_id", "ts", "event_id")
+    right = df.where(F.col("is_left") == 0).select("user_id", "ts", "value")
+    flushed = asof_replay_flush(
+        left, right, streamed, "user_id", "ts", "event_id", "value", **kw)
+    batch = asof_join(left, right, "user_id", "ts", "ts", ["value"], **kw)
+
+    def keyed(frame):
+        return {r["event_id"]: (r["value"], r["matched_ts"])
+                for r in frame.collect()}
+
+    s, fl, b = keyed(streamed), keyed(flushed), keyed(batch)
+    assert set(s) | set(fl) == set(b)
+    assert not set(s) & set(fl)            # disjoint
+    assert {**s, **fl} == b                # value-exact union
+    return s, fl, b
+
+
+def test_asof_replay_flush_forward_no_tolerance(spark, tmp_path):
+    """The held-trailing-left case from the module docstring: forward
+    with no tolerance holds every trailing unmatched left; the flush
+    returns exactly those, NULL payload, and the union is batch."""
+    rows = [
+        (1, T0, 0, None, 1),
+        (1, T0 + datetime.timedelta(seconds=30), None, 7.0, 0),
+        (1, T0 + datetime.timedelta(seconds=40), 1, None, 1),
+        (1, T0 + datetime.timedelta(seconds=600), 2, None, 1),
+    ]
+    s, fl, _ = _flush_parity(spark, tmp_path, [rows], "flush_nt",
+                             direction="forward")
+    assert set(s) == {0} and set(fl) == {1, 2}
+    assert fl[1] == (None, None) and fl[2] == (None, None)
+
+
+def test_asof_replay_flush_forward_final_tolerance_window(spark, tmp_path):
+    """With a tolerance, only unmatched lefts whose deadline reaches
+    the terminal watermark are held: the early unmatched left streams
+    out; the one inside the final tolerance window flushes here."""
+    rows = [
+        (1, T0, 0, None, 1),                                   # no right
+        (1, T0 + datetime.timedelta(seconds=500), None, 3.0, 0),
+        (1, T0 + datetime.timedelta(seconds=520), 1, None, 1),  # > right: unmatched
+        (1, T0 + datetime.timedelta(seconds=590), 2, None, 1),  # held
+    ]
+    s, fl, _ = _flush_parity(spark, tmp_path, [rows], "flush_tol",
+                             direction="forward", tolerance_seconds=60.0)
+    assert set(s) == {0, 1}
+    assert s[0] == (None, None)            # deadline passed -> streamed
+    assert s[1] == (None, None)            # no right AFTER 520s either
+    assert set(fl) == {2} and fl[2] == (None, None)
+
+
+def test_asof_replay_flush_recovers_terminal_ms_boundary(spark, tmp_path):
+    """The maturity.py terminal-millisecond drop: a left in the
+    stream's final watermark ms is held by Spark's strict
+    timeout < watermark rule — backward direction, so batch gives it
+    a REAL match, and the flush recovers it with that match (not just
+    NULL): the replay path now has no parity caveat at all."""
+    ms = datetime.timedelta(milliseconds=1)
+    base = [
+        (1, T0 + datetime.timedelta(seconds=5), None, 7.0, 0),
+        (1, T0 + datetime.timedelta(seconds=10), 100, None, 1),
+    ]
+    edge = [(1, T0 + datetime.timedelta(seconds=10) + ms, 200, None, 1)]
+    s, fl, _ = _flush_parity(spark, tmp_path, [base, edge], "flush_edge",
+                             direction="backward")
+    assert 100 in s
+    assert set(fl) == {200}
+    assert fl[200] == (7.0, T0 + datetime.timedelta(seconds=5))
