@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 
 # 10 character bijections over the high-frequency letters: each copy's
 # text is translate()'d through its own permutation, so copies share no
@@ -313,6 +313,75 @@ def main():
     results["asof_funnel"] = out
     print(f"[scale] asof_funnel: 1x {out['t1']}s  10x {out['t10']}s"
           f"  ratio {out['ratio']}", file=sys.stderr, flush=True)
+
+    # streaming funnel, overlapping-predicate state multiplier (the r9
+    # judge's finding #2): an event buffers once per MATCHING stage
+    # (explode), so fully-overlapping predicates multiply the
+    # in-horizon buffer by k. Worst case on purpose: delay >= the
+    # whole event span, so NOTHING matures until the terminal timeout
+    # and peak state == the entire exploded buffer; k=3 stages that
+    # all match every event vs the 3 disjoint event-type stages.
+    # Metrics: exact explode width (batch-side count of stage
+    # matches), peak state-store bytes (progress memoryUsedBytes; the
+    # store keeps ONE row per entity with the buffer packed into
+    # arrays, so numRowsTotal would hide the multiplier), wall time.
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.funnel import (
+        streaming_funnel,
+    )
+
+    def funnel_state(scale, stages, tag):
+        base = em.events(spark, sf_dir)
+        ev = None
+        for i in range(scale):
+            c = base.select(
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type", "ts", "value")
+            ev = c if ev is None else ev.unionAll(c)
+        work = tempfile.mkdtemp(prefix=f"funnel_state_{tag}_")
+        src = os.path.join(work, "src")
+        # 4 time-ordered files -> 4 micro-batches
+        ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts"))) \
+            .repartition(4, "_b").drop("_b") \
+            .write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = streaming_funnel(stream, stages, delay="31 days")
+        settle()
+        t0 = time.time()
+        q = (out.writeStream.format("memory").queryName(f"fs_{tag}")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        dt = round(time.time() - t0, 3)
+        peak = max(p["stateOperators"][0]["memoryUsedBytes"]
+                   for p in q.recentProgress
+                   if p.get("stateOperators"))
+        from generalized_kmeans_clustering_spark.operators.rollup import (
+            funnel_stage_predicates,
+        )
+        _, preds = funnel_stage_predicates(list(stages), "event_type")
+        width = ev.select(
+            sum(F.when(p, 1).otherwise(0) for p in preds).alias("w")
+        ).agg(F.sum("w")).first()[0]
+        shutil.rmtree(work, ignore_errors=True)
+        return {"sec": dt, "peak_state_bytes": int(peak),
+                "explode_rows": int(width)}
+
+    overlap = [("s0", "value IS NOT NULL OR value IS NULL")] + [
+        (f"s{i}", "value IS NOT NULL OR value IS NULL") for i in (1, 2)]
+    fo = {}
+    for scale in (1, 10):
+        fo[f"disjoint_x{scale}"] = funnel_state(
+            scale, ["view", "click", "purchase"], f"d{scale}")
+        fo[f"overlap3_x{scale}"] = funnel_state(
+            scale, overlap, f"o{scale}")
+    results["funnel_overlap_state"] = fo
+    print(f"[scale] funnel_overlap_state: {fo}", file=sys.stderr,
+          flush=True)
 
     print(json.dumps({"metric": "scale_ratio_10x", "pairs": results,
                       "sf_base": sf_dir, "protocol": "v3-scale-spot"}))
