@@ -202,3 +202,33 @@ def test_rotate_vectors_null_tolerant(spark, vecs):
                       F.col("y").alias("h"))
     R = _procrustes_rotation(both, "x", "h", D)
     assert np.allclose(R.T @ R, np.eye(D), atol=1e-9)
+
+
+def test_opq_topk_serving_plan_shape(spark, vecs):
+    """Pin the serving-plan contract for OPQ ADC top-k: codes are
+    pure Catalyst (no row-at-a-time BatchEvalPython — the only Python
+    is the Arrow-batched rotation matmul), top-k runs through
+    WindowGroupLimit, and the per-query LUT join is broadcast with no
+    shuffle exchange or cartesian product anywhere in the plan. (On a
+    parquet corpus the query predicate additionally reaches the scan
+    as a PushedFilter — verified on the oracle query's plan, which
+    reads /root/testdata parquet.)"""
+    model = OPQModel(
+        rotation=[[1.0 if j == D - 1 - i else 0.0 for j in range(D)]
+                  for i in range(D)],
+        pq=train_opq(vecs, m=M, k_sub=KSUB, n_iter=1, pq_iter=1,
+                     seed=3).pq)
+    enc = opq_encode(vecs, model)
+    out = opq_topk(enc, model, vecs.where(F.col("vec_id") < 4), k=3,
+                   n_queries=4)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan          # the by-design rotation
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    import re
+    assert not re.search(r"Exchange (hash|range)partitioning", plan), (
+        "OPQ serving must not shuffle")

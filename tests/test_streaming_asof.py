@@ -461,3 +461,55 @@ def test_asof_replay_flush_recovers_terminal_ms_boundary(spark, tmp_path):
     assert 100 in s
     assert set(fl) == {200}
     assert fl[200] == (7.0, T0 + datetime.timedelta(seconds=5))
+
+
+def test_asof_replay_flush_composite_key_multi_payload(spark, tmp_path):
+    """Flush parity at the full contract: composite (user_id, lane)
+    key, three typed payloads, forward with no tolerance — each key's
+    trailing left is held by the stream and recovered by the flush
+    with NULL payloads; union equals batch exactly."""
+    from generalized_kmeans_clustering_spark.streaming.asof import (
+        asof_replay_flush,
+    )
+
+    rows, eid = [], 0
+    for u in (1, 2):
+        for lane in (0, 1):
+            rows.append((u, lane, T0 + datetime.timedelta(seconds=10 + u),
+                         eid, None, None, None, 1))
+            rows.append((u, lane, T0 + datetime.timedelta(seconds=40 + u),
+                         None, float(u * 10 + lane), f"t{u}{lane}",
+                         lane == 0, 0))
+            # trailing left: no later right on this key
+            rows.append((u, lane, T0 + datetime.timedelta(seconds=90 + u),
+                         eid + 1, None, None, None, 1))
+            eid += 2
+    rows.sort(key=lambda r: r[2])
+    stream = _write_files(spark, tmp_path, [rows], "flush_ck", SCHEMA2)
+    out = streaming_asof_join(
+        stream.where(F.col("is_left") == 1),
+        stream.where(F.col("is_left") == 0),
+        ["user_id", "lane"], "ts", "event_id",
+        ["value", "tag", "seen"], direction="forward")
+    _collect_stream(spark, tmp_path, out, "flush_ck")
+    streamed = spark.sql("SELECT * FROM asof_flush_ck")
+    df = spark.createDataFrame(rows, SCHEMA2)
+    left = df.where("is_left = 1").select("user_id", "lane", "ts",
+                                          "event_id")
+    right = df.where("is_left = 0").select("user_id", "lane", "ts",
+                                           "value", "tag", "seen")
+    flushed = asof_replay_flush(
+        left, right, streamed, ["user_id", "lane"], "ts", "event_id",
+        ["value", "tag", "seen"], direction="forward")
+    batch = asof_join(left, right, ["user_id", "lane"], "ts", "ts",
+                      ["value", "tag", "seen"], direction="forward")
+
+    def keyed(frame):
+        return {r["event_id"]: (r["value"], r["tag"], r["seen"],
+                                r["matched_ts"]) for r in frame.collect()}
+
+    s, fl, b = keyed(streamed), keyed(flushed), keyed(batch)
+    assert set(fl) == {1, 3, 5, 7}          # the 4 trailing lefts
+    assert all(v == (None, None, None, None) for v in fl.values())
+    assert not set(s) & set(fl)
+    assert {**s, **fl} == b
