@@ -251,3 +251,64 @@ def test_funnel_rollup_predicate_stages(spark):
     assert labels == ["view", "big"]
     with pytest.raises(ValueError, match="duplicate"):
         funnel_stage_predicates(["a", ("a", "value > 0")], "event_type")
+
+
+def test_streaming_funnel_revisit_duplicate_string_stages(spark, tmp_path):
+    """Revisit funnel (r10: duplicate STRING stages auto-uniquify
+    instead of raising): ['view', 'click', 'view'] streamed equals
+    the batch chain's completion set — stage 2 is a view STRICTLY
+    after the first click."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for u in range(25):
+        t = rng.randint(0, 40)
+        for _ in range(rng.randint(2, 8)):
+            rows.append((u, T0 + datetime.timedelta(seconds=t),
+                         rng.choice(["view", "click", "buy"]), 0.0))
+            t += rng.randint(1, 25)
+    rows.sort(key=lambda r: r[1])
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    src = str(tmp_path / "src_rev")
+    os.makedirs(src, exist_ok=True)
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        tmp = str(tmp_path / f"tmp_rev_{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, part),
+                    os.path.join(src, f"{i:02d}.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_funnel(stream, ["view", "click", "view"])
+    q = (out.writeStream.format("memory").queryName("fun_rev")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_rev"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM fun_rev").collect()
+
+    df = spark.createDataFrame(rows, schema)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id")
+    t0 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    t1 = F.min(F.when((F.col("event_type") == "click")
+                      & (F.col("ts") > t0), F.col("ts"))).over(w)
+    t2 = F.min(F.when((F.col("event_type") == "view")
+                      & (F.col("ts") > t1), F.col("ts"))).over(w)
+    exp = (df.select("user_id", t0.alias("t0"), t1.alias("t1"),
+                     t2.alias("t2"))
+           .groupBy("user_id").agg(F.first("t0").alias("t0"),
+                                   F.first("t1").alias("t1"),
+                                   F.first("t2").alias("t2"))
+           .where(F.col("t2").isNotNull()).collect())
+    exp_m = {r["user_id"]: (r["t0"], r["t1"], r["t2"]) for r in exp}
+    got_m = {r["user_id"]: (r["t_0"], r["t_1"], r["t_2"]) for r in got}
+    assert got_m == exp_m and len(exp_m) > 0
+    # the batch rollup on the same spec reports the uniquified label
+    n_final = {r["stage"]: r["n_entities"]
+               for r in funnel_rollup(df, ["view", "click", "view"])
+               .collect()}["view#2"]
+    assert n_final == len(exp_m)
