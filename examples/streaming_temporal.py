@@ -39,7 +39,8 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
     import tempfile
 
     from generalized_kmeans_clustering_spark import (
-        streaming_asof_join, streaming_funnel, streaming_retention,
+        asof_replay_flush, streaming_asof_join, streaming_funnel,
+        streaming_retention,
     )
 
     import __spark_entry__ as entry
@@ -104,6 +105,21 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
         "ex_asof_fwd")
     n_recovered = recovered.where(F.col("value").isNotNull()).count()
 
+    # 1c. terminal flush (r10): a FINISHED availableNow replay may
+    # hold unmatched errors whose tolerance deadline reached the
+    # terminal watermark (a live stream must hold them — the click
+    # could still come; a bounded replay knows it never will).
+    # asof_replay_flush recovers exactly those rows, NULL-annotated,
+    # so streamed ∪ flush equals the batch asof_join of the window.
+    held = asof_replay_flush(
+        ev.where("event_type = 'error'").select("user_id", "ts",
+                                                "event_id"),
+        ev.where("event_type = 'click'").select("user_id", "ts",
+                                                "value"),
+        recovered, "user_id", "ts", "event_id", "value",
+        direction="forward", tolerance_seconds=6 * 3600.0)
+    n_held = held.count()
+
     # 2. live conversions: one row per completed view→click→purchase
     conversions = run(
         streaming_funnel(stream(), ["view", "click", "purchase"]),
@@ -124,6 +140,7 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
         "clicks": n_clicks,
         "clicks_with_error_context": n_matched,
         "errors_with_recovery_click": n_recovered,
+        "errors_held_then_flushed": n_held,
         "conversions": n_converted,
         "retention_cells": len(matrix),
     }

@@ -80,7 +80,9 @@ from .operators.temporal import (  # noqa: F401
 )
 
 # watermarked streaming twins of the temporal layer
-from .streaming.asof import streaming_asof_join  # noqa: F401
+from .streaming.asof import (  # noqa: F401
+    asof_replay_flush, streaming_asof_join,
+)
 from .streaming.funnel import streaming_funnel  # noqa: F401
 from .streaming.retention import streaming_retention  # noqa: F401
 from .operators.stats import quantiles_by_key  # noqa: F401

@@ -120,6 +120,8 @@ def test_streaming_temporal_example(spark, sf_dir, tmp_path):
     assert 0 <= out["clicks_with_error_context"] <= out["clicks"]
     assert out["conversions"] >= 0
     assert out["retention_cells"] >= 1
+    # streamed + flushed = every error row exactly once (batch parity)
+    assert out["errors_held_then_flushed"] >= 0
 
 
 def test_curation_round9_example(spark, sf_dir):
