@@ -378,9 +378,17 @@ def asof_replay_flush(
         direction=direction, tolerance_seconds=tolerance_seconds,
         tiebreak_col=tiebreak_col)
     out = batch.select(*keys, left_id_col, ts_col, *payload, "matched_ts")
-    return out.join(
-        streamed.select(*keys, left_id_col),
-        on=keys + [left_id_col], how="left_anti")
+    # null-SAFE anti-join: a NULL key groups like any other value in
+    # both the state op and the batch window, so a streamed NULL-key
+    # row must suppress its batch twin here too (plain equality would
+    # re-emit every NULL-key left as a duplicate)
+    seen = streamed.select(
+        *[F.col(k).alias(f"_s_{k}") for k in keys],
+        F.col(left_id_col).alias("_s_id"))
+    cond = F.col(left_id_col).eqNullSafe(F.col("_s_id"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_s_{k}"))
+    return out.join(seen, cond, "left_anti")
 
 
 def streaming_asof_join(

@@ -513,3 +513,35 @@ def test_asof_replay_flush_composite_key_multi_payload(spark, tmp_path):
     assert all(v == (None, None, None, None) for v in fl.values())
     assert not set(s) & set(fl)
     assert {**s, **fl} == b
+
+
+def test_asof_replay_flush_null_key_no_duplicates(spark, tmp_path):
+    """A NULL key groups like any value in both the state op and the
+    batch window; the flush's anti-join must be null-SAFE so a
+    streamed NULL-key row is not re-emitted as a duplicate, while the
+    NULL-key trailing left is still recovered."""
+    from generalized_kmeans_clustering_spark.streaming.asof import (
+        asof_replay_flush,
+    )
+
+    rows = [
+        (None, T0, 0, None, 1),
+        (None, T0 + datetime.timedelta(seconds=30), None, 7.0, 0),
+        (None, T0 + datetime.timedelta(seconds=50), 1, None, 1),  # trails
+        (1, T0, 2, None, 1),
+        (1, T0 + datetime.timedelta(seconds=60), None, 3.0, 0),
+    ]
+    _run_stream(spark, tmp_path, [rows], "flush_nullkey",
+                direction="forward")
+    streamed = spark.sql("SELECT * FROM asof_flush_nullkey")
+    df = spark.createDataFrame(rows, SCHEMA1)
+    left = df.where("is_left = 1").select("user_id", "ts", "event_id")
+    right = df.where("is_left = 0").select("user_id", "ts", "value")
+    flushed = asof_replay_flush(left, right, streamed, "user_id", "ts",
+                                "event_id", "value", direction="forward")
+    s = {r["event_id"] for r in streamed.collect()}
+    fl = {r["event_id"]: (r["value"], r["matched_ts"])
+          for r in flushed.collect()}
+    assert s == {0, 2}                      # both matched lefts streamed
+    assert set(fl) == {1}                   # ONLY the trailing left
+    assert fl[1] == (None, None)
