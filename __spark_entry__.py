@@ -6967,6 +6967,53 @@ def _events_retention_sql() -> str:
     )
 
 
+def q_funnel_completions(spark, sf_dir):
+    """Per-entity funnel COMPLETIONS (operators/rollup.py,
+    funnel_completions — the batch twin of streaming_funnel, r10):
+    who converted through view→click→purchase and when, one window
+    pass; same min-chain CTE oracle as streaming_funnel, which this
+    batch operator's output equals by construction (user_id < 50)."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_completions,
+    )
+
+    stages = ["view", "click", "purchase"]
+    ev = events(spark, sf_dir).where(
+        (F.col("user_id") < 50) & F.col("event_type").isin(stages)
+    ).select("user_id", "ts", "event_type")
+    return funnel_completions(ev, stages).orderBy("user_id")
+
+
+def q_retention_pairs(spark, sf_dir):
+    """First-activity (entity, cohort, offset) SET behind the weekly
+    retention matrix (operators/rollup.py, retention_pairs — the
+    batch twin of streaming_retention, r10): joinable per-entity
+    drill-down; counting it per (cohort, offset) IS the
+    events_retention matrix (user_id < 40 keeps the row set
+    window-sized)."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        retention_pairs,
+    )
+
+    ev = events(spark, sf_dir).where(F.col("user_id") < 40)
+    return retention_pairs(ev, "user_id", "ts", period="week") \
+        .orderBy("user_id", "offset")
+
+
+def _retention_pairs_sql() -> str:
+    """Twin of retention_pairs (same calendar CTEs as
+    _events_retention_sql, stopping at the distinct cell set)."""
+    return (
+        "WITH s AS (SELECT DISTINCT user_id AS entity, "
+        "date_trunc('week', ts) AS bucket, "
+        "date_trunc('week', min(ts) OVER (PARTITION BY user_id)) "
+        "AS cohort FROM events WHERE user_id < 40) "
+        "SELECT entity AS user_id, CAST(cohort AS TIMESTAMP) AS cohort, "
+        "CAST(date_diff('day', cohort, bucket) // 7 AS INTEGER) "
+        'AS "offset" FROM s ORDER BY user_id, "offset"'
+    )
+
+
 def q_events_throttle(spark, sf_dir):
     """Rate-limit to one event per (user, type) per hour — earliest
     wins, event_id tiebreak; one shuffle on (keys, window bucket)."""
@@ -7071,10 +7118,11 @@ def _attestation_order(names) -> list[str]:
     (nothing mis-ordered; the window is simply smaller than N/3). The
     ordering above is already optimal for the window (most-stale
     first, new-query rows lead because they have NO official row at
-    all); the residual is pure capacity. Round-10 state: N=156, 2 new
-    rows (the OPQ twins) → window = 2 new + the 4 r6 stragglers + 44
-    of the 50-query r7 cohort; the remaining 6 r7 queries lead r11's
-    window by construction. Judge-facing invariant going forward: max
+    all); the residual is pure capacity. Round-10 state: N=158, 4 new
+    rows (the OPQ twins + the funnel-completions / retention-pairs
+    batch twins) → window = 4 new + the 4 r6 stragglers + 42 of the
+    50-query r7 cohort; the remaining 8 r7 queries lead r11's window
+    by construction. Judge-facing invariant going forward: max
     official-row staleness ≤ ⌈(N−W)/(W−n)⌉+1 with the most-stale set
     always scheduled first — verified by test_attestation_rotation.py."""
     import glob
@@ -7174,7 +7222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_adaptive_filter": q_corpus_adaptive_filter,
         "events_funnel": q_events_funnel,
         "events_funnel_pred": q_events_funnel_pred,
+        "events_funnel_completions": q_funnel_completions,
         "events_retention": q_events_retention,
+        "events_retention_pairs": q_retention_pairs,
         "events_throttle": q_events_throttle,
         "dedup_flag_propagation": q_dedup_flag_propagation,
         "assign_se_chunked": q_assign_se_chunked,
@@ -7832,9 +7882,13 @@ FROM wide w ORDER BY xb
     out["corpus_adaptive_filter"] = _adaptive_filter_sql()
     out["events_funnel"] = _events_funnel_sql()
     out["events_funnel_pred"] = _events_funnel_pred_sql()
+    # the batch completions twin replays the SAME min-chain CTEs as
+    # the streaming funnel (identical output contract by design)
+    out["events_funnel_completions"] = _streaming_funnel_sql()
     out["dedup_flag_propagation"] = _flag_propagation_sql()
     out["profit_by_nation_year"] = _profit_by_nation_year_sql()
     out["events_retention"] = _events_retention_sql()
+    out["events_retention_pairs"] = _retention_pairs_sql()
     out["events_throttle"] = _events_throttle_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),

@@ -70,8 +70,9 @@ from .config import GKMConfig  # noqa: F401
 
 # event-table rollups (batch/streaming-parity plans)
 from .operators.rollup import (  # noqa: F401
-    funnel_rollup, json_prop, retention_cohorts, session_rollup, sessionize,
-    throttle_events, top_k_by_count, tumbling_rollup,
+    funnel_completions, funnel_rollup, json_prop, retention_cohorts,
+    retention_pairs, session_rollup, sessionize, throttle_events,
+    top_k_by_count, tumbling_rollup,
 )
 
 # temporal joins / cascades and audit primitives
@@ -83,8 +84,12 @@ from .operators.temporal import (  # noqa: F401
 from .streaming.asof import (  # noqa: F401
     asof_replay_flush, streaming_asof_join,
 )
-from .streaming.funnel import streaming_funnel  # noqa: F401
-from .streaming.retention import streaming_retention  # noqa: F401
+from .streaming.funnel import (  # noqa: F401
+    funnel_replay_flush, streaming_funnel,
+)
+from .streaming.retention import (  # noqa: F401
+    retention_replay_flush, streaming_retention,
+)
 from .operators.stats import quantiles_by_key  # noqa: F401
 from .operators.graph import propagate_flags  # noqa: F401
 from .operators.pins import Pins  # noqa: F401

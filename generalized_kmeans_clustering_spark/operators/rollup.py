@@ -23,7 +23,8 @@ from pyspark.sql.window import Window
 
 __all__ = ["tumbling_rollup", "sessionize", "session_rollup",
            "top_k_by_count", "json_prop", "rolling_zscore",
-           "funnel_rollup", "retention_cohorts", "throttle_events"]
+           "funnel_rollup", "funnel_completions", "funnel_stage_predicates",
+           "retention_cohorts", "retention_pairs", "throttle_events"]
 
 
 def tumbling_rollup(
@@ -254,6 +255,69 @@ def funnel_stage_predicates(stages, type_col: str):
     return labels, preds
 
 
+def _stage_times(df: DataFrame, preds, entity_col: str, ts_col: str,
+                 max_span_seconds) -> DataFrame:
+    """One row per entity with its k first-touch stage times
+    (``entity, _t0.._t{k-1}``) — the chain of conditional window
+    minimums shared by :func:`funnel_rollup` (which counts them) and
+    :func:`funnel_completions` (which returns the converted rows).
+    One shuffle on the entity key; no joins, no per-stage passes."""
+    w = Window.partitionBy(entity_col)
+    t = F.min(F.when(preds[0], F.col(ts_col))).over(w)
+    stage_ts = [t]
+    for p in preds[1:]:
+        prev = stage_ts[-1]
+        cond = p & (F.col(ts_col) > prev)
+        if max_span_seconds is not None:
+            cond = cond & (
+                (F.unix_micros(F.col(ts_col).cast("timestamp"))
+                 - F.unix_micros(stage_ts[0].cast("timestamp")))
+                <= int(max_span_seconds * 1_000_000))
+        stage_ts.append(F.min(F.when(cond, F.col(ts_col))).over(w))
+    return df.select(
+        F.col(entity_col).alias("entity"),
+        *[ts.alias(f"_t{i}") for i, ts in enumerate(stage_ts)],
+    ).groupBy("entity").agg(
+        *[F.first(f"_t{i}").alias(f"_t{i}")
+          for i in range(len(stage_ts))]
+    )
+
+
+def funnel_completions(
+    df: DataFrame,
+    stages,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: float | None = None,
+) -> DataFrame:
+    """WHO converted, and when: one row per entity that completed
+    every funnel stage, with all k first-touch stage times —
+    ``(entity_col, t_0 … t_{k-1} timestamp)``. The batch twin of
+    :func:`~..streaming.funnel.streaming_funnel` (identical output
+    schema and row set for the same bounded data), and the per-entity
+    complement of :func:`funnel_rollup`'s per-stage counts (same
+    ``stages`` contract, same one-window-pass chain — counts equal
+    ``count(funnel_completions)`` at the final stage by
+    construction). Stage times are cast to timestamp, matching the
+    streaming emit schema."""
+    stages = list(stages)
+    if len(stages) < 2:
+        raise ValueError("funnel_completions: need at least 2 stages")
+    labels, preds = funnel_stage_predicates(stages, type_col)
+    k = len(labels)
+    per_entity = _stage_times(df, preds, entity_col, ts_col,
+                              max_span_seconds)
+    return (
+        per_entity.where(F.col(f"_t{k - 1}").isNotNull())
+        .select(
+            F.col("entity").alias(entity_col),
+            *[F.col(f"_t{i}").cast("timestamp").alias(f"t_{i}")
+              for i in range(k)],
+        )
+    )
+
+
 def funnel_rollup(
     df: DataFrame,
     stages,
@@ -293,24 +357,8 @@ def funnel_rollup(
         raise ValueError("funnel_rollup: need at least 2 stages")
     labels, preds = funnel_stage_predicates(stages, type_col)
     stages = labels
-    w = Window.partitionBy(entity_col)
-    t = F.min(F.when(preds[0], F.col(ts_col))).over(w)
-    stage_ts = [t]
-    for p in preds[1:]:
-        prev = stage_ts[-1]
-        cond = p & (F.col(ts_col) > prev)
-        if max_span_seconds is not None:
-            cond = cond & (
-                (F.unix_micros(F.col(ts_col).cast("timestamp"))
-                 - F.unix_micros(stage_ts[0].cast("timestamp")))
-                <= int(max_span_seconds * 1_000_000))
-        stage_ts.append(F.min(F.when(cond, F.col(ts_col))).over(w))
-    per_entity = df.select(
-        F.col(entity_col).alias("entity"),
-        *[ts.alias(f"_t{i}") for i, ts in enumerate(stage_ts)],
-    ).groupBy("entity").agg(
-        *[F.first(f"_t{i}").alias(f"_t{i}") for i in range(len(stages))]
-    )
+    per_entity = _stage_times(df, preds, entity_col, ts_col,
+                              max_span_seconds)
     counts = per_entity.agg(*[
         F.count(f"_t{i}").alias(f"_n{i}") for i in range(len(stages))
     ])
@@ -326,6 +374,61 @@ def funnel_rollup(
         for i, s in enumerate(stages)
     ])
     return counts.select(F.explode(stage_rows).alias("_r")).select("_r.*")
+
+
+def _retention_cells(df: DataFrame, entity_col: str, ts_col: str,
+                     period: str, max_offset, what: str) -> DataFrame:
+    """Distinct ``(cohort, offset, entity)`` first-activity cells —
+    the shared core of :func:`retention_cohorts` (which counts them)
+    and :func:`retention_pairs` (which returns them). Cohort attaches
+    via one window min per entity; activity collapses to distinct
+    (entity, period) BEFORE anything aggregates."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"{what}: period must be day|week|month")
+    w = Window.partitionBy(entity_col)
+    ts = F.col(ts_col).cast("timestamp")
+    staged = df.select(
+        F.col(entity_col).alias("entity"),
+        F.date_trunc(period, ts).alias("bucket"),
+        F.date_trunc(period, F.min(ts).over(w)).alias("cohort"),
+    ).distinct()
+    if period == "month":
+        off = (
+            (F.year("bucket") - F.year("cohort")) * 12
+            + (F.month("bucket") - F.month("cohort"))
+        )
+    elif period == "week":
+        off = F.floor(F.datediff("bucket", "cohort") / 7)
+    else:
+        off = F.datediff("bucket", "cohort")
+    cells = staged.select(
+        "cohort", off.cast("int").alias("offset"), "entity")
+    if max_offset is not None:
+        cells = cells.where(F.col("offset") <= max_offset)
+    return cells
+
+
+def retention_pairs(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """The first-activity SET behind the retention matrix: one row
+    per ``(entity, offset)`` an entity was active in —
+    ``(entity_col, cohort timestamp, offset int)``, exactly
+    :func:`~..streaming.retention.streaming_retention`'s emit schema
+    and row set for the same bounded data (the batch twin). Counting
+    ``count(*)`` per (cohort, offset) reproduces
+    :func:`retention_cohorts`'s ``n_active`` by construction; keeping
+    the entity column makes the set joinable (e.g. against a
+    segment/experiment table) before counting — the drill-down the
+    aggregated matrix cannot express."""
+    cells = _retention_cells(df, entity_col, ts_col, period, max_offset,
+                             "retention_pairs")
+    return cells.select(
+        F.col("entity").alias(entity_col), "cohort", "offset")
 
 
 def retention_cohorts(
@@ -351,28 +454,8 @@ def retention_cohorts(
     cells (shuffle #2); the retention denominator is a window max over
     the tiny cell frame. No joins against the raw table, no collect.
     """
-    if period not in ("day", "week", "month"):
-        raise ValueError("retention_cohorts: period must be day|week|month")
-    w = Window.partitionBy(entity_col)
-    ts = F.col(ts_col).cast("timestamp")
-    staged = df.select(
-        F.col(entity_col).alias("entity"),
-        F.date_trunc(period, ts).alias("bucket"),
-        F.date_trunc(period, F.min(ts).over(w)).alias("cohort"),
-    ).distinct()
-    if period == "month":
-        off = (
-            (F.year("bucket") - F.year("cohort")) * 12
-            + (F.month("bucket") - F.month("cohort"))
-        )
-    elif period == "week":
-        off = F.floor(F.datediff("bucket", "cohort") / 7)
-    else:
-        off = F.datediff("bucket", "cohort")
-    cells = staged.select(
-        "cohort", off.cast("int").alias("offset"), "entity")
-    if max_offset is not None:
-        cells = cells.where(F.col("offset") <= max_offset)
+    cells = _retention_cells(df, entity_col, ts_col, period, max_offset,
+                             "retention_cohorts")
     # (cohort, offset, entity) is already unique — staged is distinct
     # over (entity, bucket, cohort) and bucket -> offset is injective
     # per cohort — so a plain count avoids the two-phase

@@ -40,7 +40,39 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .maturity import schedule_flush
 
-__all__ = ["streaming_funnel"]
+__all__ = ["streaming_funnel", "funnel_replay_flush"]
+
+
+def funnel_replay_flush(
+    df: DataFrame,
+    streamed: DataFrame,
+    stages,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: float | None = None,
+) -> DataFrame:
+    """Terminal flush for a BOUNDED (availableNow) replay of
+    :func:`streaming_funnel`: the completions the stream held back —
+    entities whose final stage time sits in the stream's terminal
+    watermark millisecond (the :mod:`.maturity` boundary, which
+    Spark's strict ``timeout < watermark`` rule never fires) — in the
+    streaming output schema, so ``streamed UNION flush`` equals
+    :func:`~..operators.rollup.funnel_completions` of the replayed
+    window exactly. Same post-replay construction (and the same
+    reason it must live outside the query) as
+    :func:`.asof.asof_replay_flush`: recompute the batch twin over
+    the bounded data the replay consumed, null-safe anti-join the
+    streamed sink on the entity. Cost: one window pass over the
+    replayed window + one anti-join on the entity key."""
+    from ..operators.rollup import funnel_completions
+
+    batch = funnel_completions(
+        df, stages, entity_col=entity_col, ts_col=ts_col,
+        type_col=type_col, max_span_seconds=max_span_seconds)
+    seen = streamed.select(F.col(entity_col).alias("_s_e"))
+    return batch.join(
+        seen, F.col(entity_col).eqNullSafe(F.col("_s_e")), "left_anti")
 
 
 def _funnel_step(buf, times, done, wm_ms, span_us):

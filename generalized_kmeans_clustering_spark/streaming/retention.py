@@ -39,7 +39,39 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .maturity import schedule_flush, split_mature
 
-__all__ = ["streaming_retention"]
+__all__ = ["streaming_retention", "retention_replay_flush"]
+
+
+def retention_replay_flush(
+    df: DataFrame,
+    streamed: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Terminal flush for a BOUNDED (availableNow) replay of
+    :func:`streaming_retention`: the first-activity rows the stream
+    held back — (entity, offset) pairs whose activity sits in the
+    stream's terminal watermark millisecond (the :mod:`.maturity`
+    boundary) — in the streaming output schema, so ``streamed UNION
+    flush`` equals :func:`~..operators.rollup.retention_pairs` of the
+    replayed window exactly (and the downstream count therefore
+    equals the batch retention matrix with no caveat). Same
+    construction and rationale as :func:`.asof.asof_replay_flush`:
+    the batch twin over the bounded data, null-safe anti-joined on
+    (entity, offset) — offset, not cohort, because cohort is a
+    function of the entity. Cost: one window + distinct pass over the
+    replayed window + one anti-join."""
+    from ..operators.rollup import retention_pairs
+
+    batch = retention_pairs(df, entity_col=entity_col, ts_col=ts_col,
+                            period=period, max_offset=max_offset)
+    seen = streamed.select(F.col(entity_col).alias("_s_e"),
+                           F.col("offset").alias("_s_o"))
+    cond = (F.col(entity_col).eqNullSafe(F.col("_s_e"))
+            & F.col("offset").eqNullSafe(F.col("_s_o")))
+    return batch.join(seen, cond, "left_anti")
 
 _STATE_SCHEMA = (
     "cset boolean, cohort long, cmix long, seen array<int>, "

@@ -312,3 +312,44 @@ def test_streaming_funnel_revisit_duplicate_string_stages(spark, tmp_path):
                for r in funnel_rollup(df, ["view", "click", "view"])
                .collect()}["view#2"]
     assert n_final == len(exp_m)
+
+
+def test_funnel_replay_flush_recovers_terminal_ms(spark, tmp_path):
+    """Flush contract (r10): streamed ∪ funnel_replay_flush ==
+    funnel_completions, disjointly — including a completion whose
+    final stage sits in the stream's terminal watermark millisecond
+    (held by the maturity boundary)."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_completions,
+    )
+    from generalized_kmeans_clustering_spark.streaming.funnel import (
+        funnel_replay_flush,
+    )
+
+    ms = datetime.timedelta(milliseconds=1)
+    base = [
+        (1, T0, "view"),
+        (1, T0 + datetime.timedelta(seconds=10), "click"),
+        (1, T0 + datetime.timedelta(seconds=20), "buy"),
+        (2, T0, "view"),
+        (2, T0 + datetime.timedelta(seconds=5), "click"),
+    ]
+    # user 2 completes exactly at the terminal watermark ms -> held
+    edge = [(2, T0 + datetime.timedelta(seconds=20) + ms, "buy")]
+    got = _replay(spark, tmp_path, [base, edge], "flush_edge")
+    streamed = spark.createDataFrame(
+        [(r["user_id"], r["t_0"], r["t_1"], r["t_2"]) for r in got],
+        "user_id long, t_0 timestamp, t_1 timestamp, t_2 timestamp")
+    df = spark.createDataFrame(
+        base + edge, "user_id long, ts timestamp, event_type string")
+    flushed = funnel_replay_flush(df, streamed, ["view", "click", "buy"])
+    batch = funnel_completions(df, ["view", "click", "buy"])
+
+    def keyed(frame):
+        return {r["user_id"]: (r["t_0"], r["t_1"], r["t_2"])
+                for r in frame.collect()}
+
+    s, fl, b = keyed(streamed), keyed(flushed), keyed(batch)
+    assert set(s) == {1} and set(fl) == {2}
+    assert not set(s) & set(fl)
+    assert {**s, **fl} == b

@@ -144,3 +144,44 @@ def test_streaming_retention_validation(spark, tmp_path):
         streaming_retention(stream, period="year")
     with pytest.raises(ValueError, match="missing"):
         streaming_retention(stream, entity_col="nope")
+
+
+def test_retention_replay_flush_recovers_terminal_ms(spark, tmp_path):
+    """Flush contract (r10): streamed ∪ retention_replay_flush ==
+    retention_pairs, disjointly — including a first-activity row held
+    in the stream's terminal watermark millisecond (the maturity
+    boundary Spark's strict timeout < watermark rule never fires)."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        retention_pairs,
+    )
+    from generalized_kmeans_clustering_spark.streaming.retention import (
+        retention_replay_flush,
+    )
+
+    ms = datetime.timedelta(milliseconds=1)
+    base = [
+        (1, T0),
+        (1, T0 + datetime.timedelta(days=8)),
+        (2, T0 + datetime.timedelta(days=1)),
+    ]
+    # user 2's week-1 activity is the global max event time: its
+    # maturity ms equals the terminal watermark ms -> held
+    edge = [(2, T0 + datetime.timedelta(days=8) + ms)]
+    got = _replay(spark, tmp_path, [base, edge], "flush_edge",
+                  period="week")
+    streamed = spark.createDataFrame(
+        [(r["user_id"], r["cohort"], r["offset"]) for r in got],
+        "user_id long, cohort timestamp, offset int")
+    df = spark.createDataFrame(base + edge, "user_id long, ts timestamp")
+    flushed = retention_replay_flush(df, streamed, "user_id", "ts",
+                                     period="week")
+    batch = retention_pairs(df, "user_id", "ts", period="week")
+
+    def keyed(frame):
+        return {(r["user_id"], r["offset"]): r["cohort"]
+                for r in frame.collect()}
+
+    s, fl, b = keyed(streamed), keyed(flushed), keyed(batch)
+    assert (2, 1) in fl                    # the held terminal-ms row
+    assert not set(s) & set(fl)
+    assert {**s, **fl} == b
