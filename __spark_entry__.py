@@ -4141,6 +4141,67 @@ def _reversal_rotation(d: int) -> list:
             for i in range(d)]
 
 
+def _pq_rerank_sql(kprime=10, k=3, d=64) -> str:
+    """Twin of pq_topk(k') → similarity.exact_rerank(k): the PQ ADC
+    candidate SQL wrapped as a derived table, then the TRUE squared-L2
+    fold over the candidates' full vectors, re-ranked ascending."""
+    fold = (
+        f"list_reduce(list_transform(range(1, {d + 1}), t2 -> "
+        "(q.qv[CAST(t2 AS INTEGER)] - t.v[CAST(t2 AS INTEGER)]) * "
+        "(q.qv[CAST(t2 AS INTEGER)] - t.v[CAST(t2 AS INTEGER)])), "
+        "(a, b) -> a + b)"
+    )
+    return (
+        f"WITH cand AS (SELECT query_id, neighbor_id FROM "
+        f"({_pq_topk_sql(k=kprime)}) pq), "
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        f"ex AS (SELECT c.query_id, c.neighbor_id, {fold} AS ed "
+        "FROM cand c JOIN corpus t ON t.vec_id = c.neighbor_id "
+        "JOIN q ON q.qid = c.query_id), "
+        "r AS (SELECT query_id, neighbor_id, ed, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY ed ASC, neighbor_id ASC) AS INTEGER) AS rank FROM ex) "
+        f"SELECT query_id, neighbor_id, {_r('ed', 6)} AS exact_dist, "
+        f"rank FROM r WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
+def q_pq_rerank(spark, sf_dir):
+    """ADC-then-refine serving (operators/similarity.exact_rerank,
+    r10): pq_topk recalls k'=10 candidates from m-byte codes (same
+    pinned codebooks as similarity_pq_topk), then the TRUE squared L2
+    is recomputed for just those 10 full vectors per query and the
+    exact top-3 kept — the Faiss refine pattern; candidate and query
+    frames ride broadcast joins, so the corpus is never shuffled."""
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        pq_encode, pq_topk, train_pq,
+    )
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        exact_rerank,
+    )
+
+    emb = embeddings(spark, sf_dir)
+    cb_rows = (
+        emb.where(F.col("vec_id").between(200, 207))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    vecs = [[float(v) for v in r["embedding"]] for r in cb_rows]
+    init = [[vec[j * 16:(j + 1) * 16] for vec in vecs] for j in range(4)]
+    model = train_pq(emb, m=4, k_sub=8, seed=0, max_iter=0,
+                     initial_codebooks=init)
+    enc = pq_encode(emb, model)
+    queries = emb.where(F.col("vec_id") < 5)
+    cand = pq_topk(enc, model, queries, k=10)
+    out = exact_rerank(cand, emb, queries, k=3)
+    return out.select(
+        "query_id", "neighbor_id",
+        _rcol(F.col("exact_dist"), 6).alias("exact_dist"), "rank",
+    ).orderBy("query_id", "rank")
+
+
 def q_opq_topk(spark, sf_dir):
     """OPQ ANN (operators/opq.py): rotation pinned to the reversal
     permutation (see _reversal_rotation), codebooks pinned to
@@ -7118,10 +7179,11 @@ def _attestation_order(names) -> list[str]:
     (nothing mis-ordered; the window is simply smaller than N/3). The
     ordering above is already optimal for the window (most-stale
     first, new-query rows lead because they have NO official row at
-    all); the residual is pure capacity. Round-10 state: N=158, 4 new
-    rows (the OPQ twins + the funnel-completions / retention-pairs
-    batch twins) → window = 4 new + the 4 r6 stragglers + 42 of the
-    50-query r7 cohort; the remaining 8 r7 queries lead r11's window
+    all); the residual is pure capacity. Round-10 state: N=159, 5 new
+    rows (the OPQ twins, the funnel-completions / retention-pairs
+    batch twins, the PQ refine rerank — exactly the round's ≤5
+    budget) → window = 5 new + the 4 r6 stragglers + 41 of the
+    50-query r7 cohort; the remaining 9 r7 queries lead r11's window
     by construction. Judge-facing invariant going forward: max
     official-row staleness ≤ ⌈(N−W)/(W−n)⌉+1 with the most-stale set
     always scheduled first — verified by test_attestation_rotation.py."""
@@ -7177,6 +7239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfpq_topk": q_ivfpq_topk,
         "similarity_opq_topk": q_opq_topk,
         "similarity_ivfopq_topk": q_ivfopq_topk,
+        "similarity_pq_rerank": q_pq_rerank,
         "similarity_ivf_recall": q_ivf_recall,
         "similarity_knn_graph": q_knn_graph,
         "eval_agreement_metrics": q_agreement_metrics,
@@ -7832,6 +7895,7 @@ FROM wide w ORDER BY xb
     _rev = "list_reverse(CAST(embedding AS DOUBLE[]))"
     out["similarity_opq_topk"] = _pq_topk_sql(vexpr=_rev)
     out["similarity_ivfopq_topk"] = _ivfpq_topk_sql(vexpr=_rev)
+    out["similarity_pq_rerank"] = _pq_rerank_sql()
     out["similarity_ivf_recall"] = _ivf_recall_sql()
     out["doc_top_ngrams"] = _top_ngrams_sql()
     out["emb_simhash_srp"] = _emb_simhash_sql()

@@ -26,7 +26,7 @@ __all__ = [
     "cosine_sim", "cosine_topk", "ivf_index", "ivf_topk",
     "embedding_near_dup_pairs", "embedding_near_dups_ivf",
     "embedding_simhash", "embedding_simhash_near_dups",
-    "ann_recall", "knn_graph",
+    "ann_recall", "knn_graph", "exact_rerank",
 ]
 
 
@@ -76,6 +76,69 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "sqeuclidean",
+) -> DataFrame:
+    """Exact-distance re-ranking of an ANN candidate frame — the
+    Faiss-style REFINE step: recall ``k' > k`` candidates cheaply
+    with any approximate path (``pq_topk`` / ``ivf_pq_topk`` /
+    ``sq_topk`` / ``opq_topk`` / ``ivf_topk``), then recompute the
+    TRUE distance for just those candidates and keep the exact
+    top-k. Compensates quantization error at the cost of reading
+    ``|queries| × k'`` full vectors instead of zero — the standard
+    accuracy/IO dial between pure ADC serving and brute force.
+
+    ``candidates`` needs ``(query_id, neighbor_id)`` (extra columns
+    ignored); ``corpus``/``queries`` supply the full vectors by
+    ``id_col``. Output matches the ANN contract:
+    ``(query_id, neighbor_id, exact_dist, rank)`` ascending for
+    ``metric="sqeuclidean"`` (the PQ/SQ families' distance),
+    ``(query_id, neighbor_id, sim, rank)`` descending for
+    ``metric="cosine"`` (the :func:`cosine_topk` contract — its
+    brute-force result restricted to the candidate set, exactly).
+
+    Distributed shape at 100 TB: the candidate frame is
+    ``|queries| × k'`` rows — BROADCAST it against the corpus scan,
+    so the only full-vector reads are one map-side pass with no
+    corpus shuffle (mirror of :func:`cosine_topk`'s query
+    broadcast); queries broadcast likewise; the re-rank window
+    shuffles only the candidate rows (tiny).
+    """
+    if metric not in ("sqeuclidean", "cosine"):
+        raise ValueError(
+            f"exact_rerank: metric sqeuclidean|cosine, got {metric!r}")
+    cand = candidates.select("query_id", "neighbor_id")
+    cs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(F.col(vec_col)).alias("_cv"))
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(F.col(vec_col)).alias("_qv"))
+    j = (cs.join(F.broadcast(cand), "neighbor_id")
+         .join(F.broadcast(qs), "query_id"))
+    if metric == "cosine":
+        scored = j.withColumn("sim", cosine_sim(F.col("_qv"),
+                                                F.col("_cv")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id"))
+        cols = ("query_id", "neighbor_id", "sim", "rank")
+    else:
+        d = F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("_cv"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        scored = j.withColumn("exact_dist", d)
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("exact_dist"), F.asc("neighbor_id"))
+        cols = ("query_id", "neighbor_id", "exact_dist", "rank")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k).select(*cols))
 
 
 def embedding_near_dup_pairs(

@@ -327,3 +327,99 @@ def test_topk_where_filter_reaches_candidate_scan(spark, tmp_path):
     # match the filter rather than the path)
     scan = [l for l in plan.splitlines() if "FileScan" in l]
     assert scan and any("% 2" in l for l in scan), scan
+
+
+def test_exact_rerank_sqeuclidean_recovers_ground_truth(spark):
+    """Refine contract: reranking ALL ids as candidates equals the
+    brute-force exact top-k (numpy oracle); reranking a PQ ADC
+    candidate superset (k'=20) loses nothing vs exact top-3 that the
+    superset contains — and never does worse than raw ADC top-3."""
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        pq_encode, pq_topk, train_pq,
+    )
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        exact_rerank,
+    )
+
+    rng = np.random.RandomState(3)
+    V = rng.randn(120, 16)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 4)
+    # all-pairs candidates -> rerank == exact top-k
+    all_cand = df.selectExpr("vec_id AS neighbor_id").crossJoin(
+        queries.selectExpr("vec_id AS query_id")
+    ).where("neighbor_id <> query_id")
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["exact_dist"])
+           for r in exact_rerank(all_cand, df, queries, k=5).collect()}
+    for q in range(4):
+        d = ((V - V[q]) ** 2).sum(axis=1)
+        order = [i for i in np.argsort(d, kind="stable") if i != q][:5]
+        for rank, nid in enumerate(order, start=1):
+            assert got[(q, rank)][0] == nid, (q, rank)
+            assert abs(got[(q, rank)][1] - d[nid]) < 1e-9
+    # PQ recall-then-refine: rerank of the ADC top-20 vs raw ADC top-3
+    model = train_pq(df, m=4, k_sub=16, seed=0, max_iter=3)
+    enc = pq_encode(df, model)
+    adc3 = pq_topk(enc, model, queries, k=3)
+    cand20 = pq_topk(enc, model, queries, k=20)
+    refined = exact_rerank(cand20, df, queries, k=3)
+    exact_top3 = {
+        q: {i for i in np.argsort(((V - V[q]) ** 2).sum(axis=1),
+                                  kind="stable") if i != q}
+        for q in range(4)}
+    def recall(frame):
+        hits = tot = 0
+        for r in frame.collect():
+            q = r["query_id"]
+            top = sorted(exact_top3[q],
+                         key=lambda i: ((V[i] - V[q]) ** 2).sum())[:3]
+            hits += r["neighbor_id"] in top
+            tot += 1
+        return hits / tot
+    assert recall(refined) >= recall(adc3)
+
+
+def test_exact_rerank_cosine_matches_cosine_topk(spark):
+    """metric='cosine' restricted to cosine_topk's own rows must
+    reproduce cosine_topk exactly (same sim values, same order)."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        exact_rerank,
+    )
+
+    rng = np.random.RandomState(5)
+    V = rng.randn(60, 8)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 3)
+    base = cosine_topk(df, queries, k=4)
+    rr = exact_rerank(base, df, queries, k=4, metric="cosine")
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["sim"], 9))
+         for r in base.collect()}
+    g = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["sim"], 9))
+         for r in rr.collect()}
+    assert b == g
+    with pytest.raises(ValueError, match="metric"):
+        exact_rerank(base, df, queries, metric="dot")
+
+
+def test_exact_rerank_plan_broadcasts_candidates(spark):
+    """The corpus side must not shuffle: candidates and queries ride
+    broadcast joins; the only exchange is the tiny re-rank window."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        exact_rerank,
+    )
+
+    rng = np.random.RandomState(6)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 2)
+    cand = cosine_topk(df, queries, k=5)
+    plan = exact_rerank(cand, df, queries, k=3)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    assert plan.count("BroadcastExchange") >= 2
+    # corpus scan feeds broadcast joins; the sole hash exchange is the
+    # candidate-row window partitioning
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
