@@ -357,9 +357,12 @@ def main():
              .trigger(availableNow=True).start())
         q.awaitTermination(600)
         dt = round(time.time() - t0, 3)
-        peak = max(p["stateOperators"][0]["memoryUsedBytes"]
-                   for p in q.recentProgress
-                   if p.get("stateOperators"))
+        # recentProgress retains a bounded window; if no retained
+        # snapshot carries state-operator metrics, report the peak as
+        # unavailable instead of crashing the whole scale bench
+        peak = max((p["stateOperators"][0]["memoryUsedBytes"]
+                    for p in q.recentProgress
+                    if p.get("stateOperators")), default=None)
         from generalized_kmeans_clustering_spark.operators.rollup import (
             funnel_stage_predicates,
         )
@@ -368,7 +371,8 @@ def main():
             sum(F.when(p, 1).otherwise(0) for p in preds).alias("w")
         ).agg(F.sum("w")).first()[0]
         shutil.rmtree(work, ignore_errors=True)
-        return {"sec": dt, "peak_state_bytes": int(peak),
+        return {"sec": dt,
+                "peak_state_bytes": int(peak) if peak is not None else None,
                 "explode_rows": int(width)}
 
     overlap = [("s0", "value IS NOT NULL OR value IS NULL")] + [

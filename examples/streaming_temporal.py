@@ -119,6 +119,9 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
         recovered, "user_id", "ts", "event_id", "value",
         direction="forward", tolerance_seconds=6 * 3600.0)
     n_held = held.count()
+    n_held_null = held.where(F.col("value").isNull()).count()
+    n_errors_in = ev.where("event_type = 'error'").count()
+    n_errors_streamed = recovered.count()
 
     # 2. live conversions: one row per completed view→click→purchase
     conversions = run(
@@ -140,7 +143,10 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
         "clicks": n_clicks,
         "clicks_with_error_context": n_matched,
         "errors_with_recovery_click": n_recovered,
+        "errors_in": n_errors_in,
+        "errors_streamed": n_errors_streamed,
         "errors_held_then_flushed": n_held,
+        "errors_held_null_payload": n_held_null,
         "conversions": n_converted,
         "retention_cells": len(matrix),
     }

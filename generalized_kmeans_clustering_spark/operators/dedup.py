@@ -809,9 +809,18 @@ def with_components(df: DataFrame, components: DataFrame,
     is read through ``component_col`` when that column exists there —
     the pre-refactor :func:`canonical_duplicates` contract, kept so a
     caller pairing a custom-named frame with a matching
-    ``component_col`` still resolves."""
-    src = (component_col if component_col in components.columns
-           else "component")
+    ``component_col`` still resolves. A frame carrying BOTH columns is
+    ambiguous (``component_col`` doubles as the output name, so an
+    unrelated column that merely shares it must not silently win over
+    the canonical ``component`` labels) and raises."""
+    has_custom = (component_col != "component"
+                  and component_col in components.columns)
+    if has_custom and "component" in components.columns:
+        raise ValueError(
+            f"with_components: components frame has both 'component' "
+            f"and {component_col!r} columns — the label source is "
+            "ambiguous; drop or rename one of them")
+    src = component_col if has_custom else "component"
     return df.join(
         components.select(F.col("id").alias(id_col),
                           F.col(src).alias("_comp")),

@@ -221,11 +221,13 @@ def funnel_stage_predicates(stages, type_col: str):
     funnel (``['view', 'click', 'view']``) — its predicate is derived
     from the string, so the repeat is auto-uniquified in the returned
     labels (``view``, ``view#2``, …; ``stage_idx`` disambiguates
-    regardless). A duplicate among EXPLICIT ``(label, predicate)``
-    labels still raises — two different predicates under one name is
-    a spec bug, and the pair form can always pick distinct labels.
-    Shared by :func:`funnel_rollup` and the streaming twin so both
-    sides resolve one stages spec identically."""
+    regardless). Any collision INVOLVING an explicit ``(label,
+    predicate)`` entry raises, in either order — two different
+    predicates under one name is a spec bug, and the pair form can
+    always pick distinct labels (auto-renaming either side would
+    silently change which stage the name refers to). Shared by
+    :func:`funnel_rollup` and the streaming twin so both sides
+    resolve one stages spec identically."""
     labels, preds, explicit = [], [], []
     for s in stages:
         if isinstance(s, str):
@@ -237,16 +239,19 @@ def funnel_stage_predicates(stages, type_col: str):
             labels.append(str(label))
             preds.append(F.expr(p) if isinstance(p, str) else p)
             explicit.append(True)
+    explicit_labels = {lab for lab, ex in zip(labels, explicit) if ex}
     seen: dict[str, int] = {}
     taken = set()
     for i, lab in enumerate(labels):
         n = seen.get(lab, 0)
         seen[lab] = n + 1
         if n or lab in taken:
-            if explicit[i]:
+            if explicit[i] or lab in explicit_labels:
                 raise ValueError(
                     f"funnel stages: duplicate stage label {lab!r} — "
-                    "explicit (label, predicate) labels must be unique")
+                    "only a repeated STRING stage (revisit funnel) is "
+                    "auto-uniquified; a collision involving an explicit "
+                    "(label, predicate) entry must pick distinct labels")
             k = n + 1
             while f"{lab}#{k}" in taken:
                 k += 1

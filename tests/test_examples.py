@@ -121,7 +121,10 @@ def test_streaming_temporal_example(spark, sf_dir, tmp_path):
     assert out["conversions"] >= 0
     assert out["retention_cells"] >= 1
     # streamed + flushed = every error row exactly once (batch parity)
-    assert out["errors_held_then_flushed"] >= 0
+    assert out["errors_in"] == (
+        out["errors_streamed"] + out["errors_held_then_flushed"])
+    # held rows are exactly the unmatched trailing lefts: NULL payload
+    assert out["errors_held_null_payload"] == out["errors_held_then_flushed"]
 
 
 def test_curation_round9_example(spark, sf_dir):

@@ -132,6 +132,16 @@ def test_funnel_revisit_duplicate_string_stages(spark):
         funnel_stage_predicates(
             [("a", "event_type = 'x'"), ("a", "event_type = 'y'")],
             "event_type")
+    # collisions involving an explicit label raise in EITHER order —
+    # auto-renaming either side would silently change which stage the
+    # name refers to (r11: was order-asymmetric, explicit-then-string
+    # used to uniquify silently)
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_stage_predicates(
+            [("view", "event_type = 'view'"), "view"], "event_type")
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_stage_predicates(
+            ["view", ("view", "event_type = 'view'")], "event_type")
     # a later stage colliding with an auto-uniquified label still
     # resolves to a fresh name
     labels, _ = funnel_stage_predicates(

@@ -279,6 +279,16 @@ def test_canonical_selection_and_dedup(spark):
             for r in canonical_duplicates(
                 docs, comp, component_col="grp").collect()}
     assert out3 == out
+    # a frame carrying BOTH 'component' and the custom name is an
+    # ambiguous label source and must raise (r11: an unrelated column
+    # that merely shares the output name used to win silently)
+    from generalized_kmeans_clustering_spark.operators.dedup import (
+        with_components,
+    )
+
+    comp_both = comp.withColumn("grp", F.lit(999).cast("long"))
+    with pytest.raises(ValueError, match="ambiguous"):
+        with_components(docs, comp_both, component_col="grp")
 
 
 def test_ivf_index_persist_and_partition_pruning(spark, tmp_path):
