@@ -4748,6 +4748,227 @@ def q_streaming_retention(spark, sf_dir):
     return res
 
 
+def q_streaming_asof_flush(spark, sf_dir):
+    """Composed replay-flush contract for the streaming as-of join
+    (streaming/asof.py: asof_replay_flush, r10): errors (user_id < 50)
+    FORWARD-joined to the next same-user click, with NO tolerance — so
+    every trailing unmatched error is HELD by the stream (a live
+    stream can never prove no later click will come) and the
+    availableNow replay alone under-reports. This query runs the
+    replay, recovers the held rows with asof_replay_flush over the
+    same bounded frames, and returns streamed UNION flush — which must
+    equal the batch forward as-of join; the oracle is the DuckDB
+    forward ASOF LEFT JOIN (l.ts <= r.ts). Value-verifies the r10
+    flush trio's core claim (streamed ∪ flush == batch, exactly)
+    under the hard gate."""
+    import os
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.asof import (
+        asof_replay_flush, streaming_asof_join,
+    )
+
+    ev = events(spark, sf_dir)
+    errors = ev.where(
+        (F.col("event_type") == "error") & (F.col("user_id") < 50)
+    ).select("user_id", "ts", F.col("event_id"),
+             F.lit(None).cast("double").alias("click_value"),
+             F.lit(1).alias("is_left"))
+    clicks = (
+        ev.where((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", "ts",
+                F.lit(None).cast("long").alias("event_id"),
+                "click_value", F.lit(0).alias("is_left"))
+    )
+    u = errors.unionByName(clicks)
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    med = u.select(tus.alias("_tus")) \
+        .approxQuantile("_tus", [0.5], 0.0)[0]  # exact median split
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_asoff_")
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((
+            u.where(tus <= F.lit(int(med))),
+            u.where(tus > F.lit(int(med))))):
+        tmp = f"{root}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+    schema = ("user_id long, ts timestamp, event_id long, "
+              "click_value double, is_left int")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_asof_join(
+        stream.where(F.col("is_left") == 1),
+        stream.where(F.col("is_left") == 0),
+        "user_id", "ts", "event_id", "click_value",
+        direction="forward")
+    q = (out.writeStream.format("memory").queryName("gkm_asoff_mem")
+         .outputMode("append")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM gkm_asoff_mem")
+    flush = asof_replay_flush(
+        u.where(F.col("is_left") == 1).select("user_id", "ts", "event_id"),
+        u.where(F.col("is_left") == 0).select("user_id", "ts",
+                                              "click_value"),
+        streamed, "user_id", "ts", "event_id", "click_value",
+        direction="forward")
+    cols = ["user_id", "ts", "event_id", "click_value", "matched_ts"]
+    res = (
+        streamed.select(*cols).unionByName(flush.select(*cols))
+        .select("event_id", "user_id", "ts",
+                _rcol(F.col("click_value"), 6).alias("click_value"),
+                F.col("matched_ts").alias("click_ts"))
+        .orderBy("event_id")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    spark.catalog.dropTempView("gkm_asoff_mem")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+def _streaming_asof_flush_sql() -> str:
+    return (
+        "WITH l AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'error' AND user_id < 50), "
+        "r AS (SELECT user_id, ts, max(value) AS click_value FROM events "
+        "WHERE event_type = 'click' AND user_id < 50 GROUP BY 1, 2) "
+        "SELECT l.event_id, l.user_id, l.ts, "
+        + _r("r.click_value", 6) + " AS click_value, "
+        "r.ts AS click_ts FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.ts <= r.ts "
+        "ORDER BY l.event_id"
+    )
+
+
+def q_streaming_funnel_flush(spark, sf_dir):
+    """Composed replay-flush contract for the streaming funnel
+    (streaming/funnel.py: funnel_replay_flush, r10): the replay window
+    is truncated at the LAST completion time, so the final purchase
+    sits in the terminal-watermark millisecond that Spark's strict
+    timeout < watermark rule never fires — the stream provably HOLDS
+    that completion. streamed UNION funnel_replay_flush must equal the
+    batch funnel_completions of the truncated window — which equals
+    the untruncated chain (truncation at max(t_2) removes no chain
+    event: every completing chain's times precede it, and removing
+    later events can neither break nor create a first-touch chain), so
+    the oracle is the SAME min-chain CTE as events_funnel_completions."""
+    import os
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_completions,
+    )
+    from generalized_kmeans_clustering_spark.streaming.funnel import (
+        funnel_replay_flush, streaming_funnel,
+    )
+
+    stages = ["view", "click", "purchase"]
+    ev = events(spark, sf_dir).where(
+        (F.col("user_id") < 50) & F.col("event_type").isin(stages)
+    ).select("user_id", "ts", "event_type")
+    cut = funnel_completions(ev, stages).agg(F.max("t_2")).first()[0]
+    if cut is not None:  # no completions -> nothing to truncate at
+        ev = ev.where(F.col("ts") <= F.lit(cut))
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    med = ev.select(tus.alias("_tus")).approxQuantile("_tus", [0.5], 0.0)[0]
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_funnelf_")
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((ev.where(tus <= F.lit(int(med))),
+                              ev.where(tus > F.lit(int(med))))):
+        tmp = f"{root}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_funnel(stream, stages)
+    q = (out.writeStream.format("memory").queryName("gkm_funnelf_mem")
+         .outputMode("append")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM gkm_funnelf_mem")
+    flush = funnel_replay_flush(ev, streamed, stages)
+    cols = ["user_id", "t_0", "t_1", "t_2"]
+    res = (
+        streamed.select(*cols).unionByName(flush.select(*cols))
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    spark.catalog.dropTempView("gkm_funnelf_mem")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
+def q_streaming_retention_flush(spark, sf_dir):
+    """Composed replay-flush contract for streaming retention
+    (streaming/retention.py: retention_replay_flush, r10): the replay
+    window is truncated at the LAST first-activity timestamp (max over
+    (entity, week-bucket) of min ts, user_id < 40), so that activity
+    sits in the terminal-watermark millisecond and its (entity,
+    offset) row is provably HELD. streamed UNION retention_replay_
+    flush must equal the batch retention_pairs of the truncated
+    window — which equals the untruncated set (a cell survives iff
+    its first activity precedes the cutoff, true for all by choice of
+    max; cohorts are first-event buckets, also unaffected), so the
+    oracle is the SAME distinct-cell SQL as events_retention_pairs."""
+    import os
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.retention import (
+        retention_replay_flush, streaming_retention,
+    )
+
+    ev = events(spark, sf_dir).where(F.col("user_id") < 40) \
+        .select("user_id", "ts")
+    cut = (ev.groupBy("user_id", F.date_trunc("week", "ts").alias("_b"))
+           .agg(F.min("ts").alias("_f")).agg(F.max("_f")).first()[0])
+    ev = ev.where(F.col("ts") <= F.lit(cut))
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    med = ev.select(tus.alias("_tus")).approxQuantile("_tus", [0.5], 0.0)[0]
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_retf_")
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((ev.where(tus <= F.lit(int(med))),
+                              ev.where(tus > F.lit(int(med))))):
+        tmp = f"{root}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_retention(stream, period="week")
+    q = (out.writeStream.format("memory").queryName("gkm_retf_mem")
+         .outputMode("append")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM gkm_retf_mem")
+    flush = retention_replay_flush(ev, streamed, period="week")
+    cols = ["user_id", "cohort", "offset"]
+    res = (
+        streamed.select(*cols).unionByName(flush.select(*cols))
+        .orderBy("user_id", "offset")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    spark.catalog.dropTempView("gkm_retf_mem")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 def _streaming_funnel_sql() -> str:
     """Min-chain CTE replay of the first-touch funnel over events
     (user_id < 50): stage i = min ts strictly after stage i-1; only
@@ -7267,6 +7488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_asof_join_multi": q_streaming_asof_join_multi,
         "streaming_funnel": q_streaming_funnel,
         "streaming_retention": q_streaming_retention,
+        "streaming_asof_flush": q_streaming_asof_flush,
+        "streaming_funnel_flush": q_streaming_funnel_flush,
+        "streaming_retention_flush": q_streaming_retention_flush,
         "streaming_semantic_pairs": q_streaming_semantic_pairs,
         "doc_line_dedup": q_doc_line_dedup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -7953,6 +8177,15 @@ FROM wide w ORDER BY xb
     out["profit_by_nation_year"] = _profit_by_nation_year_sql()
     out["events_retention"] = _events_retention_sql()
     out["events_retention_pairs"] = _retention_pairs_sql()
+    # replay-flush trio (r11): streamed ∪ flush must equal the BATCH
+    # result — the funnel/retention compositions truncate their replay
+    # at the last completion / first-activity time, which provably
+    # leaves the batch answer unchanged (see the q_ docstrings), so
+    # their oracles are the same SQL as the batch twins; the as-of
+    # composition gets the forward ASOF JOIN twin
+    out["streaming_asof_flush"] = _streaming_asof_flush_sql()
+    out["streaming_funnel_flush"] = _streaming_funnel_sql()
+    out["streaming_retention_flush"] = _retention_pairs_sql()
     out["events_throttle"] = _events_throttle_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),
