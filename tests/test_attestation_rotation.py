@@ -56,6 +56,36 @@ def test_window_holds_the_global_most_stale_set():
     assert max_in <= min_out
 
 
+def test_official_staleness_within_policy():
+    """The r11 attestation policy (see _attestation_order docstring):
+    every attested query's latest official green row is at most
+    P = ceil((N-W)/(W-n_max)) + 1 rounds old, where W=50 is the
+    driver window and n_max=5 the per-round new-row budget — and the
+    at-the-bound set must FIT the next window, or the bound breaks
+    next round. The interim tier (every query value-verified per
+    round at sf0.001) is this very test file's sibling,
+    test_entry_oracle.py."""
+    names = list(em.queries().keys())
+    last = _last_green()
+    rounds = [last.get(n, -1) for n in names]
+    attested = [r for r in rounds if r >= 0]
+    if not attested:
+        return
+    cur = max(attested)          # latest completed driver round
+    N, W, N_MAX = len(names), 50, 5
+    p_bound = -(-(N - W) // (W - N_MAX)) + 1
+    stale = [n for n, r in zip(names, rounds)
+             if 0 <= r < cur - p_bound + 1]
+    assert not stale, (
+        f"official rows older than the P={p_bound}-round policy bound "
+        f"(current round {cur}): {stale}")
+    # the due set (never-attested + at-the-bound) must fit one window
+    due = sum(1 for r in rounds if r < 0 or r == cur - p_bound + 1)
+    assert due <= W, (
+        f"{due} queries due next round exceeds the W={W} window — "
+        "the policy bound will break; shrink the new-row budget")
+
+
 def test_every_query_has_an_oracle_or_documented_exemption():
     """queries() and oracle_sql() stay 1:1 — every official row the
     rotation schedules is a full value-hash row, not a weaker
