@@ -314,6 +314,83 @@ def main():
     print(f"[scale] asof_funnel: 1x {out['t1']}s  10x {out['t10']}s"
           f"  ratio {out['ratio']}", file=sys.stderr, flush=True)
 
+    # r10 additions (r11 verdict task): exact_rerank with a FIXED
+    # candidate window over a 10x corpus — the candidate/query frames
+    # broadcast, so the only growing cost is the corpus scan feeding a
+    # tiny broadcast-hash probe (expect well under linear); and the
+    # temporal batch twins funnel_completions / retention_pairs, one
+    # window pass over events scaled by USER copies (expect ~linear).
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        exact_rerank,
+    )
+
+    def rerank_pair(scale):
+        emb = scaled_embeddings(spark, sf_dir, scale) \
+            .repartition(int(cpus)).cache()
+        emb.count()
+        base_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        q = emb.where(F.col("vec_id") < 50)
+        # deterministic synthetic recall set: 50 queries x 40 base-copy
+        # candidates (ids exist at every scale) — candidates FIXED so
+        # the measured growth is exact_rerank's own corpus-side work
+        cand = (q.select("vec_id")
+                .withColumn("_i", F.explode(F.sequence(F.lit(0),
+                                                       F.lit(39))))
+                .select(F.col("vec_id").alias("query_id"),
+                        ((F.col("vec_id") * 7 + F.col("_i") * 13)
+                         % F.lit(base_n)).alias("neighbor_id"))
+                .distinct())
+
+        def run():
+            exact_rerank(cand, emb, q, k=10).count()
+
+        run()  # warm
+        t = timed(run)
+        emb.unpersist()
+        return t
+
+    out = {"t1": rerank_pair(1), "t10": rerank_pair(10)}
+    out["ratio"] = round(out["t10"] / out["t1"], 2)
+    results["exact_rerank"] = out
+    print(f"[scale] exact_rerank: 1x {out['t1']}s  10x {out['t10']}s"
+          f"  ratio {out['ratio']}", file=sys.stderr, flush=True)
+
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        funnel_completions, retention_pairs,
+    )
+
+    def twins_pair(scale):
+        base = em.events(spark, sf_dir)
+        ev = None
+        for i in range(scale):
+            c = base.select(
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type", "ts")
+            ev = c if ev is None else ev.unionAll(c)
+        ev = ev.repartition(int(cpus)).cache()
+        ev.count()
+
+        def run_fc():
+            funnel_completions(ev, ["view", "click", "purchase"]).count()
+
+        def run_rp():
+            retention_pairs(ev, "user_id", "ts", period="week").count()
+
+        run_fc(), run_rp()  # warm
+        t_fc = timed(run_fc)
+        t_rp = timed(run_rp)
+        ev.unpersist()
+        return t_fc, t_rp
+
+    fc1, rp1 = twins_pair(1)
+    fc10, rp10 = twins_pair(10)
+    for name, t1, t10 in (("funnel_completions", fc1, fc10),
+                          ("retention_pairs", rp1, rp10)):
+        out = {"t1": t1, "t10": t10, "ratio": round(t10 / t1, 2)}
+        results[name] = out
+        print(f"[scale] {name}: 1x {t1}s  10x {t10}s  "
+              f"ratio {out['ratio']}", file=sys.stderr, flush=True)
+
     # streaming funnel, overlapping-predicate state multiplier (the r9
     # judge's finding #2): an event buffers once per MATCHING stage
     # (explode), so fully-overlapping predicates multiply the
