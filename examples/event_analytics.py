@@ -7,7 +7,12 @@ operators together the way a product-analytics pipeline would:
 2. as-of join each click to the latest preceding error for that user,
 3. funnel view -> click -> purchase,
 4. weekly cohort retention,
-5. hour->day rollup cascade for the dashboard.
+5. hour->day rollup cascade for the dashboard,
+6. WHO converted (funnel_completions, r10) segmented by
+   time-to-convert,
+7. per-segment retention drill-down: the joinable first-activity set
+   (retention_pairs, r10) joined to the segment table BEFORE counting
+   — the workflow the aggregated matrix cannot express.
 
 Run standalone or via ``tests/test_examples.py``.
 """
@@ -25,8 +30,8 @@ from pyspark.sql import functions as F
 
 def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     from generalized_kmeans_clustering_spark import (
-        asof_join, funnel_rollup, retention_cohorts, rollup_cascade,
-        throttle_events,
+        asof_join, funnel_completions, funnel_rollup, retention_cohorts,
+        retention_pairs, rollup_cascade, throttle_events,
     )
 
     import __spark_entry__ as entry
@@ -64,6 +69,30 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
               for r in cascade.groupBy("grain")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
 
+    # 6. WHO converted: one row per completed view->click->purchase
+    # chain with all three first-touch times (the batch twin of
+    # streaming_funnel); segment converters by time-to-convert
+    completions = funnel_completions(clean, ["view", "click", "purchase"])
+    segments = completions.select(
+        "user_id",
+        F.when(F.col("t_2").cast("long") - F.col("t_0").cast("long")
+               <= 7 * 86400, "fast").otherwise("slow").alias("segment"))
+    n_converters = completions.count()
+
+    # 7. per-segment retention: retention_pairs keeps the entity
+    # column exactly so the first-activity set is JOINABLE against a
+    # segment/experiment table before counting — count(*) per
+    # (segment, offset) is the segmented retention matrix, the
+    # drill-down retention_cohorts' aggregate cannot express
+    pairs = retention_pairs(clean, "user_id", "ts", period="week")
+    seg_matrix = (pairs.join(segments, "user_id")
+                  .groupBy("segment", "offset")
+                  .agg(F.count(F.lit(1)).alias("n_active"))
+                  .orderBy("segment", "offset").collect())
+    # every converter is active in its own cohort week, so the
+    # offset-0 column of the segmented matrix sums to the converters
+    offset0 = sum(r["n_active"] for r in seg_matrix if r["offset"] == 0)
+
     return {
         "events_in": ev.count(),
         "events_kept": kept,
@@ -71,6 +100,9 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "funnel": funnel,
         "cohort_cells": n_cohort_cells,
         "grain_buckets": grains,
+        "converters": n_converters,
+        "segment_retention_cells": len(seg_matrix),
+        "segment_offset0_total": offset0,
     }
 
 

@@ -110,6 +110,12 @@ def test_event_analytics_example(spark, sf_dir):
     assert out["cohort_cells"] >= 1
     assert set(out["grain_buckets"]) == {"hour", "day"}
     assert out["grain_buckets"]["hour"] >= out["grain_buckets"]["day"]
+    # the completions set IS the final funnel stage, row for row
+    assert out["converters"] == out["funnel"]["purchase"]
+    # segmented retention drill-down: every converter is active in its
+    # own cohort week, so the offset-0 column sums to the converters
+    assert out["segment_retention_cells"] >= 1
+    assert out["segment_offset0_total"] == out["converters"]
 
 
 def test_streaming_temporal_example(spark, sf_dir, tmp_path):
