@@ -2254,14 +2254,18 @@ def q_doc_repetition(spark, sf_dir):
 
 def _session_rollup_sql(gap_minutes=60.0) -> str:
     """Twin of operators/rollup.session_rollup: per-session aggregates
-    under Spark's session_window merge rule (extend iff delta < gap),
+    under Spark's session_window merge rule — BOUNDARY-INCLUSIVE, an
+    event extends the session iff delta <= gap (windows [t, t+gap) and
+    [t+gap, ...) touch and Spark merges on start <= current end; r11
+    pinned this with an exact-boundary test after the twin shipped
+    with `>= gap` — a split rule real microsecond data never hit),
     end = last event + gap."""
     gap_us = int(gap_minutes * 60 * 1_000_000)
     return (
         "WITH x AS (SELECT user_id, ts, "
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
         "OR epoch_us(ts) - epoch_us(lag(ts) OVER "
-        f"(PARTITION BY user_id ORDER BY ts)) >= {gap_us} "
+        f"(PARTITION BY user_id ORDER BY ts)) > {gap_us} "
         "THEN 1 ELSE 0 END AS new_s FROM events), "
         "y AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id "
         "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) "
@@ -4969,6 +4973,60 @@ def q_streaming_retention_flush(spark, sf_dir):
     return res
 
 
+def q_streaming_session_rollup(spark, sf_dir):
+    """Composed replay-flush contract for the NATIVE session_window
+    streaming aggregation (streaming/sessions.py, r11): events
+    replayed as a 2-file time-split availableNow stream through
+    streaming_session_rollup (the batch session_rollup plan running
+    UNCHANGED under withWatermark + append). Append mode emits a
+    session only when the watermark passes its END = last event +
+    gap — strictly after every event time — so a bounded replay
+    always holds its trailing sessions; session_replay_flush
+    recovers them, and streamed UNION flush must equal the batch
+    session_rollup: the oracle is the SAME lag/cumsum SQL as
+    events_session_rollup."""
+    import os
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.sessions import (
+        session_replay_flush, streaming_session_rollup,
+    )
+
+    ev = events(spark, sf_dir).select("user_id", "ts")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    med = ev.select(tus.alias("_tus")).approxQuantile("_tus", [0.5], 0.0)[0]
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_sess_")
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((ev.where(tus <= F.lit(int(med))),
+                              ev.where(tus > F.lit(int(med))))):
+        tmp = f"{root}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_session_rollup(stream, gap_minutes=60.0)
+    q = (out.writeStream.format("memory").queryName("gkm_sess_mem")
+         .outputMode("append")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM gkm_sess_mem")
+    flush = session_replay_flush(ev, streamed, gap_minutes=60.0)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    res = (
+        streamed.select(*cols).unionByName(flush.select(*cols))
+        .orderBy("user_id", "session_start")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    spark.catalog.dropTempView("gkm_sess_mem")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 def _streaming_funnel_sql() -> str:
     """Min-chain CTE replay of the first-touch funnel over events
     (user_id < 50): stage i = min ts strictly after stage i-1; only
@@ -7501,6 +7559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_asof_flush": q_streaming_asof_flush,
         "streaming_funnel_flush": q_streaming_funnel_flush,
         "streaming_retention_flush": q_streaming_retention_flush,
+        "streaming_session_rollup": q_streaming_session_rollup,
         "streaming_semantic_pairs": q_streaming_semantic_pairs,
         "doc_line_dedup": q_doc_line_dedup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -8196,6 +8255,9 @@ FROM wide w ORDER BY xb
     out["streaming_asof_flush"] = _streaming_asof_flush_sql()
     out["streaming_funnel_flush"] = _streaming_funnel_sql()
     out["streaming_retention_flush"] = _retention_pairs_sql()
+    # native session_window replay + flush == batch == the same
+    # lag/cumsum twin as events_session_rollup (r11)
+    out["streaming_session_rollup"] = _session_rollup_sql()
     out["events_throttle"] = _events_throttle_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),

@@ -90,6 +90,9 @@ from .streaming.funnel import (  # noqa: F401
 from .streaming.retention import (  # noqa: F401
     retention_replay_flush, streaming_retention,
 )
+from .streaming.sessions import (  # noqa: F401
+    session_replay_flush, streaming_session_rollup,
+)
 from .operators.stats import quantiles_by_key  # noqa: F401
 from .operators.graph import propagate_flags  # noqa: F401
 from .operators.pins import Pins  # noqa: F401

@@ -116,8 +116,13 @@ def session_rollup(
     ids via lag/cumsum — a batch-only window plan), this plan runs
     UNCHANGED as a streaming stateful aggregation under
     ``withWatermark`` — the state store merges windows as late events
-    arrive. Spark merge rule: an event extends the session iff it
-    arrives strictly less than ``gap`` after the previous event.
+    arrive. Spark merge rule (boundary-INCLUSIVE — pinned by test in
+    r11): an event extends the session iff it arrives at most ``gap``
+    after the previous event; a delta of exactly ``gap`` still merges,
+    because the event windows ``[t, t+gap)`` and ``[t+gap, …)`` touch
+    and Spark merges on ``start <= current_end``. (The lag/cumsum
+    :func:`sessionize` uses ``delta > gap`` for a new session — the
+    same inclusive boundary — so the two stay consistent.)
     """
     from pyspark.sql import types as T
 
