@@ -18,6 +18,11 @@ exactly.
 3. streaming_retention — exactly-once (user, cohort, offset)
    first-activity rows; retention matrices are additive counts over
    this stream (state: cohort + seen offsets per user).
+4. streaming_session_rollup (r11) — the NATIVE twin: Spark's
+   session_window stateful aggregation, batch plan unchanged; plus
+   session_replay_flush, because append mode can never emit the
+   trailing sessions of a bounded replay (their end = last event +
+   gap exceeds the terminal watermark).
 
 Run standalone or via ``tests/test_examples.py``.
 """
@@ -39,8 +44,9 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
     import tempfile
 
     from generalized_kmeans_clustering_spark import (
-        asof_replay_flush, streaming_asof_join, streaming_funnel,
-        streaming_retention,
+        asof_replay_flush, session_replay_flush, session_rollup,
+        streaming_asof_join, streaming_funnel, streaming_retention,
+        streaming_session_rollup,
     )
 
     import __spark_entry__ as entry
@@ -135,7 +141,25 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
               .agg(F.count(F.lit(1)).alias("n_active"))
               .orderBy("cohort", "offset").collect())
 
-    for name in ("ex_asof", "ex_asof_fwd", "ex_funnel", "ex_ret"):
+    # 4. live sessions via the NATIVE session_window aggregation (the
+    # batch session_rollup plan unchanged under a watermark) + the
+    # terminal flush: append mode emits a session only when the
+    # watermark passes its END = last event + gap, which exceeds every
+    # event time — so a bounded replay always holds the trailing
+    # sessions; a live stream must (the next event could extend them)
+    sessions = run(
+        streaming_session_rollup(
+            stream().select("user_id", "ts"), gap_minutes=30.0),
+        "ex_sess")
+    n_sessions_streamed = sessions.count()
+    held_sessions = session_replay_flush(
+        ev.select("user_id", "ts"), sessions, gap_minutes=30.0)
+    n_sessions_held = held_sessions.count()
+    n_sessions_batch = session_rollup(
+        ev.select("user_id", "ts"), gap_minutes=30.0).count()
+
+    for name in ("ex_asof", "ex_asof_fwd", "ex_funnel", "ex_ret",
+                 "ex_sess"):
         spark.catalog.dropTempView(name)
     if owns_workdir:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -149,6 +173,9 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
         "errors_held_null_payload": n_held_null,
         "conversions": n_converted,
         "retention_cells": len(matrix),
+        "sessions_streamed": n_sessions_streamed,
+        "sessions_held_then_flushed": n_sessions_held,
+        "sessions_batch": n_sessions_batch,
     }
 
 

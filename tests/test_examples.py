@@ -131,6 +131,11 @@ def test_streaming_temporal_example(spark, sf_dir, tmp_path):
         out["errors_streamed"] + out["errors_held_then_flushed"])
     # held rows are exactly the unmatched trailing lefts: NULL payload
     assert out["errors_held_null_payload"] == out["errors_held_then_flushed"]
+    # native session_window replay: streamed + flushed == batch, and a
+    # bounded replay ALWAYS holds its trailing sessions (end > max ts)
+    assert out["sessions_held_then_flushed"] >= 1
+    assert out["sessions_batch"] == (
+        out["sessions_streamed"] + out["sessions_held_then_flushed"])
 
 
 def test_curation_round9_example(spark, sf_dir):
