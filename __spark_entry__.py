@@ -5027,6 +5027,64 @@ def q_streaming_session_rollup(spark, sf_dir):
     return res
 
 
+def q_streaming_throttle(spark, sf_dir):
+    """Composed replay-flush contract for the NATIVE windowed-min_by
+    streaming throttle (streaming/throttle.py, r11): the
+    events_throttle workload (user_id < 30, hourly windows, event_id
+    tiebreak) replayed as a 2-file time-split availableNow stream —
+    one kept row per (user, type, window) emitted as its window
+    matures; the replay's trailing windows are held (a window's end
+    exceeds its own events' times) and recovered by
+    throttle_replay_flush, so streamed UNION flush must equal the
+    batch throttle_events: the oracle is the SAME windowed
+    row_number SQL as events_throttle."""
+    import os
+    import shutil
+    import tempfile
+
+    from generalized_kmeans_clustering_spark.streaming.throttle import (
+        streaming_throttle, throttle_replay_flush,
+    )
+
+    kw = dict(entity_cols=("user_id", "event_type"), ts_col="ts",
+              window_seconds=3600.0, tiebreak_col="event_id")
+    ev = events(spark, sf_dir).where(F.col("user_id") < 30).select(
+        "event_id", "user_id", "event_type", "ts")
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    med = ev.select(tus.alias("_tus")).approxQuantile("_tus", [0.5], 0.0)[0]
+
+    root = tempfile.mkdtemp(prefix="gkm_stream_thr_")
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    for i, half in enumerate((ev.where(tus <= F.lit(int(med))),
+                              ev.where(tus > F.lit(int(med))))):
+        tmp = f"{root}/tmp{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        shutil.copy(f"{tmp}/{part}", f"{src}/{i:02d}.parquet")
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, event_type string, "
+                      "ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_throttle(stream, **kw)
+    q = (out.writeStream.format("memory").queryName("gkm_thr_mem")
+         .outputMode("append")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM gkm_thr_mem")
+    flush = throttle_replay_flush(ev, streamed, **kw)
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    res = (
+        streamed.select(*cols).unionByName(flush.select(*cols))
+        .orderBy("event_id")
+        .localCheckpoint(eager=True)  # materialize before tmp cleanup
+    )
+    spark.catalog.dropTempView("gkm_thr_mem")
+    shutil.rmtree(root, ignore_errors=True)
+    return res
+
+
 def _streaming_funnel_sql() -> str:
     """Min-chain CTE replay of the first-touch funnel over events
     (user_id < 50): stage i = min ts strictly after stage i-1; only
@@ -7560,6 +7618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_funnel_flush": q_streaming_funnel_flush,
         "streaming_retention_flush": q_streaming_retention_flush,
         "streaming_session_rollup": q_streaming_session_rollup,
+        "streaming_throttle": q_streaming_throttle,
         "streaming_semantic_pairs": q_streaming_semantic_pairs,
         "doc_line_dedup": q_doc_line_dedup,
         "dedup_repeated_spans": q_dedup_repeated_spans,
@@ -8258,6 +8317,9 @@ FROM wide w ORDER BY xb
     # native session_window replay + flush == batch == the same
     # lag/cumsum twin as events_session_rollup (r11)
     out["streaming_session_rollup"] = _session_rollup_sql()
+    # native windowed-min_by throttle replay + flush == batch == the
+    # same windowed row_number twin as events_throttle (r11)
+    out["streaming_throttle"] = _events_throttle_sql()
     out["events_throttle"] = _events_throttle_sql()
     # Mercer kernel values vs the fixed landmark
     for kname, kkey in [("rbf", "rbf"), ("linear", "linear"),

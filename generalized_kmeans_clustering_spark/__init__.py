@@ -93,6 +93,9 @@ from .streaming.retention import (  # noqa: F401
 from .streaming.sessions import (  # noqa: F401
     session_replay_flush, streaming_session_rollup,
 )
+from .streaming.throttle import (  # noqa: F401
+    streaming_throttle, throttle_replay_flush,
+)
 from .operators.stats import quantiles_by_key  # noqa: F401
 from .operators.graph import propagate_flags  # noqa: F401
 from .operators.pins import Pins  # noqa: F401
