@@ -23,6 +23,10 @@ exactly.
    session_replay_flush, because append mode can never emit the
    trailing sessions of a bounded replay (their end = last event +
    gap exceeds the terminal watermark).
+5. streaming_throttle (r11) — the other native twin: tumbling-window
+   min_by keeps the earliest event per (user, type, minute) live,
+   epoch-aligned to the batch grid; throttle_replay_flush closes the
+   trailing windows.
 
 Run standalone or via ``tests/test_examples.py``.
 """
@@ -46,7 +50,8 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
     from generalized_kmeans_clustering_spark import (
         asof_replay_flush, session_replay_flush, session_rollup,
         streaming_asof_join, streaming_funnel, streaming_retention,
-        streaming_session_rollup,
+        streaming_session_rollup, streaming_throttle, throttle_events,
+        throttle_replay_flush,
     )
 
     import __spark_entry__ as entry
@@ -158,8 +163,20 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
     n_sessions_batch = session_rollup(
         ev.select("user_id", "ts"), gap_minutes=30.0).count()
 
+    # 5. live throttling via the other native twin: tumbling-window
+    # min_by — one kept (earliest) event per (user, type, minute),
+    # emitted live as each window matures; the flush closes the
+    # replay's trailing windows
+    tkw = dict(entity_cols=("user_id", "event_type"), ts_col="ts",
+               window_seconds=60.0, tiebreak_col="event_id")
+    kept = run(streaming_throttle(stream(), **tkw), "ex_thr")
+    n_kept_streamed = kept.count()
+    n_kept_held = throttle_replay_flush(ev, kept, **tkw).count()
+    n_kept_batch = throttle_events(
+        ev, ("user_id", "event_type"), "ts", 60.0, "event_id").count()
+
     for name in ("ex_asof", "ex_asof_fwd", "ex_funnel", "ex_ret",
-                 "ex_sess"):
+                 "ex_sess", "ex_thr"):
         spark.catalog.dropTempView(name)
     if owns_workdir:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -176,6 +193,9 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001",
         "sessions_streamed": n_sessions_streamed,
         "sessions_held_then_flushed": n_sessions_held,
         "sessions_batch": n_sessions_batch,
+        "throttle_kept_streamed": n_kept_streamed,
+        "throttle_kept_held_then_flushed": n_kept_held,
+        "throttle_kept_batch": n_kept_batch,
     }
 
 

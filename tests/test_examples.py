@@ -136,6 +136,11 @@ def test_streaming_temporal_example(spark, sf_dir, tmp_path):
     assert out["sessions_held_then_flushed"] >= 1
     assert out["sessions_batch"] == (
         out["sessions_streamed"] + out["sessions_held_then_flushed"])
+    # native windowed-min_by throttle: streamed + flushed == batch
+    assert out["throttle_kept_batch"] == (
+        out["throttle_kept_streamed"]
+        + out["throttle_kept_held_then_flushed"])
+    assert out["throttle_kept_held_then_flushed"] >= 1
 
 
 def test_curation_round9_example(spark, sf_dir):
