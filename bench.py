@@ -85,6 +85,12 @@ def main():
 
     BUSY_HOT = 0.5          # >half the box busy while we idle = hot
     RETRY_SLEEP, RETRIES = 5.0, 3   # per-run retry budget when hot
+    # Suite-wide cap on retry sleep: under PERSISTENT contention the
+    # per-run retries would otherwise add ~15s x every run (~17 min)
+    # without ever going cold — after the cap, regions run hot
+    # immediately and rely on the contended/load fields to flag the
+    # reading instead of stalling the driver.
+    retry_budget = [120.0]
 
     load: dict[str, dict] = {}
     contended: list[str] = []
@@ -109,9 +115,10 @@ def main():
             settle()
             busy = external_busy()
             for _ in range(RETRIES):
-                if busy <= BUSY_HOT:
+                if busy <= BUSY_HOT or retry_budget[0] <= 0:
                     break
                 time.sleep(RETRY_SLEEP)
+                retry_budget[0] -= RETRY_SLEEP
                 busy = external_busy()
             max_busy = max(max_busy, busy)
             if busy > BUSY_HOT:
