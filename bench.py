@@ -15,6 +15,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+# The driver tail-captures ~2000 chars of stdout and parses the final
+# JSON line; BENCH_r11 went `parsed: null` when the v5 telemetry pushed
+# that line past the window. Budget the machine line against this.
+CAPTURE_WINDOW_CHARS = 2000
+MACHINE_LINE_BUDGET = 1800  # headroom for a few contended names
+
+
+def build_machine_line(timings, diagnostics, sf, rows_lineitem, contended,
+                       start_busy, start_load, start_wait_sec):
+    """The ONE compact stdout JSON payload (protocol v6).
+
+    Shape = r10's parsed line (metric/value/unit/queries/diagnostics/
+    sf/rows_lineitem/protocol) plus the SMALL v5 contention fields.
+    The bulky per-query load map is NOT here — see build_telemetry().
+    Unit-tested to stay under MACHINE_LINE_BUDGET at suite size.
+    """
+    return {
+        "metric": "e2e_operator_suite_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "diagnostics": diagnostics,
+        "sf": sf,
+        "rows_lineitem": rows_lineitem,
+        "contended": contended,
+        "start_busy": round(start_busy, 3),
+        "start_load": round(start_load, 2),
+        "start_wait_sec": start_wait_sec,
+        "protocol": "v6-min-of-n-warm-load",
+    }
+
+
+def build_telemetry(load, contended, start_busy, start_load,
+                    start_wait_sec, sf):
+    """Sidecar payload (bench_telemetry.json): the full per-query
+    external-busy/loadavg/hot-run readings that overflowed r11's line."""
+    return {
+        "load": load,
+        "contended": contended,
+        "start_busy": round(start_busy, 3),
+        "start_load": round(start_load, 2),
+        "start_wait_sec": start_wait_sec,
+        "sf": sf,
+        "protocol": "v6-min-of-n-warm-load",
+    }
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -495,43 +541,51 @@ def main():
     ).fit(li))
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "e2e_operator_suite_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        # NOT summed into value: forced-strategy twins whose timing is
-        # a documented per-JVM lottery, kept for strategy comparison.
-        "diagnostics": diagnostics,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "rows_lineitem": n,
-        # contention telemetry (v5): per-query external-CPU busy
-        # fraction sampled while the bench was quiescent, 1-min
-        # loadavg at region start, and how many timed runs still
-        # started hot after the retry budget. "contended" lists the
-        # queries whose readings should not drive regression calls.
-        "load": load,
-        "contended": contended,
-        "start_busy": round(start_busy, 3),
-        "start_load": round(start_load, 2),
-        "start_wait_sec": waited,
-        # protocol v2 (round 3+): min-of-N with GC settle, JIT warmup
-        # outside timed regions, repartition(cpus)+cache inputs, 1 MB
-        # maxPartitionBytes. v1 (rounds 1-2) was single-shot cold.
-        # v3 (round 6+): the forced expression-strategy twin moved to
-        # out-of-suite diagnostics at 1 iter — r5's 41.1s headline
-        # included a 17.4s slow-JVM draw of it; totals across protocol
-        # versions are NOT comparable.
-        # v4 (round 10+): opq_encode_topk promoted from diagnostics to
-        # the headline suite (24 queries; r9's 23-query total is
-        # comparable after subtracting this row).
-        # v5 (round 11+): contention telemetry — same 24-query suite
-        # as v4 (totals directly comparable); adds per-region external
-        # busy-fraction gating with sleep-retry and the load/contended
-        # fields, so a contaminated reading (BENCH_r10's 100.8s-vs-
-        # 52.9s artifact) is detectable from the JSON alone.
-        "protocol": "v5-min-of-n-warm-load",
-    }))
+    # --- emission (v6, round 12) -----------------------------------
+    # BENCH_r11 recorded `parsed: null`: the v5 per-query `load` map
+    # (~1.7 KB at 24 queries) pushed the single stdout JSON line past
+    # the driver's capture window, truncating the very artifact the
+    # telemetry was meant to protect. v6 keeps every v5 reading but
+    # splits the emission: stdout carries ONE compact machine line
+    # (r10's parsed shape plus the SMALL v5 fields contended/start_*),
+    # and the bulky per-query load map goes to a bench_telemetry.json
+    # sidecar next to this script, echoed to stderr for log-only runs.
+    # Protocol history: v2 (round 3+) min-of-N with GC settle, JIT
+    # warmup outside timed regions, repartition(cpus)+cache inputs,
+    # 1 MB maxPartitionBytes; v1 (rounds 1-2) was single-shot cold.
+    # v3 (round 6+): forced expression-strategy twin moved to
+    # out-of-suite diagnostics at 1 iter — r5's 41.1s headline included
+    # a 17.4s slow-JVM draw of it; totals across protocol versions are
+    # NOT comparable. v4 (round 10+): opq_encode_topk promoted to the
+    # headline suite (24 queries). v5 (round 11+): contention telemetry
+    # — same 24-query suite as v4 (totals directly comparable);
+    # per-region external busy-fraction gating with sleep-retry so a
+    # contaminated reading (BENCH_r10's 100.8s-vs-52.9s artifact) is
+    # detectable from the artifact alone. v6 (round 12+): same suite
+    # and gating as v5 (totals directly comparable); only the emission
+    # changed (sidecar split, BENCH_r11 parsed=null fix).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    telemetry = build_telemetry(load, contended, start_busy, start_load,
+                                waited, sf_val)
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_telemetry.json")
+        with open(sidecar, "w") as f:
+            json.dump(telemetry, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stderr echo below still has it
+    print("[bench] telemetry: " + json.dumps(telemetry),
+          file=sys.stderr, flush=True)
+    machine = build_machine_line(timings, diagnostics, sf_val, n, contended,
+                                 start_busy, start_load, waited)
+    assert machine["value"] == total
+    line = json.dumps(machine)
+    if len(line) > MACHINE_LINE_BUDGET:
+        # Last-ditch guard: never let the machine line overflow again.
+        # Contended names are the only unbounded field; truncate them.
+        machine["contended"] = machine["contended"][:5] + ["..."]
+        line = json.dumps(machine)
+    print(line)
     spark.stop()
 
 

@@ -24,7 +24,36 @@ from pyspark.sql.window import Window
 __all__ = ["tumbling_rollup", "sessionize", "session_rollup",
            "top_k_by_count", "json_prop", "rolling_zscore",
            "funnel_rollup", "funnel_completions", "funnel_stage_predicates",
-           "retention_cohorts", "retention_pairs", "throttle_events"]
+           "retention_cohorts", "retention_pairs", "throttle_events",
+           "throttle_grid_us", "session_gap_us"]
+
+
+def session_gap_us(gap_minutes: float) -> int:
+    """Session inactivity gap in microseconds — the SINGLE definition
+    shared by :func:`sessionize`, :func:`session_rollup` (and through
+    it the streaming twin in :mod:`..streaming.sessions`), and the SQL
+    oracles, so sub-minute fractional gaps (e.g. ``gap_minutes=0.5083``)
+    split sessions identically everywhere. ``round`` (not truncation)
+    for the same float-product reason as :func:`throttle_grid_us`."""
+    if gap_minutes <= 0:
+        raise ValueError("session gap_minutes must be > 0")
+    return int(round(gap_minutes * 60.0 * 1_000_000))
+
+
+def throttle_grid_us(window_seconds: float) -> int:
+    """Width of the epoch-aligned throttle window grid in microseconds.
+
+    The SINGLE definition shared by batch :func:`throttle_events` and
+    the streaming twin (:mod:`..streaming.throttle`) — both tile time
+    as ``floor(epoch_us / throttle_grid_us(w))``, so the streamed ∪
+    flush == batch contract holds bit-exactly for ANY window width.
+    ``round`` (not truncation) so fractional widths whose float product
+    lands just below an integer (8.2 s → 8_199_999.999…) still tile
+    the intended 8_200_000 µs grid.
+    """
+    if window_seconds <= 0:
+        raise ValueError("throttle window_seconds must be > 0")
+    return int(round(window_seconds * 1_000_000))
 
 
 def tumbling_rollup(
@@ -64,7 +93,7 @@ def sessionize(
     is pinned to UTC in bench/tests, so the cast is a pure relabel).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_us = int(gap_minutes * 60.0 * 1_000_000)
+    gap_us = session_gap_us(gap_minutes)
     ts = F.col(ts_col).cast("timestamp")
     prev = F.lag(ts).over(w)
     new_session = F.when(
@@ -131,7 +160,10 @@ def session_rollup(
     # streaming plan
     if not isinstance(df.schema[ts_col].dataType, T.TimestampType):
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    gap = f"{int(gap_minutes * 60)} seconds"
+    # microsecond-precision gap (r12): the previous whole-second
+    # truncation made the engine disagree with the µs-precision SQL
+    # oracle for sub-second-granularity gaps (r11 advisor finding)
+    gap = f"{session_gap_us(gap_minutes)} microseconds"
     return (
         df.groupBy(user_col, F.session_window(ts_col, gap).alias("_w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -499,15 +531,13 @@ def throttle_events(
     plan-order-dependent row. Returns the kept rows with original
     columns.
     """
-    if window_seconds <= 0:
-        raise ValueError("throttle_events: window_seconds must be > 0")
     reserved = {"_bucket", "_rn"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"throttle_events: reserved working columns "
             f"{sorted(reserved)} present on the input; rename them")
     keys = list(entity_cols)
-    w_us = int(window_seconds * 1_000_000)
+    w_us = throttle_grid_us(window_seconds)
     bucket = F.floor(
         F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(w_us))
     order = [F.col(ts_col).asc()]

@@ -39,9 +39,12 @@ __all__ = ["streaming_throttle", "throttle_replay_flush"]
 
 
 def _win(ts_col: str, window_seconds: float):
-    if window_seconds <= 0:
-        raise ValueError("streaming_throttle: window_seconds must be > 0")
-    w_us = int(round(window_seconds * 1_000_000))
+    # Same grid constant as batch throttle_events — one shared helper,
+    # so fractional widths (e.g. 8.2 s) tile the identical epoch grid
+    # on both sides and the streamed ∪ flush == batch contract holds.
+    from ..operators.rollup import throttle_grid_us
+
+    w_us = throttle_grid_us(window_seconds)
     return F.window(F.col(ts_col), f"{w_us} microseconds"), w_us
 
 

@@ -1,7 +1,7 @@
 """The driver-window rotation contract (__spark_entry__._attestation_order).
 
-The correctness driver records official rows for the first 50
-``queries()`` entries only; these tests pin the property that makes
+The correctness driver records official rows for the first
+ATTESTATION_WINDOW_W (=50) ``queries()`` entries only; these tests pin the property that makes
 that window a fair rotation: the returned order is least-recently-
 GREEN-attested first, so the window always holds the most-stale
 queries the registry has (optimal for any window size — the capacity
@@ -14,6 +14,13 @@ import os
 import re
 
 import __spark_entry__ as em
+
+# Single source of truth for the policy constants (r11 advisor
+# finding): the test reads the SAME names the ordering code and its
+# docstring state, so a driver-window or budget change updates the
+# policy prose and this machine-check atomically.
+W = em.ATTESTATION_WINDOW_W
+N_MAX = em.ATTESTATION_NEW_ROW_BUDGET
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -45,22 +52,24 @@ def test_order_is_most_stale_first():
 
 
 def test_window_holds_the_global_most_stale_set():
-    """The first 50 entries are exactly a most-stale 50-subset: no
+    """The first W entries are exactly a most-stale W-subset: no
     query outside the window is staler than any query inside it."""
     names = list(em.queries().keys())
     last = _last_green()
-    if len(names) <= 50:
+    if len(names) <= W:
         return
-    max_in = max(last.get(n, -1) for n in names[:50])
-    min_out = min(last.get(n, -1) for n in names[50:])
+    max_in = max(last.get(n, -1) for n in names[:W])
+    min_out = min(last.get(n, -1) for n in names[W:])
     assert max_in <= min_out
 
 
 def test_official_staleness_within_policy():
     """The r11 attestation policy (see _attestation_order docstring):
     every attested query's latest official green row is at most
-    P = ceil((N-W)/(W-n_max)) + 1 rounds old, where W=50 is the
-    driver window and n_max=5 the per-round new-row budget — and the
+    P = ceil((N-W)/(W-n_max)) + 1 rounds old, where
+    W = em.ATTESTATION_WINDOW_W is the driver window and
+    n_max = em.ATTESTATION_NEW_ROW_BUDGET the per-round new-row
+    budget — and the
     at-the-bound set must FIT the next window, or the bound breaks
     next round. The interim tier (every query value-verified per
     round at sf0.001) is this very test file's sibling,
@@ -72,7 +81,7 @@ def test_official_staleness_within_policy():
     if not attested:
         return
     cur = max(attested)          # latest completed driver round
-    N, W, N_MAX = len(names), 50, 5
+    N = len(names)
     p_bound = -(-(N - W) // (W - N_MAX)) + 1
     stale = [n for n, r in zip(names, rounds)
              if 0 <= r < cur - p_bound + 1]

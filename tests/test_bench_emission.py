@@ -1,0 +1,76 @@
+"""Regression pin for the BENCH_r11 `parsed: null` failure.
+
+The driver tail-captures ~2000 chars of bench.py stdout and parses the
+final JSON line. Round 11's protocol v5 appended the per-query load map
+to that line and overflowed the window. These tests pin the v6 contract:
+the machine line stays compact at suite size, and the telemetry payload
+(which IS allowed to be big) carries the per-query readings instead.
+"""
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+# The 24 headline queries of protocol v4/v5/v6 (BENCH_r10/r11 names) —
+# the realistic worst case for machine-line length.
+SUITE = [
+    "fit_se_k8", "fit_kl_k4", "transform_count", "assign_agg",
+    "soft_assign", "doc_pipeline", "minhash_lsh", "knn_cosine",
+    "doc_langid_tokens", "fit_se_k32_pruned", "fit_se_k32_exact_arrow",
+    "dedup_components", "corpus_prepare", "line_dedup", "pack_concat",
+    "corpus_drift", "incremental_dedup", "events_asof_funnel",
+    "bpe_train_pack", "dsir_weights", "quality_lr_train_score",
+    "ivfpq_encode_topk", "opq_encode_topk", "fit_soft_k4",
+]
+
+
+def _machine(contended):
+    timings = {q: 3.141 for q in SUITE}
+    diagnostics = {"fit_se_k32_exact_expr_1iter": 2.752}
+    return bench.build_machine_line(
+        timings, diagnostics, 0.1, 600000, contended,
+        start_busy=0.002, start_load=6.23, start_wait_sec=0.0)
+
+
+def test_machine_line_fits_capture_window():
+    line = json.dumps(_machine(contended=[]))
+    assert len(line) <= bench.MACHINE_LINE_BUDGET, len(line)
+    assert bench.MACHINE_LINE_BUDGET < bench.CAPTURE_WINDOW_CHARS
+
+
+def test_machine_line_fits_with_contention():
+    # Even a fully-contended round (every query flagged) must parse.
+    line = json.dumps(_machine(contended=list(SUITE[:5])))
+    assert len(line) <= bench.MACHINE_LINE_BUDGET, len(line)
+
+
+def test_machine_line_shape_matches_r10_contract():
+    m = _machine(contended=[])
+    # The keys the driver parsed in rounds 1-10, plus the small v5
+    # contention fields. NO per-query `load` map here — that is the
+    # exact field that broke r11.
+    assert "load" not in m
+    assert set(m) == {
+        "metric", "value", "unit", "queries", "diagnostics", "sf",
+        "rows_lineitem", "contended", "start_busy", "start_load",
+        "start_wait_sec", "protocol",
+    }
+    assert m["metric"] == "e2e_operator_suite_sec"
+    assert m["unit"] == "sec"
+    assert m["value"] == round(3.141 * len(SUITE), 3)
+    assert m["protocol"].startswith("v6")
+    # round-trips
+    assert json.loads(json.dumps(m)) == m
+
+
+def test_telemetry_carries_per_query_load():
+    load = {q: {"busy": 0.002, "load1": 6.5, "hot_runs": 0} for q in SUITE}
+    t = bench.build_telemetry(load, [], 0.002, 6.23, 0.0, 0.1)
+    assert set(t["load"]) == set(SUITE)
+    assert t["protocol"].startswith("v6")
+    # the sidecar is allowed to be big — just has to round-trip
+    assert json.loads(json.dumps(t)) == t

@@ -167,3 +167,39 @@ def test_session_rollup_runs_as_stream(spark, tmp_path):
     run_once()
     got = spark.read.parquet(out_dir).collect()
     assert {(r["user_id"], r["n_events"]) for r in got} >= {(1, 2), (2, 1)}
+
+
+def test_session_gap_microsecond_precision(spark):
+    """r11 advisor finding: session_rollup used to truncate the gap to
+    whole seconds while the SQL oracle kept microsecond precision —
+    sub-second-granularity gaps disagreed. Both now share
+    session_gap_us: gap_minutes=0.5083 = 30.498 s exactly (not 30 s),
+    so a 30.4 s delta MERGES and a 30.6 s delta SPLITS, and session_end
+    = last event + the µs-precise gap."""
+    import datetime as dt
+
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        session_gap_us, session_rollup, sessionize,
+    )
+
+    gap_min = 0.5083
+    assert session_gap_us(gap_min) == 30_498_000  # not 30_000_000
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(seconds=30, milliseconds=400)),
+        (2, t0), (2, t0 + dt.timedelta(seconds=30, milliseconds=600)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = session_rollup(df, gap_minutes=gap_min).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 1   # 30.4 s <= 30.498 s gap: merged
+    assert len(by_user[2]) == 2   # 30.6 s  > 30.498 s gap: split
+    assert by_user[1][0]["session_end"] == (
+        rows[1][1] + dt.timedelta(microseconds=30_498_000))
+    # the lag/cumsum sessionizer splits on the identical µs grid
+    sess = sessionize(df, gap_minutes=gap_min).collect()
+    sid = {(r["user_id"], r["ts"]): r["session_id"] for r in sess}
+    assert sid[(1, rows[0][1])] == sid[(1, rows[1][1])]
+    assert sid[(2, rows[2][1])] != sid[(2, rows[3][1])]

@@ -151,3 +151,34 @@ def test_streaming_throttle_matches_batch_on_events_slice(spark, sf_dir):
         assert s | fl == b and not s & fl
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_throttle_fractional_window_shares_one_grid(spark, tmp_path):
+    """window_seconds=8.2: float(8.2)*1e6 = 8_199_999.999…, so a
+    truncating grid (8_199_999 µs) and a rounding grid (8_200_000 µs)
+    tile DIFFERENT buckets near multiples of 8.2 s. Batch and streaming
+    now share one rounded helper (rollup.throttle_grid_us), so the
+    streamed ∪ flush == batch contract must hold bit-exactly — the
+    regression test for the r11 advisor's grid-mismatch finding."""
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        throttle_grid_us,
+    )
+
+    assert throttle_grid_us(8.2) == 8_200_000
+    # events straddling the 10th boundary (82.0 s) where the truncated
+    # grid (bucket = floor(82_000_000 / 8_199_999) = 10) and the rounded
+    # grid (floor(82_000_000 / 8_200_000) = 10) agree, plus events just
+    # under it where they differ: 81_999_999 µs → trunc bucket 10,
+    # rounded bucket 9.
+    f0 = [(1, 1, "x", _t(0)), (2, 1, "x", _t(5)),            # bucket 0
+          (3, 1, "x", T0 + datetime.timedelta(microseconds=81_999_990)),
+          (4, 1, "x", _t(82))]                               # bucket 10
+    f1 = [(5, 1, "x", _t(500))]
+    s, fl, b = _flush_parity(
+        spark, tmp_path, [f0, f1], "frac",
+        entity_cols=("user_id", "event_type"), window_seconds=8.2,
+        tiebreak_col="event_id")
+    # rounded grid: event 3 (81.99999 s) is in bucket 9, event 4 (82 s)
+    # opens bucket 10 — both kept; with the old mismatch the flush
+    # anti-join keyed different buckets and duplicated/dropped rows.
+    assert b == {1, 3, 4, 5}
