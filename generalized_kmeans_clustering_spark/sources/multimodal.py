@@ -7,13 +7,15 @@ each executor touches only its partitions' bytes — no collect, no
 shuffle, schema known up front.
 
 Codec access is feature-probed at call time: ``decoder='real'`` uses
-Pillow (PIL) when it is importable and otherwise raises
-``NotImplementedError`` naming the missing dependency;
-``decoder='fake'`` is the deterministic hash-based decode used by
-tests and benchmarks in codec-less environments. Everything
-Spark-side — schemas, batching, partitioning, UDF signatures — is
-identical between the two, so pipelines built on the fake decode run
-unchanged once Pillow is installed.
+Pillow (PIL) for images — and PyAV/imageio for video frame sampling —
+when importable, and otherwise raises ``NotImplementedError`` naming
+the missing dependency; ``decoder='fake'`` is the deterministic
+hash-based decode used by tests and benchmarks in codec-less
+environments. Everything Spark-side — schemas, batching, partitioning,
+UDF signatures — is identical between the two, so pipelines built on
+the fake decode run unchanged once the binding is installed (the
+video real path's Spark plumbing is additionally exercised in CI via
+an injected deterministic decoder in ``_REAL_FRAME_DECODERS``).
 """
 
 from __future__ import annotations
@@ -378,6 +380,74 @@ def image_phash_near_dups(
         id_col=id_col, max_hamming=max_hamming)
 
 
+def _try_video_decoder():
+    """Feature probe: the name of a usable video-decode binding, or
+    None when absent — the video analog of :func:`_try_pil`. Preference
+    order: PyAV (direct ffmpeg bindings, zero-copy frame planes), then
+    ``imageio.v3`` (whose own ffmpeg-capable plugin does the work)."""
+    try:
+        import av  # noqa: F401
+
+        return "av"
+    except ImportError:
+        pass
+    try:
+        import imageio.v3  # noqa: F401
+
+        return "imageio"
+    except ImportError:
+        return None
+
+
+def _decode_frames_av(buf: bytes, every_n: int, max_frames: int):
+    """Every ``every_n``-th decoded frame as raw RGB24 bytes (PyAV)."""
+    import io
+
+    import av
+
+    frames = []
+    with av.open(io.BytesIO(buf)) as container:
+        stream = container.streams.video[0]
+        for i, frame in enumerate(container.decode(stream)):
+            if i % max(every_n, 1) == 0:
+                frames.append(frame.to_ndarray(format="rgb24").tobytes())
+                if len(frames) >= max_frames:
+                    break
+    return frames
+
+
+def _decode_frames_imageio(buf: bytes, every_n: int, max_frames: int):
+    """Every ``every_n``-th decoded frame as raw RGB bytes (imageio)."""
+    import imageio.v3 as iio
+    import numpy as np
+
+    frames = []
+    for i, frame in enumerate(iio.imiter(buf)):
+        if i % max(every_n, 1) == 0:
+            frames.append(np.ascontiguousarray(frame).tobytes())
+            if len(frames) >= max_frames:
+                break
+    return frames
+
+
+#: binding name → frame-extraction callable. Resolved on the DRIVER
+#: (the chosen callable is captured in the mapInPandas closure), so a
+#: test can exercise the full Spark-side real path by registering a
+#: deterministic decoder here — the codec call is the only faked part.
+_REAL_FRAME_DECODERS = {
+    "av": _decode_frames_av,
+    "imageio": _decode_frames_imageio,
+}
+
+#: exceptions a corrupt/undecodable container can raise inside the
+#: bindings — caught PER ROW so a poisoned blob yields one NULL-frame
+#: row instead of killing the whole scan (mirrors _PIL_DECODE_ERRORS).
+#: ImportError is deliberately NOT here: a worker missing the binding
+#: must fail the job loudly, not emit silent NULLs.
+_VIDEO_DECODE_ERRORS = (OSError, ValueError, IndexError, EOFError,
+                        KeyError, RuntimeError)
+
+
 def sample_video_frames(
     df: DataFrame,
     content_col: str = "content",
@@ -390,6 +460,15 @@ def sample_video_frames(
     Fan-out stage: one input row becomes ≤ max_frames rows; the fake
     path slices the source bytes deterministically so row counts and
     schemas behave exactly like a real ffmpeg frame sampler.
+
+    ``decoder='real'`` decodes with PyAV or imageio when one is
+    importable (probed on the driver for a fast failure;
+    :func:`_try_video_decoder`) and emits every ``every_n``-th frame's
+    raw RGB24 bytes, up to ``max_frames``; a blob the binding cannot
+    decode yields ONE row with NULL frame_no/frame_bytes (the same
+    NULL-on-poison convention as the image decoders). Neither binding
+    ships in this environment, so the real path fails fast with the
+    probe's message until one is installed — no hard dependency.
     """
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -399,13 +478,43 @@ def sample_video_frames(
     keep_cols = [f.name for f in df.schema.fields if f.name != content_col]
 
     if decoder == "real":
-        # no ffmpeg/PyAV in any supported environment yet — named stub
-        raise NotImplementedError(
-            "video frame sampling with decoder='real' requires ffmpeg "
-            "bindings (PyAV or imageio-ffmpeg), which are not installed "
-            "— use decoder='fake' for the deterministic byte-slice "
-            "sampler"
-        )
+        binding = _try_video_decoder()
+        if binding is None:
+            raise NotImplementedError(
+                "video frame sampling with decoder='real' requires ffmpeg "
+                "bindings (PyAV or imageio), which are not installed "
+                "— use decoder='fake' for the deterministic byte-slice "
+                "sampler"
+            )
+        decode = _REAL_FRAME_DECODERS[binding]
+
+        def _sample_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    buf = bytes(r[content_col] or b"")
+                    try:
+                        frames = decode(buf, every_n, max_frames)
+                    except _VIDEO_DECODE_ERRORS:
+                        frames = None
+                    if not frames:
+                        rec = {c: r[c] for c in keep_cols}
+                        rec["frame_no"] = None
+                        rec["frame_bytes"] = None
+                        rows.append(rec)
+                        continue
+                    for fno, fb in enumerate(frames):
+                        rec = {c: r[c] for c in keep_cols}
+                        rec["frame_no"] = fno
+                        rec["frame_bytes"] = fb
+                        rows.append(rec)
+                yield pd.DataFrame(
+                    rows, columns=keep_cols + ["frame_no", "frame_bytes"]
+                )
+
+        return df.mapInPandas(_sample_real, out_schema)
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -126,8 +126,55 @@ def test_decode_real_probes_pil(spark, media):
 
 
 def test_video_real_names_ffmpeg(spark, media):
+    """Without a video binding, decoder='real' fails fast on the driver
+    naming what to install (the Pillow-gate pattern); with one
+    installed the probe resolves and this test does not apply."""
+    from generalized_kmeans_clustering_spark.sources import multimodal as M
+
+    if M._try_video_decoder() is not None:
+        pytest.skip("a real video binding is installed")
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         sample_video_frames(media, decoder="real")
+
+
+def test_video_real_path_plumbing_with_injected_decoder(
+        spark, media, monkeypatch):
+    """The decoder='real' Spark plumbing (driver probe → captured
+    decode callable → mapInPandas explode → NULL-on-poison row) runs
+    end-to-end with a deterministic injected binding — only the codec
+    call is faked, exactly the seam a PyAV/imageio install fills."""
+    from generalized_kmeans_clustering_spark.sources import multimodal as M
+
+    def fake_decode(buf, every_n, max_frames):
+        if buf[:1] == b"\xff":           # poisoned container
+            raise ValueError("bad container")
+        # one 'frame' per 100 source bytes, capped — deterministic
+        n = min(max_frames, max(len(buf) // 100, 1))
+        return [bytes([i]) * 12 for i in range(n)]
+
+    monkeypatch.setattr(M, "_try_video_decoder", lambda: "fakebind")
+    monkeypatch.setitem(M._REAL_FRAME_DECODERS, "fakebind", fake_decode)
+
+    df = spark.createDataFrame(
+        [(0, bytearray(bytes(250))),             # 2 frames
+         (1, bytearray(b"\xff" + bytes(300))),   # poisoned -> NULL row
+         (2, bytearray(bytes(1000)))],           # capped at max_frames=3
+        "media_id long, content binary")
+    out = M.sample_video_frames(
+        df, every_n=5, max_frames=3, decoder="real").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert [r["frame_no"] for r in
+            sorted(by_id[0], key=lambda r: r["frame_no"])] == [0, 1]
+    assert by_id[0][0]["frame_bytes"] is not None
+    assert len(by_id[1]) == 1
+    assert by_id[1][0]["frame_no"] is None         # NULL-on-poison
+    assert by_id[1][0]["frame_bytes"] is None
+    assert sorted(r["frame_no"] for r in by_id[2]) == [0, 1, 2]
+    # frame bytes come from the injected decoder verbatim
+    assert {bytes(r["frame_bytes"]) for r in by_id[2]} == {
+        b"\x00" * 12, b"\x01" * 12, b"\x02" * 12}
 
 
 def test_image_embedding_plumbing(spark, media):

@@ -1,0 +1,150 @@
+"""Unigram-LM tokenizer (operators/unigram.py): Viterbi segmentation
+contract, hard-EM training shape, application columns, sidecar
+round-trip. The application path is additionally value-verified against
+the DuckDB recursive-CTE twin by tests/test_entry_oracle.py
+(corpus_unigram_stats)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from generalized_kmeans_clustering_spark.operators.unigram import (
+    UnigramModel, read_unigram_model, train_unigram_lm, unigram_doc_stats,
+    unigram_token_count, unigram_tokens, viterbi_segment,
+    write_unigram_model,
+)
+
+
+def test_viterbi_maximizes_score_then_fewest_tokens():
+    pieces = {"ab": 2.0, "bc": 2.0, "abc": 2.0}
+    # 'abc' via single piece scores 2 with 1 token; 'ab'+'c' scores
+    # 2+1=3 — higher score wins even with more tokens
+    toks, score, n = viterbi_segment("abc", pieces, 1.0, 3)
+    assert (score, n) == (3.0, 2) and toks == ["ab", "c"]
+    # equal score, fewer tokens wins: 'ab' (2.0, 1 tok) vs 'a'+'b'
+    # (1+1=2.0, 2 toks)
+    toks, score, n = viterbi_segment("ab", pieces, 1.0, 3)
+    assert toks == ["ab"] and (score, n) == (2.0, 1)
+
+
+def test_viterbi_unknown_chars_always_segmentable():
+    toks, score, n = viterbi_segment("xyz", {}, -5.0, 4)
+    assert toks == ["x", "y", "z"] and n == 3 and score == -15.0
+    assert viterbi_segment("", {}, 1.0, 4) == ([], 0.0, 0)
+
+
+def test_viterbi_matches_brute_force():
+    """Exhaustive check on every word up to length 7 over a small
+    alphabet: the DP equals brute-force max over all segmentations."""
+    import itertools
+
+    pieces = {"aa": 3.0, "ab": 2.0, "ba": 2.0, "aab": 5.0, "b": 1.5}
+    unk = 1.0
+
+    def brute(word):
+        n = len(word)
+        best = None
+        for cuts in itertools.product([0, 1], repeat=max(n - 1, 0)):
+            segs, lo = [], 0
+            for i, c in enumerate(cuts, start=1):
+                if c:
+                    segs.append(word[lo:i])
+                    lo = i
+            segs.append(word[lo:])
+            if any(len(s) > 3 for s in segs):
+                continue
+            ok, sc = True, 0.0
+            for s in segs:
+                if len(s) == 1:
+                    sc += pieces.get(s, unk)
+                elif s in pieces:
+                    sc += pieces[s]
+                else:
+                    ok = False
+                    break
+            if ok:
+                cand = (sc, -len(segs))
+                if best is None or cand > best:
+                    best = cand
+        return best
+
+    for n in range(1, 8):
+        for w in itertools.product("ab", repeat=n):
+            word = "".join(w)
+            _, score, ntok = viterbi_segment(word, pieces, unk, 3)
+            assert (score, -ntok) == brute(word), word
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [("low low low lower lowest newer newest wider",),
+            ("low lower newer newer wider widest low",),
+            ("newest lowest low newer wide wide wider",)] * 4
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_train_is_deterministic_and_bounded(spark, corpus):
+    m1 = train_unigram_lm(corpus, vocab_size=12, seed_size=64,
+                          max_piece_len=4, em_rounds=2)
+    m2 = train_unigram_lm(corpus, vocab_size=12, seed_size=64,
+                          max_piece_len=4, em_rounds=2)
+    assert m1.pieces == m2.pieces and m1.unk_score == m2.unk_score
+    assert len(m1.pieces) <= 12
+    chars = {c for r in corpus.collect() for c in r["text"]
+             if not c.isspace()}
+    # single-character coverage never pruned
+    assert chars <= set(m1.pieces)
+    # the corpus is built from lo/ne/wi-stem words: training keeps at
+    # least one multi-char piece and uses it on the most frequent word
+    multi = [p for p in m1.pieces if len(p) > 1]
+    assert multi
+    toks, _, n = viterbi_segment("low", m1.pieces, m1.unk_score,
+                                 m1.max_piece_len)
+    assert n < 3  # not character-exploded
+
+
+def test_application_columns_and_null_text(spark, corpus):
+    model = train_unigram_lm(corpus, vocab_size=12, seed_size=64,
+                             max_piece_len=4, em_rounds=1)
+    df = spark.createDataFrame(
+        [(0, "low lower"), (1, None), (2, "")],
+        "doc_id long, text string")
+    cnt = {r["doc_id"]: r["n_tokens"]
+           for r in unigram_token_count(df, model).collect()}
+    toks = {r["doc_id"]: r["tokens"]
+            for r in unigram_tokens(df, model).collect()}
+    stats = {r["doc_id"]: (r["n_tokens"], r["score"])
+             for r in unigram_doc_stats(df, model).collect()}
+    assert cnt[1] is None and toks[1] is None and stats[1] == (None, None)
+    assert cnt[2] == 0 and toks[2] == [] and stats[2] == (0, 0.0)
+    assert cnt[0] == len(toks[0]) == stats[0][0] > 0
+    # the reported score IS the sum of the emitted pieces' scores
+    expect = sum(model.pieces.get(t, model.unk_score) for t in toks[0])
+    assert abs(stats[0][1] - expect) < 1e-9
+
+
+def test_sidecar_roundtrip(spark, corpus, tmp_path):
+    model = train_unigram_lm(corpus, vocab_size=12, seed_size=64,
+                             max_piece_len=4, em_rounds=1)
+    path = str(tmp_path / "uni_model")
+    write_unigram_model(spark, model, path)
+    back = read_unigram_model(spark, path)
+    assert back.pieces == model.pieces
+    assert back.unk_score == model.unk_score
+
+
+def test_fixed_model_matches_entry_oracle_contract(spark):
+    """The integer-weight encoding the oracle relies on: with integer
+    piece scores, max(score, -ntok) == max(1024*score - ntok); the
+    UnigramModel path reports both halves of that objective."""
+    import __spark_entry__ as em
+
+    model = UnigramModel(
+        pieces={k: float(v)
+                for k, v in em._UNIGRAM_FIXED_PIECES.items()},
+        unk_score=1.0)
+    df = spark.createDataFrame(
+        [(0, "window scan the table customer")], "doc_id long, text string")
+    r = unigram_doc_stats(df, model).first()
+    # window->win+dow(10,2) scan->scan(9,1) the->the(7,1)
+    # table->tab+le(10,2) customer->c,u,st,o,m,er(12,6)
+    assert (r["n_tokens"], r["score"]) == (12, 48.0)
