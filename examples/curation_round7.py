@@ -80,6 +80,21 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     n_packs = spans.select("shard", "pack").distinct().count()
     total_bpe_tokens = counted.agg(F.sum("n_tokens")).collect()[0][0]
 
+    # 5. second trained tokenizer (r12): the unigram-LM sibling —
+    # same corpus, same drop-in n_tokens contract, different inductive
+    # bias (global Viterbi best-split vs greedy local merges). Both
+    # counts land between characters and whitespace words, so either
+    # feeds the packing/budget layer as "real model tokens".
+    from generalized_kmeans_clustering_spark.operators.unigram import (
+        train_unigram_lm, unigram_token_count,
+    )
+
+    uni = train_unigram_lm(cut, vocab_size=96, seed_size=512,
+                           max_piece_len=4, em_rounds=2)
+    uni_counted = unigram_token_count(cut.select("doc_id", "text"), uni)
+    total_unigram_tokens = uni_counted.agg(
+        F.sum("n_tokens")).collect()[0][0]
+
     return {
         "input_docs": n_input,
         "after_gopher": n_after_gopher,
@@ -88,6 +103,8 @@ def main(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "semantic_candidate_pairs": int(candidate_pairs),
         "bpe_merges": len(bpe.merges),
         "total_bpe_tokens": int(total_bpe_tokens),
+        "unigram_vocab": len(uni.pieces),
+        "total_unigram_tokens": int(total_unigram_tokens),
         "packs": n_packs,
     }
 

@@ -87,6 +87,13 @@ def test_curation_round7_example(spark, sf_dir):
     assert out["bpe_merges"] == 32
     assert out["total_bpe_tokens"] > 0 and out["packs"] > 0
     assert out["semantic_candidate_pairs"] >= 0
+    # both trained tokenizers subword-split the same cleaned corpus:
+    # counts land above word count (splits happen) and stay within a
+    # small factor of each other — real parity, not >= 0
+    assert 0 < out["unigram_vocab"] <= 96
+    assert out["total_unigram_tokens"] > 0
+    ratio = out["total_unigram_tokens"] / out["total_bpe_tokens"]
+    assert 0.2 < ratio < 5.0, ratio
 
 
 def test_incremental_curation_example(spark, sf_dir):

@@ -148,3 +148,28 @@ def test_fixed_model_matches_entry_oracle_contract(spark):
     # window->win+dow(10,2) scan->scan(9,1) the->the(7,1)
     # table->tab+le(10,2) customer->c,u,st,o,m,er(12,6)
     assert (r["n_tokens"], r["score"]) == (12, 48.0)
+
+
+def test_unigram_counts_feed_the_packing_layer(spark, corpus):
+    """unigram_token_count satisfies the same n_tokens contract as
+    bpe_token_count: its output feeds pack_concat directly, spans
+    conserve every token exactly once, and no span exceeds seq_len."""
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        pack_concat,
+    )
+
+    model = train_unigram_lm(corpus, vocab_size=12, seed_size=64,
+                             max_piece_len=4, em_rounds=1)
+    docs = spark.createDataFrame(
+        [(i, r["text"]) for i, r in enumerate(corpus.collect())],
+        "doc_id long, text string")
+    counted = unigram_token_count(docs, model).select("doc_id", "n_tokens")
+    spans = pack_concat(counted, seq_len=16, num_shards=2, seed=1)
+    rows = spans.collect()
+    total = {r["doc_id"]: r["n_tokens"] for r in counted.collect()}
+    got = {}
+    for r in rows:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + r["length"]
+        assert 0 < r["length"] <= 16
+        assert 0 <= r["pack_offset"] < 16
+    assert got == {d: n for d, n in total.items() if n > 0}
