@@ -1740,17 +1740,14 @@ _UNIGRAM_FIXED_PIECES = {
 }
 
 
-def _unigram_stats_sql(pieces=_UNIGRAM_FIXED_PIECES) -> str:
-    """Twin of unigram.unigram_doc_stats under the fixed piece table:
-    per-word Viterbi as a recursive-CTE DP over character positions.
-    One row per distinct word carries the dp list (dp[i+1] = best
-    combined value for the length-i prefix, combined = 1024*score -
-    n_tokens); each iteration appends dp[pos+1] = max over piece
-    lengths k=1..4 of dp[pos+1-k] + 1024*W(piece) - 1, with W = the
-    CASE table for k>=2 and the constant 1 for any single char. The
-    final combined value decodes uniquely to (score, n_tokens) since
-    n_tokens <= length(word) < 1024; doc totals come from joining the
-    per-word results back to the word instances."""
+_UNIGRAM_NEG = "-1000000000000"  # sentinel: invalid dp arm, never wins
+
+
+def _unigram_fwd_arms(pieces) -> str:
+    """The forward-DP max expression shared by both unigram oracles:
+    dp[pos+1] = max over piece lengths k=1..4 of dp[pos+1-k] +
+    1024*W(piece ending at pos+1) - 1, with W = the CASE table for
+    k>=2 and the constant 1 for any single char (unk == known == 1)."""
     by_len = {2: {}, 3: {}, 4: {}}
     for p, w in pieces.items():
         by_len[len(p)][p] = w
@@ -1760,7 +1757,7 @@ def _unigram_stats_sql(pieces=_UNIGRAM_FIXED_PIECES) -> str:
                         for p, w in sorted(by_len[k].items()))
         return f"CASE substr(word, pos + 2 - {k}, {k}) {arms} END"
 
-    neg = "-1000000000000"
+    neg = _UNIGRAM_NEG
     arm1 = "dp[CAST(pos + 1 AS INTEGER)] + 1023"
     arm2 = (f"CASE WHEN pos + 1 >= 2 THEN coalesce(dp[CAST(pos AS "
             f"INTEGER)] + 1024 * ({case_k(2)}) - 1, {neg}) ELSE {neg} END")
@@ -1768,6 +1765,18 @@ def _unigram_stats_sql(pieces=_UNIGRAM_FIXED_PIECES) -> str:
             f"INTEGER)] + 1024 * ({case_k(3)}) - 1, {neg}) ELSE {neg} END")
     arm4 = (f"CASE WHEN pos + 1 >= 4 THEN coalesce(dp[CAST(pos - 2 AS "
             f"INTEGER)] + 1024 * ({case_k(4)}) - 1, {neg}) ELSE {neg} END")
+    return f"greatest({arm1}, {arm2}, {arm3}, {arm4})"
+
+
+def _unigram_stats_sql(pieces=_UNIGRAM_FIXED_PIECES) -> str:
+    """Twin of unigram.unigram_doc_stats under the fixed piece table:
+    per-word Viterbi as a recursive-CTE DP over character positions.
+    One row per distinct word carries the dp list (dp[i+1] = best
+    combined value for the length-i prefix, combined = 1024*score -
+    n_tokens); each iteration appends the _unigram_fwd_arms max. The
+    final combined value decodes uniquely to (score, n_tokens) since
+    n_tokens <= length(word) < 1024; doc totals come from joining the
+    per-word results back to the word instances."""
     return (
         "WITH RECURSIVE "
         "d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), "
@@ -1780,7 +1789,7 @@ def _unigram_stats_sql(pieces=_UNIGRAM_FIXED_PIECES) -> str:
         "[CAST(0 AS BIGINT)] AS dp FROM uw "
         "UNION ALL "
         f"SELECT word, pos + 1, list_append(dp, "
-        f"greatest({arm1}, {arm2}, {arm3}, {arm4})) "
+        f"{_unigram_fwd_arms(pieces)}) "
         "FROM r WHERE pos < length(word)), "
         "f AS (SELECT word, dp[CAST(length(word) + 1 AS INTEGER)] AS comb "
         "FROM r WHERE pos = length(word)), "
@@ -1817,6 +1826,142 @@ def q_corpus_unigram_stats(spark, sf_dir):
         "doc_id", "n_tokens",
         F.col("score").cast("bigint").alias("score"),
     ).orderBy("doc_id")
+
+
+def _unigram_pack_ids_sql(seq_len=256, num_shards=4, seed=1,
+                          pieces=_UNIGRAM_FIXED_PIECES) -> str:
+    """Twin of unigram.unigram_encode → packing.materialize_packs_ids:
+    forward Viterbi DP per distinct word (the _unigram_stats_sql
+    recursion, keeping the FULL dp list), then a second recursive CTE
+    BACKTRACKS the path — at each position take the SMALLEST k whose
+    arm achieves dp[pos+1], which is exactly the Python forward rule
+    (strict > while scanning k ascending keeps the first maximum) — and
+    maps each piece to its id (codepoint for single chars, 0x110000 +
+    lexicographic rank for multi-char pieces, unigram_symbol_ids'
+    scheme). Per-doc arrays reassemble by zipped-unnest ordinal, and
+    the pack-span/md5 tail is _bpe_pack_ids_sql's verbatim."""
+    by_len = {2: {}, 3: {}, 4: {}}
+    for p, w in pieces.items():
+        by_len[len(p)][p] = w
+    neg = _UNIGRAM_NEG
+
+    def bt_case(k):
+        arms = " ".join(f"WHEN '{p}' THEN {w}"
+                        for p, w in sorted(by_len[k].items()))
+        return f"CASE substr(word, pos - {k} + 1, {k}) {arms} END"
+
+    def bt_cond(k):
+        if k == 1:
+            return ("pos >= 1 AND dp[CAST(pos AS INTEGER)] + 1023 = "
+                    "dp[CAST(pos + 1 AS INTEGER)]")
+        return (f"pos >= {k} AND coalesce(dp[CAST(pos - {k} + 1 AS "
+                f"INTEGER)] + 1024 * ({bt_case(k)}) - 1, {neg}) = "
+                "dp[CAST(pos + 1 AS INTEGER)]")
+
+    kstar = ("CASE " + " ".join(f"WHEN {bt_cond(k)} THEN {k}"
+                                for k in (1, 2, 3, 4)) + " END")
+    piece_expr = ("substr(word, CAST(pos - kstar + 1 AS INTEGER), "
+                  "CAST(kstar AS INTEGER))")
+    id_case = (f"CASE {piece_expr} " + " ".join(
+        f"WHEN '{p}' THEN {0x110000 + i}"
+        for i, p in enumerate(sorted(pieces))) + " END")
+    md5i = _MD5INT.format(
+        s=f"concat(CAST(doc_id AS VARCHAR), '|', '{seed}')")
+    L = seq_len
+    return (
+        "WITH RECURSIVE "
+        "d AS (SELECT doc_id, list_filter(string_split("
+        "coalesce(text, ''), ' '), x -> x <> '') AS words "
+        "FROM documents), "
+        "uw AS (SELECT DISTINCT u.word FROM d, unnest(words) AS u(word)), "
+        "r AS ("
+        "SELECT word, CAST(0 AS BIGINT) AS pos, "
+        "[CAST(0 AS BIGINT)] AS dp FROM uw "
+        "UNION ALL "
+        f"SELECT word, pos + 1, list_append(dp, "
+        f"{_unigram_fwd_arms(pieces)}) "
+        "FROM r WHERE pos < length(word)), "
+        "fdp AS (SELECT word, dp FROM r WHERE pos = length(word)), "
+        "bt AS ("
+        "SELECT word, dp, CAST(length(word) AS BIGINT) AS pos, "
+        "CAST([] AS BIGINT[]) AS rids FROM fdp "
+        "UNION ALL "
+        "SELECT word, dp, pos - kstar, list_append(rids, "
+        "CASE WHEN kstar = 1 THEN CAST(unicode(substr(word, "
+        "CAST(pos AS INTEGER), 1)) AS BIGINT) "
+        f"ELSE CAST(({id_case}) AS BIGINT) END) "
+        f"FROM (SELECT word, dp, pos, rids, {kstar} AS kstar "
+        "FROM bt WHERE pos > 0) q), "
+        "wids AS (SELECT word, list_reverse(rids) AS wid "
+        "FROM bt WHERE pos = 0), "
+        "jw AS (SELECT doc_id, "
+        "unnest(generate_series(1, len(words))) AS ord, "
+        "unnest(words) AS word FROM d), "
+        "docids AS (SELECT doc_id, "
+        "flatten(list(wid ORDER BY ord)) AS ids "
+        "FROM jw JOIN wids USING (word) GROUP BY doc_id), "
+        "t AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n "
+        "FROM docids), "
+        f"k AS (SELECT doc_id, ids, n, {md5i} AS key FROM t "
+        "WHERE n > 0), "
+        f"sh AS (SELECT *, CAST(key % {num_shards} AS INTEGER) AS shard "
+        "FROM k), "
+        "c AS (SELECT *, sum(n) OVER (PARTITION BY shard "
+        "ORDER BY key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS cum FROM sh), "
+        "p AS (SELECT *, cum - n AS prev FROM c), "
+        "x AS (SELECT doc_id, ids, shard, prev, cum, "
+        f"unnest(generate_series(CAST(prev // {L} AS BIGINT), "
+        f"CAST((cum - 1) // {L} AS BIGINT))) AS ps FROM p), "
+        "sp AS (SELECT doc_id, ids, shard, CAST(ps AS BIGINT) AS pack, "
+        f"CAST(greatest(prev - ps * {L}, 0) AS BIGINT) AS pack_offset, "
+        f"CAST(greatest(ps * {L} - prev, 0) AS BIGINT) AS doc_offset, "
+        f"CAST(least((ps + 1) * {L}, cum) - greatest(ps * {L}, prev) "
+        "AS BIGINT) AS length FROM x), "
+        "pieces AS (SELECT shard, pack, pack_offset, length, "
+        "ids[CAST(doc_offset AS INTEGER) + 1 : "
+        "CAST(doc_offset + length AS INTEGER)] AS piece FROM sp) "
+        "SELECT shard, pack, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(length) AS BIGINT) AS n_tokens, "
+        "md5(array_to_string(flatten(list(piece ORDER BY pack_offset)), "
+        "',')) AS ids_md5 "
+        "FROM pieces GROUP BY shard, pack ORDER BY shard, pack"
+    )
+
+
+def q_corpus_unigram_pack_ids(spark, sf_dir):
+    """TRAIN-READY packed token-ID sequences under the UNIGRAM
+    tokenizer (unigram.unigram_encode → packing.materialize_packs_ids):
+    the interchangeability proof for the two-tokenizer surface — the
+    identical pack/span/ids_md5 contract as corpus_bpe_pack_ids, fed by
+    Viterbi token IDs instead of merge-chain IDs, value-verified end to
+    end including the exact best-path PIECE SEQUENCE (the oracle
+    backtracks the DP, so a different-but-equal-score path would
+    hash-mismatch)."""
+    from generalized_kmeans_clustering_spark.operators.packing import (
+        materialize_packs_ids, pack_concat,
+    )
+    from generalized_kmeans_clustering_spark.operators.unigram import (
+        UnigramModel, unigram_encode,
+    )
+
+    model = UnigramModel(
+        pieces={k: float(v) for k, v in _UNIGRAM_FIXED_PIECES.items()},
+        unk_score=1.0)
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    enc = unigram_encode(docs, model)
+    counted = enc.select(
+        "doc_id", F.size("token_ids").cast("bigint").alias("n_tokens"))
+    spans = pack_concat(counted, seq_len=256, num_shards=4, seed=1,
+                        hash_fn="md5")
+    packs = materialize_packs_ids(enc, spans)
+    return packs.select(
+        "shard", "pack", "n_docs", "n_tokens",
+        F.md5(F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), ","
+        ).cast("binary")).alias("ids_md5"),
+    ).orderBy("shard", "pack")
 
 
 def _pack_next_fit_sql(seq_len=64, num_shards=4, seed=1) -> str:
@@ -7718,6 +7863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_pack_spans": q_corpus_bpe_pack_spans,
         "corpus_bpe_pack_ids": q_corpus_bpe_pack_ids,
         "corpus_unigram_stats": q_corpus_unigram_stats,
+        "corpus_unigram_pack_ids": q_corpus_unigram_pack_ids,
         "corpus_pack_next_fit": q_corpus_pack_next_fit,
         "streaming_near_dup_pairs": q_streaming_near_dup,
         "streaming_lsh_pairs": q_streaming_lsh_pairs,
@@ -8368,6 +8514,7 @@ FROM wide w ORDER BY xb
     # unigram-LM Viterbi application under the fixed piece table —
     # recursive-CTE DP twin (r12)
     out["corpus_unigram_stats"] = _unigram_stats_sql()
+    out["corpus_unigram_pack_ids"] = _unigram_pack_ids_sql()
     out["corpus_pack_next_fit"] = _pack_next_fit_sql()
     out["streaming_near_dup_pairs"] = _streaming_near_dup_sql()
     # the true stream-stream join must reproduce the same batch answer

@@ -56,6 +56,8 @@ __all__ = [
     "unigram_token_count",
     "unigram_tokens",
     "unigram_doc_stats",
+    "unigram_symbol_ids",
+    "unigram_encode",
     "write_unigram_model",
     "read_unigram_model",
 ]
@@ -232,14 +234,26 @@ def _m_step(counts: dict, char_set: set) -> UnigramModel:
     return UnigramModel(pieces=pieces, unk_score=unk)
 
 
+def unigram_symbol_ids(model: UnigramModel) -> dict:
+    """Deterministic piece → token-id table: single characters use
+    their codepoint (no table needed, same scheme as ``bpe_symbol_ids``)
+    and multi-char pieces get ``0x110000 + rank`` in lexicographic
+    piece order — above the Unicode range, so the two id spaces never
+    collide and the mapping is reproducible from the vocabulary alone."""
+    return {p: 0x110000 + i
+            for i, p in enumerate(sorted(p for p in model.pieces
+                                         if len(p) > 1))}
+
+
 def _apply(df: DataFrame, model: UnigramModel, text_col: str,
            out_cols: list):
     """Append per-row segmentation outputs via Arrow-batched
     ``mapInPandas`` with a per-batch word memo (the BPE application's
     plan-node-not-UDF rationale applies verbatim — see
-    tokenizer._apply_map). ``out_cols`` ⊆ {n_tokens, score, tokens}."""
+    tokenizer._apply_map). ``out_cols`` ⊆ {n_tokens, score, tokens,
+    token_ids}."""
     types = {"n_tokens": "bigint", "score": "double",
-             "tokens": "array<string>"}
+             "tokens": "array<string>", "token_ids": "array<bigint>"}
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"{c} {types[c]}" for c in out_cols]
@@ -247,6 +261,7 @@ def _apply(df: DataFrame, model: UnigramModel, text_col: str,
     pieces = dict(model.pieces)
     unk = float(model.unk_score)
     max_len = model.max_piece_len
+    ids = unigram_symbol_ids(model) if "token_ids" in out_cols else None
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict = {}
@@ -275,6 +290,11 @@ def _apply(df: DataFrame, model: UnigramModel, text_col: str,
                 pdf["score"] = [None if r is None else r[1] for r in res]
             if "tokens" in out_cols:
                 pdf["tokens"] = [None if r is None else r[0] for r in res]
+            if "token_ids" in out_cols:
+                pdf["token_ids"] = [
+                    None if r is None else
+                    [ids[t] if len(t) > 1 else ord(t) for t in r[0]]
+                    for r in res]
             yield pdf
 
     return df.mapInPandas(_mapper, out_schema)
@@ -309,6 +329,19 @@ def unigram_doc_stats(
     oracle-verified application surface (the score pins the Viterbi
     objective itself, not just the token count)."""
     return _apply(df, model, text_col, ["n_tokens", "score"])
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-row token-ID sequence (``token_ids array<bigint>``) under
+    the Viterbi segmentation and the :func:`unigram_symbol_ids` table —
+    the same ``token_ids`` contract as ``bpe_encode``, so
+    ``packing.materialize_packs_ids`` assembles TRAIN-READY packed ID
+    sequences from either tokenizer unchanged. NULL text → NULL."""
+    return _apply(df, model, text_col, ["token_ids"])
 
 
 def write_unigram_model(spark, model: UnigramModel, path: str,

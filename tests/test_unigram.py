@@ -173,3 +173,23 @@ def test_unigram_counts_feed_the_packing_layer(spark, corpus):
         assert 0 < r["length"] <= 16
         assert 0 <= r["pack_offset"] < 16
     assert got == {d: n for d, n in total.items() if n > 0}
+
+
+def test_unigram_encode_id_scheme(spark):
+    """Token IDs: codepoint for single chars, 0x110000 + lexicographic
+    rank for multi-char pieces — reproducible from the vocab alone and
+    collision-free between the two spaces; NULL text stays NULL."""
+    from generalized_kmeans_clustering_spark.operators.unigram import (
+        unigram_encode, unigram_symbol_ids,
+    )
+
+    model = UnigramModel(pieces={"ab": 2.0, "abc": 9.0, "zz": 2.0},
+                         unk_score=1.0)
+    ids = unigram_symbol_ids(model)
+    assert ids == {"ab": 0x110000, "abc": 0x110001, "zz": 0x110002}
+    df = spark.createDataFrame(
+        [(0, "abc zzq"), (1, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r["token_ids"]
+           for r in unigram_encode(df, model).collect()}
+    assert out[0] == [0x110001, 0x110002, ord("q")]
+    assert out[1] is None
