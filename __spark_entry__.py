@@ -42,6 +42,9 @@ from generalized_kmeans_clustering_spark.operators.dedup import (
 from generalized_kmeans_clustering_spark.operators.similarity import (
     cosine_topk, embedding_near_dup_pairs,
 )
+from generalized_kmeans_clustering_spark.operators.retrieval import (
+    bm25_topk, rrf_fuse,
+)
 from generalized_kmeans_clustering_spark.kmeans import (
     GeneralizedKMeans, GeneralizedKMeansModel,
 )
@@ -3347,6 +3350,80 @@ def _knn_cosine_sql(k=3) -> str:
     )
 
 
+def _bm25_ctes(k: int) -> str:
+    """Shared CTE chain for the BM25 twins: Okapi BM25 (Lucene-style
+    non-negative idf, k1=1.2, b=0.75) of every-50th-document
+    query-by-example probes, ranked on the 6-decimal-rounded score
+    (ties → ascending doc_id) exactly like the engine — see
+    operators/retrieval.py's determinism contract. Ends with
+    ``lex`` = (query_id, doc_id, score, rank) rows with rank <= k."""
+    rs = _r("score", 6)
+    return (
+        "d AS (SELECT doc_id, text FROM documents), "
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        "avg(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)) AS avgdl FROM d), "
+        "tok AS (SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS dl, "
+        "unnest(string_split(text, ' ')) AS term FROM d), "
+        "tc AS (SELECT doc_id, term, dl, count(*) AS tf FROM tok "
+        "WHERE term <> '' GROUP BY 1, 2, 3), "
+        "qd AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id % 50 = 7), "
+        "qt AS (SELECT DISTINCT query_id, term FROM "
+        "(SELECT query_id, unnest(string_split(text, ' ')) AS term FROM qd) "
+        "WHERE term <> ''), "
+        "dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfreq FROM tc "
+        "WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1), "
+        "s AS (SELECT qt.query_id, tc.doc_id, "
+        "sum(ln(1.0 + (st.n - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5)) "
+        "* CAST(tc.tf AS DOUBLE) * 2.2 "
+        "/ (CAST(tc.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * tc.dl / st.avgdl))) AS score "
+        "FROM tc JOIN qt ON tc.term = qt.term "
+        "JOIN dfq ON tc.term = dfq.term, st GROUP BY 1, 2), "
+        f"rnk AS (SELECT query_id, doc_id, {rs} AS score, "
+        f"CAST(row_number() OVER (PARTITION BY query_id ORDER BY {rs} DESC, doc_id) "
+        "AS INTEGER) AS rank FROM s), "
+        f"lex AS (SELECT query_id, doc_id, score, rank FROM rnk WHERE rank <= {k})"
+    )
+
+
+def _bm25_sql(k=5) -> str:
+    """Twin of q_search_bm25_topk."""
+    return (
+        f"WITH {_bm25_ctes(k)} "
+        "SELECT query_id, doc_id, score, rank FROM lex "
+        "ORDER BY query_id, rank"
+    )
+
+
+def _hybrid_rrf_sql(k_sys=10, k0=60, k=5) -> str:
+    """Twin of q_search_hybrid_rrf: RRF over the BM25 lexical ranking
+    and the brute-force cosine semantic ranking (self-match kept on
+    both sides so the two systems agree on the probe convention)."""
+    rr = _r("rrf", 6)
+    return (
+        f"WITH {_bm25_ctes(k_sys)}, "
+        "eq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id % 50 = 7), "
+        "ec AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), "
+        "es AS (SELECT query_id, doc_id, "
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim "
+        "FROM ec CROSS JOIN eq), "
+        "sem AS (SELECT query_id, doc_id, rank FROM "
+        "(SELECT query_id, doc_id, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INTEGER) AS rank FROM es) "
+        f"WHERE rank <= {k_sys}), "
+        f"u AS (SELECT query_id, doc_id, 1.0 / ({k0}.0 + CAST(rank AS DOUBLE)) AS c FROM lex "
+        f"UNION ALL SELECT query_id, doc_id, 1.0 / ({k0}.0 + CAST(rank AS DOUBLE)) AS c FROM sem), "
+        "f AS (SELECT query_id, doc_id, sum(c) AS rrf, "
+        "CAST(count(*) AS INTEGER) AS n_systems FROM u GROUP BY 1, 2), "
+        f"fr AS (SELECT query_id, doc_id, {rr} AS rrf, n_systems, "
+        f"CAST(row_number() OVER (PARTITION BY query_id ORDER BY {rr} DESC, doc_id) "
+        "AS INTEGER) AS rank FROM f) "
+        f"SELECT query_id, doc_id, rrf, n_systems, rank FROM fr WHERE rank <= {k} "
+        "ORDER BY query_id, rank"
+    )
+
+
 def _ivf_recall_sql(k=3) -> str:
     """Twin of q_ivf_recall: recall@k of the pinned-centroid IVF probe
     against the exact brute-force top-k — both sides are the existing
@@ -5580,6 +5657,35 @@ def q_knn_cosine(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", _rcol(F.col("sim"), 6).alias("sim"), "rank"
     ).orderBy("query_id", "rank")
+
+
+def _retrieval_queries(spark, sf_dir):
+    """Query-by-example retrieval probes: every 50th document (id ≡ 7
+    mod 50) queries the corpus with its own full text — the standard
+    self-retrieval sanity harness (each query's own doc should rank
+    first) that also exercises the dedup-mining access path."""
+    d = documents(spark, sf_dir)
+    return d.where(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"))
+
+
+def q_search_bm25_topk(spark, sf_dir):
+    d = documents(spark, sf_dir)
+    out = bm25_topk(d, _retrieval_queries(spark, sf_dir), k=5)
+    return out.orderBy("query_id", "rank")
+
+
+def q_search_hybrid_rrf(spark, sf_dir):
+    d = documents(spark, sf_dir)
+    lex = bm25_topk(d, _retrieval_queries(spark, sf_dir), k=10)
+    emb = embeddings(spark, sf_dir)
+    sem = cosine_topk(
+        emb, emb.where(F.col("vec_id") % 50 == 7), k=10,
+        exclude_self=False,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    out = rrf_fuse([lex, sem], k0=60, k=5)
+    return out.orderBy("query_id", "rank")
 
 
 def q_doc_language_id(spark, sf_dir):
@@ -7954,6 +8060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "dedup_exact_groups": q_dedup_exact,
         "knn_cosine_top3": q_knn_cosine,
+        "search_bm25_topk": q_search_bm25_topk,
+        "search_hybrid_rrf": q_search_hybrid_rrf,
         "events_hourly_rollup": q_events_hourly,
         "events_sessionize": q_events_sessions,
         "events_topk_users": q_events_topk_users,
@@ -8595,4 +8703,6 @@ FROM wide w ORDER BY xb
     out["similarity_ivf_topk_filtered"] = _ivf_topk_sql(
         cand_where=" AND l.vec_id % 2 = 0")
     out["knn_cosine_top3"] = _knn_cosine_sql()
+    out["search_bm25_topk"] = _bm25_sql()
+    out["search_hybrid_rrf"] = _hybrid_rrf_sql()
     return out

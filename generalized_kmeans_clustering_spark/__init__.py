@@ -100,5 +100,8 @@ from .operators.stats import quantiles_by_key  # noqa: F401
 from .operators.graph import propagate_flags  # noqa: F401
 from .operators.pins import Pins  # noqa: F401
 from .operators.text_features import chunk_documents  # noqa: F401
+from .operators.retrieval import (  # noqa: F401
+    bm25_postings, bm25_topk, rrf_fuse,
+)
 
 __version__ = "0.3.0"
