@@ -3350,16 +3350,20 @@ def _knn_cosine_sql(k=3) -> str:
     )
 
 
-def _bm25_ctes(k: int) -> str:
+def _bm25_ctes(k: int, doc_where: str = "") -> str:
     """Shared CTE chain for the BM25 twins: Okapi BM25 (Lucene-style
     non-negative idf, k1=1.2, b=0.75) of every-50th-document
     query-by-example probes, ranked on the 6-decimal-rounded score
     (ties → ascending doc_id) exactly like the engine — see
-    operators/retrieval.py's determinism contract. Ends with
-    ``lex`` = (query_id, doc_id, score, rank) rows with rank <= k."""
+    operators/retrieval.py's determinism contract. ``doc_where``
+    pre-filters the corpus (the engine's ``where=`` contract:
+    collection stats describe the filtered corpus; probe queries stay
+    unfiltered). Ends with ``lex`` = (query_id, doc_id, score, rank)
+    rows with rank <= k."""
     rs = _r("score", 6)
+    dw = f" WHERE {doc_where}" if doc_where else ""
     return (
-        "d AS (SELECT doc_id, text FROM documents), "
+        f"d AS (SELECT doc_id, text FROM documents{dw}), "
         "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
         "avg(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)) AS avgdl FROM d), "
         "tok AS (SELECT doc_id, "
@@ -3390,6 +3394,17 @@ def _bm25_sql(k=5) -> str:
     """Twin of q_search_bm25_topk."""
     return (
         f"WITH {_bm25_ctes(k)} "
+        "SELECT query_id, doc_id, score, rank FROM lex "
+        "ORDER BY query_id, rank"
+    )
+
+
+def _bm25_filtered_sql(k=5) -> str:
+    """Twin of q_search_bm25_filtered: BM25 over the English
+    sub-collection only (stats follow the filter), unfiltered probes."""
+    ctes = _bm25_ctes(k, doc_where="lang = 'en'")
+    return (
+        f"WITH {ctes} "
         "SELECT query_id, doc_id, score, rank FROM lex "
         "ORDER BY query_id, rank"
     )
@@ -5673,6 +5688,16 @@ def _retrieval_queries(spark, sf_dir):
 def q_search_bm25_topk(spark, sf_dir):
     d = documents(spark, sf_dir)
     out = bm25_topk(d, _retrieval_queries(spark, sf_dir), k=5)
+    return out.orderBy("query_id", "rank")
+
+
+def q_search_bm25_filtered(spark, sf_dir):
+    """BM25 under the engine-wide ``where=`` predicate contract:
+    candidates AND collection statistics restricted to the English
+    sub-collection, probe queries unfiltered."""
+    d = documents(spark, sf_dir)
+    out = bm25_topk(d, _retrieval_queries(spark, sf_dir), k=5,
+                    where="lang = 'en'")
     return out.orderBy("query_id", "rank")
 
 
@@ -8061,6 +8086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact,
         "knn_cosine_top3": q_knn_cosine,
         "search_bm25_topk": q_search_bm25_topk,
+        "search_bm25_filtered": q_search_bm25_filtered,
         "search_hybrid_rrf": q_search_hybrid_rrf,
         "events_hourly_rollup": q_events_hourly,
         "events_sessionize": q_events_sessions,
@@ -8704,5 +8730,6 @@ FROM wide w ORDER BY xb
         cand_where=" AND l.vec_id % 2 = 0")
     out["knn_cosine_top3"] = _knn_cosine_sql()
     out["search_bm25_topk"] = _bm25_sql()
+    out["search_bm25_filtered"] = _bm25_filtered_sql()
     out["search_hybrid_rrf"] = _hybrid_rrf_sql()
     return out

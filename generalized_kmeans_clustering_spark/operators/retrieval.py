@@ -59,6 +59,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .similarity import _candidate_filter
+
 __all__ = ["bm25_postings", "bm25_topk", "rrf_fuse"]
 
 
@@ -112,6 +114,7 @@ def bm25_topk(
     query_text_col: str = "query_text",
     score_decimals: int | None = 6,
     postings: DataFrame | None = None,
+    where=None,
 ) -> DataFrame:
     """Okapi BM25 top-k: ``(query_id, doc_id, score, rank)``.
 
@@ -131,11 +134,27 @@ def bm25_topk(
     term-bucketed) ``bm25_postings`` table so repeated searches skip
     the corpus explode entirely; corpus stats (N, avgdl) still come
     from ``docs`` because zero-token documents have no postings.
+
+    ``where`` (Column or SQL string over DOC columns) PRE-filters the
+    corpus — the engine-wide predicate-filter contract of the ANN
+    family (similarity.py::_candidate_filter): the filter applies
+    before scoring so every query still fills ``k``, it pushes down
+    to the document scan, and BM25's collection statistics (N, avgdl,
+    df) describe the filtered corpus, exactly as if the search ran
+    over that sub-collection. Incompatible with an injected
+    ``postings`` table (postings rows no longer carry the metadata
+    columns the predicate needs) — pass one or the other.
     """
     if k <= 0:
         raise ValueError("bm25_topk: k must be > 0")
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError("bm25_topk: need k1 >= 0 and 0 <= b <= 1")
+    if where is not None and postings is not None:
+        raise ValueError(
+            "bm25_topk: 'where' filters the document side and cannot "
+            "be applied to a pre-built postings table — filter docs "
+            "before bm25_postings, or drop one of the two arguments")
+    docs = _candidate_filter(docs, where)
 
     txt = F.col(text_col)
     # Per-doc token count as a map-side expression (counts every

@@ -121,6 +121,31 @@ def test_bm25_with_injected_postings(spark):
     assert a == b
 
 
+def test_bm25_where_prefilters_corpus_and_stats(spark):
+    """``where=`` follows the ANN family's contract: candidates AND
+    collection statistics (N, avgdl, df) describe the filtered corpus
+    — results equal running the search on the filtered DataFrame."""
+    docs = spark.createDataFrame(
+        [(0, "cat dog", "en"), (1, "cat cat dog mouse", "en"),
+         (2, "cat", "de"), (3, "dog dog", "de")],
+        "doc_id long, text string, lang string")
+    q = spark.createDataFrame([(9, "cat dog")],
+                              "query_id long, query_text string")
+    filtered = sorted(map(tuple,
+        bm25_topk(docs, q, k=4, where="lang = 'en'").collect()))
+    manual = sorted(map(tuple,
+        bm25_topk(docs.where("lang = 'en'"), q, k=4).collect()))
+    assert filtered == manual
+    assert {t[1] for t in filtered} == {0, 1}
+    # unfiltered differs (different df/avgdl), guarding against the
+    # filter silently not applying
+    unfiltered = sorted(map(tuple, bm25_topk(docs, q, k=4).collect()))
+    assert unfiltered != filtered
+    with pytest.raises(ValueError):
+        bm25_topk(docs, q, where="lang = 'en'",
+                  postings=bm25_postings(docs))
+
+
 def test_rrf_hand_values_and_agreement(spark):
     r1 = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
