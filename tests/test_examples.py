@@ -159,3 +159,20 @@ def test_curation_round9_example(spark, sf_dir):
     assert sum(out["split_counts"].values()) == out["filtered_docs"]
     assert out["component_straddlers"] == 0
     assert out["opq_topk_rows"] == 15
+
+
+def test_hybrid_search_example(spark, sf_dir):
+    import hybrid_search
+
+    out = hybrid_search.main(spark, sf_dir)
+    assert out["n_queries"] == 10
+    assert out["n_postings"] > out["n_queries"]
+    # every fused doc came from one of the two systems, every query
+    # fills exactly k=5, and fusion found cross-system agreement
+    assert out["fused_orphans"] == 0
+    assert out["min_per_query"] == 5 and out["max_per_query"] == 5
+    assert out["fused_rows"] == 5 * out["n_queries"]
+    assert out["agreement_histogram"].get(2, 0) >= 1
+    # predicate contract: k survives the filter, nothing non-English
+    assert out["filtered_rows"] == 5 * out["n_queries"]
+    assert out["filtered_non_english_leaks"] == 0
