@@ -195,6 +195,26 @@ def main():
                 fingerprint_store(docs.where(F.col("doc_id") % 2 == 0)))
             .groupBy("in_store", "is_canonical").count().collect())
 
+    # r12 addition: BM25 query-by-example search. Probe count is
+    # PINNED to the copy-0 documents (doc_id < 1e10) so the 10x row
+    # measures corpus growth at constant query workload — the postings
+    # build (one (doc,term) shuffle) should dominate and scale
+    # linearly; candidate volume grows with the postings of the fixed
+    # query vocabulary.
+    from generalized_kmeans_clustering_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    def _bm25(li, docs):
+        qs = docs.where(
+            (F.col("doc_id") % 50 == 7)
+            & (F.col("doc_id") < 10_000_000_000)).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"))
+        return lambda: bm25_topk(docs, qs, k=10).count()
+
+    compare("bm25_search", _bm25)
+
     # r9 additions downstream of components: soft-dedup weights (one
     # components join + one window count keyed on the component) and
     # the component-keyed leakage-safe split (join + map-side CASE).

@@ -206,3 +206,56 @@ def test_query_by_example_on_testdata(spark, sf_dir):
     selfs = full.where(F.col("doc_id") == F.col("query_id")).collect()
     assert len(selfs) == n_q
     assert all(r["score"] > 0 for r in selfs)
+
+
+# --- property pin: engine BM25 == independent pure-Python Okapi ---
+
+from hypothesis import given, settings, strategies as st
+
+_VOCAB = ["cat", "dog", "fish", "bird", "tree", "rock", "sun", "moon"]
+
+
+def _ref_bm25(corpus, qtext, k1=1.2, b=0.75):
+    """Independent reference implementation (plain Okapi, Lucene idf)."""
+    import math
+    toks = {d: [t for t in s.split(" ") if t] for d, s in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfm = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfm[t] = dfm.get(t, 0) + 1
+    scores = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for t in set(qtext.split()):
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfm[t] + 0.5) / (dfm[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s > 0:
+            scores[d] = s
+    return scores
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),
+        min_size=2, max_size=8),
+    query=st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=4),
+)
+def test_bm25_matches_reference_impl(spark_global, docs, query):
+    corpus = {i: " ".join(ts) for i, ts in enumerate(docs)}
+    qtext = " ".join(query)
+    sdf = spark_global.createDataFrame(
+        list(corpus.items()), "doc_id long, text string")
+    qdf = spark_global.createDataFrame(
+        [(0, qtext)], "query_id long, query_text string")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_topk(sdf, qdf, k=len(docs)).collect()}
+    want = _ref_bm25(corpus, qtext)
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, abs=1e-6)
