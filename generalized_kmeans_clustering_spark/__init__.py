@@ -103,5 +103,8 @@ from .operators.text_features import chunk_documents  # noqa: F401
 from .operators.retrieval import (  # noqa: F401
     bm25_postings, bm25_topk, rrf_fuse,
 )
+from .operators.blocklist import (  # noqa: F401
+    blocklist_hits, blocklist_rule,
+)
 
 __version__ = "0.3.0"
