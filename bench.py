@@ -299,6 +299,18 @@ def main():
     emb.count()
     timed("knn_cosine", lambda: cosine_topk(
         emb, emb.where(F.col("vec_id") < 50), k=10).count())
+    # lexical retrieval (r12): query-by-example BM25 over the corpus —
+    # postings build (one (doc,term) shuffle) + broadcast candidate
+    # join + (query,doc) aggregation + WindowGroupLimit top-k
+    from generalized_kmeans_clustering_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    timed("bm25_search", lambda: bm25_topk(
+        docs,
+        docs.where(F.col("doc_id") % 50 == 7).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text")),
+        k=10).count())
     # language-ID + regex token counting over documents (expression-only)
     from generalized_kmeans_clustering_spark.functions import text as Tx
     timed("doc_langid_tokens", lambda: docs.select(
