@@ -3365,9 +3365,9 @@ def _bm25_ctes(k: int, doc_where: str = "") -> str:
     return (
         f"d AS (SELECT doc_id, text FROM documents{dw}), "
         "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
-        "avg(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE)) AS avgdl FROM d), "
+        "avg(CAST(coalesce(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS DOUBLE)) AS avgdl FROM d), "
         "tok AS (SELECT doc_id, "
-        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS dl, "
+        "CAST(coalesce(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS DOUBLE) AS dl, "
         "unnest(string_split(text, ' ')) AS term FROM d), "
         "tc AS (SELECT doc_id, term, dl, count(*) AS tf FROM tok "
         "WHERE term <> '' GROUP BY 1, 2, 3), "

@@ -581,9 +581,11 @@ def main():
     # — same 24-query suite as v4 (totals directly comparable);
     # per-region external busy-fraction gating with sleep-retry so a
     # contaminated reading (BENCH_r10's 100.8s-vs-52.9s artifact) is
-    # detectable from the artifact alone. v6 (round 12+): same suite
-    # and gating as v5 (totals directly comparable); only the emission
-    # changed (sidecar split, BENCH_r11 parsed=null fix).
+    # detectable from the artifact alone. v6 (round 12+): gating as
+    # v5; emission split into machine line + sidecar (BENCH_r11
+    # parsed=null fix), and bm25_search added as a 25th headline query
+    # — cross-round totals compare as v5_total + bm25_search (~1-3s);
+    # per-query numbers remain directly comparable.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     telemetry = build_telemetry(load, contended, start_busy, start_load,
                                 waited, sf_val)

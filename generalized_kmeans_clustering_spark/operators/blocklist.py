@@ -85,8 +85,10 @@ def blocklist_hits(
             grams = toks.select(
                 id_col, F.explode("_toks").alias("pattern"))
         else:
-            # n-grams staged map-side; sequence is empty when the doc
-            # has fewer than n tokens (slice never over-runs)
+            # n-grams staged map-side. The where(size >= n) guard is
+            # LOAD-BEARING: below n tokens, sequence(1, size-n+1)
+            # descends through 0 and slice(start=0) throws — the guard
+            # is what keeps short documents out of this branch.
             grams = toks.where(F.size("_toks") >= n).select(
                 id_col,
                 F.explode(F.transform(

@@ -16,25 +16,29 @@ All pure DataFrame ops — no UDFs, no driver-side loops:
   ``ln(1 + (N - df + 0.5)/(df + 0.5))``) with the usual k1/b length
   normalization. Plan shape (the 100 TB story):
 
-  1. postings ``(doc, term, tf, dl)`` — one explode + groupBy keyed
-     by (doc, term), map-side combined. Document length rides along
+  1. postings ``(doc, term, tf, dl)``. One-shot mode prunes the
+     exploded token stream to the query vocabulary with a map-side
+     broadcast join BEFORE aggregating, so every shuffle in the plan
+     is bounded by the query terms' postings — a corpus-wide
+     (doc, term) shuffle never happens. Document length rides along
      as a map-side expression grouped with the (functionally
-     dependent) doc key, so there is no second corpus aggregation
-     and no corpus-with-corpus length join. At scale the postings
-     table is the thing you persist, bucketed by ``term``
-     (sources/bucketing.py), and re-use across queries.
-  2. per-term document frequency for the QUERY terms only — docfreq
-     is semi-joined to the (tiny, deduplicated) query-term list
-     BEFORE it is broadcast, so the corpus-wide vocabulary is never
-     collected or broadcast.
+     dependent) doc key — no second corpus aggregation, no
+     corpus-with-corpus length join. Repeated-search mode
+     materializes the full index once instead (``bm25_postings``,
+     persisted bucketed by ``term``, sources/bucketing.py) and
+     injects it via ``postings=`` — one corpus scan total.
+  2. per-term document frequency for the QUERY terms only — computed
+     from the same query-pruned postings (pruning whole terms leaves
+     df exact), so the corpus-wide vocabulary is never aggregated,
+     collected, or broadcast.
   3. candidate generation — postings ⋈ broadcast(query terms): a
      map-side hash join; the corpus never shuffles. Candidate volume
      is bounded by the postings of the query's terms (the classic
      inverted-index access path).
-  4. per-(query, doc) score aggregation — the only shuffle keyed by
-     (query_id, doc_id), map-side combined; then a per-query
-     row_number window (Spark's WindowGroupLimit pushes the top-k
-     head into the shuffle read).
+  4. per-(query, doc) score aggregation — shuffles only candidate
+     rows keyed by (query_id, doc_id), map-side combined; then a
+     per-query row_number window (Spark's WindowGroupLimit pushes
+     the top-k head into the shuffle read).
 
   Corpus stats (N, avgdl) are computed as a 1-row aggregate and
   broadcast-cross-joined — no ``collect()``. Document length counts
@@ -89,11 +93,14 @@ def bm25_postings(
     table instead of re-exploding the corpus.
     """
     txt = F.col(text_col)
-    dl_expr = F.size(F.filter(F.split(txt, " "), lambda x: x != ""))
+    dl_expr = F.coalesce(
+        F.size(F.filter(F.split(txt, " "), lambda x: x != ""))
+        .cast("double"),
+        F.lit(0.0))
     return (
         docs.select(
             F.col(id_col),
-            dl_expr.cast("double").alias("dl"),
+            dl_expr.alias("dl"),
             F.explode(F.split(txt, " ")).alias("term"),
         )
         .where(F.col("term") != "")
@@ -157,18 +164,20 @@ def bm25_topk(
     docs = _candidate_filter(docs, where)
 
     txt = F.col(text_col)
-    # Per-doc token count as a map-side expression (counts every
-    # non-empty token, including docs that end up with no postings).
-    dl_expr = F.size(F.filter(F.split(txt, " "), lambda x: x != ""))
+    # Per-doc token count as a map-side expression. NULL text counts
+    # as a zero-length document: present in N and avgdl (as 0), never
+    # a match (explode of a NULL array emits nothing) — the DuckDB
+    # twins apply the same coalesce.
+    dl_expr = F.coalesce(
+        F.size(F.filter(F.split(txt, " "), lambda x: x != ""))
+        .cast("double"),
+        F.lit(0.0))
 
     # 1-row corpus stats, broadcast-cross-joined (no collect()).
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.avg(dl_expr.cast("double")).alias("_avgdl"),
+        F.avg(dl_expr).alias("_avgdl"),
     )
-
-    if postings is None:
-        postings = bm25_postings(docs, text_col, id_col)
 
     qterms = (
         queries.select(
@@ -178,6 +187,28 @@ def bm25_topk(
         .where(F.col("term") != "")
         .distinct()
     )
+    if postings is None:
+        # One-shot path: prune the token stream to the query vocabulary
+        # BEFORE any aggregation — the broadcast join is map-side, so
+        # the (doc, term) tf aggregation and the df aggregation below
+        # both shuffle only query-term tokens and the corpus-wide
+        # (doc, term) shuffle of a full postings build never happens.
+        # (Lazy evaluation recomputes the scan+explode for the df and
+        # candidate branches — scans stream; shuffles are what hurt at
+        # 100 TB. Pass a persisted ``postings`` to pay one scan total.)
+        # Pruning by term keeps df exact: df(t) counts distinct docs
+        # containing t, and pruning removes whole terms, not docs.
+        postings = (
+            docs.select(
+                F.col(id_col),
+                dl_expr.alias("dl"),
+                F.explode(F.split(txt, " ")).alias("term"),
+            )
+            .where(F.col("term") != "")
+            .join(F.broadcast(qterms.select("term").distinct()), "term")
+            .groupBy(id_col, "term", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     # Per-term df for the query vocabulary only: semi-join docfreq to
     # the deduplicated query terms before broadcasting it.
     docfreq = (

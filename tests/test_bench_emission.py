@@ -15,17 +15,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
 
-# The 24 headline queries of protocol v4/v5/v6 (BENCH_r10/r11 names) —
-# the realistic worst case for machine-line length.
+# The 25 headline queries of the current suite (v4/v5/v6 names +
+# bm25_search added in r12) — the realistic worst case for
+# machine-line length. KEEP IN SYNC with bench.py's timed() calls:
+# the sync is machine-checked by test_suite_list_matches_bench below.
 SUITE = [
     "fit_se_k8", "fit_kl_k4", "transform_count", "assign_agg",
     "soft_assign", "doc_pipeline", "minhash_lsh", "knn_cosine",
-    "doc_langid_tokens", "fit_se_k32_pruned", "fit_se_k32_exact_arrow",
+    "bm25_search", "doc_langid_tokens", "fit_se_k32_pruned",
+    "fit_se_k32_exact_arrow",
     "dedup_components", "corpus_prepare", "line_dedup", "pack_concat",
     "corpus_drift", "incremental_dedup", "events_asof_funnel",
     "bpe_train_pack", "dsir_weights", "quality_lr_train_score",
     "ivfpq_encode_topk", "opq_encode_topk", "fit_soft_k4",
 ]
+
+
+def test_suite_list_matches_bench():
+    """The emission pin must exercise the REAL suite size: every
+    headline timed() name in bench.py appears in SUITE (diagnostics
+    sink entries excluded), so adding a bench query without updating
+    this pin fails CI instead of silently shrinking the worst case."""
+    import re
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")).read()
+    named = re.findall(r'timed\(\s*"([a-z0-9_]+)"', src)
+    headline = [n for n in named if "expr_1iter" not in n]
+    assert sorted(set(headline)) == sorted(set(SUITE)), (
+        set(headline) ^ set(SUITE))
 
 
 def _machine(contended):

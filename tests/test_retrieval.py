@@ -106,6 +106,24 @@ def test_bm25_query_term_dedup(spark):
     assert s1 == s2
 
 
+def test_bm25_null_text_counts_as_zero_length(spark):
+    """NULL text = zero-length doc: in N and avgdl (as 0), never a
+    candidate. Scores must equal the hand computation under that
+    contract (the r12 review caught NULL docs silently skewing avgdl
+    by dropping out of the average while staying in N)."""
+    docs = spark.createDataFrame(
+        [(0, "cat dog"), (1, None), (2, "cat")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([(9, "cat")],
+                              "query_id long, query_text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(docs, q, k=3).collect()}
+    corpus = {0: "cat dog", 1: "", 2: "cat"}  # NULL ≡ zero-length
+    for d in (0, 2):
+        assert got[d] == pytest.approx(
+            _hand_bm25(corpus, "cat", d), abs=1e-6)
+    assert 1 not in got
+
+
 def test_bm25_with_injected_postings(spark):
     """A persisted/pre-built postings table produces identical results
     to the self-contained path (the scale escape hatch), and the
