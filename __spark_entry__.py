@@ -7902,7 +7902,7 @@ def _attestation_order(names) -> list[str]:
 
     1. OFFICIAL tier — every query re-attests under the driver's
        sf0.01 value-hash gate at least every
-       P = ⌈(N−W)/(W−n_max)⌉ + 1 rounds (currently N=164 → P=4).
+       P = ⌈(N−W)/(W−n_max)⌉ + 1 rounds (currently N=169 → P=4).
        The most-stale-first ordering above makes this bound tight:
        the window always contains the globally most stale W-subset,
        so no query can exceed P while ≤ W queries sit at the bound.
