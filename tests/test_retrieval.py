@@ -198,6 +198,40 @@ def test_bm25_plan_shape(spark):
     assert "SortMergeJoin" not in plan
 
 
+def _plan_prefix(line):
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def test_bm25_one_shot_prunes_before_aggregating(spark):
+    """Pin of the r12 plan restructure: in one-shot mode every
+    CORPUS-token shuffle — an exchange keyed on both the doc id and
+    `term` (the tf aggregation and the df pre-aggregation) — must sit
+    ABOVE the broadcast query-term join, i.e. aggregate only
+    query-pruned tokens. A regression to the corpus-wide (doc, term)
+    postings shuffle would make that subtree broadcast-join-free.
+    (Query-side term shuffles carry no doc id and are exempt.)"""
+    plan = bm25_topk(_docs(spark), _queries(spark), k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    checked = 0
+    for i, line in enumerate(lines):
+        if ("Exchange hashpartitioning" not in line or "term#" not in line
+                or "doc_id#" not in line or "query_id#" in line):
+            continue
+        p = _plan_prefix(line)
+        subtree = []
+        for below in lines[i + 1:]:
+            if _plan_prefix(below) <= p:
+                break
+            subtree.append(below)
+        assert any("BroadcastHashJoin" in s for s in subtree), line
+        checked += 1
+    assert checked >= 2  # tf aggregation + df pre-aggregation
+
+
 def test_query_by_example_on_testdata(spark, sf_dir):
     """Query-by-example over the real documents table. The synthetic
     corpus draws every doc from one small shared vocabulary, so BM25's
