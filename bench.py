@@ -47,6 +47,43 @@ def build_machine_line(timings, diagnostics, sf, rows_lineitem, contended,
     }
 
 
+def shrink_machine_line(machine) -> str:
+    """Serialize the machine line, degrading it stepwise if it would
+    overflow the driver's capture window (the BENCH_r11 parsed=null
+    failure). Degrade order, re-checking the budget after each step
+    (r12 advisor find: the old guard trimmed only `contended` — a few
+    chars — and printed without re-checking, while `queries` is the
+    field that actually grows with the suite):
+
+    1. truncate `contended` past 5 names (only when actually long);
+    2. drop the out-of-suite `diagnostics` map;
+    3. keep only the slowest queries, with `queries_dropped` flagging
+       how many were cut so the driver sees the truncation (`value`
+       stays the FULL suite total).
+
+    The static pin (tests/test_bench_emission.py) keeps the honest
+    full line under budget at real suite size; this is the runtime
+    backstop that can no longer reproduce the overflow."""
+    line = json.dumps(machine)
+    if len(line) > MACHINE_LINE_BUDGET and len(machine.get(
+            "contended", [])) > 5:
+        machine["contended"] = machine["contended"][:5] + ["..."]
+        line = json.dumps(machine)
+    if len(line) > MACHINE_LINE_BUDGET:
+        machine.pop("diagnostics", None)
+        line = json.dumps(machine)
+    if len(line) > MACHINE_LINE_BUDGET:
+        q = dict(machine["queries"])
+        keep = sorted(q, key=lambda k: -q[k])
+        while len(line) > MACHINE_LINE_BUDGET and len(keep) > 1:
+            keep = keep[:-1]
+            kept = set(keep)
+            machine["queries"] = {k: v for k, v in q.items() if k in kept}
+            machine["queries_dropped"] = len(q) - len(keep)
+            line = json.dumps(machine)
+    return line
+
+
 def build_telemetry(load, contended, start_busy, start_load,
                     start_wait_sec, sf):
     """Sidecar payload (bench_telemetry.json): the full per-query
@@ -601,13 +638,7 @@ def main():
     machine = build_machine_line(timings, diagnostics, sf_val, n, contended,
                                  start_busy, start_load, waited)
     assert machine["value"] == total
-    line = json.dumps(machine)
-    if len(line) > MACHINE_LINE_BUDGET:
-        # Last-ditch guard: never let the machine line overflow again.
-        # Contended names are the only unbounded field; truncate them.
-        machine["contended"] = machine["contended"][:5] + ["..."]
-        line = json.dumps(machine)
-    print(line)
+    print(shrink_machine_line(machine))
     spark.stop()
 
 

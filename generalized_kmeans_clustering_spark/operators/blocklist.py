@@ -127,6 +127,13 @@ def blocklist_rule(
     clean docs) — pass that frame to prepare_corpus so the predicate
     column resolves.
     """
+    if "n_blocklist_hits" in df.columns:
+        raise ValueError(
+            "blocklist_rule: input already has an n_blocklist_hits "
+            "column (e.g. from a previous blocklist_rule call) — "
+            "rename it first, or merge the pattern lists into one "
+            "call; chaining would silently make both rule predicates "
+            "read the same column")
     hits = blocklist_hits(df, patterns, text_col, id_col, lowercase) \
         .select(id_col, F.col("n_hits").alias("n_blocklist_hits"))
     out = df.join(hits, id_col, "left").withColumn(

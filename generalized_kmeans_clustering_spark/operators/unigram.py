@@ -155,7 +155,13 @@ def train_unigram_lm(
     words = words.persist()
     try:
         # --- seed: substring counts, bounded by TakeOrdered ---------
-        subs = words.select(
+        # length >= 2 guard: for 1-char words sequence(1, length-1) is
+        # sequence(1, 0) which Spark evaluates DESCENDING ([1, 0]),
+        # fabricating the character itself as three phantom multi-char
+        # substrings and triple-counting it into the seed (r12 advisor
+        # find); single characters enter the vocabulary through their
+        # own aggregation below, never through substrings.
+        subs = words.where(F.length("w") >= 2).select(
             F.explode(F.expr(
                 "flatten(transform(sequence(1, length(w) - 1), i -> "
                 f"transform(sequence(2, least({int(max_piece_len)}, "
@@ -254,6 +260,12 @@ def _apply(df: DataFrame, model: UnigramModel, text_col: str,
     token_ids}."""
     types = {"n_tokens": "bigint", "score": "double",
              "tokens": "array<string>", "token_ids": "array<bigint>"}
+    clash = [c for c in out_cols if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"unigram apply: input already has column(s) {clash} — "
+            "rename or drop them first (e.g. when comparing tokenizers, "
+            "alias the BPE n_tokens before applying the unigram model)")
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"{c} {types[c]}" for c in out_cols]

@@ -326,12 +326,18 @@ def streaming_throttle(
     if window_seconds <= 0:
         raise ValueError("streaming_throttle: window_seconds must be > 0")
     from pyspark.sql import types as T
+    from ..operators.rollup import throttle_grid_us
 
     # NTZ parquet: cast in place — a watermark needs TimestampType and
     # must stay attached to the SAME column the state key derives from
     if not isinstance(stream.schema[ts_col].dataType, T.TimestampType):
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    w_us = int(window_seconds * 1_000_000)
+    # shared grid helper so fractional windows tile the SAME epoch
+    # buckets as throttle_events and streaming/throttle.py (the r12
+    # advisor's grid-mismatch finding applied here too: a truncated
+    # w_us at e.g. 8.2s put boundary events in different buckets than
+    # the batch twin)
+    w_us = throttle_grid_us(window_seconds)
     bucket = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(w_us))
     return (
         stream.withColumn("_bucket", bucket)

@@ -91,3 +91,33 @@ def test_telemetry_carries_per_query_load():
     assert t["protocol"].startswith("v6")
     # the sidecar is allowed to be big — just has to round-trip
     assert json.loads(json.dumps(t)) == t
+
+
+def test_shrink_degrades_oversized_lines_parseably():
+    """Runtime backstop (r12 advisor): a machine line that would
+    overflow the capture window degrades stepwise — contended
+    truncation only when long, then diagnostics drop, then slowest-
+    queries-only with queries_dropped — and ALWAYS serializes under
+    budget with the full suite total intact."""
+    big = {q: 3.141 for q in SUITE}
+    big.update({f"future_query_with_a_rather_long_name_{i:03d}": 1.234
+                for i in range(200)})
+    machine = bench.build_machine_line(
+        big, {"diag": 1.0}, 0.1, 600000, [],
+        start_busy=0.002, start_load=6.23, start_wait_sec=0.0)
+    total = machine["value"]
+    line = bench.shrink_machine_line(machine)
+    assert len(line) <= bench.MACHINE_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["value"] == total          # full total preserved
+    assert parsed["queries_dropped"] > 0     # truncation is flagged
+    assert "diagnostics" not in parsed
+    # short contended lists must NOT grow a spurious "..." marker
+    assert parsed["contended"] == []
+    # an in-budget line passes through untouched
+    small = bench.build_machine_line(
+        {q: 3.141 for q in SUITE}, {"d": 1.0}, 0.1, 600000, ["x"],
+        start_busy=0.002, start_load=6.23, start_wait_sec=0.0)
+    out = json.loads(bench.shrink_machine_line(small))
+    assert out["queries"] == {q: 3.141 for q in SUITE}
+    assert out["contended"] == ["x"] and "queries_dropped" not in out

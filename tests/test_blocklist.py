@@ -113,3 +113,13 @@ def test_on_testdata_scan(spark, sf_dir):
         F.split(F.lower("text"), " "), lambda x: x == F.lit(word))
     ).alias("n")).agg(F.sum("n")).first()[0]
     assert total == per_doc
+
+
+def test_rule_rejects_chained_hit_column(spark):
+    """Chaining blocklist_rule outputs would make both predicates read
+    the same n_blocklist_hits column (ambiguous join + silent aliasing)
+    — raise instead (r12 advisor)."""
+    docs = _docs(spark)
+    with_hits, _ = blocklist_rule(docs, ["cheap"])
+    with pytest.raises(ValueError, match="n_blocklist_hits"):
+        blocklist_rule(with_hits, ["click here"])

@@ -30,7 +30,9 @@ def _queries(spark):
         "query_id long, query_text string")
 
 
-def _hand_bm25(corpus, query, doc):
+def _ref_bm25(corpus, qtext, k1=K1, b=B):
+    """The single independent reference implementation (plain Okapi,
+    Lucene idf): {doc: score} for all docs with a positive score."""
     toks = {d: [t for t in s.split(" ") if t] for d, s in corpus.items()}
     n = len(corpus)
     avgdl = sum(len(v) for v in toks.values()) / n
@@ -38,14 +40,22 @@ def _hand_bm25(corpus, query, doc):
     for ts in toks.values():
         for t in set(ts):
             dfm[t] = dfm.get(t, 0) + 1
-    s = 0.0
-    for t in set(query.split()):
-        tf = toks[doc].count(t)
-        if tf == 0:
-            continue
-        idf = math.log(1 + (n - dfm[t] + 0.5) / (dfm[t] + 0.5))
-        s += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(toks[doc]) / avgdl))
-    return s
+    scores = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for t in set(qtext.split()):
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfm[t] + 0.5) / (dfm[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if s > 0:
+            scores[d] = s
+    return scores
+
+
+def _hand_bm25(corpus, query, doc):
+    return _ref_bm25(corpus, query).get(doc, 0.0)
 
 
 def test_bm25_matches_hand_computation(spark):
@@ -265,30 +275,6 @@ def test_query_by_example_on_testdata(spark, sf_dir):
 from hypothesis import given, settings, strategies as st
 
 _VOCAB = ["cat", "dog", "fish", "bird", "tree", "rock", "sun", "moon"]
-
-
-def _ref_bm25(corpus, qtext, k1=1.2, b=0.75):
-    """Independent reference implementation (plain Okapi, Lucene idf)."""
-    import math
-    toks = {d: [t for t in s.split(" ") if t] for d, s in corpus.items()}
-    n = len(corpus)
-    avgdl = sum(len(v) for v in toks.values()) / n
-    dfm = {}
-    for ts in toks.values():
-        for t in set(ts):
-            dfm[t] = dfm.get(t, 0) + 1
-    scores = {}
-    for d, ts in toks.items():
-        s = 0.0
-        for t in set(qtext.split()):
-            tf = ts.count(t)
-            if tf == 0:
-                continue
-            idf = math.log(1 + (n - dfm[t] + 0.5) / (dfm[t] + 0.5))
-            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
-        if s > 0:
-            scores[d] = s
-    return scores
 
 
 @settings(max_examples=6, deadline=None, derandomize=True)

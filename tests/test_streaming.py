@@ -408,6 +408,67 @@ def test_streaming_throttle_batch_parity_in_order(spark, tmp_path):
     assert len(got) == 9
 
 
+def test_streaming_throttle_fractional_window_grid(spark, tmp_path):
+    """The dedup-based streaming_throttle must tile the SAME epoch
+    grid as batch throttle_events for fractional windows (8.2 s:
+    truncating w_us gives 8_199_999 vs the shared rounded 8_200_000 —
+    boundary events land in different buckets and parity breaks; the
+    r12 advisor caught this third throttle implementation still
+    truncating after the other two were unified)."""
+    import datetime as dt
+
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        throttle_events,
+    )
+    from generalized_kmeans_clustering_spark.streaming.dedup import (
+        streaming_throttle,
+    )
+
+    from generalized_kmeans_clustering_spark.operators.rollup import (
+        throttle_grid_us,
+    )
+
+    src = str(tmp_path / "frac_src")
+    ckpt = str(tmp_path / "frac_ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # The grid is ABSOLUTE-epoch-aligned: place two events 10 µs apart
+    # straddling the next rounded-grid boundary after t0 — different
+    # rounded buckets by construction, (almost surely) the same bucket
+    # under the old truncated grid, which therefore dropped one.
+    w = throttle_grid_us(8.2)
+    assert w == 8_200_000
+    e0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    boundary = ((e0 // w) + 1) * w  # next grid line, in epoch µs
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        # ≥ one full window before the boundary pair → its own bucket
+        (1, 1, "x", t0 - dt.timedelta(seconds=20)),
+        (2, 1, "x", epoch + dt.timedelta(microseconds=boundary - 10)),
+        (3, 1, "x", epoch + dt.timedelta(microseconds=boundary)),
+        (4, 1, "x", t0 + dt.timedelta(seconds=500)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    df.orderBy("ts", "event_id").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_throttle(stream, ("user_id", "event_type"), "ts",
+                             window_seconds=8.2, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("throttle_frac")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in
+                 spark.sql("SELECT event_id FROM throttle_frac").collect())
+    exp = sorted(r["event_id"] for r in throttle_events(
+        df, ("user_id", "event_type"), "ts", window_seconds=8.2,
+        tiebreak_col="event_id").collect())
+    assert got == exp
+    # events 2 and 3 are in DIFFERENT rounded-grid buckets (9 vs 10):
+    # all four survive; the truncated grid would merge them and drop 3
+    assert got == [1, 2, 3, 4]
+
+
 def test_streaming_near_dup_where_filter(spark, tmp_path):
     """The where= candidate predicate excludes rows BEFORE signatures:
     filtered docs never enter the signature store or any pair."""

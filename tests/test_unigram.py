@@ -193,3 +193,32 @@ def test_unigram_encode_id_scheme(spark):
            for r in unigram_encode(df, model).collect()}
     assert out[0] == [0x110001, 0x110002, ord("q")]
     assert out[1] is None
+
+
+def test_apply_rejects_reserved_column_clash(spark):
+    """Applying a unigram surface to a frame that already has the
+    output column (the natural tokenizer-comparison mistake: BPE
+    n_tokens then unigram n_tokens) raises instead of silently
+    clobbering and emitting a duplicate-name schema (r12 advisor)."""
+    model = UnigramModel(pieces={"ab": 2.0}, unk_score=1.0)
+    df = spark.createDataFrame(
+        [(0, "ab", 7)], "doc_id long, text string, n_tokens long")
+    with pytest.raises(ValueError, match="n_tokens"):
+        unigram_token_count(df, model)
+
+
+def test_seed_excludes_single_char_words_from_substrings(spark):
+    """1-char words must not fabricate multi-char seed candidates:
+    sequence(1, 0) evaluates DESCENDING in Spark, which triple-counted
+    the character into the substring aggregation (r12 advisor). The
+    single char still enters the vocabulary via the char aggregation
+    with its true count."""
+    df = spark.createDataFrame(
+        [(0, "a a a a a a bc bc")], "doc_id long, text string")
+    model = train_unigram_lm(df, vocab_size=8, seed_size=8,
+                             max_piece_len=4, em_rounds=1)
+    assert "a" in model.pieces          # via the char path
+    assert "bc" in model.pieces         # real multi-char piece
+    # no phantom multi-char piece equal to a 1-char word's char
+    assert all(len(p) >= 2 or p in {"a", "b", "c", " "}
+               for p in model.pieces)
