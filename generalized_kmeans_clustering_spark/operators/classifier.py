@@ -168,12 +168,19 @@ def train_hashed_lr(
     elif strategy == "fused":
         feats = _features(df, n_buckets, text_col, id_col, seed, hash_fn)
         # one row per doc: deduped (bucket, tf) pairs sorted by bucket
-        # so the margin fold order is deterministic
+        # so the margin fold order is deterministic. Stored as two
+        # parallel primitive arrays (not array<struct>) — the Arrow
+        # iteration below reads them as flat numpy buffers.
         staged = (
             feats.join(labels, id_col)
             .groupBy(id_col, "_y")
             .agg(F.array_sort(F.collect_list(
                 F.struct(F.col("bucket"), F.col("cnt")))).alias("_fv"))
+            .select(
+                "_y",
+                F.transform("_fv", lambda f: f["bucket"]).alias("_bk"),
+                F.transform("_fv", lambda f: f["cnt"]).alias("_ct"),
+            )
             .cache()
         )
     else:
@@ -240,52 +247,73 @@ def train_hashed_lr(
             hash_fn=hash_fn)
 
     if strategy == "fused":
+        # Arrow iteration (r12 optimization): margins, residuals and
+        # per-bucket gradient partial sums all happen in ONE numpy
+        # pass per task — each task emits a single dense (B+1)-double
+        # partial-gradient row (slot B carries the bias gradient) and
+        # the driver sums the ≤ num_partitions partials in task order.
+        # This replaces the pre-r12 shape (per-iteration broadcast
+        # weight row + interpreted HOF margin fold + explode of every
+        # (doc, bucket) pair + bucket-keyed shuffle), whose interpreted
+        # Catalyst eval was also subject to the per-JVM HotSpot
+        # profile lottery documented in operators/assignment.py.
+        # Numerics: the per-doc margin is a sequential left fold in
+        # bucket order on both shapes (np.add.reduceat == the old HOF
+        # fold), so the only float difference is Math.exp vs numpy exp
+        # in σ (last-ulp) and gradient summation grouping — inside the
+        # 1e-9 cross-strategy band test_classifier.py pins.
+        import numpy as np
+        import pandas as pd
+
+        schema = "pid int, g array<double>"
+
+        def _make_iter(w_np, b_now):
+            def _iter(batches):
+                from pyspark import TaskContext
+
+                g = np.zeros(n_buckets + 1, dtype=np.float64)
+                seen = False
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    seen = True
+                    lens = pdf["_bk"].str.len().to_numpy(dtype=np.int64)
+                    flat_bk = np.concatenate(
+                        [np.asarray(x, dtype=np.int64)
+                         for x in pdf["_bk"]])
+                    flat_ct = np.concatenate(
+                        [np.asarray(x, dtype=np.float64)
+                         for x in pdf["_ct"]])
+                    starts = np.zeros(len(lens), dtype=np.int64)
+                    np.cumsum(lens[:-1], out=starts[1:])
+                    contrib = flat_ct * w_np[flat_bk]
+                    margins = np.add.reduceat(contrib, starts)
+                    margins[lens == 0] = 0.0
+                    y = pdf["_y"].to_numpy(dtype=np.float64)
+                    r = 1.0 / (1.0 + np.exp(-(margins + b_now))) - y
+                    np.add.at(g, flat_bk, flat_ct * np.repeat(r, lens))
+                    g[n_buckets] += r.sum()
+                if seen:
+                    pid = TaskContext.get().partitionId()
+                    yield pd.DataFrame(
+                        {"pid": [pid], "g": [g.tolist()]})
+
+            return _iter
+
         for _ in range(max_iter):
-            # weights ride as a broadcast 1-ROW DataFrame, not an
-            # expression literal: HOF lambdas re-evaluate captured
-            # argument expressions per element, and CollapseProject
-            # re-inlines a staged literal back into the lambda body —
-            # measured 15.9s as a literal vs 7.4s as broadcast data
-            # at the bench shape (5k docs, B=4096, 5 iters)
-            margin = F.aggregate(
-                F.col("_fv"), F.lit(0.0),
-                lambda acc, f: acc
-                + f["cnt"] * F.element_at(F.col("_w"), f["bucket"] + 1),
-            )
-            r = (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-(margin + F.lit(b))))
-                - F.col("_y")
-            )
-            # per-bucket contribution cnt·r; sentinel bucket −1
-            # carries the bias gradient r — ONE bucket-keyed
-            # aggregation (map-side combined) is the whole iteration
-            contrib = F.concat(
-                F.transform(
-                    F.col("_fv"),
-                    lambda f: F.struct(
-                        f["bucket"].alias("bucket"),
-                        (f["cnt"] * F.col("_r")).alias("g"),
-                    ),
-                ),
-                F.array(F.struct(
-                    F.lit(-1).alias("bucket"), F.col("_r").alias("g"))),
-            )
-            wrow = spark.createDataFrame([(w,)], "_w array<double>")
-            rows = (
-                staged.crossJoin(F.broadcast(wrow))
-                .withColumn("_r", r)
-                .select(F.explode(contrib).alias("c"))
-                .groupBy(F.col("c.bucket").alias("bucket"))
-                .agg(F.sum("c.g").alias("g"))
-                .collect()
-            )
-            grads = {r2["bucket"]: r2["g"] for r2 in rows}
-            gb = grads.pop(-1, 0.0) or 0.0
+            parts = staged.mapInPandas(
+                _make_iter(np.asarray(w, dtype=np.float64), b),
+                schema).collect()
+            g = np.zeros(n_buckets + 1, dtype=np.float64)
+            for row in sorted(parts, key=lambda r2: r2["pid"]):
+                g += np.asarray(row["g"], dtype=np.float64)
+            # plain Python floats: model weights feed createDataFrame
+            # in score_hashed_lr, which rejects numpy scalars
             w = [
-                wk - learning_rate * grads.get(k, 0.0) / n
+                float(wk - learning_rate * g[k] / n)
                 for k, wk in enumerate(w)
             ]
-            b = b - bias_lr * gb / n
+            b = float(b - bias_lr * g[n_buckets] / n)
         staged.unpersist()
         return HashedLRModel(
             weights=w, bias=b, n_buckets=n_buckets, seed=seed,

@@ -136,18 +136,25 @@ def semantic_decontaminate(
     them first (:func:`~.similarity.ivf_index`) and screen with
     :func:`~.similarity.ivf_topk` instead.
     """
-    from .similarity import _as_double, cosine_sim
+    from ..functions.kernels import dot
+    from .similarity import _as_double, _norm
 
     if mode not in ("flag", "drop"):
         raise ValueError("mode: flag | drop")
     bvec = benchmark_vec_col or vec_col
     bench = benchmark_emb.select(
-        _as_double(F.col(bvec)).alias("_bv")).distinct()
+        _as_double(F.col(bvec)).alias("_bv")).distinct() \
+        .withColumn("_bnrm", _norm(F.col("_bv")))
+    # corpus-side norm per row (once), not per (row × benchmark) pair;
+    # dot/(_cnrm·_bnrm) is bit-identical to cosine_sim (same operands,
+    # same multiplication order)
     scored = (
         corpus_emb.select(F.col(id_col),
                           _as_double(F.col(vec_col)).alias("_cv"))
+        .withColumn("_cnrm", _norm(F.col("_cv")))
         .crossJoin(F.broadcast(bench))
-        .withColumn("_sim", cosine_sim(F.col("_cv"), F.col("_bv")))
+        .withColumn("_sim", dot(F.col("_cv"), F.col("_bv"))
+                    / (F.col("_cnrm") * F.col("_bnrm")))
         .groupBy(id_col)
         .agg(F.max("_sim").alias("max_benchmark_sim"))
         .withColumn("contaminated",

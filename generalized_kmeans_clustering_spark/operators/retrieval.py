@@ -27,10 +27,14 @@ All pure DataFrame ops — no UDFs, no driver-side loops:
      materializes the full index once instead (``bm25_postings``,
      persisted bucketed by ``term``, sources/bucketing.py) and
      injects it via ``postings=`` — one corpus scan total.
-  2. per-term document frequency for the QUERY terms only — computed
-     from the same query-pruned postings (pruning whole terms leaves
-     df exact), so the corpus-wide vocabulary is never aggregated,
-     collected, or broadcast.
+  2. per-term document frequency for the QUERY terms only — a
+     count(*) window partitioned by term, folded into the SAME pass
+     as the candidate postings (postings rows are unique per
+     (doc, term), so the count equals countDistinct(doc); pruning
+     whole terms leaves df exact). The corpus-wide vocabulary is
+     never aggregated, collected, or broadcast, and the postings
+     lineage is evaluated ONCE (pre-r12 it was evaluated twice — a
+     second corpus scan + explode + pruned shuffle just for df).
   3. candidate generation — postings ⋈ broadcast(query terms): a
      map-side hash join; the corpus never shuffles. Candidate volume
      is bounded by the postings of the query's terms (the classic
@@ -87,10 +91,9 @@ def bm25_postings(
 
     This is the artifact to materialize at scale: write it once,
     bucketed by ``term`` (sources/bucketing.py), and pass it to
-    ``bm25_topk(..., postings=...)`` — each search then touches only
-    the buckets of its query terms and the one-shot plan's second
-    postings derivation (the df aggregation) reads the persisted
-    table instead of re-exploding the corpus.
+    ``bm25_topk(..., postings=...)`` — each search then reads the
+    persisted table once (df folds into the same pass as the
+    candidate postings) instead of re-exploding the corpus.
     """
     txt = F.col(text_col)
     dl_expr = F.coalesce(
@@ -141,6 +144,8 @@ def bm25_topk(
     term-bucketed) ``bm25_postings`` table so repeated searches skip
     the corpus explode entirely; corpus stats (N, avgdl) still come
     from ``docs`` because zero-token documents have no postings.
+    Rows must be unique per (doc, term) — the :func:`bm25_postings`
+    contract — since df is a per-term row count over them.
 
     ``where`` (Column or SQL string over DOC columns) PRE-filters the
     corpus — the engine-wide predicate-filter contract of the ANN
@@ -187,40 +192,45 @@ def bm25_topk(
         .where(F.col("term") != "")
         .distinct()
     )
+    qvocab = qterms.select("term").distinct()
     if postings is None:
         # One-shot path: prune the token stream to the query vocabulary
         # BEFORE any aggregation — the broadcast join is map-side, so
-        # the (doc, term) tf aggregation and the df aggregation below
-        # both shuffle only query-term tokens and the corpus-wide
-        # (doc, term) shuffle of a full postings build never happens.
-        # (Lazy evaluation recomputes the scan+explode for the df and
-        # candidate branches — scans stream; shuffles are what hurt at
-        # 100 TB. Pass a persisted ``postings`` to pay one scan total.)
-        # Pruning by term keeps df exact: df(t) counts distinct docs
-        # containing t, and pruning removes whole terms, not docs.
-        postings = (
+        # the (doc, term) tf aggregation shuffles only query-term
+        # tokens and the corpus-wide (doc, term) shuffle of a full
+        # postings build never happens. Pruning by term keeps df
+        # exact: df(t) counts distinct docs containing t, and pruning
+        # removes whole terms, not docs.
+        pruned = (
             docs.select(
                 F.col(id_col),
                 dl_expr.alias("dl"),
                 F.explode(F.split(txt, " ")).alias("term"),
             )
             .where(F.col("term") != "")
-            .join(F.broadcast(qterms.select("term").distinct()), "term")
+            .join(F.broadcast(qvocab), "term")
             .groupBy(id_col, "term", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-    # Per-term df for the query vocabulary only: semi-join docfreq to
-    # the deduplicated query terms before broadcasting it.
-    docfreq = (
-        postings.join(
-            F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.countDistinct(id_col).cast("double").alias("_df"))
-    )
-    qside = qterms.join(F.broadcast(docfreq), "term")
+    else:
+        pruned = postings.join(F.broadcast(qvocab), "term")
+    # Per-term df folded into the SAME pass as the candidate postings
+    # (r12 optimization): postings rows are unique per (doc, term), so
+    # a count(*) window partitioned by term over the pruned postings
+    # equals countDistinct(doc) — the pre-r12 shape derived df with a
+    # separate aggregation over a second evaluation of the postings
+    # lineage, costing one extra corpus scan + explode + pruned
+    # (doc, term) shuffle in one-shot mode (one extra read of the
+    # postings table in injected mode). The window's exchange hashes
+    # by term exactly like the old df aggregation did, so the skew
+    # profile is unchanged; it adds only a within-partition sort of
+    # the query-pruned candidate rows.
+    pruned = pruned.withColumn(
+        "_df",
+        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double"))
 
     cand = (
-        postings.join(F.broadcast(qside), "term")
+        pruned.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
     )
     idf = F.log(

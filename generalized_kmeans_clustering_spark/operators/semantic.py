@@ -249,15 +249,21 @@ def semantic_near_dup_pairs(
     first: each split level re-reads the hot rows (one count + one
     sample + the re-key).
     """
+    from .similarity import _norm
+
     if list_size_cap is None:
         a = indexed.select(
             F.col("_list"), F.col(id_col).alias("i"),
-            F.col("_v").alias("_vi"))
+            F.col("_v").alias("_vi")).withColumn(
+                "_ni", _norm(F.col("_vi")))
         b = indexed.select(
             F.col("_list"), F.col(id_col).alias("j"),
-            F.col("_v").alias("_vj"))
+            F.col("_v").alias("_vj")).withColumn(
+                "_nj", _norm(F.col("_vj")))
         pairs = a.join(b, on="_list").where(F.col("i") < F.col("j"))
-        sim = cosine_sim(F.col("_vi"), F.col("_vj"))
+        # one dot per in-list pair; norms precomputed per row
+        sim = dot(F.col("_vi"), F.col("_vj")) / (
+            F.col("_ni") * F.col("_nj"))
         return pairs.select("i", "j", sim.alias("sim")).where(
             F.col("sim") >= threshold)
 
@@ -269,10 +275,12 @@ def semantic_near_dup_pairs(
     refined = _refine_oversized(
         hot, list_size_cap, k_sub, split_probes, max_split_levels, seed)
     a = refined.select(
-        "_skey", F.col("_id").alias("i"), F.col("_v").alias("_vi"))
+        "_skey", F.col("_id").alias("i"), F.col("_v").alias("_vi")
+    ).withColumn("_ni", _norm(F.col("_vi")))
     b = refined.select(
-        "_skey", F.col("_id").alias("j"), F.col("_v").alias("_vj"))
-    sim = cosine_sim(F.col("_vi"), F.col("_vj"))
+        "_skey", F.col("_id").alias("j"), F.col("_v").alias("_vj")
+    ).withColumn("_nj", _norm(F.col("_vj")))
+    sim = dot(F.col("_vi"), F.col("_vj")) / (F.col("_ni") * F.col("_nj"))
     hot_pairs = (
         a.join(b, on="_skey")
         .where(F.col("i") < F.col("j"))

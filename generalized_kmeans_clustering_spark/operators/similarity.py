@@ -34,6 +34,17 @@ def cosine_sim(x: Column, y: Column) -> Column:
     return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
 
 
+def _norm(v: Column) -> Column:
+    """sqrt(v·v) — precomputed per ROW before a pair join so the pair
+    stage evaluates 1 dot product instead of 3 (r12 optimization:
+    Catalyst has no cross-row common-subexpression elimination, so
+    ``cosine_sim`` inside an n×m join recomputed both operand norms
+    for every pair). ``dot(q,c)/(_nq*_nc)`` is bit-identical to
+    ``cosine_sim(q, c)``: same operands, same multiplication order,
+    only the evaluation site moves."""
+    return F.sqrt(dot(v, v))
+
+
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
@@ -61,15 +72,21 @@ def cosine_topk(
     """(query_id, neighbor_id, sim, rank) for top-k cosine neighbors.
     ``where`` (Column or SQL string over CORPUS columns) pre-filters
     candidates so each query still gets k results."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("_qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ).withColumn("_qnrm", _norm(F.col("_qv")))
     c = _candidate_filter(corpus, where).select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("_cv"))
+        _as_double(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cnrm", _norm(F.col("_cv")))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.withColumn("sim", cosine_sim(F.col("_qv"), F.col("_cv")))
+    # per-pair work: ONE dot product; norms precomputed per row above
+    scored = joined.withColumn(
+        "sim", dot(F.col("_qv"), F.col("_cv"))
+        / (F.col("_qnrm") * F.col("_cnrm")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -119,12 +136,18 @@ def exact_rerank(
     cs = corpus.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(F.col(vec_col)).alias("_cv"))
     qs = queries.select(F.col(id_col).alias("query_id"),
-                        _as_double(F.col(vec_col)).alias("_qv"))
+                        _as_double(F.col(vec_col)).alias("_qv")) \
+        .withColumn("_qnrm", _norm(F.col("_qv")))
     j = (cs.join(F.broadcast(cand), "neighbor_id")
          .join(F.broadcast(qs), "query_id"))
     if metric == "cosine":
-        scored = j.withColumn("sim", cosine_sim(F.col("_qv"),
-                                                F.col("_cv")))
+        # query norm precomputed per query row (the broadcast side);
+        # the candidate norm stays per pair — each (query, neighbor)
+        # pair is already a distinct row after the cand join, so there
+        # is no cross-pair reuse to exploit on that side
+        scored = j.withColumn(
+            "sim", dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qnrm") * _norm(F.col("_cv"))))
         w = Window.partitionBy("query_id").orderBy(
             F.desc("sim"), F.asc("neighbor_id"))
         cols = ("query_id", "neighbor_id", "sim", "rank")
@@ -154,10 +177,14 @@ def embedding_near_dup_pairs(
     :func:`embedding_near_dups_ivf`, which only joins within centroid
     buckets.
     """
-    w = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    w = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_nrm", _norm(F.col("_v")))
     a, b = w.alias("a"), w.alias("b")
     pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    sim = cosine_sim(F.col("a._v"), F.col("b._v"))
+    # one dot per pair; norms precomputed per row (n, not n²)
+    sim = dot(F.col("a._v"), F.col("b._v")) / (
+        F.col("a._nrm") * F.col("b._nrm"))
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("i"),
@@ -194,12 +221,13 @@ def embedding_near_dups_ivf(
     )
     a = indexed.select(
         F.col("_list"), F.col(id_col).alias("i"), F.col("_v").alias("_vi")
-    )
+    ).withColumn("_ni", _norm(F.col("_vi")))
     b = indexed.select(
         F.col("_list"), F.col(id_col).alias("j"), F.col("_v").alias("_vj")
-    )
+    ).withColumn("_nj", _norm(F.col("_vj")))
     pairs = a.join(b, on="_list").where(F.col("i") < F.col("j"))
-    sim = cosine_sim(F.col("_vi"), F.col("_vj"))
+    # one dot per in-bucket pair; norms precomputed per row
+    sim = dot(F.col("_vi"), F.col("_vj")) / (F.col("_ni") * F.col("_nj"))
     return pairs.select("i", "j", sim.alias("sim")).where(
         F.col("sim") >= threshold
     )
@@ -306,12 +334,18 @@ def ivf_topk(
         exploded.withColumn("_pr", F.row_number().over(wp))
         .where(F.col("_pr") <= nprobe)
         .select("query_id", "_list", "_qv")
+        .withColumn("_qnrm", _norm(F.col("_qv")))
     )
     if broadcast_queries:
         probes = F.broadcast(probes)
-    cand = _candidate_filter(indexed, where).join(probes, on="_list")
+    # candidate-side norm precomputed per scanned row, BEFORE the probe
+    # join fans each row out to every query probing its list
+    cand = _candidate_filter(indexed, where).withColumn(
+        "_cnrm", _norm(F.col("_v"))).join(probes, on="_list")
     cand = cand.where(F.col(id_col) != F.col("query_id"))
-    scored = cand.withColumn("sim", cosine_sim(F.col("_qv"), F.col("_v")))
+    scored = cand.withColumn(
+        "sim", dot(F.col("_qv"), F.col("_v"))
+        / (F.col("_qnrm") * F.col("_cnrm")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -82,7 +82,8 @@ class StreamingSemanticDedup:
         return model.transform(staged).select("_id", "_v", "_list")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.similarity import _candidate_filter, cosine_sim
+        from ..functions.kernels import dot
+        from ..operators.similarity import _candidate_filter, _norm
 
         spark = batch_df.sparkSession
         new = self._assign(_candidate_filter(batch_df, self.where)) \
@@ -94,17 +95,26 @@ class StreamingSemanticDedup:
                 F.col("batch_id") != int(batch_id))
         except Exception:
             old = None
+        # norms as a post-checkpoint projection (NOT persisted — the
+        # state-store schema stays (_id, _v, _list, batch_id)): the
+        # pair join below fans each row out to every in-list partner,
+        # so precomputing sqrt(v·v) per row leaves one dot product per
+        # pair instead of three. dot/(l_nrm·r_nrm) is bit-identical to
+        # cosine_sim (same operands, same multiplication order).
+        newn = new.withColumn("_nrm", _norm(F.col("_v")))
         sides = [
-            new.alias("l").join(new.alias("r"), "_list")
+            newn.alias("l").join(newn.alias("r"), "_list")
             .where(F.col("l._id") < F.col("r._id"))
         ]
         if old is not None:
-            sides.append(new.alias("l").join(old.alias("r"), "_list"))
+            oldn = old.withColumn("_nrm", _norm(F.col("_v")))
+            sides.append(newn.alias("l").join(oldn.alias("r"), "_list"))
         out = None
         for cand in sides:
             scored = cand.select(
                 F.col("l._id").alias("i"), F.col("r._id").alias("j"),
-                cosine_sim(F.col("l._v"), F.col("r._v")).alias("sim"),
+                (dot(F.col("l._v"), F.col("r._v"))
+                 / (F.col("l._nrm") * F.col("r._nrm"))).alias("sim"),
             ).where((F.col("i") != F.col("j"))
                     & (F.col("sim") >= self.threshold))
             out = scored if out is None else out.unionByName(scored)

@@ -240,3 +240,27 @@ def test_fused_strategy_matches_join(spark):
 
     with _pt.raises(ValueError, match="strategy"):
         train_hashed_lr(df, "label", strategy="sgd")
+
+
+def test_fused_model_scores_and_roundtrips(spark, tmp_path):
+    """The fused (Arrow) trainer must hand back plain-float weights
+    that survive score_hashed_lr's createDataFrame and sidecar
+    persistence (r12 regression guard: the numpy gradient loop
+    returned numpy.float64 weights, which Spark's DoubleType
+    verifier rejects)."""
+    from generalized_kmeans_clustering_spark.operators.classifier import (
+        read_lr_model, write_lr_model,
+    )
+
+    df = _labeled(spark)
+    model = train_hashed_lr(df, "label", n_buckets=64, max_iter=2,
+                            learning_rate=50.0, strategy="fused")
+    assert all(type(x) is float for x in model.weights)
+    assert type(model.bias) is float
+    scored = score_hashed_lr(df, model)
+    n = scored.where(F.col("quality_score").isNotNull()).count()
+    assert n == df.count()
+    path = str(tmp_path / "fused_model")
+    write_lr_model(spark, model, path)
+    loaded = read_lr_model(spark, path)
+    assert loaded.weights == model.weights

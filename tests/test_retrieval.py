@@ -218,11 +218,18 @@ def _plan_prefix(line):
 def test_bm25_one_shot_prunes_before_aggregating(spark):
     """Pin of the r12 plan restructure: in one-shot mode every
     CORPUS-token shuffle — an exchange keyed on both the doc id and
-    `term` (the tf aggregation and the df pre-aggregation) — must sit
-    ABOVE the broadcast query-term join, i.e. aggregate only
-    query-pruned tokens. A regression to the corpus-wide (doc, term)
-    postings shuffle would make that subtree broadcast-join-free.
-    (Query-side term shuffles carry no doc id and are exempt.)"""
+    `term` (the tf aggregation) — must sit ABOVE the broadcast
+    query-term join, i.e. aggregate only query-pruned tokens. A
+    regression to the corpus-wide (doc, term) postings shuffle would
+    make that subtree broadcast-join-free. (Query-side term shuffles
+    carry no doc id and are exempt.)
+
+    Since the r12 optimization pass there must also be exactly ONE
+    such exchange: df folds into the same pass as the candidate
+    postings via a per-term count window, so the pre-r12 second
+    evaluation of the postings lineage (a separate df
+    pre-aggregation = one extra corpus scan + explode + pruned
+    shuffle) must not reappear."""
     plan = bm25_topk(_docs(spark), _queries(spark), k=5) \
         ._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
@@ -239,7 +246,8 @@ def test_bm25_one_shot_prunes_before_aggregating(spark):
             subtree.append(below)
         assert any("BroadcastHashJoin" in s for s in subtree), line
         checked += 1
-    assert checked >= 2  # tf aggregation + df pre-aggregation
+    # exactly one corpus-token shuffle: the query-pruned tf aggregation
+    assert checked == 1, plan
 
 
 def test_query_by_example_on_testdata(spark, sf_dir):
