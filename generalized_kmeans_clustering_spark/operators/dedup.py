@@ -485,6 +485,13 @@ def _components_label(pairs, i_col, j_col, max_iter, sig):
         .unionAll(
             pairs.select(F.col(j_col).alias("src"),
                          F.col(i_col).alias("dst")))
+        # hash-partition ONCE on the per-round join key: every round
+        # joins e on src, and an unpartitioned persisted edge list
+        # would re-shuffle all 2·|pairs| edge rows each round (r12: the
+        # per-round exchange on e disappears — rounds × |e| shuffle
+        # bytes saved; labels still shuffle, that movement is the
+        # algorithm)
+        .repartition(F.col("src"))
         .persist()
     )
     labels = (

@@ -337,23 +337,29 @@ def gopher_repetition_signals(
         F.first("_chars").alias("_chars"),
     )
     # union coverage: token i is covered iff a duplicated gram starts
-    # in (i-n, i]; charge its char length once
+    # in (i-n, i]; charge its char length once. r12 optimization:
+    # enumerate the covered positions FROM the duplicated starts
+    # (sequence(s, s+n-1) per start, flattened + deduped) instead of
+    # folding over every token position with an exists() scan of the
+    # starts — O(dups·n) per (doc, n) instead of O(tokens·dups), and
+    # exactly 0 work for the clean-doc common case (the old fold paid
+    # O(tokens) per (doc, n) even when nothing was duplicated). Every
+    # start s ≤ tokens−n+1, so s+n−1 never exceeds the token count,
+    # and the sum is over the same integer token lengths counted once
+    # — bit-identical dup_mass.
     cov = F.aggregate(
-        F.sequence(F.lit(1), F.size("_toks")),
+        F.array_distinct(F.flatten(F.transform(
+            "_dup_starts",
+            lambda s: F.sequence(s, s + F.col("_n") - 1)))),
         F.lit(0),
-        lambda a, i: a + F.when(
-            F.coalesce(
-                F.exists("_dup_starts",
-                         lambda s: (s <= i) & (i < s + F.col("_n"))),
-                F.lit(False)),
-            F.element_at("_tl", i)).otherwise(F.lit(0)),
+        lambda a, p: a + F.element_at("_tl", p),
     )
     per_n2 = per_n.join(
-        staged.select(id_col, "_toks", "_tl"), id_col
+        staged.select(id_col, "_tl"), id_col
     ).select(
         id_col, "n", "top_mass", "_chars",
         F.col("dup_starts").alias("_dup_starts"),
-        F.col("n").alias("_n"), "_toks", "_tl",
+        F.col("n").alias("_n"), "_tl",
     ).withColumn("dup_mass", cov.cast("double"))
     safe = F.when(F.col("_chars") > 0, F.col("_chars")).otherwise(F.lit(1.0))
     pivoted = per_n2.groupBy(id_col).agg(*(
