@@ -7665,10 +7665,18 @@ def q_dedup_flag_propagation(spark, sf_dir):
     docs = documents(spark, sf_dir)
     fp = docs.select(
         "doc_id", T.min_shingle_fingerprint(F.col("text"), 3).alias("minfp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    edges = a.join(b, (F.col("a.minfp") == F.col("b.minfp"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
-        F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    # r12: same-fingerprint pairs via ONE groupBy + in-group pair
+    # explode instead of a fingerprint self-join — the self-join
+    # evaluated the min-shingle HOF on BOTH aliases and shuffled the
+    # fingerprint frame twice; this evaluates it once and shuffles
+    # once. Edge set is identical: all (src < dst) with equal minfp.
+    grouped = fp.groupBy("minfp").agg(
+        F.collect_list("doc_id").alias("_ids"))
+    edges = (
+        grouped.select(F.explode("_ids").alias("src"), "_ids")
+        .select("src", F.explode("_ids").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+    )
     seeds = docs.where(F.col("doc_id") < 15)
     out = propagate_flags(edges, seeds, rounds=2, id_col="doc_id")
     return out.orderBy("round", "id")

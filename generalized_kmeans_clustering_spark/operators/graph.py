@@ -60,8 +60,11 @@ def propagate_flags(
     count constant. min(round) dedups multi-path discoveries. No
     collect; the frontier never materializes on the driver.
 
-    Deep walks (rounds > 2) persist each frontier — every one is a
-    live branch of the result's union, so unpersisting here would
+    Multi-round walks (rounds >= 2) persist the symmetrized edge list
+    (partitioned on the join key, so each round's join reuses the
+    partitioning and only the frontier side moves — the
+    ``_components_label`` pattern) and every REUSED frontier — each is
+    a live branch of the result's union, so unpersisting here would
     re-derive all earlier rounds at action time. Pass a
     :class:`~.pins.Pins` as ``pins`` to release them when done in a
     long-lived session (the handle survives composition, unlike an
@@ -69,12 +72,27 @@ def propagate_flags(
     """
     if rounds < 1:
         raise ValueError("propagate_flags: rounds must be >= 1")
-    sym = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).unionByName(edges.select(
-        F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    # symmetrize with ONE evaluation of the caller's edge lineage (the
+    # old two-branch union re-derived ``edges`` per branch — for edge
+    # lists built from expensive derived keys, e.g. a fingerprint
+    # self-join, that doubled the dominant cost before any walk began)
+    sym = edges.select(F.explode(F.array(
+        F.struct(F.col(src_col).alias("a"), F.col(dst_col).alias("b")),
+        F.struct(F.col(dst_col).alias("a"), F.col(src_col).alias("b")),
+    )).alias("_e")).select("_e.a", "_e.b")
     flagged = seeds.select(F.col(id_col).alias("id")).distinct() \
         .withColumn("round", F.lit(0))
+    if rounds >= 2:
+        # round r's tree references sym and every earlier frontier
+        # several times (next join, anti-join, result union); persist
+        # once so the walk computes each exactly once per action. The
+        # repartition keys the cache on the join column, so per-round
+        # joins reuse the partitioning instead of re-shuffling edges.
+        sym = sym.repartition(F.col("a")).persist()
+        flagged = flagged.persist()
+        if pins is not None:
+            pins.add(sym)
+            pins.add(flagged)
     frontier = flagged
     for r in range(1, rounds + 1):
         nbrs = (
@@ -84,11 +102,10 @@ def propagate_flags(
         )
         # ids already flagged keep their earlier round
         frontier = nbrs.join(flagged.select("id"), "id", "left_anti")
-        if rounds > 2:
-            # deep walks: pin each frontier or the lineage re-derives
-            # every earlier round per reference (frontiers are small —
-            # newly-flagged ids only); tracked on the caller's Pins
-            # handle for explicit release (see docstring)
+        if r < rounds:
+            # reused frontiers only: the FINAL frontier is a single
+            # branch of the result union, so caching it would cost a
+            # write with no second read
             frontier = frontier.persist()
             if pins is not None:
                 pins.add(frontier)

@@ -417,14 +417,19 @@ def ivf_pq_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"))
     cd = F.transform(centers_lit, lambda c: _sqdist(F.col("_qv"), c))
-    exploded = q.withColumn("_cd", cd).select(
-        "query_id", "_qv", F.posexplode("_cd").alias("_list", "_cdist"))
-    wp = Window.partitionBy("query_id").orderBy(
-        F.asc("_cdist"), F.asc("_list"))
+    # top-nprobe lists as a MAP-ONLY array expression (r12): ascending
+    # struct sort on (_cdist, _list) == the old row_number rank over
+    # (_cdist ASC, _list ASC); ties fall to list identically (SQL
+    # double ordering). Removes the posexplode + Window shuffle of the
+    # query side — with broadcast_queries=False that was a full
+    # query-table Exchange+Sort just to rank n_lists numbers per row.
+    keyed = F.transform(
+        cd, lambda s, i: F.struct(s.alias("d"), i.alias("l")))
     probes = (
-        exploded.withColumn("_pr", F.row_number().over(wp))
-        .where(F.col("_pr") <= nprobe)
-        .select("query_id", "_list", "_qv")
+        q.select("query_id", "_qv",
+                 F.explode(F.slice(F.array_sort(keyed), 1, nprobe))
+                 .alias("_p"))
+        .select("query_id", F.col("_p.l").alias("_list"), "_qv")
     )
     qres = F.zip_with(
         F.col("_qv"),
@@ -758,18 +763,21 @@ def ivf_sq_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"))
     cd = F.transform(centers_lit, lambda c: _sqdist(F.col("_qv"), c))
-    exploded = q.withColumn("_cd", cd).select(
-        "query_id", "_qv", F.posexplode("_cd").alias("_list", "_cdist"))
-    wp = Window.partitionBy("query_id").orderBy(
-        F.asc("_cdist"), F.asc("_list"))
+    # map-only top-nprobe (r12): same array_sort probe selection as
+    # ivf_pq_topk — see the comment there; removes the query-side
+    # Exchange+Sort the old posexplode + Window paid.
+    keyed = F.transform(
+        cd, lambda s, i: F.struct(s.alias("d"), i.alias("l")))
     qres = F.zip_with(
         F.col("_qv"),
         F.element_at(centers_lit, F.col("_list") + 1),
         lambda a, b: a - b,
     )
     probes = (
-        exploded.withColumn("_pr", F.row_number().over(wp))
-        .where(F.col("_pr") <= nprobe)
+        q.select("query_id", "_qv",
+                 F.explode(F.slice(F.array_sort(keyed), 1, nprobe))
+                 .alias("_p"))
+        .select("query_id", F.col("_p.l").alias("_list"), "_qv")
         .withColumn("_qr", qres)
         .select("query_id", "_list", "_qr")
     )

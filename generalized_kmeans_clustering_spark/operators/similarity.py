@@ -326,15 +326,26 @@ def ivf_topk(
     staged = q.withColumn("_qn", qunit).withColumn(
         "_csims", F.transform(centers_lit, lambda c: dot(F.col("_qn"), c))
     )
-    exploded = staged.select(
-        "query_id", "_qv", F.posexplode("_csims").alias("_list", "_csim")
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("_list"))
+    # top-nprobe lists per query as a MAP-ONLY array expression
+    # (r12 optimization): rank (csim DESC, list ASC) == ascending
+    # struct sort on (-csim, list) — SQL double ordering treats
+    # -0.0 == 0.0, so ties fall to list exactly as row_number did.
+    # The old posexplode + Window(partitionBy query_id) shuffled the
+    # ENTIRE query side (n_lists copies of each query vector) just to
+    # rank n_lists numbers per row; with broadcast_queries=False (the
+    # knn_graph self-probe, where the corpus IS the query side) that
+    # was a full-corpus Exchange+Sort. Now probe selection costs zero
+    # shuffles; _qnrm is computed once per query row instead of once
+    # per surviving probe row.
+    keyed = F.transform(
+        F.col("_csims"),
+        lambda s, i: F.struct((-s).alias("ns"), i.alias("l")))
     probes = (
-        exploded.withColumn("_pr", F.row_number().over(wp))
-        .where(F.col("_pr") <= nprobe)
-        .select("query_id", "_list", "_qv")
-        .withColumn("_qnrm", _norm(F.col("_qv")))
+        staged.withColumn("_qnrm", _norm(F.col("_qv")))
+        .select("query_id", "_qv", "_qnrm",
+                F.explode(F.slice(F.array_sort(keyed), 1, nprobe))
+                .alias("_p"))
+        .select("query_id", F.col("_p.l").alias("_list"), "_qv", "_qnrm")
     )
     if broadcast_queries:
         probes = F.broadcast(probes)

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.rollup import session_gap_us
+
 __all__ = ["streaming_sessionize"]
 
 _OUT_SCHEMA = (
@@ -98,7 +100,7 @@ def streaming_sessionize(
     """
     from pyspark.sql import functions as F
 
-    gap_us = int(gap_minutes * 60 * 1_000_000)
+    gap_us = session_gap_us(gap_minutes)
     src = stream_df.select(
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("ts"),

@@ -388,19 +388,26 @@ def test_propagate_flags_pins_handle(spark):
     # convention vanished on out.filter(...)
     composed = out.where(F.col("round") >= 0)
     assert composed.count() == 5
-    # deep walks pin one frontier per round, released explicitly in
-    # long-lived sessions
+    # multi-round walks pin the symmetrized edge list, the seed round
+    # and every REUSED frontier (rounds-1 of them; the final frontier
+    # is a single union branch, never re-read), released explicitly in
+    # long-lived sessions: rounds=4 -> sym + round0 + frontiers 1..3
     held = pins.frames
-    assert len(held) == 4 and all(p.is_cached for p in held)
+    assert len(held) == 5 and all(p.is_cached for p in held)
     pins.release()
     assert not any(p.is_cached for p in held) and len(pins) == 0
     # releasing after the action never invalidates the result
     assert composed.count() == 5
-    # shallow walks don't persist at all
+    # rounds=2 still pins sym + round0 + the reused first frontier
     p2 = Pins()
     propagate_flags(e, s, rounds=2, id_col="id",
                     src_col="src", dst_col="dst", pins=p2).count()
-    assert len(p2) == 0
+    assert len(p2) == 3
+    # single-hop walks have no reuse at all — nothing pinned
+    p1 = Pins()
+    propagate_flags(e, s, rounds=1, id_col="id",
+                    src_col="src", dst_col="dst", pins=p1).count()
+    assert len(p1) == 0
 
 
 def test_filter_by_group_quantile(spark):
