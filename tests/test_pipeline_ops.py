@@ -403,6 +403,27 @@ def test_exact_rerank_cosine_matches_cosine_topk(spark):
         exact_rerank(base, df, queries, metric="dot")
 
 
+def test_ivf_topk_probe_selection_is_shuffle_free(spark):
+    """r12 optimization pin: probe selection (top-nprobe centroid sims
+    per query) is a map-only array_sort/slice — the sole Window in the
+    ivf_topk plan is the final per-query top-k rank, even when the
+    query side is a big un-broadcast table (the knn_graph self-probe,
+    where the old posexplode+Window shape shuffled the whole query
+    side before the _list join)."""
+    from generalized_kmeans_clustering_spark.operators.similarity import (
+        ivf_index, ivf_topk,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, model = ivf_index(df, n_lists=4, seed=1, max_iter=2)
+    plan = ivf_topk(indexed, model, df, k=3, nprobe=2,
+                    broadcast_queries=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Window [") == 1, plan
+
+
 def test_exact_rerank_plan_broadcasts_candidates(spark):
     """The corpus side must not shuffle: candidates and queries ride
     broadcast joins; the only exchange is the tiny re-rank window."""

@@ -223,6 +223,28 @@ def test_ivf_pq_plans_python_free_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_probe_selection_is_shuffle_free(spark):
+    """r12 optimization pin: the per-query top-nprobe centroid ranking
+    is a map-only array_sort/slice expression — the ONLY Window in an
+    IVF-family top-k plan is the final per-query rank (the old probe
+    shape paid a second Window plus an Exchange of the query side)."""
+    enc, coarse, pq = _pinned_index(spark)
+    df = _ivf_df(spark)
+    q = df.where(F.col("vec_id") == 0)
+    pq_plan = ivf_pq_topk(enc, coarse, pq, q, k=3, nprobe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert pq_plan.count("Window [") == 1, pq_plan
+
+    from generalized_kmeans_clustering_spark.operators.quantization import (
+        ivf_sq_index, ivf_sq_topk,
+    )
+    enc2, coarse2, sq = ivf_sq_index(_ivf_df(spark), n_lists=2, seed=3,
+                                     coarse_max_iter=4)
+    sq_plan = ivf_sq_topk(enc2, coarse2, sq, q, k=3, nprobe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert sq_plan.count("Window [") == 1, sq_plan
+
+
 def test_pq_model_roundtrip(spark, tmp_path):
     from generalized_kmeans_clustering_spark.operators.quantization import (
         read_pq_model, write_pq_model,
