@@ -313,6 +313,7 @@ def source_overlap(
     text_col: str = "text",
     source_col: str = "source",
     id_col: str = "doc_id",
+    pins=None,
 ) -> DataFrame:
     """Cross-source content-overlap matrix:
     ``(source_a, source_b, n_shared, share_of_a, share_of_b)`` for
@@ -329,6 +330,13 @@ def source_overlap(
     join against the per-source distinct counts. NULL texts carry no
     fingerprint and drop from the matrix (standard join-key NULL
     semantics in both engines).
+
+    The distinct (fingerprint, source) frame feeds FOUR branches (both
+    self-join sides + the two per-source broadcast builds) and the
+    per-source counts two — with lazy lineage one action fingerprinted
+    the corpus four times. Both are persisted, so the corpus is
+    fingerprinted exactly once per action; pass a
+    :class:`~.pins.Pins` to release them in a long-lived session.
     """
     fps = (
         df.select(
@@ -337,10 +345,14 @@ def source_overlap(
         )
         .where(F.col("_fp").isNotNull())
         .distinct()
+        .persist()
     )
     per_source = fps.groupBy("_src").agg(
         F.count(F.lit(1)).alias("n_distinct")
-    )
+    ).persist()
+    if pins is not None:
+        pins.add(fps)
+        pins.add(per_source)
     a = fps.select("_fp", F.col("_src").alias("source_a"))
     b = fps.select("_fp", F.col("_src").alias("source_b"))
     shared = (

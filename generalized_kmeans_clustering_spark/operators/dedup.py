@@ -335,15 +335,26 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3, pins=None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Blocked join on 16-bit quarters (pigeonhole: ≤3 differing bits →
     at least one of 4 quarters identical), so no full cross join.
+
+    The quartered signature frame is persisted before the 4-branch
+    self-join union: all 8 join inputs reference it, and with lazy
+    lineage each input re-derived ``sigs`` from scratch — for
+    expensive signature lineages (the :func:`simhash64` shingle-hash
+    vote, SRP projections) that meant 8 corpus scans + signature
+    evaluations per action instead of 1. The cached frame is 5 longs
+    per row. Pass a :class:`~.pins.Pins` to release it in a
+    long-lived session; one-shot jobs can omit it.
     """
     quarters = [(F.shiftrightunsigned(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF))).alias(f"q{q}")
                 for q in range(4)]
-    w = sigs.select(F.col(id_col), F.col("simhash"), *quarters)
+    w = sigs.select(F.col(id_col), F.col("simhash"), *quarters).persist()
+    if pins is not None:
+        pins.add(w)
     out = None
     for q in range(4):
         l, r = w.alias("l"), w.alias("r")

@@ -66,7 +66,7 @@ def token_counts(
     return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _join_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
+def _join_counts(ca: DataFrame, cb: DataFrame, pins=None) -> DataFrame:
     """Full-outer join of two ``(token, n)`` count frames with the
     token totals broadcast in — the shared back half of the batch
     operator and the streaming monitor.
@@ -77,7 +77,21 @@ def _join_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
     then cross-joining the result back onto it evaluated the join
     twice per action). The union-vocabulary size is NOT attached here:
     the only consumer that needs it (:func:`drift_from_counts`) counts
-    it inside its single final aggregation."""
+    it inside its single final aggregation.
+
+    Each count frame is persisted: both feed TWO branches (its total +
+    the join), and with lazy lineage the batch entry points re-derived
+    each count aggregation — i.e. re-tokenized its corpus — twice per
+    action. Cached, each corpus is tokenized exactly once. The cached
+    frames are vocab-sized (token, n) aggregates; the streaming
+    monitor's inputs are already parquet-backed, for which the cache
+    is a no-cost second read. Pass a :class:`~.pins.Pins` to release
+    them in a long-lived session."""
+    ca = ca.persist()
+    cb = cb.persist()
+    if pins is not None:
+        pins.add(ca)
+        pins.add(cb)
     ta = ca.agg(F.sum("n").alias("ta"))
     tb = cb.agg(F.sum("n").alias("tb"))
     totals = ta.crossJoin(tb)
@@ -98,6 +112,7 @@ def corpus_drift(
     alpha: float = 0.5,
     n_buckets: int | None = None,
     seed: int = 7,
+    pins=None,
 ) -> DataFrame:
     """One-row drift gauges between the unigram distributions of two
     corpora: ``(tokens_a, tokens_b, vocab_a, vocab_b, vocab_union,
@@ -106,19 +121,20 @@ def corpus_drift(
     return drift_from_counts(
         token_counts(df_a, text_col, n_buckets, seed),
         token_counts(df_b, text_col, n_buckets, seed),
-        alpha=alpha,
+        alpha=alpha, pins=pins,
     )
 
 
 def drift_from_counts(
-    counts_a: DataFrame, counts_b: DataFrame, alpha: float = 0.5
+    counts_a: DataFrame, counts_b: DataFrame, alpha: float = 0.5,
+    pins=None,
 ) -> DataFrame:
     """:func:`corpus_drift` from precomputed ``(token, n)`` count
     frames — the entry point for incremental/streaming monitors that
     maintain count stores instead of re-tokenizing corpora."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
-    j = _join_counts(counts_a, counts_b)
+    j = _join_counts(counts_a, counts_b, pins=pins)
     p_raw = F.col("na") / F.col("ta")
     q_raw = F.col("nb") / F.col("tb")
     m = (p_raw + q_raw) / 2
@@ -174,6 +190,7 @@ def drift_top_terms(
     text_col: str = "text",
     n_buckets: int | None = None,
     seed: int = 7,
+    pins=None,
 ) -> DataFrame:
     """Top-k terms by absolute share difference —
     ``(token, share_a, share_b, delta, rank)``, ranked by |Δ| desc
@@ -184,6 +201,7 @@ def drift_top_terms(
     j = _join_counts(
         token_counts(df_a, text_col, n_buckets, seed),
         token_counts(df_b, text_col, n_buckets, seed),
+        pins=pins,
     )
     scored = j.select(
         "token",

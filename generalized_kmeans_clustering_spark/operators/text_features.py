@@ -157,7 +157,7 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
 
 def top_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", pins=None) -> DataFrame:
     """Corpus-wide top-k collocations by pointwise mutual information:
     ``(w1, w2, n_pair, pmi, rank)`` ranked (pmi desc, w1 asc, w2 asc).
 
@@ -174,7 +174,17 @@ def top_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     zipfian head collapses pre-shuffle), two keyed joins of the
     surviving (≥ min_count) bigrams against the unigram counts, totals
     as broadcast 1-row frames, TakeOrdered top-k. Work after the aggs
-    is proportional to DISTINCT surviving bigrams, not corpus size."""
+    is proportional to DISTINCT surviving bigrams, not corpus size.
+
+    Both count frames are persisted: the unigram counts feed THREE
+    branches (two joins + the unigram total) and the bigram counts two
+    (the ≥ min_count survivors + the bigram total — an exact integer
+    sum of the unfiltered counts, NOT a second corpus pass), so with
+    lazy lineage one action re-tokenized the corpus five times; cached
+    it is tokenized exactly twice — the floor. The cached frames are
+    the aggregation outputs (distinct words / distinct bigrams —
+    zipfian, orders smaller than the corpus). Pass a
+    :class:`~.pins.Pins` to release them in a long-lived session."""
     if k <= 0 or min_count <= 0:
         raise ValueError("k and min_count must be positive")
     staged = df.select(
@@ -186,7 +196,10 @@ def top_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     uni = (
         staged.select(F.explode(toks).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+        .persist()
     )
+    if pins is not None:
+        pins.add(uni)
     pairs = staged.select(
         F.explode(
             F.filter(
@@ -203,12 +216,17 @@ def top_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    big = (
+    bigc = (
         pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-        .where(F.col("n_pair") >= min_count)
+        .persist()
     )
+    if pins is not None:
+        pins.add(bigc)
+    big = bigc.where(F.col("n_pair") >= min_count)
     tot_uni = uni.agg(F.sum("n_w").alias("t1"))
-    tot_big = pairs.agg(F.count(F.lit(1)).alias("t2"))
+    # row count of `pairs` == sum of its per-group counts: the same
+    # integer read from the cached aggregate instead of a corpus pass
+    tot_big = bigc.agg(F.sum("n_pair").alias("t2"))
     scored = (
         big.join(uni.select(F.col("w").alias("w1"),
                             F.col("n_w").alias("n_w1")), on="w1")

@@ -547,6 +547,7 @@ def video_near_dups(
     seed: int = 42,
     decoder: str = "fake",
     bucket_mode: str = "hash",
+    pins=None,
 ) -> DataFrame:
     """(i, j, jaccard) near-duplicate video pairs — the video analog of
     MinHash text dedup, composed from existing stages: sample frames →
@@ -580,7 +581,10 @@ def video_near_dups(
         every_n=every_n, max_frames=max_frames)
     hashed = image_phash(frames, content_col="frame_bytes",
                          decoder=decoder, out_col="_fh")
-    sets = hashed.groupBy(id_col).agg(F.collect_set("_fh").alias("_fhs"))
+    sets = hashed.groupBy(id_col).agg(
+        F.collect_set("_fh").alias("_fhs")).persist()
+    if pins is not None:
+        pins.add(sets)
     sigs = minhash_from_hashes(sets, "_fhs", id_col=id_col,
                                num_hashes=num_hashes, seed=seed)
     pairs = lsh_candidate_pairs(sigs, id_col=id_col, num_bands=num_bands,
@@ -735,6 +739,7 @@ def audio_near_dups(
     n_bands: int = 17,
     window: int = 2048,
     decoder: str = "real",
+    pins=None,
 ) -> DataFrame:
     """(i, j, ber) near-duplicate audio pairs, Haitsma-style: a pair
     becomes a CANDIDATE when any window's subfingerprint matches
@@ -755,14 +760,24 @@ def audio_near_dups(
     candidate-volume concern. The BER denominator is the ACTUAL
     subfingerprint width — :func:`audio_fp_bits` for the real DSP
     path, 60 for the fake md5 path's 60-bit pseudo subfingerprints —
-    so BER is calibrated either way."""
+    so BER is calibrated either way.
+
+    The exploded (id, window, subfingerprint) frame is persisted: it
+    feeds FOUR branches (both candidate-join sides + both aligned
+    verification sides), and with lazy lineage one action DECODED and
+    fingerprinted every clip four times — for real audio the decode IS
+    the dominant cost. Cached, each clip is decoded exactly once; the
+    cache holds 3 narrow columns × ≤ max_windows rows per clip. Pass a
+    :class:`~..operators.pins.Pins` to release it."""
     fps = audio_fingerprint(
         df.select(id_col, content_col), content_col=content_col,
         decoder=decoder, n_bands=n_bands, window=window)
     pos = fps.select(
         F.col(id_col),
         F.posexplode("fingerprints").alias("_win", "_fp"),
-    )
+    ).persist()
+    if pins is not None:
+        pins.add(pos)
     a = pos.select(F.col(id_col).alias("i"), F.col("_fp"))
     b = pos.select(F.col(id_col).alias("j"), F.col("_fp"))
     cand = (

@@ -94,6 +94,25 @@ def test_audio_near_dups_finds_noisy_and_rescaled_copies(spark):
     assert all(v < 0.15 for v in pairs.values()), pairs
 
 
+def test_audio_near_dups_caches_decode_once(spark):
+    """r12 optimization pin: the exploded (id, window, subfingerprint)
+    frame is persisted — all four consumers (both candidate-join
+    sides + both aligned-verify sides) read one InMemoryRelation, so
+    one action decodes/fingerprints every clip exactly once instead
+    of four times."""
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
+
+    x = _broadband(0)
+    df = _df(spark, [(0, _pcm_wav(x)), (1, _pcm_wav(0.4 * x))])
+    pins = Pins()
+    out = audio_near_dups(df, max_ber=0.25, pins=pins)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert len(pins) == 1
+    assert {(r["i"], r["j"]) for r in out.collect()} == {(0, 1)}
+    pins.release()
+
+
 def test_stereo_downmix_and_fake_decoder(spark):
     x = _broadband(5, seconds=2.0)
     stereo = np.stack([x, x], axis=1).ravel()

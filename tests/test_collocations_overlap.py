@@ -38,6 +38,27 @@ def test_min_count_suppresses_hapax_pairs(spark):
     assert {(r["w1"], r["w2"]) for r in rows} == {("p", "q")}
 
 
+def test_collocations_cache_count_frames_two_corpus_passes(spark):
+    """r12 optimization pin: the unigram and bigram count frames are
+    persisted, so all five consumers (two unigram joins, the min_count
+    survivor filter, both totals — the bigram total is the integer sum
+    of the cached unfiltered counts) read the two caches and one
+    action tokenizes the corpus exactly TWICE, not five times."""
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "b c")], "doc_id long, text string"
+    )
+    pins = Pins()
+    out = top_collocations(df, k=10, min_count=2, pins=pins)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 5, plan
+    assert len(pins) == 2
+    got = {(r["w1"], r["w2"]): r["n_pair"] for r in out.collect()}
+    assert got == {("a", "b"): 2, ("b", "c"): 2}
+    pins.release()
+
+
 def test_collocations_validation(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
@@ -72,6 +93,28 @@ def test_source_overlap_matrix(spark):
     r13 = rows[("s1", "s3")]
     assert r13["n_shared"] == 1
     assert r13["share_of_b"] == pytest.approx(1 / 2)
+
+
+def test_source_overlap_caches_fingerprints_once(spark):
+    """r12 optimization pin: the distinct (fingerprint, source) frame
+    feeds four branches (both self-join sides + the two per-source
+    broadcast builds) — persisted, one action fingerprints the corpus
+    exactly once; the Pins handle tracks it plus the per-source
+    counts."""
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
+
+    df = spark.createDataFrame(
+        [(0, "shared one", "s1"), (1, "shared one", "s2")],
+        "doc_id long, text string, source string",
+    )
+    pins = Pins()
+    out = source_overlap(df, pins=pins)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert len(pins) == 2
+    assert [(r["source_a"], r["source_b"], r["n_shared"])
+            for r in out.collect()] == [("s1", "s2", 1)]
+    pins.release()
 
 
 def test_source_overlap_disjoint_sources_empty(spark):

@@ -31,6 +31,24 @@ def test_token_counts(spark):
     assert got == {"a": 2, "b": 2}
 
 
+def test_drift_caches_count_frames_one_tokenization_each(spark, pair):
+    """r12 optimization pin: the two (token, n) count frames are
+    persisted inside _join_counts — each feeds its total AND the
+    full-outer join, so with lazy lineage every gauge action
+    re-tokenized each corpus twice. Cached, each corpus is tokenized
+    exactly once; the Pins handle tracks the two frames."""
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
+
+    a, b = pair
+    pins = Pins()
+    out = drift_top_terms(a, b, k=5, pins=pins)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert len(pins) == 2
+    assert out.count() == 4  # union vocab {x, y, z, w}
+    pins.release()
+
+
 def test_identical_corpora_zero_drift(spark, pair):
     a, _ = pair
     row = corpus_drift(a, a).collect()[0]

@@ -66,6 +66,25 @@ def test_simhash(spark, docs):
     assert (0, 1) in got and (0, 5) in got
 
 
+def test_simhash_near_dups_caches_signatures_once(spark, docs):
+    """r12 optimization pin: the quartered signature frame is
+    persisted before the 4-branch pigeonhole self-join, so all 8 join
+    inputs read ONE InMemoryRelation instead of re-deriving the
+    signature lineage per input (for text SimHash that was 8 corpus
+    scans + shingle-hash-vote evaluations per action). The optional
+    Pins handle tracks exactly that one frame."""
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
+
+    pins = Pins()
+    near = simhash_near_dups(simhash64(docs), max_hamming=3, pins=pins)
+    plan = near._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 8, plan
+    assert len(pins) == 1
+    got = {(r["i"], r["j"]) for r in near.collect()}
+    assert (0, 1) in got and (0, 5) in got
+    pins.release()
+
+
 def test_minhash_md5_hash_fn_same_collisions(spark, docs):
     """The cross-engine md5 hash mode must find the same exact-dup
     collisions (identical texts → identical signatures regardless of

@@ -772,6 +772,31 @@ def test_video_near_dups_shared_frames(spark):
     assert pairs == again
 
 
+def test_video_near_dups_caches_frame_hash_sets_once(spark):
+    """r12 optimization pin: the per-video frame-hash SET frame is
+    persisted — its four evaluation paths (LSH banding self-join ×2 +
+    both exact-verify sides) read one InMemoryRelation, so one action
+    samples and hashes every video's frames exactly once instead of
+    four times."""
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
+    from generalized_kmeans_clustering_spark.sources.multimodal import (
+        video_near_dups,
+    )
+
+    base = bytes(range(256)) * 2
+    df = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(base))],
+        "media_id long, content binary",
+    )
+    pins = Pins()
+    out = video_near_dups(df, threshold=0.4, pins=pins)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert len(pins) == 1
+    assert {(r["i"], r["j"]) for r in out.collect()} == {(0, 1)}
+    pins.release()
+
+
 def test_minhash_from_hashes_matches_set_jaccard_behavior(spark):
     from generalized_kmeans_clustering_spark.operators.dedup import (
         lsh_candidate_pairs, minhash_from_hashes,
