@@ -48,6 +48,40 @@ from generalized_kmeans_clustering_spark.operators.retrieval import (
 from generalized_kmeans_clustering_spark.kmeans import (
     GeneralizedKMeans, GeneralizedKMeansModel,
 )
+from generalized_kmeans_clustering_spark.operators.pins import Pins
+
+# ---------------------------------------------------------------------------
+# session pins: operator-internal persists, bounded per session
+#
+# Nine builders call operators that persist a shared intermediate
+# (simhash near-dups, collocations, drift gauges/top-terms, source
+# overlap, audio/video near-dups, flag propagation, rollup cascade).
+# The persist must outlive the builder — the returned lazy DataFrame's
+# plan reads it at action time — so the builder cannot release it
+# itself. Left unreleased, repeated driver/oracle sweeps in one
+# session accumulate cached frames until executor-memory pressure
+# (r12 verdict item 8). The registry below bounds that: each
+# pins-using builder DRAINS the previous builder's pins when it runs
+# (by then the previous query's action has normally completed; if
+# not, unpersist never invalidates a result — a later action just
+# re-derives), so a long-lived session holds at most one query's
+# operator caches. ``release_pins()`` empties the registry entirely.
+
+_SESSION_PINS = Pins()
+
+
+def _pins() -> Pins:
+    """Drain the previous builder's operator persists, then hand the
+    registry to the next builder (see module comment above)."""
+    _SESSION_PINS.release()
+    return _SESSION_PINS
+
+
+def release_pins() -> None:
+    """Release every operator persist registered by the most recent
+    pins-using builder (idempotent). Call after the last action when
+    driving ``queries()`` in a long-lived session."""
+    _SESSION_PINS.release()
 
 # ---------------------------------------------------------------------------
 # shared constants (must match the SQL templates below exactly)
@@ -3692,6 +3726,7 @@ def q_corpus_drift(spark, sf_dir):
         docs.where(F.col("lang") == "en"),
         docs.where(F.col("lang") != "en"),
         alpha=0.5,
+        pins=_pins(),
     )
     return out.select(
         "tokens_a", "tokens_b", "vocab_a", "vocab_b", "vocab_union",
@@ -3716,6 +3751,7 @@ def q_drift_top_terms(spark, sf_dir):
         docs.where(F.col("lang") == "en"),
         docs.where(F.col("lang") != "en"),
         k=20,
+        pins=_pins(),
     )
     return out.select(
         "rank", "token",
@@ -3796,7 +3832,8 @@ def q_doc_collocations(spark, sf_dir):
         top_collocations,
     )
 
-    out = top_collocations(documents(spark, sf_dir), k=20, min_count=5)
+    out = top_collocations(documents(spark, sf_dir), k=20, min_count=5,
+                           pins=_pins())
     return out.select(
         "rank", "w1", "w2", "n_pair",
         _rcol(F.col("pmi"), 6).alias("pmi"),
@@ -3845,7 +3882,7 @@ def q_source_overlap(spark, sf_dir):
     docs = documents(spark, sf_dir).select(
         "doc_id", F.substring("text", 1, 64).alias("text"), "source"
     )
-    out = source_overlap(docs)
+    out = source_overlap(docs, pins=_pins())
     return out.select(
         "source_a", "source_b", "n_shared",
         _rcol(F.col("share_of_a"), 6).alias("share_of_a"),
@@ -6279,7 +6316,8 @@ def q_video_near_dups(spark, sf_dir):
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
     )
-    out = video_near_dups(docs, threshold=0.4, bucket_mode="raw")
+    out = video_near_dups(docs, threshold=0.4, bucket_mode="raw",
+                          pins=_pins())
     return out.select(
         "i", "j", _rcol(F.col("jaccard"), 6).alias("jaccard"),
     ).orderBy("i", "j")
@@ -6334,7 +6372,8 @@ def q_audio_near_dups(spark, sf_dir):
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
     )
-    out = audio_near_dups(docs, decoder="fake", max_ber=0.25)
+    out = audio_near_dups(docs, decoder="fake", max_ber=0.25,
+                          pins=_pins())
     return out.select(
         "i", "j", _rcol(F.col("ber"), 6).alias("ber"),
     ).orderBy("i", "j")
@@ -7369,7 +7408,8 @@ def q_simhash_near_dups(spark, sf_dir):
 
     docs = documents(spark, sf_dir)
     sigs = simhash64(docs, hash_fn="md5")
-    return simhash_near_dups(sigs, max_hamming=3).orderBy("i", "j")
+    return simhash_near_dups(sigs, max_hamming=3,
+                             pins=_pins()).orderBy("i", "j")
 
 
 def q_persist_roundtrip(spark, sf_dir):
@@ -7486,7 +7526,8 @@ def q_events_rollup_cascade(spark, sf_dir):
     )
 
     ev = events(spark, sf_dir)
-    out = rollup_cascade(ev, "ts", "value", ("hour", "day"))
+    out = rollup_cascade(ev, "ts", "value", ("hour", "day"),
+                         pins=_pins())
     # avg is derived from the ROUNDED sum so both engines divide
     # bit-identical numerators (the unrounded sums differ ~1e-10:
     # the cascade sums hour partials, the oracle sums raw rows).
@@ -7678,7 +7719,8 @@ def q_dedup_flag_propagation(spark, sf_dir):
         .where(F.col("src") < F.col("dst"))
     )
     seeds = docs.where(F.col("doc_id") < 15)
-    out = propagate_flags(edges, seeds, rounds=2, id_col="doc_id")
+    out = propagate_flags(edges, seeds, rounds=2, id_col="doc_id",
+                          pins=_pins())
     return out.orderBy("round", "id")
 
 

@@ -212,8 +212,18 @@ def main():
             best = dt if best is None else min(best, dt)
         target = timings if sink is None else sink
         target[name] = round(best, 3)
+        # leak canary (r13): the count of persisted RDDs after this
+        # region. The bench's own input caches (li/docs/emb) keep it
+        # at a small constant; GROWTH across queries means an operator
+        # persisted without release inside a timed region — the exact
+        # condition that let BENCH_r12's corpus_drift trial 2 reuse
+        # trial 1's InMemoryRelation. Telemetry-only (sidecar).
+        try:
+            cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+        except Exception:
+            cached = -1
         load[name] = {"busy": round(max_busy, 3), "load1": round(l1, 2),
-                      "hot_runs": hot_runs}
+                      "hot_runs": hot_runs, "cached_rdds": cached}
         if hot_runs > 0:
             contended.append(name)
         print(f"[bench] {name}: {target[name]}s (ext_busy "
@@ -437,13 +447,30 @@ def main():
                     .alias("n_tokens")),
         512, num_shards=64,
     ).groupBy("shard").count().collect())
-    # corpus drift audit: two token aggs -> full-outer join -> one agg
+    # corpus drift audit: two token aggs -> full-outer join -> one agg.
+    # r13 measurement fix (r12 verdict item 1): the operator persists
+    # its two count frames; left unreleased, Spark's CacheManager
+    # substitutes trial 1's InMemoryRelation into trial 2's freshly
+    # built lineage (cache lookup is by canonicalized plan), so
+    # min-of-n was serving trial 2 from trial 1's cache — BENCH_r12's
+    # 0.8s corpus_drift is that artifact, not an honest warm run. Each
+    # trial now pays materialization AND release inside the timed
+    # region via its own Pins.
     from generalized_kmeans_clustering_spark.operators.drift import (
         corpus_drift,
     )
-    timed("corpus_drift", lambda: corpus_drift(
-        docs.where(F.col("lang") == "en"),
-        docs.where(F.col("lang") != "en")).collect())
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
+
+    def _drift():
+        p = Pins()
+        try:
+            corpus_drift(
+                docs.where(F.col("lang") == "en"),
+                docs.where(F.col("lang") != "en"), pins=p).collect()
+        finally:
+            p.release()
+
+    timed("corpus_drift", _drift)
     # incremental dedup delta pass: store join + within-delta window
     from generalized_kmeans_clustering_spark.operators.incremental import (
         fingerprint_store, incremental_exact_dedup,
