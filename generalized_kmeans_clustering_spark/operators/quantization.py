@@ -361,10 +361,18 @@ def ivf_pq_index(
         assignment_strategy=coarse_assignment_strategy,
     ).fit(base)
     indexed = coarse.transform(base)
+    # non-nullable _list (r13): stops every downstream equi-join on
+    # _list from inferring IsNotNull and re-inlining the coarse
+    # assignment below the encode projection (see
+    # similarity.ivf_index). F.get is 0-based and returns NULL for the
+    # -1 sentinel instead of element_at's index error — null vectors
+    # keep their null residual/codes exactly as before.
+    indexed = indexed.withColumn(
+        "_list", F.coalesce(F.col("_list"), F.lit(-1)))
     centers_lit = F.array(*[array_lit(c) for c in coarse.centers.tolist()])
     resid = F.zip_with(
         F.col("_v"),
-        F.element_at(centers_lit, F.col("_list") + 1),
+        F.get(centers_lit, F.col("_list")),
         lambda a, b: a - b,
     )
     with_res = indexed.withColumn("_r", resid)
@@ -716,10 +724,13 @@ def ivf_sq_index(
         assignment_strategy=coarse_assignment_strategy,
     ).fit(base)
     indexed = coarse.transform(base)
+    # non-nullable _list + F.get — see ivf_pq_index (r13)
+    indexed = indexed.withColumn(
+        "_list", F.coalesce(F.col("_list"), F.lit(-1)))
     centers_lit = F.array(*[array_lit(c) for c in coarse.centers.tolist()])
     resid = F.zip_with(
         F.col("_v"),
-        F.element_at(centers_lit, F.col("_list") + 1),
+        F.get(centers_lit, F.col("_list")),
         lambda a, b: a - b,
     )
     with_res = indexed.withColumn("_r", resid)

@@ -379,6 +379,7 @@ def semantic_dedup(
     k_sub: int = 16,
     split_probes: int = 2,
     max_split_levels: int = 3,
+    pins=None,
 ) -> DataFrame:
     """Per-row semantic-dedup verdicts:
     ``(id, list, centroid_sim, component, is_canonical)``.
@@ -410,12 +411,25 @@ def semantic_dedup(
         df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed,
         max_iter=max_iter, initial_centers=initial_centers,
     )
+    # evaluate-once (r13): `indexed` feeds the centroid-sim scoring,
+    # the pair search (which itself reads it for the per-list sizes
+    # AND the within-list join when capped) and, through the pairs,
+    # the eager component rounds — as lazy lineage the coarse
+    # assignment ran once per branch. Persisted, the corpus is scanned
+    # and assigned exactly once; the cache is (id, _v, _list) rows.
+    # Pass a Pins to release in long-lived sessions.
+    indexed = indexed.persist()
+    if pins is not None:
+        pins.add(indexed)
     centers_lit = F.array(*[array_lit(c) for c in model.centers.tolist()])
     scored = indexed.withColumn(
         "centroid_sim",
         cosine_sim(
             F.col("_v"),
-            _as_double(F.element_at(centers_lit, F.col("_list") + 1)),
+            # 0-based F.get: same value as element_at(_list + 1) for
+            # real lists, NULL (not an index error) for the -1
+            # sentinel ivf_index now assigns to null vectors (r13)
+            _as_double(F.get(centers_lit, F.col("_list"))),
         ),
     )
     pairs = semantic_near_dup_pairs(
@@ -423,7 +437,7 @@ def semantic_dedup(
         k_sub=k_sub, split_probes=split_probes,
         max_split_levels=max_split_levels, seed=seed,
     )
-    comp = duplicate_components(pairs, method=method).select(
+    comp = duplicate_components(pairs, method=method, pins=pins).select(
         F.col("id").alias(id_col), "component"
     )
     labeled = scored.join(comp, on=id_col, how="left").withColumn(

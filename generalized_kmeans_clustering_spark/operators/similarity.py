@@ -278,6 +278,20 @@ def ivf_index(
         initial_centers=initial_centers,
     ).fit(base)
     indexed = model.transform(base)
+    # Make ``_list`` provably NON-NULLABLE (r13). The prediction
+    # expression is nullable (null/degenerate vectors assign null), so
+    # every downstream equi-join on ``_list`` made the planner infer
+    # IsNotNull(_list) — and pushing that filter below this projection
+    # re-INLINED the whole coarse-assignment expression (n_lists × d
+    # interpreted dot products with the feature norm re-expanded per
+    # element): every probed candidate row paid its assignment twice.
+    # coalesce to the -1 sentinel is non-nullable by construction, so
+    # no IsNotNull is ever inferred (and the join stays a plain
+    # EqualTo, keeping partition pruning on stored indexes). Sentinel
+    # rows (null vectors only) match no probe — exactly what the old
+    # null key did in an inner join.
+    indexed = indexed.withColumn(
+        "_list", F.coalesce(F.col("_list"), F.lit(-1)))
     return indexed, model
 
 
