@@ -26,7 +26,76 @@ from itertools import product
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["epsilon_affinity_edges", "propagate_flags"]
+__all__ = ["epsilon_affinity_edges", "propagate_flags", "same_key_pairs"]
+
+
+def same_key_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    group_cap: int = 4096,
+    salt: int = 16,
+    pins=None,
+) -> DataFrame:
+    """All ``(src < dst)`` id pairs sharing a non-null key — the
+    same-fingerprint edge build for :func:`propagate_flags`,
+    skew-guarded (r13, the r12 verdict's item 5).
+
+    NULL keys are dropped, matching the self-join this construction
+    replaces (NULL never equi-joins NULL); grouping them instead would
+    fabricate edges among every null-key row (the r12 advisor's find).
+
+    Groups of at most ``group_cap`` rows pair via ONE
+    ``groupBy(key).collect_list`` + in-group explode — the key
+    expression is evaluated once and shuffled once, and no group row
+    exceeds ``group_cap`` ids. HOT groups (> ``group_cap`` — the
+    empty/boilerplate fingerprint at corpus scale) would otherwise
+    collect every member into a single array in a single task and
+    explode quadratically there; they are paired instead with a
+    salt-block join: the left side replicates each row over the
+    ``salt`` block ids, the right side carries its deterministic chunk
+    ``pmod(xxhash64(id), salt)``, and the equi-join on (key, block)
+    matches every pair exactly once — per-task work falls to ~1/salt
+    of the group's quadratic and no single row materializes the group
+    (guide §2.5: deterministic salt, never rand()).
+
+    The keyed frame feeds both branches and the hot-key count, so it
+    is persisted — register on ``pins`` to release. The hot-key list
+    (≤ rows/group_cap keys by construction) is broadcast.
+    """
+    if group_cap <= 1:
+        raise ValueError("group_cap must be > 1")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    keyed = df.select(F.col(key_col), F.col(id_col)) \
+        .where(F.col(key_col).isNotNull()).persist()
+    if pins is not None:
+        pins.add(keyed)
+    hot_keys = (
+        keyed.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > group_cap).select(key_col)
+    )
+    small = keyed.join(F.broadcast(hot_keys), on=key_col, how="left_anti")
+    small_edges = (
+        small.groupBy(key_col).agg(F.collect_list(id_col).alias("_ids"))
+        .select(F.explode("_ids").alias("src"), "_ids")
+        .select("src", F.explode("_ids").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+    )
+    hot = keyed.join(F.broadcast(hot_keys), on=key_col, how="left_semi")
+    left = hot.select(
+        F.col(key_col), F.col(id_col).alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_blk"))
+    right = hot.select(
+        F.col(key_col), F.col(id_col).alias("dst"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+        .cast("int").alias("_blk"))
+    hot_edges = (
+        left.join(right, on=[key_col, "_blk"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return small_edges.unionByName(hot_edges)
 
 
 def propagate_flags(
