@@ -61,6 +61,7 @@ def prepare_corpus(
     source_col: str = "source",
     cap_seed: int = 0,
     cap_hash_fn: str = "xxhash64",
+    pins=None,
 ) -> DataFrame:
     """Annotate every document with signals + a keep/reject verdict.
 
@@ -218,8 +219,9 @@ def prepare_corpus(
                                         num_hashes=num_hashes)
             verified = jaccard_verify(passed, pairs, text_col=text_col,
                                       id_col=id_col, shingle_n=shingle_n,
-                                      threshold=minhash_threshold)
-        comp = duplicate_components(verified)
+                                      threshold=minhash_threshold,
+                                      pins=pins)
+        comp = duplicate_components(verified, pins=pins)
         marked = canonical_duplicates(
             passed.join(comp.select(F.col("id").alias(id_col)), id_col),
             comp, id_col=id_col, text_col=text_col)

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, shingles
+from .pins import release_checkpoint
 
 __all__ = [
     "exact_dedup",
@@ -269,6 +270,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    pins=None,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (two broadcast-able
     joins against the shingle sets of the candidates).
@@ -278,8 +280,13 @@ def jaccard_verify(
     candidates ≪ corpus, so shingling the full corpus here would be
     the dominant cost. The pair frame is referenced three times below
     (two joins + the id semi-join), so it is lazily local-checkpointed
-    — the LSH chain evaluates once, not three times."""
+    — the LSH chain evaluates once, not three times. The checkpoint
+    RDD outlives the call (r13: ``DataFrame.unpersist`` cannot release
+    a checkpoint) — register on ``pins`` (checkpoint class; release
+    once done with every frame derived from this result)."""
     pairs = pairs.localCheckpoint(eager=False)
+    if pins is not None:
+        pins.add_checkpoint(pairs)
     cand_ids = (
         pairs.select(F.col("i").alias(id_col))
         .unionAll(pairs.select(F.col("j").alias(id_col)))
@@ -398,7 +405,8 @@ AUTO_LABEL_ROUNDS = 3
 def duplicate_components(pairs: DataFrame, i_col: str = "i",
                          j_col: str = "j", max_iter: int = 25,
                          method: str = "auto",
-                         telemetry: dict | None = None) -> DataFrame:
+                         telemetry: dict | None = None,
+                         pins=None) -> DataFrame:
     """Connected components over a duplicate-pair edge list →
     ``(id, component)`` with ``component`` = the smallest id reachable
     (the id column's own ordering — long, string, UUID all work; the
@@ -456,23 +464,39 @@ def duplicate_components(pairs: DataFrame, i_col: str = "i",
             f"{i_col}: {ti} vs {j_col}: {tj}"
         )
     sig = _label_signature(ti)
+    # The returned labels frame is the operator's living result,
+    # registered on `pins` (r13): unreleased, it leaked one
+    # result-sized RDD per call AND — on the label path, where it is a
+    # cached plan — let a later identical run be silently served from
+    # it through CacheManager's canonical-plan matching (the bench
+    # min-of-n taint class). Release the pins only once done with the
+    # result: star-path results are checkpoint pins (see Pins).
     method_used = method
     if method == "star":
         labels, rounds, converged = _components_star(
-            pairs, i_col, j_col, max_iter, sig)
+            pairs, i_col, j_col, max_iter, sig, pins=pins)
     elif method == "label":
         labels, rounds, converged = _components_label(
-            pairs, i_col, j_col, max_iter, sig)
+            pairs, i_col, j_col, max_iter, sig, pins=pins)
     else:  # auto: cheap label rounds first, star if the graph is deep
+        from .pins import Pins
+
         budget = min(AUTO_LABEL_ROUNDS, max_iter)
+        attempt = Pins()
         labels, rounds, converged = _components_label(
-            pairs, i_col, j_col, budget, sig)
+            pairs, i_col, j_col, budget, sig, pins=attempt)
         method_used = "label"
         if not converged:
+            # the abandoned label attempt's caches are dead weight
+            # (star restarts from `pairs`) — release them now (they
+            # leaked per auto-escalation before r13)
+            attempt.release()
             labels, srounds, converged = _components_star(
-                pairs, i_col, j_col, max_iter, sig)
+                pairs, i_col, j_col, max_iter, sig, pins=pins)
             rounds += srounds
             method_used = "star"
+        elif pins is not None:
+            pins.absorb(attempt)
     if not converged:
         warnings.warn(
             f"duplicate_components(method={method_used!r}) did not reach "
@@ -489,7 +513,7 @@ def duplicate_components(pairs: DataFrame, i_col: str = "i",
     return labels
 
 
-def _components_label(pairs, i_col, j_col, max_iter, sig):
+def _components_label(pairs, i_col, j_col, max_iter, sig, pins=None):
     """Min-label propagation; rounds = component diameter."""
     e = (
         pairs.select(F.col(i_col).alias("src"), F.col(j_col).alias("dst"))
@@ -512,6 +536,7 @@ def _components_label(pairs, i_col, j_col, max_iter, sig):
     )
     prev_sum = labels.agg(sig("component")).first()[0]
     prev = None
+    last_ckpt = None
     rounds, converged = 0, False
     for it in range(max_iter):
         nb = (
@@ -522,11 +547,19 @@ def _components_label(pairs, i_col, j_col, max_iter, sig):
             labels.unionAll(nb)
             .groupBy("id").agg(F.min("component").alias("component"))
         )
-        nxt = (nxt.localCheckpoint(eager=True) if (it + 1) % 5 == 0
-               else nxt.persist())
+        is_ckpt = (it + 1) % 5 == 0
+        nxt = nxt.localCheckpoint(eager=True) if is_ckpt else nxt.persist()
         s = nxt.agg(sig("component")).first()[0]
+        if is_ckpt and last_ckpt is not None:
+            # a NEWER checkpoint has materialized: every live frame's
+            # lineage is truncated at it, so the previous checkpoint's
+            # RDD (which DataFrame.unpersist() cannot release — r13)
+            # is provably unreferenced now
+            release_checkpoint(last_ckpt)
+        if is_ckpt:
+            last_ckpt = nxt
         if prev is not None:
-            prev.unpersist()
+            prev.unpersist()  # no-op on checkpoint rounds, by design
         prev = labels
         labels = nxt
         rounds = it + 1
@@ -537,6 +570,18 @@ def _components_label(pairs, i_col, j_col, max_iter, sig):
     e.unpersist()
     if prev is not None:
         prev.unpersist()
+    # the final `labels` stays live — it IS the result. Register it on
+    # the caller's pins; when the run went past a %5 checkpoint round,
+    # the LAST checkpoint is the lineage anchor the result rests on —
+    # registered as a checkpoint pin (released only when the caller is
+    # done with the result; see Pins docstring).
+    if pins is not None:
+        if labels is last_ckpt:
+            pins.add_checkpoint(labels)
+        else:
+            pins.add(labels)
+            if last_ckpt is not None:
+                pins.add_checkpoint(last_ckpt)
     return labels, rounds, converged
 
 
@@ -574,7 +619,7 @@ def _small_star(e):
             .where(F.col("u") != F.col("v")).distinct())
 
 
-def _components_star(pairs, i_col, j_col, max_iter, sig):
+def _components_star(pairs, i_col, j_col, max_iter, sig, pins=None):
     """Large-star/small-star alternation; O(log n) rounds for any
     component shape. At the fixpoint the edge set is a star forest
     (every node → its component minimum)."""
@@ -597,7 +642,13 @@ def _components_star(pairs, i_col, j_col, max_iter, sig):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
         s = tuple(nxt.agg(F.count(F.lit(1)), sig("u"), sig("v")).first())
         if prev is not None:
+            # every round is an EAGER checkpoint, so once nxt has
+            # materialized nothing references the round before last —
+            # release its checkpoint RDD for real (DataFrame.unpersist
+            # is a silent no-op on checkpointed frames, which leaked
+            # one edge-list copy per round until r13)
             prev.unpersist()
+            release_checkpoint(prev)
         prev = e
         e = nxt
         rounds = it + 1
@@ -612,10 +663,16 @@ def _components_star(pairs, i_col, j_col, max_iter, sig):
                 F.coalesce("component", F.col("id")).alias("component"))
         .localCheckpoint(eager=True)
     )
+    # labels is eagerly checkpointed (self-contained), so the working
+    # frames are provably unreferenced now
     nodes.unpersist()
     if prev is not None:
         prev.unpersist()
+        release_checkpoint(prev)
     e.unpersist()
+    release_checkpoint(e)
+    if pins is not None:
+        pins.add_checkpoint(labels)  # the result (see Pins docstring)
     return labels, rounds, converged
 
 
@@ -911,16 +968,36 @@ def repetition_weights(df: DataFrame, components: DataFrame,
     :func:`~.sampling.bernoulli_keep`, or feed them to a weighted loss.
 
     At 100 TB: one left join against the (≪ corpus-sized) components
-    frame + one window count keyed on the component — a single shuffle
-    whose reducer load is bounded by the largest duplicate group.
+    frame + a group-size aggregation over that SAME small frame joined
+    back on the component. Group sizes are counted on the components
+    frame, not with a corpus-wide window (r13): the pre-r13 window
+    ``count(*) over (partition by component)`` shuffled EVERY corpus
+    row — all columns — on the component key and sorted it, purely to
+    attach a group count; the sizes aggregation touches only the
+    components frame and the join-back lets the planner broadcast it
+    when it fits (guide §2.3/§2.4). Identical by the operator's
+    contract: ``components`` labels ids of THIS corpus (each df row's
+    id at most once), so per-component df-row counts equal the
+    components frame's per-component id counts, and ids absent from
+    it are singletons either way (coalesce → weight 1).
     """
-    from pyspark.sql import Window
-
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
     joined = with_components(df, components, id_col, component_col)
-    w = Window.partitionBy(component_col)
-    return joined.withColumn(
-        weight_col,
-        F.pow(F.count(F.lit(1)).over(w).cast("double"), F.lit(-alpha)),
+    # same label-column resolution as with_components (custom name
+    # honored when the canonical one is absent)
+    has_custom = (component_col != "component"
+                  and component_col in components.columns)
+    src = component_col if has_custom else "component"
+    sizes = components.groupBy(
+        F.col(src).alias(component_col)
+    ).agg(F.count(F.lit(1)).alias("_gsz"))
+    return (
+        joined.join(sizes, component_col, "left")
+        .withColumn(
+            weight_col,
+            F.pow(F.coalesce(F.col("_gsz"), F.lit(1)).cast("double"),
+                  F.lit(-alpha)),
+        )
+        .drop("_gsz")
     )

@@ -25,6 +25,11 @@ PINS_QUERIES = [
     "multimodal_video_near_dups",
     "dedup_flag_propagation",
     "events_rollup_cascade",
+    "semantic_dedup_groups",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_soft_weights",
+    "dedup_jaccard_verify",
 ]
 
 # propagate_flags at rounds=2 pins the most: sym + flagged + 1 reused
