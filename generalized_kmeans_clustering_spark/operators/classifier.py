@@ -287,8 +287,19 @@ def train_hashed_lr(
                     starts = np.zeros(len(lens), dtype=np.int64)
                     np.cumsum(lens[:-1], out=starts[1:])
                     contrib = flat_ct * w_np[flat_bk]
-                    margins = np.add.reduceat(contrib, starts)
-                    margins[lens == 0] = 0.0
+                    if (lens == 0).any():
+                        # reduceat raises when a start index reaches
+                        # len(contrib) (trailing empty list), so mask
+                        # zero-length segments out instead of zeroing
+                        # after the fact (r13, advisor find: the old
+                        # post-hoc guard could never run)
+                        nz = lens > 0
+                        margins = np.zeros(len(lens), dtype=np.float64)
+                        if nz.any():
+                            margins[nz] = np.add.reduceat(
+                                contrib, starts[nz])
+                    else:
+                        margins = np.add.reduceat(contrib, starts)
                     y = pdf["_y"].to_numpy(dtype=np.float64)
                     r = 1.0 / (1.0 + np.exp(-(margins + b_now))) - y
                     np.add.at(g, flat_bk, flat_ct * np.repeat(r, lens))
