@@ -916,8 +916,10 @@ def _dedup_components_pipeline(spark, sf_dir, method):
     sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3, hash_fn="md5")
     pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
                                 bucket_mode="raw")
-    verified = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2)
-    comp = duplicate_components(verified, method=method)
+    p = _pins()
+    verified = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2,
+                              pins=p)
+    comp = duplicate_components(verified, method=method, pins=p)
     in_comp = docs.join(comp.select(F.col("id").alias("doc_id")), "doc_id")
     out = canonical_duplicates(in_comp, comp)
     return out.select("doc_id", "component", "is_canonical").orderBy("doc_id")
@@ -1224,8 +1226,10 @@ def q_dedup_soft_weights(spark, sf_dir):
                               hash_fn="md5")
     pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
                                 bucket_mode="raw")
-    verified = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2)
-    comp = duplicate_components(verified, method="label")
+    p = _pins()
+    verified = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2,
+                              pins=p)
+    comp = duplicate_components(verified, method="label", pins=p)
     out = repetition_weights(docs, comp, alpha=1.0)
     return out.select("doc_id", "component", "rep_weight").orderBy("doc_id")
 
@@ -4723,6 +4727,7 @@ def q_semantic_dedup(spark, sf_dir):
     out = semantic_dedup(
         emb, threshold=0.35, n_lists=8, seed=42, max_iter=0,
         initial_centers=init, keep="far_from_centroid", method="auto",
+        pins=_pins(),
     )
     return out.select(
         "vec_id",
@@ -6139,7 +6144,8 @@ def q_jaccard_verify(spark, sf_dir):
     sigs = minhash_signatures(docs, num_hashes=16, shingle_n=3, hash_fn="md5")
     pairs = lsh_candidate_pairs(sigs, num_bands=4, num_hashes=16,
                                 bucket_mode="raw")
-    out = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2)
+    out = jaccard_verify(docs, pairs, shingle_n=3, threshold=0.2,
+                         pins=_pins())
     return out.select(
         "i", "j", _rcol(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("i", "j")
@@ -7700,27 +7706,24 @@ def q_dedup_flag_propagation(spark, sf_dir):
     2 hops across the shared-min-shingle-fingerprint graph — bounded
     BFS, one frontier equi-join per round, no collect."""
     from generalized_kmeans_clustering_spark.operators.graph import (
-        propagate_flags,
+        propagate_flags, same_key_pairs,
     )
 
     docs = documents(spark, sf_dir)
     fp = docs.select(
         "doc_id", T.min_shingle_fingerprint(F.col("text"), 3).alias("minfp"))
-    # r12: same-fingerprint pairs via ONE groupBy + in-group pair
-    # explode instead of a fingerprint self-join — the self-join
-    # evaluated the min-shingle HOF on BOTH aliases and shuffled the
-    # fingerprint frame twice; this evaluates it once and shuffles
-    # once. Edge set is identical: all (src < dst) with equal minfp.
-    grouped = fp.groupBy("minfp").agg(
-        F.collect_list("doc_id").alias("_ids"))
-    edges = (
-        grouped.select(F.explode("_ids").alias("src"), "_ids")
-        .select("src", F.explode("_ids").alias("dst"))
-        .where(F.col("src") < F.col("dst"))
-    )
+    # r12 built same-fingerprint pairs via ONE groupBy + in-group pair
+    # explode (one HOF evaluation, one shuffle — vs the self-join's
+    # two of each). r13 hardens that shape (verdict item 5 + advisor):
+    # same_key_pairs drops NULL fingerprints (matching the oracle's
+    # self-join semantics) and salt-blocks any fingerprint group past
+    # the cap so no hot key collects into a single task's array.
+    # Edge set on real data is identical: all (src < dst), equal minfp.
+    p = _pins()
+    edges = same_key_pairs(fp, "minfp", "doc_id", pins=p)
     seeds = docs.where(F.col("doc_id") < 15)
     out = propagate_flags(edges, seeds, rounds=2, id_col="doc_id",
-                          pins=_pins())
+                          pins=p)
     return out.orderBy("round", "id")
 
 

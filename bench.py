@@ -123,6 +123,7 @@ def main():
 
     import __spark_entry__ as em
     from generalized_kmeans_clustering_spark import GeneralizedKMeans
+    from generalized_kmeans_clustering_spark.operators.pins import Pins
     from generalized_kmeans_clustering_spark.operators.dedup import (
         minhash_signatures, lsh_candidate_pairs,
     )
@@ -416,13 +417,26 @@ def main():
     # (HEAD) vs 3.04s (r9), medians 3.65 vs 3.39 with overlapping
     # trial bands (HEAD drew one 6.1s outlier). Variance; nothing to
     # revert.
-    timed("dedup_components", lambda: duplicate_components(
-        jaccard_verify(
-            docs,
-            lsh_candidate_pairs(minhash_signatures(docs, num_hashes=32),
-                                num_hashes=32),
-            threshold=0.5,
-        )).count())
+    # r13 measurement fix (the corpus_drift cache-reuse class): the
+    # label path's final component-labels frame stayed persisted after
+    # the trial, and trial 2's identical lineage would be served from
+    # it by CacheManager's canonical-plan matching. Each trial now
+    # releases its labels via Pins inside the timed region.
+    def _components():
+        p = Pins()
+        try:
+            duplicate_components(
+                jaccard_verify(
+                    docs,
+                    lsh_candidate_pairs(
+                        minhash_signatures(docs, num_hashes=32),
+                        num_hashes=32),
+                    threshold=0.5, pins=p,
+                ), pins=p).count()
+        finally:
+            p.release()
+
+    timed("dedup_components", _components)
     # one-call corpus prep (signals + filters + exact dedup verdicts)
     from generalized_kmeans_clustering_spark.operators.corpus import (
         prepare_corpus,
@@ -459,7 +473,6 @@ def main():
     from generalized_kmeans_clustering_spark.operators.drift import (
         corpus_drift,
     )
-    from generalized_kmeans_clustering_spark.operators.pins import Pins
 
     def _drift():
         p = Pins()

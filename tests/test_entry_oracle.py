@@ -76,13 +76,19 @@ def test_entry_smoke(spark):
 
 
 def test_all_queries_run(spark, sf_dir):
+    # Registry parity, both directions. The pre-r13 version ALSO
+    # built+counted every query here (446s), which was fully redundant
+    # with test_query_matches_oracle: parity means the exact same 169
+    # builders are each built AND collected by the value gate above —
+    # cut so the driver-window suite budget goes to real coverage
+    # (r12 verdict item 1b).
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     for name in oracles:
         assert name in qs, f"oracle {name} has no query"
-    for name, fn in qs.items():
-        df = fn(spark, sf_dir)
-        assert df.count() >= 0, name
+    for name in qs:
+        assert name in oracles, f"query {name} has no oracle"
+    assert len(qs) == len(oracles)
 
 
 # The driver's value hash is TYPE-sensitive where this file's Python
